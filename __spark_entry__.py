@@ -1,38 +1,455 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    -> flagship query (ROW-mode index build) on sf0.001
+queries()       -> one callable per implemented operator (SURVEY.md §2)
+oracle_sql()    -> DuckDB-equivalent SQL per query (the t2 correctness gate)
+
+Every query derives HBase-shaped cells from the driver tables with the
+engine's own encoders (hbase_indexer_spark.sources.fixtures), runs the real
+engine plan, and is mirrored by ANSI SQL over the raw tables — so a match
+validates the full encode -> extract -> decode -> id -> merge path.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver builds its own SparkSession; make the confs this engine
+    depends on session-local-settable here (events.parquet is TIMESTAMP
+    NANOS, illegal for Spark readers unless read as a raw long)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# Indexer definitions under test (user_indexer.xml / message_indexer.xml
+# analogs — FIXTURES.md §§1-2)
+# ---------------------------------------------------------------------------
+
+USER_CONF = {
+    "table": "indexdemo-user",
+    "fields": [
+        {"name": "firstname_s", "value": "info:firstname"},
+        {"name": "lastname_s", "value": "info:lastname"},
+        {"name": "age_i", "value": "info:age", "type": "int"},
+        {"name": "email_s", "value": "info:email"},
+        {"name": "acctbal_d", "value": "info:acctbal", "type": "double"},
+        {"name": "nation_i", "value": "info:nation", "type": "int"},
+    ],
+}
+
+MESSAGE_COL_CONF = {
+    "table": "indexdemo-message",
+    "mapping_type": "column",
+    "row_field": "row_s",
+    "column_family_field": "cf_s",
+    "fields": [{"name": "priority_s", "value": "content:ord-*"}],
+}
+
+MESSAGE_HEX_CONF = {
+    "table": "indexdemo-message",
+    "mapping_type": "column",
+    "unique_key_formatter": "hex",
+    "fields": [{"name": "priority_s", "value": "content:ord-*"}],
+}
+
+MESSAGE_ROW_CONF = {
+    "table": "indexdemo-message",
+    "fields": [{"name": "msgs", "value": "content:ord-*"}],
+}
+
+MESSAGE_QUAL_CONF = {
+    "table": "indexdemo-message",
+    "fields": [{"name": "quals", "value": "content:ord-*", "source": "qualifier"}],
+}
+
+MESSAGE_DYN_CONF = {
+    "table": "indexdemo-message",
+    "fields": [{"name": "msg_*", "value": "content:ord-*"}],
+}
+
+TYPED_CONF = {
+    "table": "table1",
+    "fields": [
+        {"name": "q_l", "value": "family1:f_long", "type": "long"},
+        {"name": "pk_i", "value": "family1:f_int", "type": "int"},
+        {"name": "ln_s", "value": "family1:f_short", "type": "short"},
+        {"name": "price_d", "value": "family1:f_double", "type": "double"},
+        {"name": "disc_f", "value": "family1:f_float", "type": "float"},
+        {"name": "flag_b", "value": "family1:f_boolean", "type": "boolean"},
+        {"name": "rf_s", "value": "family1:f_string"},
+        {"name": "bad_i", "value": "family1:f_badint", "type": "int"},
+    ],
+}
+
+EVENTS_CONF = {
+    "table": "events",
+    "fields": [
+        {"name": "signup_d", "value": "info:signup", "type": "double"},
+        {"name": "click_d", "value": "info:click", "type": "double"},
+        {"name": "purchase_d", "value": "info:purchase", "type": "double"},
+        {"name": "view_d", "value": "info:view", "type": "double"},
+    ],
+}
+
+SUBSCRIPTION_TS_MS = 1704110400000  # 2024-01-01T12:00:00Z
+
+
+def _conf(d: dict):
+    from hbase_indexer_spark.config.indexer_conf import IndexerConf
+
+    return IndexerConf.from_dict(d)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_row_index_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: batch ROW-mode index build (P1/P5/P9/P12, S4)."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import user_cells
+
+    return build_index(user_cells(spark, sf_dir), _conf(USER_CONF))
+
+
+def q_column_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN mapping: per-cell docs, hyphen-escaped ids, P13 injection."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    return build_index(message_cells(spark, sf_dir), _conf(MESSAGE_COL_CONF))
+
+
+def q_column_index_orders_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN mapping with hex id formatter (P10)."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    return build_index(message_cells(spark, sf_dir), _conf(MESSAGE_HEX_CONF))
+
+
+def q_prefix_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 prefix extraction: qualifier-sorted multi-valued field."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    return build_index(message_cells(spark, sf_dir), _conf(MESSAGE_ROW_CONF))
+
+
+def q_prefix_qualifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 qualifier-source extraction."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    return build_index(message_cells(spark, sf_dir), _conf(MESSAGE_QUAL_CONF))
+
+
+def q_dynamic_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 dynamic output fields, emitted as sorted (key,value) entries."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    docs = build_index(message_cells(spark, sf_dir), _conf(MESSAGE_DYN_CONF))
+    return docs.select("id", F.map_entries(F.col("msg_")).alias("entries"))
+
+
+def q_typed_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 full type-decode matrix incl. drop-on-error (bad_i stays NULL)."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import typed_cells
+
+    return build_index(typed_cells(spark, sf_dir), _conf(TYPED_CONF))
+
+
+def q_bigdecimal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 bigdecimal: Bytes.toBigDecimal layout round-trip."""
+    from hbase_indexer_spark.functions import bytes_codec as bc
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enc = bc.encode_bigdecimal(F.col("c_acctbal").cast("string"))
+    return c.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        bc.decode_bigdecimal(enc).alias("acctbal_dec"),
+    )
+
+
+def q_scan_range_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 rowkey-range scan bounds pushed into the parquet read."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.cells import scan_range
+    from hbase_indexer_spark.sources.fixtures import user_cells
+
+    cells = scan_range(user_cells(spark, sf_dir), "100", "120")
+    return build_index(cells, _conf(USER_CONF))
+
+
+def q_scan_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 cell-timestamp range restriction."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.cells import scan_time_range
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    cells = scan_time_range(message_cells(spark, sf_dir), 100, 1000)
+    return build_index(cells, _conf(MESSAGE_COL_CONF))
+
+
+def q_multi_table_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 regex multi-table scan with table tagging."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import typed_cells, user_cells
+
+    conf = _conf({
+        "table": "regex:^(indexdemo-user|table1)$",
+        "table_name_field": "tbl",
+        "fields": [
+            {"name": "firstname_s", "value": "info:firstname"},
+            {"name": "rf_s", "value": "family1:f_string"},
+        ],
+    })
+    cells = user_cells(spark, sf_dir).unionByName(typed_cells(spark, sf_dir))
+    docs = build_index(cells, conf)
+    return docs.groupBy("tbl").agg(F.count(F.lit(1)).alias("cnt")).orderBy("tbl")
+
+
+def q_subscription_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 subscription-timestamp gate over the event stream."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.incremental import gate_events
+    from hbase_indexer_spark.sources.fixtures import event_cells
+
+    gated = gate_events(event_cells(spark, sf_dir), _conf(EVENTS_CONF),
+                        subscription_ts=SUBSCRIPTION_TS_MS)
+    return (
+        gated.groupBy(F.col("qualifier").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+def q_incremental_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental path (S1-S3, A1, F2/F4/F5, J1, K1/K7): replay
+    the event log in 4 micro-batches through state + index stores; the
+    result is the converged materialized view."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.incremental import IncrementalIndexer
+    from hbase_indexer_spark.sources.fixtures import event_cells
+
+    tmp = tempfile.mkdtemp(prefix="hbis_inc_")
+    ix = IncrementalIndexer(
+        spark, _conf(EVENTS_CONF),
+        state_path=os.path.join(tmp, "state"),
+        index_path=os.path.join(tmp, "index"),
+    )
+    return ix.replay(event_cells(spark, sf_dir), n_chunks=4)
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 stream-to-table lookup join: enrich indexed rows from the customer
+    snapshot (broadcast; the set-oriented point-Get)."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.operators.extraction import row_documents
+    from hbase_indexer_spark.plans.incremental import row_state_from_events
+    from hbase_indexer_spark.sources.fixtures import event_cells
+
+    docs = row_documents(row_state_from_events(event_cells(spark, sf_dir)),
+                         _conf(EVENTS_CONF))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_mktsegment").alias("segment_s"),
+    )
+    return docs.join(F.broadcast(cust), "id", "left").select(
+        "id", "segment_s", "purchase_d"
+    )
+
+
+def _analytics(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hbase_indexer_spark.plans import analytics
+
+        return getattr(analytics, name)(spark, sf_dir)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Driver surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_session_confs(spark)
+    return q_row_index_customer(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "row_index_customer": q_row_index_customer,
+        "column_index_orders": q_column_index_orders,
+        "column_index_orders_hex": q_column_index_orders_hex,
+        "prefix_values": q_prefix_values,
+        "prefix_qualifiers": q_prefix_qualifiers,
+        "dynamic_fields": q_dynamic_fields,
+        "typed_decode_matrix": q_typed_decode_matrix,
+        "bigdecimal_decode": q_bigdecimal_decode,
+        "scan_range_pushdown": q_scan_range_pushdown,
+        "scan_time_range": q_scan_time_range,
+        "multi_table_union": q_multi_table_union,
+        "subscription_gate": q_subscription_gate,
+        "incremental_row_index": q_incremental_row_index,
+        "stream_static_join": q_stream_static_join,
+        "pricing_summary": _analytics("pricing_summary"),
+        "revenue_forecast": _analytics("revenue_forecast"),
+        "top_unshipped_orders": _analytics("top_unshipped_orders"),
+        "regional_revenue": _analytics("regional_revenue"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from hbase_indexer_spark.plans.analytics import ORACLES
+
+    out = {
+        "row_index_customer": """
+            SELECT CAST(c_custkey AS VARCHAR) AS id,
+                   c_name AS firstname_s,
+                   c_mktsegment AS lastname_s,
+                   CAST(c_custkey % 100 AS INTEGER) AS age_i,
+                   c_name || '@example.com' AS email_s,
+                   c_acctbal AS acctbal_d,
+                   c_nationkey AS nation_i
+            FROM customer
+        """,
+        "column_index_orders": """
+            SELECT CAST(o_custkey AS VARCHAR) || '-content-' ||
+                   replace('ord-' || CAST(o_orderkey AS VARCHAR), '-', '\\-') AS id,
+                   CAST(o_custkey AS VARCHAR) AS row_s,
+                   'content' AS cf_s,
+                   o_orderpriority AS priority_s
+            FROM orders
+        """,
+        "column_index_orders_hex": """
+            SELECT lower(hex(CAST(o_custkey AS VARCHAR))) || '-636f6e74656e74-' ||
+                   lower(hex('ord-' || CAST(o_orderkey AS VARCHAR))) AS id,
+                   o_orderpriority AS priority_s
+            FROM orders
+        """,
+        "prefix_values": """
+            SELECT CAST(o_custkey AS VARCHAR) AS id,
+                   list(o_orderpriority ORDER BY 'ord-' || CAST(o_orderkey AS VARCHAR)) AS msgs
+            FROM orders GROUP BY o_custkey
+        """,
+        "prefix_qualifiers": """
+            SELECT CAST(o_custkey AS VARCHAR) AS id,
+                   list('ord-' || CAST(o_orderkey AS VARCHAR)
+                        ORDER BY 'ord-' || CAST(o_orderkey AS VARCHAR)) AS quals
+            FROM orders GROUP BY o_custkey
+        """,
+        "dynamic_fields": """
+            SELECT CAST(o_custkey AS VARCHAR) AS id,
+                   list(struct_pack(key := CAST(o_orderkey AS VARCHAR),
+                                    value := o_orderpriority)
+                        ORDER BY 'ord-' || CAST(o_orderkey AS VARCHAR)) AS entries
+            FROM orders GROUP BY o_custkey
+        """,
+        "typed_decode_matrix": """
+            SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+                   || ':' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)
+                   || ':' || CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) AS id,
+                   CAST(l_quantity AS BIGINT) AS q_l,
+                   CAST(l_partkey AS INTEGER) AS pk_i,
+                   CAST(l_linenumber AS SMALLINT) AS ln_s,
+                   l_extendedprice AS price_d,
+                   CAST(l_discount AS REAL) AS disc_f,
+                   (l_discount > 0.04) AS flag_b,
+                   l_returnflag AS rf_s,
+                   CAST(NULL AS INTEGER) AS bad_i
+            FROM lineitem
+        """,
+        "bigdecimal_decode": """
+            SELECT CAST(c_custkey AS VARCHAR) AS id,
+                   CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,18)) AS acctbal_dec
+            FROM customer
+        """,
+        "scan_range_pushdown": """
+            SELECT CAST(c_custkey AS VARCHAR) AS id,
+                   c_name AS firstname_s,
+                   c_mktsegment AS lastname_s,
+                   CAST(c_custkey % 100 AS INTEGER) AS age_i,
+                   c_name || '@example.com' AS email_s,
+                   c_acctbal AS acctbal_d,
+                   c_nationkey AS nation_i
+            FROM customer
+            WHERE CAST(c_custkey AS VARCHAR) >= '100'
+              AND CAST(c_custkey AS VARCHAR) < '120'
+        """,
+        "scan_time_range": """
+            SELECT CAST(o_custkey AS VARCHAR) || '-content-' ||
+                   replace('ord-' || CAST(o_orderkey AS VARCHAR), '-', '\\-') AS id,
+                   CAST(o_custkey AS VARCHAR) AS row_s,
+                   'content' AS cf_s,
+                   o_orderpriority AS priority_s
+            FROM orders
+            WHERE o_orderkey >= 100 AND o_orderkey < 1000
+        """,
+        "multi_table_union": """
+            SELECT 'indexdemo-user' AS tbl, count(DISTINCT c_custkey) AS cnt FROM customer
+            UNION ALL
+            SELECT 'table1' AS tbl, count(*) AS cnt FROM lineitem
+            ORDER BY tbl
+        """,
+        "subscription_gate": f"""
+            SELECT event_type, count(*) AS cnt
+            FROM events
+            WHERE epoch_ms(ts) >= {SUBSCRIPTION_TS_MS}
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "incremental_row_index": """
+            WITH del AS (
+                SELECT user_id, max(event_id) AS mdel FROM events
+                WHERE event_type = 'error' GROUP BY user_id
+            ), puts AS (
+                SELECT e.user_id, e.event_type, e.value, e.event_id
+                FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+                WHERE e.event_type <> 'error'
+                  AND e.event_id > coalesce(d.mdel, -1)
+            ), latest AS (
+                SELECT user_id, event_type, arg_max(value, event_id) AS v
+                FROM puts GROUP BY user_id, event_type
+            )
+            SELECT CAST(user_id AS VARCHAR) AS id,
+                   max(CASE WHEN event_type = 'signup' THEN v END) AS signup_d,
+                   max(CASE WHEN event_type = 'click' THEN v END) AS click_d,
+                   max(CASE WHEN event_type = 'purchase' THEN v END) AS purchase_d,
+                   max(CASE WHEN event_type = 'view' THEN v END) AS view_d
+            FROM latest GROUP BY user_id
+        """,
+        "stream_static_join": """
+            WITH del AS (
+                SELECT user_id, max(event_id) AS mdel FROM events
+                WHERE event_type = 'error' GROUP BY user_id
+            ), puts AS (
+                SELECT e.user_id, e.event_type, e.value, e.event_id
+                FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+                WHERE e.event_type <> 'error'
+                  AND e.event_id > coalesce(d.mdel, -1)
+            ), latest AS (
+                SELECT user_id, event_type, arg_max(value, event_id) AS v
+                FROM puts GROUP BY user_id, event_type
+            ), docs AS (
+                SELECT CAST(user_id AS VARCHAR) AS id,
+                       max(CASE WHEN event_type = 'purchase' THEN v END) AS purchase_d
+                FROM latest GROUP BY user_id
+            )
+            SELECT d.id, c.c_mktsegment AS segment_s, d.purchase_d
+            FROM docs d LEFT JOIN customer c ON d.id = CAST(c.c_custkey AS VARCHAR)
+        """,
+    }
+    out.update(ORACLES)
+    return out

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-style action (no driver-side collect
+of the full result) so the measured time is the engine plan, not IPC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: batch index build, column index, full decode matrix,
+# incremental apply, and the analytics scans
+BENCH_QUERIES = [
+    "row_index_customer",
+    "column_index_orders",
+    "typed_decode_matrix",
+    "incremental_row_index",
+    "stream_static_join",
+    "pricing_summary",
+    "revenue_forecast",
+    "top_unshipped_orders",
+    "regional_revenue",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from hbase_indexer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # warm the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Indexer definition config — the analog of the reference's XML config.
+
+Surface mirrors ``indexerconf.xsd`` + IndexerConfBuilder/
+DefaultIndexerComponentFactory.java:78-128 (reference), re-expressed as a
+plain dict / dataclass:
+
+    conf = IndexerConf.from_dict({
+        "table": "indexdemo-user",            # or "regex:sep-user-.*"
+        "mapping_type": "row",                # row | column   (IndexerConf.java:51,71)
+        "read_row": "dynamic",                # never | dynamic (row mode only)
+        "unique_key_field": "id",             # default 'id'   (IndexerConf.java:73)
+        "row_field": None,                    # column-mode row field name
+        "column_family_field": None,          # column-mode family field name
+        "table_name_field": None,
+        "unique_key_formatter": "string",     # string | hex
+        "fields": [
+            {"name": "age_i", "value": "info:age", "source": "value", "type": "int"},
+            {"name": "data_*", "value": "info:d_*", "source": "value", "type": "string"},
+        ],
+    })
+
+Wildcard semantics (ExtractHBaseCellsBuilder.java:223-240): a ``value`` of
+``cf:prefix*`` matches every qualifier starting with the prefix; if the field
+``name`` ends with ``*`` the matched qualifier tail is appended to the name
+stem (dynamic output field).  ``source`` may be ``qualifier`` to index the
+qualifier bytes instead of the cell value (ByteArrayExtractors.java:38-60 —
+only legal with a wildcard).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from hbase_indexer_spark.functions.bytes_codec import DECODERS
+
+MAPPING_ROW = "row"
+MAPPING_COLUMN = "column"
+READ_NEVER = "never"
+READ_DYNAMIC = "dynamic"
+SOURCE_VALUE = "value"
+SOURCE_QUALIFIER = "qualifier"
+
+
+@dataclass(frozen=True)
+class FieldDef:
+    """One ``<field>`` element (DefaultIndexerComponentFactory.java:100-118)."""
+
+    name: str
+    family: str
+    qualifier: str          # exact qualifier, or prefix when wildcard
+    wildcard: bool          # value spec ended with '*'
+    source: str = SOURCE_VALUE
+    type: str = "string"    # default string (IndexerConf.java:76)
+
+    @property
+    def dynamic_name(self) -> bool:
+        return self.name.endswith("*")
+
+    @property
+    def name_stem(self) -> str:
+        return self.name[:-1] if self.dynamic_name else self.name
+
+
+def parse_field_value(value: str) -> tuple[str, str, bool]:
+    """Split 'cf:qual' / 'cf:prefix*' (ByteArrayExtractors.java:62-87)."""
+    if ":" not in value:
+        raise ValueError(f"field value must be 'family:qualifier', got {value!r}")
+    family, qual = value.split(":", 1)
+    if not family:
+        raise ValueError(f"empty column family in {value!r}")
+    wildcard = qual.endswith("*")
+    if wildcard:
+        qual = qual[:-1]
+    return family, qual, wildcard
+
+
+@dataclass(frozen=True)
+class IndexerConf:
+    table: str
+    mapping_type: str = MAPPING_ROW
+    read_row: str = READ_DYNAMIC
+    unique_key_field: str = "id"
+    row_field: str | None = None
+    column_family_field: str | None = None
+    table_name_field: str | None = None
+    unique_key_formatter: str = "string"
+    fields: tuple[FieldDef, ...] = field(default_factory=tuple)
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexerConf":
+        fields = []
+        for fd in d.get("fields", []):
+            family, qual, wildcard = parse_field_value(fd["value"])
+            source = fd.get("source", SOURCE_VALUE)
+            ftype = fd.get("type", "string")
+            if source not in (SOURCE_VALUE, SOURCE_QUALIFIER):
+                raise ValueError(f"bad source {source!r}")
+            if source == SOURCE_QUALIFIER and not wildcard:
+                # ByteArrayExtractors.java:53-58: qualifier source requires wildcard
+                raise ValueError("source=qualifier requires a wildcard qualifier")
+            if ftype not in DECODERS and not callable(ftype):
+                raise ValueError(f"unknown field type {ftype!r}")
+            fields.append(FieldDef(fd["name"], family, qual, wildcard, source, ftype))
+        conf = IndexerConf(
+            table=d["table"],
+            mapping_type=d.get("mapping_type", MAPPING_ROW),
+            read_row=d.get("read_row", READ_DYNAMIC),
+            unique_key_field=d.get("unique_key_field", "id"),
+            row_field=d.get("row_field"),
+            column_family_field=d.get("column_family_field"),
+            table_name_field=d.get("table_name_field"),
+            unique_key_formatter=d.get("unique_key_formatter", "string"),
+            fields=tuple(fields),
+        )
+        conf.validate()
+        return conf
+
+    def validate(self) -> None:
+        if self.mapping_type not in (MAPPING_ROW, MAPPING_COLUMN):
+            raise ValueError(f"bad mapping_type {self.mapping_type!r}")
+        if self.read_row not in (READ_NEVER, READ_DYNAMIC):
+            raise ValueError(f"bad read_row {self.read_row!r}")
+        if self.unique_key_formatter not in ("string", "hex"):
+            raise ValueError(f"bad unique_key_formatter {self.unique_key_formatter!r}")
+        names = [f.name for f in self.fields]
+        if len(names) != len(set(names)):
+            raise ValueError("duplicate field names")
+
+    # -- pushdown surface (the analog of ResultToSolrMapper.getGet /
+    #    isRelevantKV, DefaultResultToSolrMapper.java:89-126) --------------
+
+    @property
+    def table_regex(self) -> str | None:
+        """'regex:pat' table expressions (IndexerConf.java:90-99)."""
+        if self.table.startswith("regex:"):
+            return self.table[len("regex:"):]
+        return None
+
+    def needed_families(self) -> set[str]:
+        return {f.family for f in self.fields}
+
+    def exact_targets(self) -> set[tuple[str, str]]:
+        return {(f.family, f.qualifier) for f in self.fields if not f.wildcard}
+
+    def prefix_targets(self) -> set[tuple[str, str]]:
+        return {(f.family, f.qualifier) for f in self.fields if f.wildcard}
+
+    def contains_required_data_possible(self) -> bool:
+        """False if any wildcard extractor exists — a prefix extractor can
+        never prove completeness (AbstractPrefixMatchingExtractor.java:89-93),
+        so DYNAMIC mode must re-read/join."""
+        return not any(f.wildcard for f in self.fields)

@@ -1,0 +1,252 @@
+"""Big-endian byte[] <-> typed value codec (HBase ``Bytes.toXXX`` semantics).
+
+Reproduces the type surface of the reference's ByteArrayValueMappers
+(reference: hbase-indexer-engine/.../parse/ByteArrayValueMappers.java:33-126):
+``int long string boolean float double short bigdecimal``, all big-endian.
+
+Everything except ``bigdecimal`` is implemented as pure Catalyst column
+expressions (hex/conv/bit arithmetic) so decode stays inside whole-stage
+codegen — no Python in the hot path.  ``bigdecimal`` (4-byte BE scale +
+two's-complement unscaled bytes, org.apache.hadoop.hbase.util.Bytes.toBigDecimal)
+uses an Arrow-batched pandas UDF.
+
+Decode failure semantics: the reference logs and drops a value that has the
+wrong byte length (ByteArrayValueMappers.java:154-164).  Here a wrong-length
+input decodes to NULL (the doc field is simply absent), checked via
+``length(value)`` guards.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, DecimalType
+
+_U32 = 4294967296  # 2**32
+_I32 = 2147483648  # 2**31
+
+
+def _unsigned_be(col: Column, nbytes: int) -> Column:
+    """Unsigned big-endian integer value of the first ``nbytes`` (<=4) bytes."""
+    assert nbytes <= 4
+    return F.conv(F.hex(col), 16, 10).cast("long")
+
+
+def _guard(col: Column, nbytes: int, out: Column) -> Column:
+    """NULL unless the binary value is exactly ``nbytes`` long (drop-on-error)."""
+    return F.when(F.length(col) == nbytes, out)
+
+
+def decode_int(col: Column) -> Column:
+    u = _unsigned_be(col, 4)
+    signed = F.when(u >= _I32, u - _U32).otherwise(u)
+    return _guard(col, 4, signed.cast("int"))
+
+
+def decode_short(col: Column) -> Column:
+    u = _unsigned_be(col, 2)
+    signed = F.when(u >= 32768, u - 65536).otherwise(u)
+    return _guard(col, 2, signed.cast("short"))
+
+
+def _long_bits(col: Column) -> Column:
+    """Signed 64-bit value of 8 big-endian bytes, via hi/lo 32-bit halves.
+
+    shiftleft is a pure bit operation, so the high half lands in the sign
+    bits and the result is the two's-complement value (ANSI-safe — no
+    arithmetic overflow).
+    """
+    h = F.hex(col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def decode_long(col: Column) -> Column:
+    return _guard(col, 8, _long_bits(col))
+
+
+def decode_boolean(col: Column) -> Column:
+    # Bytes.toBoolean: single byte, 0x00 = false, else true (-1 written by toBytes)
+    return _guard(col, 1, _unsigned_be(col, 1) != 0)
+
+
+def decode_string(col: Column) -> Column:
+    return col.cast("string")
+
+
+def decode_float(col: Column) -> Column:
+    """IEEE-754 binary32 from 4 big-endian bytes, as arithmetic on the bits."""
+    u = _unsigned_be(col, 4)  # 0 .. 2**32-1
+    sign = F.when(u >= _I32, F.lit(-1.0)).otherwise(F.lit(1.0))
+    exp = F.shiftrightunsigned(u, 23).bitwiseAND(F.lit(255))
+    frac = u.bitwiseAND(F.lit(0x7FFFFF)).cast("double")
+    normal = sign * (F.lit(1.0) + frac / F.lit(float(1 << 23))) * F.pow(F.lit(2.0), (exp - 127).cast("double"))
+    subnormal = sign * frac * F.pow(F.lit(2.0), F.lit(-149.0))
+    special = F.when(frac == 0, sign * F.lit(float("inf"))).otherwise(F.lit(float("nan")))
+    out = (
+        F.when(exp == 255, special)
+        .when(exp == 0, subnormal)
+        .otherwise(normal)
+        .cast("float")
+    )
+    return _guard(col, 4, out)
+
+
+def decode_double(col: Column) -> Column:
+    """IEEE-754 binary64 from 8 big-endian bytes.
+
+    All steps are exact in double arithmetic for normal numbers (the
+    fraction is a dyadic rational with <=52 significant bits), so the result
+    is bit-exact with Java's Double.longBitsToDouble for normals/zeros.
+    """
+    bits = _long_bits(col)
+    sign = F.when(bits < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    exp = F.shiftrightunsigned(bits, 52).bitwiseAND(F.lit(0x7FF)).cast("int")
+    frac = bits.bitwiseAND(F.lit(0xFFFFFFFFFFFFF)).cast("double")
+    normal = sign * (F.lit(1.0) + frac / F.lit(float(1 << 52))) * F.pow(F.lit(2.0), (exp - 1023).cast("double"))
+    subnormal = sign * frac * F.pow(F.lit(2.0), F.lit(-1074.0))
+    special = F.when(frac == 0, sign * F.lit(float("inf"))).otherwise(F.lit(float("nan")))
+    out = (
+        F.when(exp == 2047, special)
+        .when(exp == 0, subnormal)
+        .otherwise(normal)
+    )
+    return _guard(col, 8, out)
+
+
+@F.pandas_udf(DecimalType(38, 18))
+def _decode_bigdecimal_udf(s: pd.Series) -> pd.Series:
+    def dec(b):
+        if b is None or len(b) < 5:
+            return None
+        scale = int.from_bytes(b[:4], "big", signed=True)
+        unscaled = int.from_bytes(b[4:], "big", signed=True)
+        try:
+            return decimal.Decimal(unscaled).scaleb(-scale)
+        except decimal.InvalidOperation:
+            return None
+
+    return s.map(dec)
+
+
+def decode_bigdecimal(col: Column) -> Column:
+    return _decode_bigdecimal_udf(col)
+
+
+# ---------------------------------------------------------------------------
+# Encoders (Bytes.toBytes(x) equivalents) — used to build binary fixtures and
+# by sinks that re-emit HBase-shaped cells.
+# ---------------------------------------------------------------------------
+
+def encode_int(col: Column) -> Column:
+    masked = col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.unhex(F.lpad(F.hex(masked), 8, "0"))
+
+
+def encode_short(col: Column) -> Column:
+    masked = col.cast("long").bitwiseAND(F.lit(0xFFFF))
+    return F.unhex(F.lpad(F.hex(masked), 4, "0"))
+
+
+def encode_long(col: Column) -> Column:
+    # hex(bigint) renders two's complement, so negatives already fill 16 chars
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 16, "0"))
+
+
+def encode_boolean(col: Column) -> Column:
+    # Bytes.toBytes(boolean) writes -1 (0xFF) for true, 0x00 for false
+    return F.unhex(F.when(col.cast("boolean"), F.lit("FF")).otherwise(F.lit("00")))
+
+
+def encode_string(col: Column) -> Column:
+    return col.cast("string").cast("binary")
+
+
+@F.pandas_udf(BinaryType())
+def _encode_double_udf(s: pd.Series) -> pd.Series:
+    import struct
+
+    return s.map(lambda v: None if v is None else struct.pack(">d", float(v)))
+
+
+@F.pandas_udf(BinaryType())
+def _encode_float_udf(s: pd.Series) -> pd.Series:
+    import struct
+
+    return s.map(lambda v: None if v is None else struct.pack(">f", float(v)))
+
+
+def encode_double(col: Column) -> Column:
+    return _encode_double_udf(col.cast("double"))
+
+
+def encode_float(col: Column) -> Column:
+    return _encode_float_udf(col.cast("float"))
+
+
+@F.pandas_udf(BinaryType())
+def _encode_bigdecimal_udf(s: pd.Series) -> pd.Series:
+    def enc(v):
+        if v is None:
+            return None
+        d = decimal.Decimal(v)
+        sign, digits, exponent = d.as_tuple()
+        scale = -exponent
+        unscaled = int(d.scaleb(scale))
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return scale.to_bytes(4, "big", signed=True) + unscaled.to_bytes(nbytes, "big", signed=True)
+
+    return s.map(enc)
+
+
+def encode_bigdecimal(col: Column) -> Column:
+    return _encode_bigdecimal_udf(col)
+
+
+DECODERS = {
+    "int": decode_int,
+    "long": decode_long,
+    "string": decode_string,
+    "boolean": decode_boolean,
+    "float": decode_float,
+    "double": decode_double,
+    "short": decode_short,
+    "bigdecimal": decode_bigdecimal,
+}
+
+ENCODERS = {
+    "int": encode_int,
+    "long": encode_long,
+    "string": encode_string,
+    "boolean": encode_boolean,
+    "float": encode_float,
+    "double": encode_double,
+    "short": encode_short,
+    "bigdecimal": encode_bigdecimal,
+}
+
+SPARK_TYPES = {
+    "int": "int",
+    "long": "bigint",
+    "string": "string",
+    "boolean": "boolean",
+    "float": "float",
+    "double": "double",
+    "short": "smallint",
+    "bigdecimal": "decimal(38,18)",
+}
+
+
+def decoder_for(type_name: str):
+    """Decoder lookup, mirroring ByteArrayValueMappers.getMapper dispatch
+    (ByteArrayValueMappers.java:106-126); unknown names raise, custom mappers
+    are registered via hbase_indexer_spark.config.registry instead of
+    Class.forName."""
+    try:
+        return DECODERS[type_name]
+    except KeyError:
+        raise ValueError(f"unknown value mapper type: {type_name!r}") from None

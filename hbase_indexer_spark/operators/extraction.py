@@ -1,0 +1,218 @@
+"""Cell -> document extraction operators (reference §2.3 P1-P13).
+
+Operates on the canonical ``cells`` schema (FIXTURES.md §0):
+
+    cells(table STRING, row STRING, family STRING, qualifier STRING,
+          ts BIGINT, op STRING, value BINARY)
+
+Everything here is pure DataFrame composition — extraction compiles an
+IndexerConf into Catalyst column expressions (filter / array_sort /
+transform / element_at), so Catalyst gets full column-pruning and
+predicate-pushdown visibility and the row loop stays in whole-stage codegen.
+
+Reference parity:
+- single-cell extract   -> SingleCellExtractor.java:41-48        (P1)
+- prefix cell extract   -> AbstractPrefixMatchingExtractor.java:57-71, qualifier-
+  sorted via NavigableMap tailSet order -> array_sort here        (P2)
+- prefix qualifier extract -> PrefixMatchingQualifierExtractor.java:21-31 (P3)
+- type decode           -> ByteArrayValueMappers.java             (P5)
+- dynamic output fields -> ExtractHBaseCellsBuilder.java:223-240  (P7)
+- doc ids               -> String/HexUniqueKeyFormatter           (P9-P11)
+- id injection          -> IdAddingSolrUpdateWriter.java:59-80    (P12)
+- row/family injection  -> RowAndFamilyAddingSolrUpdateWriter.java:29-78 (P13)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.config.indexer_conf import (
+    SOURCE_QUALIFIER,
+    FieldDef,
+    IndexerConf,
+)
+from hbase_indexer_spark.functions.bytes_codec import decoder_for
+from hbase_indexer_spark.functions import unique_key as uk
+
+OP_PUT = "put"
+DELETE_OPS = ("delete_column", "delete_family", "delete_row")
+
+
+# ---------------------------------------------------------------------------
+# Relevance predicates (F1-F3)
+# ---------------------------------------------------------------------------
+
+def table_predicate(conf: IndexerConf, table: Column) -> Column:
+    """F1 — table routing: literal name or regex (IndexingEventListener.java:60-97)."""
+    pat = conf.table_regex
+    if pat is not None:
+        return table.rlike(pat)
+    return table == F.lit(conf.table)
+
+
+def cell_matches(conf: IndexerConf, family: Column, qualifier: Column) -> Column:
+    """Does a cell hit any extractor target? (isRelevantKV,
+    DefaultResultToSolrMapper.java:119-126)."""
+    preds = []
+    for fam, qual in sorted(conf.exact_targets()):
+        preds.append((family == fam) & (qualifier == qual))
+    for fam, prefix in sorted(conf.prefix_targets()):
+        p = family == fam
+        if prefix:
+            p = p & qualifier.startswith(prefix)
+        preds.append(p)
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def relevance_predicate(conf: IndexerConf, family: Column, qualifier: Column,
+                        op: Column) -> Column:
+    """F2 — an event/cell is relevant iff it matches a target or is a delete
+    (Indexer.java:297-311: deletes are always relevant)."""
+    return cell_matches(conf, family, qualifier) | op.isin(*DELETE_OPS)
+
+
+# ---------------------------------------------------------------------------
+# Version resolution
+# ---------------------------------------------------------------------------
+
+def latest_cells(cells: DataFrame, order_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Keep the newest version per (table,row,family,qualifier) — the HBase
+    Result contract (one visible cell per column, highest timestamp).  A
+    single partial aggregation (max_by) — no window, no second shuffle."""
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    return (
+        cells.groupBy("table", "row", "family", "qualifier")
+        .agg(
+            F.max_by("value", ordering).alias("value"),
+            F.max(order_cols[0]).alias("ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field expression compiler
+# ---------------------------------------------------------------------------
+
+def _decode(fd: FieldDef, raw: Column) -> Column:
+    dec = decoder_for(fd.type) if isinstance(fd.type, str) else fd.type
+    return dec(raw)
+
+
+def field_expr(fd: FieldDef, cells_arr: Column) -> Column:
+    """Compile one FieldDef into an expression over a per-row
+    array<struct<family,qualifier,value>> (qualifier order restored by
+    array_sort, preserving the reference's sorted-prefix contract)."""
+    if not fd.wildcard:
+        # P1 single cell: 0-or-1 value
+        matched = F.filter(
+            cells_arr,
+            lambda c: (c["family"] == fd.family) & (c["qualifier"] == fd.qualifier),
+        )
+        return _decode(fd, F.try_element_at(matched, F.lit(1))["value"]).alias(fd.name)
+
+    if fd.type == "bigdecimal":
+        raise NotImplementedError("bigdecimal decode is not supported for wildcard fields")
+
+    def pred(c):
+        p = c["family"] == fd.family
+        if fd.qualifier:
+            p = p & c["qualifier"].startswith(fd.qualifier)
+        return p
+
+    matched = F.array_sort(F.filter(cells_arr, pred))  # struct sort => qualifier order
+    if fd.source == SOURCE_QUALIFIER:
+        # P3: index the qualifier bytes themselves
+        values = F.transform(matched, lambda c: _decode(fd, c["qualifier"].cast("binary")))
+    else:
+        # P2: values of all matching qualifiers, qualifier-sorted
+        values = F.transform(matched, lambda c: _decode(fd, c["value"]))
+
+    if fd.dynamic_name:
+        # P7: qualifier tail becomes the field name -> closed-form MapType column
+        tails = F.transform(matched, lambda c: c["qualifier"].substr(F.lit(len(fd.qualifier) + 1), F.length(c["qualifier"])))
+        return F.map_from_arrays(tails, values).alias(fd.name_stem)
+    return values.alias(fd.name)
+
+
+def row_id_expr(conf: IndexerConf, row: Column, table: Column) -> Column:
+    fmt = uk.row_formatter(conf.unique_key_formatter)
+    out = fmt(row)
+    if conf.table_name_field is None and conf.table_regex is not None:
+        # multi-table indexers need table-qualified ids to stay unique
+        out = uk.with_table(table, out, hex_mode=conf.unique_key_formatter == "hex")
+    return out
+
+
+def keyvalue_id_expr(conf: IndexerConf, row: Column, family: Column,
+                     qualifier: Column) -> Column:
+    fmt = uk.keyvalue_formatter(conf.unique_key_formatter)
+    return fmt(row, family, qualifier)
+
+
+# ---------------------------------------------------------------------------
+# Document builders
+# ---------------------------------------------------------------------------
+
+def row_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
+    """ROW mapping (Indexer.RowBasedIndexer, Indexer.java:222-323): one doc
+    per rowkey, built from the latest visible version of each mapped column.
+
+    Scale shape: filter -> single groupBy(row) shuffle -> project.  The
+    relevance filter runs before the shuffle (change pruning, Indexer.java:
+    297-311) and Catalyst pushes the column prune into the scan.
+    """
+    put_cells = cells.filter(
+        (F.col("op") == OP_PUT) & cell_matches(conf, F.col("family"), F.col("qualifier"))
+    )
+    latest = latest_cells(put_cells)
+    grouped = latest.groupBy("table", "row").agg(
+        F.collect_list(F.struct("family", "qualifier", "value")).alias("_cells")
+    )
+    cols: list[Column] = [
+        row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
+    ]
+    if conf.table_name_field:
+        cols.append(F.col("table").alias(conf.table_name_field))
+    arr = F.col("_cells")
+    for fd in conf.fields:
+        cols.append(field_expr(fd, arr))
+    return grouped.select(*cols)
+
+
+def column_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
+    """COLUMN mapping (Indexer.ColumnBasedIndexer, Indexer.java:325-451): one
+    doc per matched cell; id = formatted (row, family, qualifier)
+    (BaseUniqueKeyFormatter.java:63-66)."""
+    put_cells = cells.filter(
+        (F.col("op") == OP_PUT) & cell_matches(conf, F.col("family"), F.col("qualifier"))
+    )
+    latest = latest_cells(put_cells)
+    cols: list[Column] = [
+        keyvalue_id_expr(conf, F.col("row"), F.col("family"), F.col("qualifier")).alias(
+            conf.unique_key_field
+        )
+    ]
+    if conf.table_name_field:
+        cols.append(F.col("table").alias(conf.table_name_field))
+    if conf.row_field:
+        # P13 row injection, formatted like the id parts
+        fmt = uk.format_row_hex if conf.unique_key_formatter == "hex" else uk.format_row_string
+        cols.append(fmt(F.col("row")).alias(conf.row_field))
+    if conf.column_family_field:
+        fmt = uk.format_row_hex if conf.unique_key_formatter == "hex" else uk.format_row_string
+        cols.append(fmt(F.col("family")).alias(conf.column_family_field))
+    # evaluate every field def against the single cell
+    single = F.array(F.struct("family", "qualifier", "value"))
+    for fd in conf.fields:
+        fe = field_expr(fd, single)
+        if fd.wildcard and not fd.dynamic_name:
+            # per-cell doc: a wildcard match yields exactly the one value
+            fe = F.try_element_at(fe, F.lit(1)).alias(fd.name)
+        cols.append(fe)
+    return latest.select(*cols)
