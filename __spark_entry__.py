@@ -270,6 +270,86 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, lang-id heuristic, quality, fingerprint."""
+    from hbase_indexer_spark.pipeline.text import text_profile
+
+    return text_profile(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content md5."""
+    from hbase_indexer_spark.pipeline.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (brute baseline)."""
+    from hbase_indexer_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (k=48), md5-hash based."""
+    from hbase_indexer_spark.pipeline.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified candidates."""
+    from hbase_indexer_spark.pipeline.dedup import minhash_lsh_dedup_pairs
+
+    return minhash_lsh_dedup_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures."""
+    from hbase_indexer_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+ANN_QUERY_IDS = list(range(10))
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 10 query vectors."""
+    from hbase_indexer_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, ANN_QUERY_IDS, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k (no SQL oracle —
+    approximate by construction; recall vs brute force is unit-tested)."""
+    from hbase_indexer_spark.pipeline.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, ANN_QUERY_IDS, k=5, n_bits=8)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary payload + metadata -> mapInPandas feature extract."""
+    from hbase_indexer_spark.pipeline.multimodal import decode_media, media_fixture
+
+    return decode_media(media_fixture(spark, sf_dir))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: frame-sampling fan-out (one row per 64-byte offset)."""
+    from hbase_indexer_spark.pipeline.multimodal import frame_sample, media_fixture
+
+    return frame_sample(media_fixture(spark, sf_dir), every_n_bytes=64)
+
+
 def _analytics(name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hbase_indexer_spark.plans import analytics
@@ -309,6 +389,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast": _analytics("revenue_forecast"),
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
         "regional_revenue": _analytics("regional_revenue"),
+        "text_profile": q_text_profile,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -452,4 +542,51 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out.update(ORACLES)
+
+    from hbase_indexer_spark.pipeline.dedup import (
+        EXACT_DEDUP_SQL,
+        TOKS_SQL,
+        minhash_signatures_sql,
+        ngram_jaccard_sql,
+        simhash_sql,
+    )
+    from hbase_indexer_spark.pipeline.multimodal import MEDIA_FEATURES_SQL
+    from hbase_indexer_spark.pipeline.similarity import brute_force_topk_sql
+    from hbase_indexer_spark.pipeline.text import (
+        FINGERPRINT_SQL,
+        QUALITY_SQL,
+        lang_id_sql,
+    )
+
+    out["text_profile"] = f"""
+        WITH t AS (
+            SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents
+        ), t2 AS (
+            SELECT doc_id, text, toks, len(toks) AS n_tokens FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+               {lang_id_sql()} AS lang_pred,
+               {QUALITY_SQL} AS quality,
+               {FINGERPRINT_SQL} AS fp
+        FROM t2
+    """
+    out["exact_dedup"] = EXACT_DEDUP_SQL
+    out["ngram_jaccard_dedup"] = ngram_jaccard_sql(threshold=0.7)
+    out["minhash_signatures"] = minhash_signatures_sql()
+    # LSH output is exact-verified; with 16x3 banding recall at the data's
+    # J>=0.9 dup structure is ~1-8e-10, so the exact-Jaccard set IS the oracle
+    out["minhash_lsh_dedup"] = ngram_jaccard_sql(threshold=0.7)
+    out["simhash"] = simhash_sql()
+    out["ann_bruteforce_topk"] = brute_force_topk_sql(ANN_QUERY_IDS, k=5)
+    out["media_features"] = MEDIA_FEATURES_SQL
+    out["media_frame_sample"] = """
+        WITH offs AS (
+            SELECT doc_id, text, unnest(range(0, octet_length(encode(text)), 64)) AS off
+            FROM documents
+        )
+        SELECT doc_id, off AS "offset",
+               CAST(ascii(substr(text, CAST(off AS INTEGER) + 1, 1)) AS BIGINT) AS frame_byte
+        FROM offs
+    """
+    # ann_lsh_topk: intentionally no oracle (approximate); rows-only check
     return out

@@ -1,0 +1,287 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100 TB shape:
+
+- exact dedup: one hash-shuffle on the content hash; no text comparison.
+- n-gram Jaccard (brute): shingle inverted index -> co-shingle pair counts.
+  Quadratic in the worst case — the *baseline*, not the scale path.
+- MinHash+LSH: signatures are a single pass (map-side aggregation per doc);
+  banding turns the pairwise problem into 16 equality-join buckets; exact
+  Jaccard is then verified for candidates only, so cost is
+  O(docs + candidate pairs), never O(docs^2).
+- SimHash: one pass to a 60-bit signature; near-dup = small hamming radius.
+
+All hashing is md5-derived (see pipeline.text.token_hash60) so every stage
+has a deterministic DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.text import token_hash60, tokens
+
+P = 1_000_000_007
+
+# fixed MinHash permutation constants (simple LCG-generated, seeded — same
+# literals feed the SQL oracle)
+def _perm_constants(k: int) -> list[tuple[int, int]]:
+    out = []
+    x = 1103515245
+    for _ in range(k):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        a = (x % (P - 1)) + 1
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        b = x % P
+        out.append((a, b))
+    return out
+
+
+N_SIGS = 48
+N_BANDS = 16
+ROWS_PER_BAND = 3
+PERMS = _perm_constants(N_SIGS)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles; docs shorter than n tokens get their
+    whole text as the single shingle."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+TOKS_SQL = "list_filter(string_split_regex(text,'\\s+'), x -> x <> '')"
+
+
+def shingles_sql(n: int = 3, toks: str = "toks") -> str:
+    """DuckDB expression over a ``toks`` list column (pair of shingles())."""
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks})-{n - 2}), i -> {parts})) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+def shingle_cte_sql(n: int = 3) -> str:
+    """CTE prefix producing sh(doc_id, s): exploded distinct shingles."""
+    return f"""
+        tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({shingles_sql(n)}) AS s FROM tk)
+    """
+
+
+def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Group identical texts by md5; keep the lowest doc_id as canonical.
+    One shuffle on the 128-bit content hash — the only strategy that
+    survives 100 TB (no text ever compared)."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+    SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (brute-force baseline)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
+                        n: int = 3) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, via a shingle
+    inverted index (pairs sharing zero shingles are never materialized)."""
+    sh = exploded_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sx = sizes.alias("sx")
+    sy = sizes.alias("sy")
+    return (
+        inter.join(sx, F.col("x") == F.col("sx.doc_id"))
+        .join(sy, F.col("y") == F.col("sy.doc_id"))
+        .select(
+            "x", "y",
+            (F.col("n_inter").cast("double")
+             / (F.col("sx.n_sh") + F.col("sy.n_sh") - F.col("n_inter")).cast("double")
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.7, n: int = 3) -> str:
+    return f"""
+        WITH {shingle_cte_sql(n)}, sz AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT x, y,
+               CAST(n_inter AS DOUBLE) / CAST(sx.n_sh + sy.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sx ON x = sx.doc_id
+        JOIN sz sy ON y = sy.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sx.n_sh + sy.n_sh - n_inter AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """k=48 MinHash signatures per doc: explode shingles once, 48 min-aggs
+    over (a*h+b) % p — a single map-side-combinable aggregation."""
+    sh = exploded_shingles(docs, n).withColumn("h", token_hash60(F.col("sh")) % P)
+    aggs = [
+        F.min((F.col("h") * a + b) % P).alias(f"s{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(n: int = 3, k: int = N_SIGS) -> str:
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS s{i}" for i, (a, b) in enumerate(PERMS[:k])
+    )
+    return f"""
+        WITH {shingle_cte_sql(n)}, hashed AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P} AS h
+            FROM sh
+        )
+        SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    """
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band k=48 sigs into 16 bands of 3 rows; docs sharing any band bucket
+    are candidates.  Equality join on (band, key) — shuffle on the band key,
+    never a cross join."""
+    bands = None
+    for band in range(N_BANDS):
+        cols = [f"s{band * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws(":", *[F.col(c) for c in cols]).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.7,
+                            n: int = 3) -> DataFrame:
+    """The scale path: LSH candidates -> exact Jaccard verification for
+    candidates ONLY (never all pairs).  With 16 bands x 3 rows, recall at
+    J>=0.9 is 1 - (1-0.9^3)^16 ~ 1 - 8e-10; the driver data's true dups are
+    all J>=0.9 (verified), so output == exact-Jaccard output."""
+    sigs = minhash_signatures(docs, n)
+    cands = lsh_candidate_pairs(sigs)
+    sh = exploded_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cands.join(sa, F.col("x") == F.col("sa.doc_id"))
+        .join(sb, (F.col("y") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sx = sizes.alias("sx")
+    sy = sizes.alias("sy")
+    return (
+        inter.join(sx, F.col("x") == F.col("sx.doc_id"))
+        .join(sy, F.col("y") == F.col("sy.doc_id"))
+        .select(
+            "x", "y",
+            (F.col("n_inter").cast("double")
+             / (F.col("sx.n_sh") + F.col("sy.n_sh") - F.col("n_inter")).cast("double")
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_BITS = 60
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash over token occurrences: per bit, sign-sum of token
+    hashes; bit set iff sum >= 0.  One explode + one agg (map-side
+    combinable); the signature fits a BIGINT."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tok = tok.withColumn("h", token_hash60(F.col("t")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(N_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(N_BITS):
+        term = F.when(F.col(f"b{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(N_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{b} >= 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(N_BITS)
+    )
+    toks = "list_filter(string_split_regex(text,'\\s+'), x -> x <> '')"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(unnest({toks})), 1, 15)) AS BIGINT) AS h
+            FROM documents
+        ), sums AS (
+            SELECT doc_id, {sums} FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, {sig} AS simhash FROM sums
+    """

@@ -1,0 +1,101 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Model (BASELINE.json north-star): media travels as ``binary`` columns with
+a metadata struct; decode / feature-extract / resize / frame-sample are
+Arrow-batched ``mapInPandas`` stages.  The container has no image/audio
+codecs, so the *decode* step is stubbed (NotImplementedError for real
+codecs, a deterministic byte-level fake for tests) — but the Spark-side
+plumbing (schema, batching, partitioning, UDF signatures) is real and
+oracle-tested.
+
+At 100 TB: payloads stay columnar (parquet binary), metadata predicates
+prune at scan time (e.g. ``width >= 64`` never touches payload bytes), and
+mapInPandas streams Arrow batches without materializing a partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "width int, height int, sample_rate int"
+)
+
+
+def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: the utf-8 text
+    bytes play the role of an encoded payload; metadata derives from
+    n_chars.  (Mirrorable in SQL: payload = encode(text).)"""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+    )
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode stage.  ``codec='fake'`` extracts deterministic byte-level
+    features (length, byte-sum, first byte); any real codec name raises —
+    the hook is where PIL/ffmpeg-backed decoders plug in on a real cluster.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} requires media libraries not present in this "
+            "environment; plug a decoder into decode_media()"
+        )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": payload.map(len).astype("int64"),
+                "byte_sum": payload.map(lambda b: sum(b)).astype("int64"),
+                "first_byte": payload.map(lambda b: b[0] if len(b) else None).astype("int64"),
+            })
+
+    return df.mapInPandas(
+        feats, "doc_id long, media_type string, byte_len long, byte_sum long, first_byte long"
+    )
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stage shape: one output row per sampled offset
+    (UDTF-style fan-out through mapInPandas)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "offset": [], "frame_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for off in range(0, len(payload), every_n_bytes):
+                    rows["doc_id"].append(doc_id)
+                    rows["offset"].append(off)
+                    rows["frame_byte"].append(payload[off])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, "doc_id long, offset long, frame_byte long")
+
+
+MEDIA_FEATURES_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+    FROM documents
+"""

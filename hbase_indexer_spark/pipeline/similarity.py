@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  embedding table; exact, O(queries x corpus) — the baseline and the
+  verifier for the approximate path.
+- LSH-bucketed top-k (random hyperplanes): one pass to a b-bit sketch,
+  candidates = same-bucket (multi-probe on neighboring buckets), exact
+  re-rank of candidates only — the 100 TB path: the corpus is bucketed
+  once (write-time), each query touches a handful of buckets.
+
+Dot products run as Catalyst ``aggregate``/``zip_with`` folds in double
+precision (left-to-right, matching the DuckDB oracle's evaluation), staying
+JVM-side; for very wide vectors a numpy pandas-UDF variant is provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k neighbors for each query id: broadcast queries, one pass
+    over the corpus, per-query top-k window (ties broken by neighbor id)."""
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def brute_force_topk_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN ({ids})
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS sim
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate search (scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1]
+    (LCG — fixed literals, reproducible anywhere)."""
+    out = []
+    x = (bit + 1) * 2654435761 % (2 ** 31)
+    for _ in range(dim):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        out.append(x / (2 ** 30) - 1.0)
+    return out
+
+
+def hyperplane_sketch(v: Column, dim: int, n_bits: int = 12) -> Column:
+    """b-bit random-hyperplane sketch: bit i = sign(v . h_i)."""
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        plane = _hyperplane(dim, b)
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(c) for c in plane]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, t: acc + t,
+        )
+        sig = sig + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64,
+             n_bits: int = 8, probe_bits: int = 2) -> DataFrame:
+    """Approximate top-k: bucket corpus by hyperplane sketch, probe the
+    query's bucket plus all <=probe_bits-flip neighbors, exact re-rank
+    within.  Probed fraction = C(n_bits,<=probe_bits) / 2^n_bits — tune
+    n_bits up with corpus size (16 bits + 2-probe at 10^9 vectors touches
+    ~0.2% of the corpus per query); recall rises with how clustered the
+    embedding space is."""
+    sketched = emb.withColumn("bkt", hyperplane_sketch(F.col("embedding"), dim, n_bits))
+    q = sketched.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("bkt").alias("qbkt"),
+    )
+    masks = [0] + [1 << b for b in range(n_bits)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << a) | (1 << b)
+            for a in range(n_bits) for b in range(a + 1, n_bits)
+        ]
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(
+            F.array(*[
+                F.col("qbkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks
+            ])
+        ).alias("bkt"),
+    )
+    cands = sketched.join(F.broadcast(probes), "bkt").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def numpy_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Arrow/numpy variant of brute-force top-k: per-partition matmul via
+    mapInPandas (the pattern for very wide embeddings where a per-element
+    Catalyst fold is too slow), then a global top-k reduce."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def part(frames):
+        for pdf in frames:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = q_mat @ m.T  # (nq, rows)
+            for qi, qid in enumerate(q_ids):
+                order = np.argsort(-sims[qi])[: k + 1]
+                yield pd.DataFrame({
+                    "query_id": int(qid),
+                    "neighbor_id": pdf["vec_id"].to_numpy()[order],
+                    "sim": sims[qi][order],
+                })
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        part, "query_id long, neighbor_id long, sim double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
