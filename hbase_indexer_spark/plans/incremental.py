@@ -52,43 +52,70 @@ def gate_events(events: DataFrame, conf: IndexerConf,
     )
 
 
+def _tombstone_filter(cells: DataFrame, batch_cells: DataFrame) -> DataFrame:
+    """Apply HBase tombstone visibility: a delete at ts T masks cells of its
+    scope with cell ts <= T (Indexer delete classification scopes,
+    Indexer.java:361-384).
+
+    All three delete scopes (row / family / column) are carried in ONE
+    per-row tombstone array and applied with a single broadcast join — the
+    per-batch delete set is bounded by the batch, so the broadcast is always
+    small, and the mask evaluation stays in whole-stage codegen.
+    """
+    tomb = (
+        batch_cells.filter(F.col("op").isin(*DELETE_OPS))
+        .groupBy("table", "row")
+        .agg(F.collect_list(F.struct("op", "family", "qualifier", "ts")).alias("_dels"))
+    )
+    dels = F.col("_dels")
+    fam, qual = F.col("family"), F.col("qualifier")
+
+    def scope_max(pred) -> Column:
+        return F.array_max(F.transform(F.filter(dels, pred), lambda d: d["ts"]))
+
+    mask_ts = F.greatest(
+        scope_max(lambda d: d["op"] == "delete_row"),
+        scope_max(lambda d: (d["op"] == "delete_family") & (d["family"] == fam)),
+        scope_max(lambda d: (d["op"] == "delete_column") & (d["family"] == fam)
+                  & (d["qualifier"] == qual)),
+    )
+    return (
+        cells.join(F.broadcast(tomb), ["table", "row"], "left")
+        .filter(F.col("ts") > F.coalesce(mask_ts, F.lit(-(2 ** 62))))
+        .select(*CELL_COLS)
+    )
+
+
 def apply_mutations(state: DataFrame | None, batch: DataFrame) -> DataFrame:
-    """Merge a mutation batch into a put-cells state table with HBase
-    tombstone visibility: a delete at ts T masks cells of its scope with
-    cell ts <= T (Indexer delete classification scopes, Indexer.java:361-384).
+    """Merge a mutation batch into a put-cells state table.
 
     Tombstones are dropped after application ("compacted"): cell ts is
     monotone with seq here, so no masked-late-put can arrive afterwards.
+
+    Scale shape: state rows untouched by the batch bypass everything via a
+    broadcast anti-join on (table, row) — the shuffle (version dedup) is
+    O(batch ∪ touched-state), never O(state).
     """
     batch_cells = batch.select(*CELL_COLS)
     puts = batch_cells.filter(F.col("op") == "put")
-    combined = puts if state is None else state.select(*CELL_COLS).unionByName(puts)
-
-    def tomb(op: str, keys: list[str]) -> DataFrame:
-        return (
-            batch_cells.filter(F.col("op") == op)
-            .groupBy(*keys)
-            .agg(F.max("ts").alias(f"_{op}_ts"))
+    if state is None:
+        touched_cells = puts
+        untouched = None
+    else:
+        state = state.select(*CELL_COLS)
+        touched = batch_cells.select("table", "row").distinct()
+        untouched = state.join(F.broadcast(touched), ["table", "row"], "left_anti")
+        touched_cells = (
+            state.join(F.broadcast(touched), ["table", "row"], "left_semi")
+            .unionByName(puts)
         )
-
-    dr = tomb("delete_row", ["table", "row"])
-    df_ = tomb("delete_family", ["table", "row", "family"])
-    dc = tomb("delete_column", ["table", "row", "family", "qualifier"])
-
-    out = (
-        combined.join(F.broadcast(dr), ["table", "row"], "left")
-        .join(F.broadcast(df_), ["table", "row", "family"], "left")
-        .join(F.broadcast(dc), ["table", "row", "family", "qualifier"], "left")
-        .filter(
-            (F.col("ts") > F.coalesce(F.col("_delete_row_ts"), F.lit(-(2 ** 62))))
-            & (F.col("ts") > F.coalesce(F.col("_delete_family_ts"), F.lit(-(2 ** 62))))
-            & (F.col("ts") > F.coalesce(F.col("_delete_column_ts"), F.lit(-(2 ** 62))))
-        )
-        .select(*CELL_COLS)
-    )
-    return latest_cells(out).select(
+    visible = _tombstone_filter(touched_cells, batch_cells)
+    out = latest_cells(visible).select(
         "table", "row", "family", "qualifier", "ts", F.lit("put").alias("op"), "value"
     )
+    if untouched is not None:
+        out = untouched.unionByName(out)
+    return out
 
 
 def row_state_from_events(events: DataFrame) -> DataFrame:
@@ -122,25 +149,27 @@ class IncrementalIndexer:
         conf = self.conf
         state = self.state.read(self.spark)
         new_state = apply_mutations(state, batch)
-        new_state.cache()
         self.state.overwrite(new_state, self.spark)
+        # read the state back from the just-published version: a tiny scan
+        # that truncates the mutation lineage for the doc-build job
+        cur_state = self.state.read(self.spark)
+        assert cur_state is not None
 
         # touched rows: every relevant event's row (A1 dedup is implicit —
         # the doc is rebuilt once per touched row from current state, which
         # is exactly "index the last state", Indexer.java:252-292)
         touched = batch.select("table", "row").distinct()
         docs = row_documents(
-            new_state.join(F.broadcast(touched), ["table", "row"], "left_semi"), conf
+            cur_state.join(F.broadcast(touched), ["table", "row"], "left_semi"), conf
         )
-        # F5: touched rows with no remaining doc -> delete by id
+        # Every touched id is either re-added or (F5) gone -> replace the
+        # whole touched key space in one broadcast + one write job
         from hbase_indexer_spark.operators.extraction import row_id_expr
 
         touched_ids = touched.select(
             row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
         )
-        gone = touched_ids.join(docs.select(conf.unique_key_field), conf.unique_key_field, "left_anti")
-        self.index.merge(self.spark, adds=docs, delete_ids=gone)
-        new_state.unpersist()
+        self.index.merge(self.spark, adds=docs, replace_keys=touched_ids)
 
     # -- COLUMN mode ------------------------------------------------------
 
@@ -184,11 +213,17 @@ class IncrementalIndexer:
     # -- entry points ------------------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        batch = gate_events(batch, self.conf, self.subscription_ts)
-        if self.conf.mapping_type == MAPPING_COLUMN:
-            self._process_column_mode(batch)
-        else:
-            self._process_row_mode(batch)
+        # cache the gated batch: it is consumed several times per micro-batch
+        # (tombstone masks, puts, touched-row set, delete ids) and would
+        # otherwise re-run the source scan for each consumer
+        batch = gate_events(batch, self.conf, self.subscription_ts).cache()
+        try:
+            if self.conf.mapping_type == MAPPING_COLUMN:
+                self._process_column_mode(batch)
+            else:
+                self._process_row_mode(batch)
+        finally:
+            batch.unpersist()
 
     def replay(self, events: DataFrame, n_chunks: int = 1,
                chunk_col: str = "seq") -> DataFrame:
@@ -197,17 +232,21 @@ class IncrementalIndexer:
         if n_chunks <= 1:
             self.process_batch(events)
         else:
-            bounds = events.select(
-                F.min(chunk_col).alias("lo"), F.max(chunk_col).alias("hi")
-            ).first()
-            lo, hi = bounds["lo"], bounds["hi"]
-            span = (hi - lo + 1 + n_chunks - 1) // n_chunks
-            for i in range(n_chunks):
-                start = lo + i * span
-                chunk = events.filter(
-                    (F.col(chunk_col) >= start) & (F.col(chunk_col) < start + span)
-                )
-                self.process_batch(chunk)
+            events = events.cache()
+            try:
+                bounds = events.select(
+                    F.min(chunk_col).alias("lo"), F.max(chunk_col).alias("hi")
+                ).first()
+                lo, hi = bounds["lo"], bounds["hi"]
+                span = (hi - lo + 1 + n_chunks - 1) // n_chunks
+                for i in range(n_chunks):
+                    start = lo + i * span
+                    chunk = events.filter(
+                        (F.col(chunk_col) >= start) & (F.col(chunk_col) < start + span)
+                    )
+                    self.process_batch(chunk)
+            finally:
+                events.unpersist()
         out = self.index.read(self.spark)
         assert out is not None
         return out

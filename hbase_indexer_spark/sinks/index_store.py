@@ -73,10 +73,18 @@ class IndexStore:
         adds: DataFrame | None = None,
         delete_ids: DataFrame | None = None,
         delete_predicates: list[Column] | None = None,
+        replace_keys: DataFrame | None = None,
     ) -> None:
         """One batch changeset, applied in the reference's order: deletes by
         query, deletes by id, then adds (an add for an id wins over an
-        earlier state — SolrUpdateCollector add-overwrites semantics)."""
+        earlier state — SolrUpdateCollector add-overwrites semantics).
+
+        ``replace_keys``: when the changeset fully covers a key space (every
+        key in it is either re-added or implicitly deleted — the row-mode
+        rebuild shape), pass that key set and omit ``delete_ids``; the merge
+        then needs ONE broadcast (the key set) and computes ``adds`` exactly
+        once, inside the single output write job.
+        """
         current = self.read(spark)
         if current is None:
             if adds is None:
@@ -87,6 +95,17 @@ class IndexStore:
         if delete_predicates:
             for pred in delete_predicates:
                 out = out.filter(~F.coalesce(pred, F.lit(False)))
+        if replace_keys is not None:
+            out = out.join(
+                F.broadcast(
+                    replace_keys.select(F.col(replace_keys.columns[0]).alias(self.key)).distinct()
+                ),
+                on=self.key, how="left_anti",
+            )
+            if adds is not None:
+                out = out.unionByName(adds)
+            self._publish(out, spark)
+            return
         if delete_ids is not None:
             out = out.join(
                 F.broadcast(delete_ids.select(F.col(delete_ids.columns[0]).alias(self.key)).distinct()),

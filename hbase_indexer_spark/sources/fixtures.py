@@ -25,7 +25,20 @@ CELL_COLS = ["table", "row", "family", "qualifier", "ts", "op", "value"]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver table, respread to full parallelism when the file
+    arrives as fewer splits than cores.
+
+    A real HBase batch scan (S4) yields one split per region, so the engine
+    downstream always sees many partitions; the driver's single-file parquet
+    (often one row group -> ONE split) would otherwise serialize the whole
+    encode/extract stage on one core.  The repartition is the local analog
+    of region splits, not something a production deployment would add.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _explode_cells(df: DataFrame, table: str, row: F.Column, ts: F.Column,
