@@ -270,6 +270,209 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_column_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mode incremental path (A2, F4, K8 delete-by-query): one doc
+    per (row, family, qualifier) cell, delete_row events wipe a row's docs
+    via predicate delete."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.incremental import IncrementalIndexer
+    from hbase_indexer_spark.sources.fixtures import event_cells
+
+    conf = _conf({
+        "table": "events",
+        "mapping_type": "column",
+        "row_field": "row_s",
+        "column_family_field": "cf_s",
+        "fields": [{"name": "value_d", "value": "info:*", "type": "double"}],
+    })
+    tmp = tempfile.mkdtemp(prefix="hbis_colinc_")
+    ix = IncrementalIndexer(
+        spark, conf,
+        state_path=os.path.join(tmp, "state"),
+        index_path=os.path.join(tmp, "index"),
+    )
+    return ix.replay(event_cells(spark, sf_dir), n_chunks=4)
+
+
+def q_streaming_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path (S1, T1-T5): event log written as
+    4 parquet file-drops, consumed by readStream + foreachBatch with a
+    checkpoint, one micro-batch per file (maxFilesPerTrigger=1)."""
+    _ensure_session_confs(spark)
+    from pyspark.sql import functions as SF
+
+    from hbase_indexer_spark.plans.incremental import IncrementalIndexer
+    from hbase_indexer_spark.sources.fixtures import event_cells
+    from hbase_indexer_spark.streaming.stream import (
+        IndexerStreamJob,
+        read_event_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="hbis_stream_")
+    src = os.path.join(tmp, "events")
+    os.makedirs(src)
+    ev = event_cells(spark, sf_dir).cache()
+    bounds = ev.select(SF.min("seq").alias("lo"), SF.max("seq").alias("hi")).first()
+    span = (bounds["hi"] - bounds["lo"] + 4) // 4
+    for i in range(4):
+        start = bounds["lo"] + i * span
+        chunk = ev.filter((SF.col("seq") >= start) & (SF.col("seq") < start + span))
+        chunk.coalesce(1).write.parquet(os.path.join(tmp, f"stage{i}"))
+        for f in os.listdir(os.path.join(tmp, f"stage{i}")):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f"stage{i}", f),
+                          os.path.join(src, f"chunk{i}.parquet"))
+    ev.unpersist()
+    ix = IncrementalIndexer(
+        spark, _conf(EVENTS_CONF),
+        state_path=os.path.join(tmp, "state"),
+        index_path=os.path.join(tmp, "index"),
+    )
+    job = IndexerStreamJob(ix, os.path.join(tmp, "checkpoint"))
+    job.run_available(read_event_stream(spark, src, max_files_per_trigger=1))
+    out = ix.index.read(spark)
+    assert out is not None
+    return out
+
+
+def q_morphline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15/P16 transform chain: doc build -> set literal field (forced
+    field) -> split email -> computed field -> record-drop filter, with
+    ${var} substitution."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import user_cells
+
+    conf = _conf({
+        "table": "indexdemo-user",
+        "fields": [
+            {"name": "firstname_s", "value": "info:firstname"},
+            {"name": "email_s", "value": "info:email"},
+            {"name": "age_i", "value": "info:age", "type": "int"},
+        ],
+        "transform_stages": [
+            {"stage": "set_field", "field": "source_s", "value": "${source}"},
+            {"stage": "split_field", "field": "email_s", "into": "email_parts",
+             "pattern": "@"},
+            {"stage": "sql_expr", "field": "name_upper",
+             "expr": "upper(firstname_s)"},
+            {"stage": "filter_rows", "predicate": "age_i < ${max_age}"},
+            {"stage": "drop_field", "field": "email_s"},
+        ],
+        "variables": {"source": "hbase", "max_age": 50},
+    })
+    return build_index(user_cells(spark, sf_dir), conf)
+
+
+def q_custom_value_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 custom ByteArrayValueMapper by name: a CSV-ish splitter mapping
+    one cell to multiple values (the IndexerIT.java:678-721 scenario)."""
+    from pyspark.sql import functions as SF
+
+    from hbase_indexer_spark.functions.bytes_codec import register_value_mapper
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    register_value_mapper(
+        "split_dash", lambda c: SF.split(c.cast("string"), "-")
+    )
+    conf = _conf({
+        "table": "indexdemo-message",
+        "mapping_type": "column",
+        "fields": [{"name": "prio_parts", "value": "content:ord-*",
+                    "type": "split_dash"}],
+    })
+    return build_index(message_cells(spark, sf_dir), conf)
+
+
+def q_row_mapper_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 custom whole-row mapper (UDTF-shaped, applyInPandas): emits a main
+    doc AND a meta doc per row — 0..n docs per row is the mapper contract
+    (ResultToSolrMapper.java:1-68)."""
+    import pandas as pd
+
+    from hbase_indexer_spark.operators.transform import register_row_mapper
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import user_cells
+
+    def two_docs_per_row(cells, conf):
+        def emit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            row = key[0]
+            fn = pdf.loc[pdf["qualifier"] == "firstname", "value"]
+            name = fn.iloc[0].decode() if len(fn) else None
+            return pd.DataFrame({
+                "id": [row, row + "#meta"],
+                "firstname_s": [name, None],
+                "n_cells_i": [None, len(pdf)],
+            })
+
+        return (
+            cells.filter(F.col("op") == "put")
+            .groupBy("row")
+            .applyInPandas(emit, "id string, firstname_s string, n_cells_i long")
+        )
+
+    register_row_mapper("two_docs", two_docs_per_row)
+    conf = _conf({"table": "indexdemo-user", "mapper": "two_docs"})
+    return build_index(user_cells(spark, sf_dir), conf)
+
+
+def q_doc_extract_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 sub-document merge with field-name prefix (<extract prefix=...>,
+    SolrInputDocumentBuilder.java:28-58)."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import user_cells
+
+    conf = _conf({
+        "table": "indexdemo-user",
+        "fields": [{"name": "firstname_s", "value": "info:firstname"}],
+        "extracts": [{
+            "prefix": "contact_",
+            "fields": [
+                {"name": "email_s", "value": "info:email"},
+                {"name": "nation_i", "value": "info:nation", "type": "int"},
+            ],
+        }],
+    })
+    return build_index(user_cells(spark, sf_dir), conf)
+
+
+def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 MD5 shard routing (HashSharder.java:42-58 exact semantics):
+    per-shard doc counts over the customer index."""
+    from hbase_indexer_spark.sinks.sharding import route
+
+    docs = q_row_index_customer(spark, sf_dir)
+    return (
+        route(docs, "id", 8)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("shard")
+    )
+
+
+def q_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 extension: tumbling 1-day event-time window rollup (the windowed
+    aggregation the reference lacks; watermark-ready in streaming form)."""
+    _ensure_session_confs(spark)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return (
+        e.groupBy(F.window(t, "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "cnt", "sum_value")
+        .orderBy("day", "event_type")
+    )
+
+
+def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (exact baseline; LSH variant is the
+    scale path, recall unit-tested)."""
+    from hbase_indexer_spark.pipeline.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_pairs(emb, threshold=0.4)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -384,7 +587,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_table_union": q_multi_table_union,
         "subscription_gate": q_subscription_gate,
         "incremental_row_index": q_incremental_row_index,
+        "incremental_column_index": q_incremental_column_index,
+        "streaming_row_index": q_streaming_row_index,
         "stream_static_join": q_stream_static_join,
+        "morphline_chain": q_morphline_chain,
+        "custom_value_mapper": q_custom_value_mapper,
+        "row_mapper_udtf": q_row_mapper_udtf,
+        "doc_extract_prefix": q_doc_extract_prefix,
+        "shard_routing": q_shard_routing,
+        "event_time_rollup": q_event_time_rollup,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "pricing_summary": _analytics("pricing_summary"),
         "revenue_forecast": _analytics("revenue_forecast"),
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
@@ -541,6 +753,67 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d LEFT JOIN customer c ON d.id = CAST(c.c_custkey AS VARCHAR)
         """,
     }
+    out["streaming_row_index"] = out["incremental_row_index"]
+    out["incremental_column_index"] = """
+        WITH del AS (
+            SELECT user_id, max(event_id) AS mdel FROM events
+            WHERE event_type = 'error' GROUP BY user_id
+        ), cells AS (
+            SELECT e.user_id, e.event_type, arg_max(e.value, e.event_id) AS v
+            FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+            WHERE e.event_type <> 'error'
+              AND e.event_id > coalesce(d.mdel, -1)
+            GROUP BY e.user_id, e.event_type
+        )
+        SELECT CAST(user_id AS VARCHAR) || '-info-' || event_type AS id,
+               CAST(user_id AS VARCHAR) AS row_s,
+               'info' AS cf_s,
+               v AS value_d
+        FROM cells
+    """
+    out["morphline_chain"] = """
+        SELECT CAST(c_custkey AS VARCHAR) AS id,
+               c_name AS firstname_s,
+               CAST(c_custkey % 100 AS INTEGER) AS age_i,
+               'hbase' AS source_s,
+               string_split(c_name || '@example.com', '@') AS email_parts,
+               upper(c_name) AS name_upper
+        FROM customer
+        WHERE c_custkey % 100 < 50
+    """
+    out["custom_value_mapper"] = """
+        SELECT CAST(o_custkey AS VARCHAR) || '-content-' ||
+               replace('ord-' || CAST(o_orderkey AS VARCHAR), '-', '\\-') AS id,
+               string_split(o_orderpriority, '-') AS prio_parts
+        FROM orders
+    """
+    out["row_mapper_udtf"] = """
+        SELECT CAST(c_custkey AS VARCHAR) AS id,
+               c_name AS firstname_s,
+               CAST(NULL AS BIGINT) AS n_cells_i
+        FROM customer
+        UNION ALL
+        SELECT CAST(c_custkey AS VARCHAR) || '#meta', NULL, 6 FROM customer
+    """
+    out["doc_extract_prefix"] = """
+        SELECT CAST(c_custkey AS VARCHAR) AS id,
+               c_name AS firstname_s,
+               c_name || '@example.com' AS contact_email_s,
+               c_nationkey AS contact_nation_i
+        FROM customer
+    """
+    from hbase_indexer_spark.sinks.sharding import md5_shard_sql
+
+    out["shard_routing"] = f"""
+        SELECT {md5_shard_sql("CAST(c_custkey AS VARCHAR)", 8)} AS shard,
+               count(*) AS cnt
+        FROM customer GROUP BY 1 ORDER BY shard
+    """
+    out["event_time_rollup"] = """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS cnt, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """
     out.update(ORACLES)
 
     from hbase_indexer_spark.pipeline.dedup import (
@@ -570,6 +843,9 @@ def oracle_sql() -> dict[str, str]:
                {FINGERPRINT_SQL} AS fp
         FROM t2
     """
+    from hbase_indexer_spark.pipeline.dedup import embedding_cosine_pairs_sql
+
+    out["embedding_cosine_dedup"] = embedding_cosine_pairs_sql(threshold=0.4)
     out["exact_dedup"] = EXACT_DEDUP_SQL
     out["ngram_jaccard_dedup"] = ngram_jaccard_sql(threshold=0.7)
     out["minhash_signatures"] = minhash_signatures_sql()

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from hbase_indexer_spark.functions.bytes_codec import DECODERS
+from hbase_indexer_spark.functions.bytes_codec import known_type
 
 MAPPING_ROW = "row"
 MAPPING_COLUMN = "column"
@@ -85,22 +85,40 @@ class IndexerConf:
     table_name_field: str | None = None
     unique_key_formatter: str = "string"
     fields: tuple[FieldDef, ...] = field(default_factory=tuple)
+    # U2 — named whole-row mapper replacing the default doc build
+    # (``mapper=`` attr, DefaultIndexerComponentFactory.java:94-98)
+    mapper: str | None = None
+    # P15/P16 — post-build transform chain config + variables
+    transform_stages: tuple = ()
+    variables: tuple = ()  # (key, value) pairs — dict made hashable
 
     @staticmethod
     def from_dict(d: dict) -> "IndexerConf":
-        fields = []
-        for fd in d.get("fields", []):
-            family, qual, wildcard = parse_field_value(fd["value"])
-            source = fd.get("source", SOURCE_VALUE)
-            ftype = fd.get("type", "string")
-            if source not in (SOURCE_VALUE, SOURCE_QUALIFIER):
-                raise ValueError(f"bad source {source!r}")
-            if source == SOURCE_QUALIFIER and not wildcard:
-                # ByteArrayExtractors.java:53-58: qualifier source requires wildcard
-                raise ValueError("source=qualifier requires a wildcard qualifier")
-            if ftype not in DECODERS and not callable(ftype):
-                raise ValueError(f"unknown field type {ftype!r}")
-            fields.append(FieldDef(fd["name"], family, qual, wildcard, source, ftype))
+        def parse_fields(specs, name_prefix: str = "") -> list[FieldDef]:
+            out = []
+            for fd in specs:
+                family, qual, wildcard = parse_field_value(fd["value"])
+                source = fd.get("source", SOURCE_VALUE)
+                ftype = fd.get("type", "string")
+                if source not in (SOURCE_VALUE, SOURCE_QUALIFIER):
+                    raise ValueError(f"bad source {source!r}")
+                if source == SOURCE_QUALIFIER and not wildcard:
+                    # ByteArrayExtractors.java:53-58: qualifier source requires wildcard
+                    raise ValueError("source=qualifier requires a wildcard qualifier")
+                if not known_type(ftype) and not callable(ftype):
+                    raise ValueError(f"unknown field type {ftype!r}")
+                out.append(
+                    FieldDef(name_prefix + fd["name"], family, qual, wildcard, source, ftype)
+                )
+            return out
+
+        fields = parse_fields(d.get("fields", []))
+        # P14 — <extract prefix=...>: a sub-document merged into the parent
+        # with prefixed field names (SolrInputDocumentBuilder.java:28-58,
+        # DocumentExtractDefinition.java:14-60).  The merge is a flattening
+        # select, so extracts compile to prefixed FieldDefs.
+        for ex in d.get("extracts", []):
+            fields.extend(parse_fields(ex.get("fields", []), ex.get("prefix", "")))
         conf = IndexerConf(
             table=d["table"],
             mapping_type=d.get("mapping_type", MAPPING_ROW),
@@ -111,6 +129,9 @@ class IndexerConf:
             table_name_field=d.get("table_name_field"),
             unique_key_formatter=d.get("unique_key_formatter", "string"),
             fields=tuple(fields),
+            mapper=d.get("mapper"),
+            transform_stages=tuple(d.get("transform_stages", [])),
+            variables=tuple(sorted(d.get("variables", {}).items())),
         )
         conf.validate()
         return conf

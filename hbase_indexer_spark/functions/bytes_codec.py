@@ -239,12 +239,31 @@ SPARK_TYPES = {
 }
 
 
+# U1 — custom ByteArrayValueMapper registry: the reference loads any class
+# implementing ByteArrayValueMapper by name (ByteArrayValueMappers.java:
+# 128-142, e2e-tested with a CSV multi-value mapper IndexerIT.java:678-721);
+# here a mapper is a Column->Column function registered by name.
+_CUSTOM_MAPPERS: dict = {}
+
+
+def register_value_mapper(name: str, fn) -> None:
+    _CUSTOM_MAPPERS[name] = fn
+
+
+def known_type(type_name: str) -> bool:
+    return type_name in DECODERS or type_name in _CUSTOM_MAPPERS
+
+
 def decoder_for(type_name: str):
     """Decoder lookup, mirroring ByteArrayValueMappers.getMapper dispatch
-    (ByteArrayValueMappers.java:106-126); unknown names raise, custom mappers
-    are registered via hbase_indexer_spark.config.registry instead of
-    Class.forName."""
+    (ByteArrayValueMappers.java:106-126): built-ins first, then custom
+    mappers registered by name (the Class.forName analog); unknown names
+    raise."""
     try:
         return DECODERS[type_name]
+    except KeyError:
+        pass
+    try:
+        return _CUSTOM_MAPPERS[type_name]
     except KeyError:
         raise ValueError(f"unknown value mapper type: {type_name!r}") from None

@@ -1,0 +1,158 @@
+"""Transform-stage chains — the Morphline ETL analog (reference §2.3
+P15/P16, §2.9 U1-U4).
+
+The reference compiles a Kite-Morphlines command pipeline per indexer
+(LocalMorphlineResultToSolrMapper.java:109-166): extractHBaseCells followed
+by arbitrary record commands, with ``morphlineVariable.*`` substituted into
+the config and ``morphlineField.*`` force-set on every record
+(:114-131; MR plumbing HBaseIndexerMapper.java:205-212).
+
+Spark-first: a chain is a list of named stages, each a
+``DataFrame -> DataFrame`` transform compiled from config.  Stages are
+declarative wrappers over Catalyst expressions wherever possible (so the
+chain stays in whole-stage codegen); a custom stage registered by name can
+do anything, including `mapInPandas` (the arbitrary-command escape hatch,
+U4).  Record-drop commands are filters.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Stage = Callable[[DataFrame], DataFrame]
+StageFactory = Callable[[dict], Stage]
+
+STAGE_REGISTRY: dict[str, StageFactory] = {}
+
+
+def register_stage(name: str) -> Callable[[StageFactory], StageFactory]:
+    """U4 — named stage plugin (the CommandBuilder analog,
+    ExtractHBaseCellsBuilder.java:50-60: commands are looked up by name)."""
+
+    def deco(fn: StageFactory) -> StageFactory:
+        STAGE_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+# -- built-in stages ---------------------------------------------------------
+
+@register_stage("set_field")
+def _set_field(params: dict) -> Stage:
+    """morphlineField.* force-set (HBaseIndexerMapper.java:205-212)."""
+    name, value = params["field"], params["value"]
+    return lambda df: df.withColumn(name, F.lit(value))
+
+
+@register_stage("rename_field")
+def _rename_field(params: dict) -> Stage:
+    src, dst = params["from"], params["to"]
+    return lambda df: df.withColumnRenamed(src, dst)
+
+
+@register_stage("drop_field")
+def _drop_field(params: dict) -> Stage:
+    name = params["field"]
+    return lambda df: df.drop(name)
+
+
+@register_stage("filter_rows")
+def _filter_rows(params: dict) -> Stage:
+    """Record-drop command: rows failing the predicate leave the pipeline."""
+    predicate = params["predicate"]
+    return lambda df: df.filter(F.expr(predicate))
+
+
+@register_stage("split_field")
+def _split_field(params: dict) -> Stage:
+    """CSV-ish one-to-many value command (the e2e custom-mapper scenario,
+    IndexerIT.java:678-721 splits a CSV cell into multiple values)."""
+    name = params["field"]
+    out = params.get("into", name)
+    pattern = params.get("pattern", ",")
+    return lambda df: df.withColumn(out, F.split(F.col(name), pattern))
+
+
+@register_stage("lowercase_field")
+def _lowercase_field(params: dict) -> Stage:
+    name = params["field"]
+    return lambda df: df.withColumn(name, F.lower(F.col(name)))
+
+
+@register_stage("sql_expr")
+def _sql_expr(params: dict) -> Stage:
+    """General computed field from a SQL expression (the logDebug/convert
+    commands' declarative form)."""
+    name = params["field"]
+    expr = params["expr"]
+    return lambda df: df.withColumn(name, F.expr(expr))
+
+
+_VAR = re.compile(r"\$\{([^}]+)\}")
+
+
+def substitute_variables(params: dict, variables: dict) -> dict:
+    """morphlineVariable.* templating (LocalMorphlineResultToSolrMapper.java:
+    114-127): ``${name}`` in any string param is replaced."""
+
+    def sub(v):
+        if isinstance(v, str):
+            return _VAR.sub(lambda m: str(variables[m.group(1)]), v)
+        return v
+
+    return {k: sub(v) for k, v in params.items()}
+
+
+class TransformChain:
+    """A compiled stage pipeline (the Morphline object,
+    LocalMorphlineResultToSolrMapper.java:214-240)."""
+
+    def __init__(self, stages: list[Stage]):
+        self.stages = stages
+
+    @staticmethod
+    def from_config(stages_conf: list[dict],
+                    variables: dict | None = None) -> "TransformChain":
+        stages = []
+        for sc in stages_conf:
+            sc = dict(sc)
+            name = sc.pop("stage")
+            if variables:
+                sc = substitute_variables(sc, variables)
+            try:
+                factory = STAGE_REGISTRY[name]
+            except KeyError:
+                raise ValueError(f"unknown transform stage {name!r}") from None
+            stages.append(factory(sc))
+        return TransformChain(stages)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for stage in self.stages:
+            df = stage(df)
+        return df
+
+
+# -- whole-row mapper registry (U2) -----------------------------------------
+
+RowMapper = Callable[[DataFrame, object], DataFrame]
+ROW_MAPPER_REGISTRY: dict[str, RowMapper] = {}
+
+
+def register_row_mapper(name: str, fn: RowMapper) -> None:
+    """U2 — custom ResultToSolrMapper analog (ResultToSolrMapper.java:1-68,
+    selected by name in DefaultIndexerComponentFactory.java:94-98): a
+    whole-row mapper ``(cells_df, conf) -> docs_df`` that may emit 0..n docs
+    per row (UDTF-shaped; typically `applyInPandas`/`mapInPandas`)."""
+    ROW_MAPPER_REGISTRY[name] = fn
+
+
+def row_mapper_for(name: str) -> RowMapper:
+    try:
+        return ROW_MAPPER_REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown row mapper {name!r}") from None

@@ -285,3 +285,78 @@ def simhash_sql() -> str:
         )
         SELECT doc_id, {sig} AS simhash FROM sums
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """All (x, y) pairs with cosine(embedding_x, embedding_y) >= threshold —
+    the embedding-space near-dup detector.
+
+    This is the exact baseline: a self-join with the smaller side broadcast
+    when it fits, quadratic in the worst case.  The scale path for 100 TB is
+    ``embedding_cosine_pairs_lsh`` (hyperplane-bucketed candidates, exact
+    verification of candidates only).
+    """
+    from hbase_indexer_spark.pipeline.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("x"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("y"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("x") < F.col("y"))
+        .select("x", "y", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("x", "y")
+    )
+
+
+def embedding_cosine_pairs_sql(threshold: float = 0.4) -> str:
+    return f"""
+        SELECT a.vec_id AS x, b.vec_id AS y
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
+                               dim: int = 64, n_bits: int = 8,
+                               n_tables: int = 8) -> DataFrame:
+    """Approximate near-dup pairs: candidates = pairs colliding in any of
+    ``n_tables`` independent b-bit hyperplane sketches (OR-amplification),
+    verified with exact cosine.  Output is always a subset of the exact
+    pairs; per-table collision probability for similarity s is
+    (1 - acos(s)/pi)^n_bits, so recall = 1 - (1 - p)^n_tables — size
+    n_tables to the target similarity band.  Cost is O(docs x tables +
+    candidate pairs): never a cross join."""
+    from hbase_indexer_spark.pipeline.similarity import cosine, hyperplane_sketch
+
+    tables = None
+    for t in range(n_tables):
+        # table t uses its own independent plane family
+        sk = emb.select(
+            F.col("vec_id"),
+            F.lit(t).alias("tbl"),
+            hyperplane_sketch(F.col("embedding"), dim, n_bits,
+                              plane_offset=n_bits * t).alias("bkt"),
+        )
+        tables = sk if tables is None else tables.unionByName(sk)
+    a = tables.alias("a")
+    b = tables.alias("b")
+    cands = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("x"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("y"), F.col("embedding").alias("vb"))
+    return (
+        cands.join(ea, "x").join(eb, "y")
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("x", "y")
+    )

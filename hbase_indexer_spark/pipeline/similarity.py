@@ -100,11 +100,14 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return out
 
 
-def hyperplane_sketch(v: Column, dim: int, n_bits: int = 12) -> Column:
-    """b-bit random-hyperplane sketch: bit i = sign(v . h_i)."""
+def hyperplane_sketch(v: Column, dim: int, n_bits: int = 12,
+                      plane_offset: int = 0) -> Column:
+    """b-bit random-hyperplane sketch: bit i = sign(v . h_(offset+i)).
+    ``plane_offset`` selects an independent plane family (for multi-table
+    OR-amplification)."""
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
-        plane = _hyperplane(dim, b)
+        plane = _hyperplane(dim, plane_offset + b)
         d = F.aggregate(
             F.zip_with(v, F.array(*[F.lit(c) for c in plane]),
                        lambda x, y: x.cast("double") * y),

@@ -22,8 +22,26 @@ from hbase_indexer_spark.operators.extraction import (
 
 
 def build_index(cells: DataFrame, conf: IndexerConf) -> DataFrame:
-    """Materialize the index for one indexer definition over a cells snapshot."""
+    """Materialize the index for one indexer definition over a cells snapshot.
+
+    ``conf.mapper`` selects a registered whole-row mapper instead of the
+    default doc build (U2); ``conf.transform_stages`` appends a compiled
+    transform chain (P15/P16) after the build.
+    """
     routed = cells.filter(table_predicate(conf, F.col("table")))
-    if conf.mapping_type == MAPPING_COLUMN:
-        return column_documents(routed, conf)
-    return row_documents(routed, conf)
+    if conf.mapper is not None:
+        from hbase_indexer_spark.operators.transform import row_mapper_for
+
+        docs = row_mapper_for(conf.mapper)(routed, conf)
+    elif conf.mapping_type == MAPPING_COLUMN:
+        docs = column_documents(routed, conf)
+    else:
+        docs = row_documents(routed, conf)
+    if conf.transform_stages:
+        from hbase_indexer_spark.operators.transform import TransformChain
+
+        chain = TransformChain.from_config(
+            list(conf.transform_stages), dict(conf.variables) or None
+        )
+        docs = chain(docs)
+    return docs

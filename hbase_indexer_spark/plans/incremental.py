@@ -180,35 +180,48 @@ class IncrementalIndexer:
         configured row/family fields — missing config = warn & skip,
         matching Indexer.java:404-410,420-426."""
         conf = self.conf
-        last = (
-            batch.groupBy("table", "row", "family", "qualifier")
-            .agg(F.max_by(F.struct("op", "value", "ts"), "seq").alias("last"))
-            .select("table", "row", "family", "qualifier",
-                    F.col("last.op").alias("op"), F.col("last.value").alias("value"),
-                    F.col("last.ts").alias("ts"))
+        batch_cells = batch.select(*CELL_COLS)
+        # A2 last-cell-wins: within-batch puts masked by same-batch tombstones
+        # (HBase ts visibility — makes the converged index independent of
+        # micro-batch boundaries), then newest put per (row, family, qual)
+        visible_puts = _tombstone_filter(
+            batch_cells.filter(F.col("op") == "put"), batch_cells
         )
-        last.cache()
-        adds = column_documents(last, conf)
-        del_ids = last.filter(F.col("op") == "delete_column").select(
+        adds = column_documents(
+            latest_cells(visible_puts).select(
+                "table", "row", "family", "qualifier", "ts",
+                F.lit("put").alias("op"), "value",
+            ),
+            conf,
+        )
+        # F4 delete classification (Indexer.java:361-384):
+        # delete_column -> delete by formatted KeyValue id (a later put in the
+        # same batch re-adds: merge applies deletes before adds)
+        del_ids = batch_cells.filter(F.col("op") == "delete_column").select(
             keyvalue_id_expr(conf, F.col("row"), F.col("family"), F.col("qualifier"))
             .alias(conf.unique_key_field)
         )
+        # delete_row / delete_family -> delete-by-query (K8) against the
+        # configured row/cf fields; missing config = warn & skip, matching
+        # Indexer.java:404-410,420-426
         preds: list[Column] = []
         if conf.row_field:
-            for r in last.filter(F.col("op") == "delete_row").select("row").distinct().collect():
-                preds.append(F.col(conf.row_field) == r["row"])
+            dels = (
+                batch_cells.filter(F.col("op").isin("delete_row", "delete_family"))
+                .select("op", "row", "family").distinct().collect()
+            )
+            row_dels = {r["row"] for r in dels if r["op"] == "delete_row"}
+            fam_dels = {(r["row"], r["family"]) for r in dels
+                        if r["op"] == "delete_family"}
+            preds.extend(F.col(conf.row_field) == r for r in sorted(row_dels))
             if conf.column_family_field:
-                for r in (
-                    last.filter(F.col("op") == "delete_family")
-                    .select("row", "family").distinct().collect()
-                ):
-                    preds.append(
-                        (F.col(conf.row_field) == r["row"])
-                        & (F.col(conf.column_family_field) == r["family"])
-                    )
+                preds.extend(
+                    (F.col(conf.row_field) == r)
+                    & (F.col(conf.column_family_field) == fam)
+                    for r, fam in sorted(fam_dels)
+                )
         self.index.merge(self.spark, adds=adds, delete_ids=del_ids,
                          delete_predicates=preds or None)
-        last.unpersist()
 
     # -- entry points ------------------------------------------------------
 

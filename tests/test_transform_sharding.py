@@ -1,0 +1,167 @@
+"""Transform-chain (P15/P16, U1-U4), sharding (K2/K4) and P14 tests —
+ports of the morphline golden-record tests
+(MorphlineResultToSolrMapperTest.java) and HashSharderTest.java."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.config.indexer_conf import IndexerConf
+from hbase_indexer_spark.functions.bytes_codec import register_value_mapper
+from hbase_indexer_spark.operators.transform import (
+    TransformChain,
+    register_row_mapper,
+    substitute_variables,
+)
+from hbase_indexer_spark.plans.batch import build_index
+from hbase_indexer_spark.sinks.sharding import md5_shard, route, write_sharded
+
+CELL_DDL = ("table string, row string, family string, qualifier string, "
+            "ts long, op string, value binary")
+
+
+def cells_df(spark, rows):
+    return spark.createDataFrame(
+        [(t, r, f, q, ts, "put", v.encode() if isinstance(v, str) else v)
+         for (t, r, f, q, ts, v) in rows],
+        CELL_DDL,
+    )
+
+
+@pytest.fixture()
+def user_cells(spark):
+    return cells_df(spark, [
+        ("t", "r1", "info", "name", 1, "Alice"),
+        ("t", "r1", "info", "mail", 1, "a@x.com"),
+        ("t", "r2", "info", "name", 1, "Bob"),
+        ("t", "r2", "info", "mail", 1, "b@y.org"),
+    ])
+
+
+def test_transform_chain_stages(spark, user_cells):
+    conf = IndexerConf.from_dict({
+        "table": "t",
+        "fields": [{"name": "name_s", "value": "info:name"},
+                   {"name": "mail_s", "value": "info:mail"}],
+        "transform_stages": [
+            {"stage": "set_field", "field": "src", "value": "${origin}"},
+            {"stage": "split_field", "field": "mail_s", "into": "mail_parts",
+             "pattern": "@"},
+            {"stage": "lowercase_field", "field": "name_s"},
+            {"stage": "sql_expr", "field": "domain", "expr": "mail_parts[1]"},
+            {"stage": "filter_rows", "predicate": "domain = 'x.com'"},
+            {"stage": "drop_field", "field": "mail_parts"},
+        ],
+        "variables": {"origin": "hbase"},
+    })
+    out = {r["id"]: r.asDict() for r in build_index(user_cells, conf).collect()}
+    assert out == {"r1": {
+        "id": "r1", "name_s": "alice", "mail_s": "a@x.com", "src": "hbase",
+        "domain": "x.com",
+    }}
+
+
+def test_unknown_stage_raises():
+    with pytest.raises(ValueError, match="unknown transform stage"):
+        TransformChain.from_config([{"stage": "nope"}])
+
+
+def test_variable_substitution():
+    assert substitute_variables(
+        {"a": "${x}-${y}", "b": 3}, {"x": "1", "y": 2}
+    ) == {"a": "1-2", "b": 3}
+
+
+def test_custom_value_mapper(spark, user_cells):
+    register_value_mapper("at_split", lambda c: F.split(c.cast("string"), "@"))
+    conf = IndexerConf.from_dict({
+        "table": "t",
+        "fields": [{"name": "mail_parts", "value": "info:mail", "type": "at_split"}],
+    })
+    out = {r["id"]: r["mail_parts"] for r in build_index(user_cells, conf).collect()}
+    assert out == {"r1": ["a", "x.com"], "r2": ["b", "y.org"]}
+
+
+def test_custom_row_mapper(spark, user_cells):
+    import pandas as pd
+
+    def exploded(cells, conf):
+        def emit(key, pdf):
+            return pd.DataFrame({"id": [key[0]], "n": [len(pdf)]})
+
+        return cells.groupBy("row").applyInPandas(emit, "id string, n long")
+
+    register_row_mapper("counter", exploded)
+    conf = IndexerConf.from_dict({"table": "t", "mapper": "counter"})
+    out = {r["id"]: r["n"] for r in build_index(user_cells, conf).collect()}
+    assert out == {"r1": 2, "r2": 2}
+
+
+def test_extract_prefix_merge(spark, user_cells):
+    conf = IndexerConf.from_dict({
+        "table": "t",
+        "fields": [{"name": "name_s", "value": "info:name"}],
+        "extracts": [{"prefix": "c_", "fields": [
+            {"name": "mail_s", "value": "info:mail"},
+        ]}],
+    })
+    out = build_index(user_cells, conf)
+    assert out.columns == ["id", "name_s", "c_mail_s"]
+    got = {r["id"]: r["c_mail_s"] for r in out.collect()}
+    assert got == {"r1": "a@x.com", "r2": "b@y.org"}
+
+
+# -- sharding ----------------------------------------------------------------
+
+def reference_shard(key: str, n: int) -> int:
+    """HashSharder.java:42-58 reimplemented literally for the oracle."""
+    d = hashlib.md5(key.encode()).digest()
+    return (((d[0] & 0xFF) << 8) + (d[1] & 0xFF)) % n
+
+
+def test_md5_shard_matches_reference_semantics(spark):
+    keys = [f"doc-{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "id string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", md5_shard(F.col("id"), 7).alias("s")).collect()}
+    assert got == {k: reference_shard(k, 7) for k in keys}
+
+
+def test_write_sharded_layout(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(100)], "id string, v long"
+    )
+    path = str(tmp_path / "shards")
+    write_sharded(docs, path, key="id", n_shards=4)
+    shard_dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # routing is deterministic: every doc is in its computed shard
+    got = {r["id"]: r["shard"] for r in back.collect()}
+    assert got == {f"doc-{i}": reference_shard(f"doc-{i}", 4) for i in range(100)}
+
+
+def test_route_distribution(spark):
+    """HashSharderTest distribution check: all shards get a fair share."""
+    docs = spark.createDataFrame([(f"k{i}",) for i in range(2000)], "id string")
+    counts = {r["shard"]: r["c"] for r in
+              route(docs, "id", 4).groupBy("shard").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(c > 300 for c in counts.values())
+
+
+def test_embedding_lsh_subset_of_exact(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["x"], r["y"]) for r in
+             embedding_cosine_pairs(emb, threshold=0.4).collect()}
+    approx = {(r["x"], r["y"]) for r in
+              embedding_cosine_pairs_lsh(emb, threshold=0.4, n_tables=4).collect()}
+    assert approx <= exact
