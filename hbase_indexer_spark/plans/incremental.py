@@ -142,6 +142,12 @@ class IncrementalIndexer:
         self.subscription_ts = subscription_ts
         self.state = IndexStore(state_path, key="row")
         self.index = IndexStore(index_path, key=conf.unique_key_field)
+        # per-batch counters (the BufferedSolrInputDocumentWriter doc/batch
+        # counts + SolrUpdateCollector sizes, BufferedSolrInputDocumentWriter
+        # .java:48-126) — docs_upserted is collected via `observe`, so it
+        # costs no extra action
+        self.metrics: dict = {}
+        self.metrics_log: list[dict] = []
 
     # -- ROW mode ---------------------------------------------------------
 
@@ -169,7 +175,12 @@ class IncrementalIndexer:
         touched_ids = touched.select(
             row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        docs = docs.observe(obs, F.count(F.lit(1)).alias("adds"))
         self.index.merge(self.spark, adds=docs, replace_keys=touched_ids)
+        self.metrics["docs_upserted"] = obs.get["adds"]
 
     # -- COLUMN mode ------------------------------------------------------
 
@@ -220,8 +231,13 @@ class IncrementalIndexer:
                     & (F.col(conf.column_family_field) == fam)
                     for r, fam in sorted(fam_dels)
                 )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        adds = adds.observe(obs, F.count(F.lit(1)).alias("adds"))
         self.index.merge(self.spark, adds=adds, delete_ids=del_ids,
                          delete_predicates=preds or None)
+        self.metrics["docs_upserted"] = obs.get["adds"]
 
     # -- entry points ------------------------------------------------------
 
@@ -231,10 +247,16 @@ class IncrementalIndexer:
         # otherwise re-run the source scan for each consumer
         batch = gate_events(batch, self.conf, self.subscription_ts).cache()
         try:
+            n = batch.count()  # materializes the cache; K3-analog counter
+            self.metrics = {"batch_id": batch_id, "relevant_events": n,
+                            "docs_upserted": None}
+            if n == 0:
+                return
             if self.conf.mapping_type == MAPPING_COLUMN:
                 self._process_column_mode(batch)
             else:
                 self._process_row_mode(batch)
+            self.metrics_log.append(self.metrics)
         finally:
             batch.unpersist()
 
@@ -261,5 +283,11 @@ class IncrementalIndexer:
             finally:
                 events.unpersist()
         out = self.index.read(self.spark)
-        assert out is not None
+        if out is None:
+            # nothing relevant ever arrived: an empty index with the doc
+            # schema this definition would produce
+            empty = events.filter(F.lit(False))
+            if self.conf.mapping_type == MAPPING_COLUMN:
+                return column_documents(empty, self.conf)
+            return row_documents(empty, self.conf)
         return out

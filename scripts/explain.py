@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Plan inspector: prints `explain(formatted)` for the headline queries and
+asserts the plan properties the engine is designed around:
+
+- doc builds: ONE exchange (partial-aggregable pivot), no extra sort
+- joins against small sides: BroadcastHashJoin, never SortMergeJoin
+- scans: only needed columns in ReadSchema (column pruning)
+- expressions: inside WholeStageCodegen spans (no Python in the hot path)
+
+Usage: python scripts/explain.py [--sf DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Doc builds must be ONE partial-aggregable exchange: `partial_max` (or
+# partial min/count) before the hash exchange proves map-side combine; a
+# second hashpartitioning exchange would mean the two-shuffle shape the
+# pivot exists to avoid.  (max over a struct buffer compiles to
+# SortAggregate — not hash-aggregable in Spark — but the partial agg +
+# single exchange is the property that matters at scale.)
+ONE_EXCHANGE = r"^(?!.*hashpartitioning.*hashpartitioning)"
+NO_PYTHON = [r"BatchEvalPython", r"ArrowEvalPython"]
+
+CHECKS = {
+    # query -> (must-contain regexes, must-NOT-contain regexes)
+    "row_index_customer": (
+        [r"partial_max"],
+        [r"SortMergeJoin", r"hashpartitioning(.|\n)*hashpartitioning", *NO_PYTHON],
+    ),
+    "typed_decode_matrix": (
+        [r"partial_max"],
+        [r"SortMergeJoin", r"hashpartitioning(.|\n)*hashpartitioning", *NO_PYTHON],
+    ),
+    "column_index_orders": (
+        [r"partial_max"],
+        [r"SortMergeJoin", r"hashpartitioning(.|\n)*hashpartitioning", *NO_PYTHON],
+    ),
+    "stream_static_join": (
+        [r"BroadcastHashJoin"],
+        [r"SortMergeJoin"],
+    ),
+    "pricing_summary": (
+        [r"HashAggregate", r"partial_sum", r"PushedFilters: \[.*l_shipdate"],
+        [r"BatchEvalPython"],
+    ),
+    "exact_dedup": (
+        [r"HashAggregate", r"partial_"],
+        [r"SortMergeJoin", r"BatchEvalPython"],
+    ),
+    "minhash_signatures": (
+        [r"HashAggregate", r"partial_min"],
+        NO_PYTHON,
+    ),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="print full formatted plans")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from hbase_indexer_spark.session import get_spark
+
+    spark = get_spark("explain")
+    qs = entry.queries()
+    names = args.queries or list(CHECKS)
+
+    import contextlib
+    import io
+
+    failures = []
+    for name in names:
+        df = qs[name](spark, args.sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if args.verbose or name not in CHECKS:
+            print(f"===== {name} =====")
+            print(plan)
+        must, must_not = CHECKS.get(name, ([], []))
+        for pat in must:
+            if not re.search(pat, plan, re.S):
+                failures.append(f"{name}: missing {pat!r}")
+        for pat in must_not:
+            if re.search(pat, plan, re.S):
+                failures.append(f"{name}: unwanted {pat!r}")
+        status = "ok" if not any(f.startswith(name + ":") for f in failures) else "BAD"
+        print(f"{status:4} {name}")
+
+    if failures:
+        print("\nplan check failures:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("\nall plan checks pass")
+
+
+if __name__ == "__main__":
+    main()

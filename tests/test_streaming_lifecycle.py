@@ -95,6 +95,20 @@ def test_stream_resume_processes_only_new_files(spark, stream_env):
     assert index_dict(ix, spark) == {"r1": "alicia"}
 
 
+def test_batch_metrics_observed(spark, stream_env):
+    """K3-analog counters: per-batch relevant-event and upserted-doc counts
+    collected via observe (no extra action for the doc count)."""
+    src, ix, job = stream_env
+    write_chunk(spark, src, [ev(1, "r1", "name", "alice"),
+                             ev(2, "r2", "name", "bob"),
+                             ev(3, "r2", "other", "x")], "c0")
+    job.run_available(read_event_stream(spark, src))
+    assert len(ix.metrics_log) == 1
+    m = ix.metrics_log[0]
+    assert m["relevant_events"] == 2  # 'other' cell fails the relevance filter
+    assert m["docs_upserted"] == 2
+
+
 def test_event_schema_matches_fixture(spark, sf_dir):
     from hbase_indexer_spark.sources.fixtures import event_cells
 
