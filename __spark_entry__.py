@@ -270,6 +270,24 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_row_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental path on the bucketed copy-on-write store: per-batch
+    I/O bounded by touched buckets (the 100 TB configuration); result must
+    be identical to the plain store."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.incremental import IncrementalIndexer
+    from hbase_indexer_spark.sources.fixtures import event_cells
+
+    tmp = tempfile.mkdtemp(prefix="hbis_binc_")
+    ix = IncrementalIndexer(
+        spark, _conf(EVENTS_CONF),
+        state_path=os.path.join(tmp, "state"),
+        index_path=os.path.join(tmp, "index"),
+        n_buckets=8,
+    )
+    return ix.replay(event_cells(spark, sf_dir), n_chunks=4)
+
+
 def q_incremental_column_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-mode incremental path (A2, F4, K8 delete-by-query): one doc
     per (row, family, qualifier) cell, delete_row events wipe a row's docs
@@ -587,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_table_union": q_multi_table_union,
         "subscription_gate": q_subscription_gate,
         "incremental_row_index": q_incremental_row_index,
+        "incremental_row_index_bucketed": q_incremental_row_index_bucketed,
         "incremental_column_index": q_incremental_column_index,
         "streaming_row_index": q_streaming_row_index,
         "stream_static_join": q_stream_static_join,
@@ -754,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["streaming_row_index"] = out["incremental_row_index"]
+    out["incremental_row_index_bucketed"] = out["incremental_row_index"]
     out["incremental_column_index"] = """
         WITH del AS (
             SELECT user_id, max(event_id) AS mdel FROM events

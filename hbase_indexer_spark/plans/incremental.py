@@ -86,36 +86,47 @@ def _tombstone_filter(cells: DataFrame, batch_cells: DataFrame) -> DataFrame:
     )
 
 
-def apply_mutations(state: DataFrame | None, batch: DataFrame) -> DataFrame:
-    """Merge a mutation batch into a put-cells state table.
+def updated_row_cells(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """The new visible put-cell state of exactly the rows touched by the
+    batch: (prior cells of touched rows ∪ batch puts) -> tombstone mask ->
+    latest version per column.
 
     Tombstones are dropped after application ("compacted"): cell ts is
     monotone with seq here, so no masked-late-put can arrive afterwards.
 
-    Scale shape: state rows untouched by the batch bypass everything via a
-    broadcast anti-join on (table, row) — the shuffle (version dedup) is
-    O(batch ∪ touched-state), never O(state).
+    Scale shape: O(batch ∪ touched-state) — the prior-state side is a
+    broadcast semi-join on the touched (table, row) set.
     """
     batch_cells = batch.select(*CELL_COLS)
     puts = batch_cells.filter(F.col("op") == "put")
     if state is None:
         touched_cells = puts
-        untouched = None
     else:
-        state = state.select(*CELL_COLS)
         touched = batch_cells.select("table", "row").distinct()
-        untouched = state.join(F.broadcast(touched), ["table", "row"], "left_anti")
         touched_cells = (
-            state.join(F.broadcast(touched), ["table", "row"], "left_semi")
+            state.select(*CELL_COLS)
+            .join(F.broadcast(touched), ["table", "row"], "left_semi")
             .unionByName(puts)
         )
     visible = _tombstone_filter(touched_cells, batch_cells)
-    out = latest_cells(visible).select(
+    return latest_cells(visible).select(
         "table", "row", "family", "qualifier", "ts", F.lit("put").alias("op"), "value"
     )
-    if untouched is not None:
-        out = untouched.unionByName(out)
-    return out
+
+
+def apply_mutations(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Merge a mutation batch into a put-cells state table: untouched state
+    rows pass through via a broadcast anti-join (never shuffled), touched
+    rows are recomputed by updated_row_cells."""
+    updated = updated_row_cells(state, batch)
+    if state is None:
+        return updated
+    touched = batch.select("table", "row").distinct()
+    untouched = (
+        state.select(*CELL_COLS)
+        .join(F.broadcast(touched), ["table", "row"], "left_anti")
+    )
+    return untouched.unionByName(updated)
 
 
 def row_state_from_events(events: DataFrame) -> DataFrame:
@@ -136,12 +147,29 @@ class IncrementalIndexer:
     """
 
     def __init__(self, spark: SparkSession, conf: IndexerConf, state_path: str,
-                 index_path: str, subscription_ts: int | None = None):
+                 index_path: str, subscription_ts: int | None = None,
+                 n_buckets: int | None = None):
+        """``n_buckets``: when set, state and index use the bucketed
+        copy-on-write store (BucketedIndexStore) — per-batch I/O bounded by
+        touched buckets instead of table size.  This is the 100 TB
+        configuration; the default plain store is simpler and fine for
+        small views."""
         self.spark = spark
         self.conf = conf
         self.subscription_ts = subscription_ts
-        self.state = IndexStore(state_path, key="row")
-        self.index = IndexStore(index_path, key=conf.unique_key_field)
+        self.bucketed = n_buckets is not None
+        if self.bucketed:
+            from hbase_indexer_spark.sinks.bucket_store import BucketedIndexStore
+
+            # state key: table NUL row (multi-table indexers must not
+            # collide on bare rowkey when replacing a key space)
+            self.state = BucketedIndexStore(state_path, key="_k",
+                                            n_buckets=n_buckets)
+            self.index = BucketedIndexStore(index_path, key=conf.unique_key_field,
+                                            n_buckets=n_buckets)
+        else:
+            self.state = IndexStore(state_path, key="row")
+            self.index = IndexStore(index_path, key=conf.unique_key_field)
         # per-batch counters (the BufferedSolrInputDocumentWriter doc/batch
         # counts + SolrUpdateCollector sizes, BufferedSolrInputDocumentWriter
         # .java:48-126) — docs_upserted is collected via `observe`, so it
@@ -151,36 +179,55 @@ class IncrementalIndexer:
 
     # -- ROW mode ---------------------------------------------------------
 
+    @staticmethod
+    def _state_key(table: Column, row: Column) -> Column:
+        return F.concat_ws("\x00", table, row)
+
     def _process_row_mode(self, batch: DataFrame) -> None:
         conf = self.conf
         state = self.state.read(self.spark)
-        new_state = apply_mutations(state, batch)
-        self.state.overwrite(new_state, self.spark)
-        # read the state back from the just-published version: a tiny scan
-        # that truncates the mutation lineage for the doc-build job
-        cur_state = self.state.read(self.spark)
-        assert cur_state is not None
-
-        # touched rows: every relevant event's row (A1 dedup is implicit —
-        # the doc is rebuilt once per touched row from current state, which
-        # is exactly "index the last state", Indexer.java:252-292)
+        # the new visible cells of exactly the touched rows — this IS the
+        # doc-build input (no state read-back needed) AND the state delta
+        updated = updated_row_cells(state, batch).cache()
         touched = batch.select("table", "row").distinct()
-        docs = row_documents(
-            cur_state.join(F.broadcast(touched), ["table", "row"], "left_semi"), conf
-        )
-        # Every touched id is either re-added or (F5) gone -> replace the
-        # whole touched key space in one broadcast + one write job
-        from hbase_indexer_spark.operators.extraction import row_id_expr
+        try:
+            if self.bucketed:
+                # bucket-granular state update: replace touched keys only
+                self.state.merge(
+                    adds=updated.withColumn(
+                        "_k", self._state_key(F.col("table"), F.col("row"))
+                    ),
+                    replace_keys=touched.select(
+                        self._state_key(F.col("table"), F.col("row")).alias("_k")
+                    ),
+                )
+            else:
+                new_state = updated if state is None else (
+                    state.select(*CELL_COLS)
+                    .join(F.broadcast(touched), ["table", "row"], "left_anti")
+                    .unionByName(updated)
+                )
+                self.state.overwrite(new_state, self.spark)
 
-        touched_ids = touched.select(
-            row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
-        )
-        from pyspark.sql import Observation
+            # A1 dedup is implicit — the doc is rebuilt once per touched row
+            # from its current state ("index the last state",
+            # Indexer.java:252-292)
+            docs = row_documents(updated, conf)
+            # Every touched id is either re-added or (F5) gone -> replace
+            # the whole touched key space in one broadcast + one write job
+            from hbase_indexer_spark.operators.extraction import row_id_expr
 
-        obs = Observation()
-        docs = docs.observe(obs, F.count(F.lit(1)).alias("adds"))
-        self.index.merge(self.spark, adds=docs, replace_keys=touched_ids)
-        self.metrics["docs_upserted"] = obs.get["adds"]
+            touched_ids = touched.select(
+                row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
+            )
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            docs = docs.observe(obs, F.count(F.lit(1)).alias("adds"))
+            self.index.merge(self.spark, adds=docs, replace_keys=touched_ids)
+            self.metrics["docs_upserted"] = obs.get["adds"]
+        finally:
+            updated.unpersist()
 
     # -- COLUMN mode ------------------------------------------------------
 

@@ -1,0 +1,207 @@
+"""Bucketed copy-on-write index store — the 100 TB incremental path.
+
+The plain IndexStore rewrites the whole view per merge: correct, but
+O(table) I/O per micro-batch.  At scale the right shape is the one Delta/
+Iceberg MERGE gets from file skipping: only storage units containing
+touched keys are rewritten.  This store implements that on plain parquet:
+
+- rows are hash-bucketed by key: ``pmod(xxhash64(key), n_buckets)``;
+- a version's data lives in ``v=N/_b=K/`` directories, written with a
+  single ``repartition(_b) + partitionBy(_b)`` (each bucket written once);
+- a JSON **manifest** per version maps every bucket to the version
+  directory that owns its current data — merging batch B rewrites only
+  buckets hit by B's keys and re-points the rest at their existing files
+  (no copy, no hard links, object-store friendly);
+- ``_CURRENT`` is flipped atomically after the manifest is written (the
+  go-live publish, GoLive.java:52-169); unreferenced version directories
+  are garbage-collected one generation late (in-flight readers of the
+  previous version stay valid).
+
+Per-batch cost: read touched buckets (partition-pruned scan), one
+broadcast, one write of touched buckets, manifest rewrite — O(batch +
+touched buckets), never O(table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_b"
+
+
+class BucketedIndexStore:
+    """A keyed materialized view with bucket-granular copy-on-write MERGE."""
+
+    def __init__(self, path: str, key: str = "id", n_buckets: int = 16):
+        self.path = path
+        self.key = key
+        self.n_buckets = n_buckets
+
+    def bucket_of(self, col: Column) -> Column:
+        return F.pmod(F.xxhash64(col.cast("string")), F.lit(self.n_buckets))
+
+    # -- version / manifest plumbing --------------------------------------
+
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._current_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _manifest_file(self, v: int) -> str:
+        return os.path.join(self.path, f"manifest-{v}.json")
+
+    def _read_manifest(self, v: int) -> dict[int, str]:
+        with open(self._manifest_file(v)) as f:
+            return {int(k): d for k, d in json.load(f)["buckets"].items()}
+
+    def _bucket_dirs(self) -> dict[int, str]:
+        v = self.current_version()
+        return {} if v < 0 else self._read_manifest(v)
+
+    def _publish(self, buckets: dict[int, str]) -> None:
+        v = self.current_version() + 1
+        tmp = self._manifest_file(v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"key": self.key, "n_buckets": self.n_buckets,
+                       "buckets": {str(k): d for k, d in buckets.items()}}, f)
+        os.replace(tmp, self._manifest_file(v))
+        ctmp = self._current_file() + ".tmp"
+        with open(ctmp, "w") as f:
+            f.write(str(v))
+        os.replace(ctmp, self._current_file())  # atomic go-live flip
+        self._gc(v, buckets)
+
+    def _gc(self, v: int, buckets: dict[int, str]) -> None:
+        """Drop version dirs referenced by neither the new manifest nor the
+        previous one (readers of v-1 stay valid during the flip)."""
+        live = {d.split("/", 1)[0] for d in buckets.values()}
+        if v >= 1:
+            live |= {d.split("/", 1)[0]
+                     for d in self._read_manifest(v - 1).values()}
+        for entry in os.listdir(self.path):
+            if entry.startswith("v=") and entry not in live:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+            if entry.startswith("manifest-"):
+                mv = int(entry.split("-")[1].split(".")[0])
+                if mv < v - 1:
+                    os.remove(os.path.join(self.path, entry))
+
+    # -- read --------------------------------------------------------------
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame | None:
+        if not dirs:
+            return None
+        spark = SparkSession.getActiveSession()
+        assert spark is not None
+        # recursiveFileLookup disables partition inference: version/bucket
+        # path components never collide with user column names; the bucket
+        # of a row is re-derivable from its key when needed
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*[os.path.join(self.path, d) for d in sorted(set(dirs))])
+        )
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame | None:
+        """The full current view."""
+        return self._read_dirs(list(self._bucket_dirs().values()))
+
+    def read_buckets(self, buckets: set[int]) -> DataFrame | None:
+        dirs = [d for b, d in self._bucket_dirs().items() if b in buckets]
+        return self._read_dirs(dirs)
+
+    # -- write -------------------------------------------------------------
+
+    def _write_version(self, df: DataFrame, v: int) -> dict[int, str]:
+        """Write df under v=N, one directory per present bucket (the bucket
+        is derived from the key here and exists only in the layout, never as
+        a data column)."""
+        out_dir = os.path.join(self.path, f"v={v}")
+        tagged = df.withColumn(BUCKET_COL, self.bucket_of(F.col(self.key)))
+        (
+            tagged.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+        )
+        written = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{BUCKET_COL}="):
+                b = int(entry.split("=")[1])
+                written[b] = f"v={v}/{entry}"
+        return written
+
+    def overwrite(self, df: DataFrame, spark: SparkSession | None = None) -> None:
+        """Full rebuild publish (K6)."""
+        self._publish(self._write_version(df, self.current_version() + 1))
+
+    def merge(
+        self,
+        spark: SparkSession | None = None,
+        adds: DataFrame | None = None,
+        delete_ids: DataFrame | None = None,
+        delete_predicates: list[Column] | None = None,
+        replace_keys: DataFrame | None = None,
+    ) -> None:
+        """Bucket-granular MERGE: same contract as IndexStore.merge, but
+        only buckets containing changed keys are read and rewritten.
+
+        ``delete_predicates`` cannot be key-bounded (delete-by-query may hit
+        any bucket), so passing them forces a full-view rewrite — exactly
+        the reason the reference treats deleteByQuery as the heavyweight
+        operation (DirectSolrInputDocumentWriter.java:176-193).
+        """
+        if self.current_version() < 0:
+            if adds is not None:
+                self.overwrite(adds)
+            return
+
+        if delete_predicates:
+            base = self.read()
+            assert base is not None
+            for pred in delete_predicates:
+                base = base.filter(~F.coalesce(pred, F.lit(False)))
+            untouched_dirs: dict[int, str] = {}
+        else:
+            # the changed-key set (small: bounded by the batch) -> touched
+            # buckets; everything else keeps its existing files
+            changed = None
+            for ks in (adds.select(self.key) if adds is not None else None,
+                       delete_ids, replace_keys):
+                if ks is not None:
+                    k = ks.select(F.col(ks.columns[0]).alias(self.key))
+                    changed = k if changed is None else changed.unionByName(k)
+            if changed is None:
+                return
+            touched = {
+                r["b"] for r in
+                changed.select(self.bucket_of(F.col(self.key)).alias("b"))
+                .distinct().collect()
+            }
+            dirs = self._bucket_dirs()
+            untouched_dirs = {b: d for b, d in dirs.items() if b not in touched}
+            base = self.read_buckets(touched)
+
+        out = base
+        if out is not None:
+            del_keys = None
+            for ks in (delete_ids, replace_keys,
+                       adds.select(self.key) if adds is not None else None):
+                if ks is not None:
+                    k = ks.select(F.col(ks.columns[0]).alias(self.key))
+                    del_keys = k if del_keys is None else del_keys.unionByName(k)
+            if del_keys is not None:
+                out = out.join(F.broadcast(del_keys.distinct()), self.key, "left_anti")
+        if adds is not None:
+            out = adds if out is None else out.unionByName(adds)
+        if out is None:
+            return
+        written = self._write_version(out, self.current_version() + 1)
+        self._publish({**untouched_dirs, **written})

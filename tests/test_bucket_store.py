@@ -1,0 +1,108 @@
+"""BucketedIndexStore: bucket-granular copy-on-write MERGE semantics,
+manifest/GC behavior, and parity with the plain IndexStore."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.sinks.bucket_store import BucketedIndexStore
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "id string, v long")
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return BucketedIndexStore(str(tmp_path / "ix"), key="id", n_buckets=4)
+
+
+def as_dict(df):
+    return {r["id"]: r["v"] for r in df.collect()}
+
+
+def test_overwrite_read_roundtrip(spark, store):
+    store.overwrite(docs(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    assert as_dict(store.read()) == {"a": 1, "b": 2, "c": 3}
+    assert "_b" not in store.read().columns
+
+
+def test_merge_upsert_and_delete(spark, store):
+    store.overwrite(docs(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    store.merge(
+        adds=docs(spark, [("b", 20), ("d", 4)]),
+        delete_ids=spark.createDataFrame([("c",)], "id string"),
+    )
+    assert as_dict(store.read()) == {"a": 1, "b": 20, "d": 4}
+
+
+def test_merge_replace_keys(spark, store):
+    store.overwrite(docs(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    store.merge(
+        adds=docs(spark, [("a", 10)]),
+        replace_keys=spark.createDataFrame([("a",), ("b",)], "id string"),
+    )
+    # a replaced, b implicitly deleted, c untouched
+    assert as_dict(store.read()) == {"a": 10, "c": 3}
+
+
+def test_merge_rewrites_only_touched_buckets(spark, store):
+    store.overwrite(docs(spark, [(f"k{i}", i) for i in range(40)]))
+    before = store._bucket_dirs()
+    assert set(before) == {0, 1, 2, 3}
+    store.merge(adds=docs(spark, [("k0", 100)]))
+    after = store._bucket_dirs()
+    touched_bucket = spark.range(1).select(
+        store.bucket_of(F.lit("k0")).alias("b")).first()["b"]
+    for b in range(4):
+        if b == touched_bucket:
+            assert after[b] != before[b], "touched bucket must move to the new version"
+        else:
+            assert after[b] == before[b], "untouched buckets must keep their files"
+    got = as_dict(store.read())
+    assert got["k0"] == 100 and len(got) == 40
+
+
+def test_delete_predicates_force_full_rewrite(spark, store):
+    store.overwrite(docs(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    store.merge(delete_predicates=[F.col("v") >= 2])
+    assert as_dict(store.read()) == {"a": 1}
+
+
+def test_gc_drops_unreferenced_versions(spark, store):
+    store.overwrite(docs(spark, [("a", 1)]))
+    for i in range(4):
+        store.merge(adds=docs(spark, [("a", i)]))
+    versions = {d for d in os.listdir(store.path) if d.startswith("v=")}
+    # every merge rewrites a's bucket; only the last two generations stay
+    assert len(versions) <= 2
+    assert as_dict(store.read()) == {"a": 3}
+
+
+def test_first_merge_without_base(spark, store):
+    store.merge(adds=docs(spark, [("a", 1)]))
+    assert as_dict(store.read()) == {"a": 1}
+
+
+def test_incremental_bucketed_matches_plain(spark, tmp_path, sf_dir):
+    from hbase_indexer_spark.config.indexer_conf import IndexerConf
+    from hbase_indexer_spark.plans.incremental import IncrementalIndexer
+    from hbase_indexer_spark.sources.fixtures import event_cells
+
+    conf = IndexerConf.from_dict({
+        "table": "events",
+        "fields": [{"name": "purchase_d", "value": "info:purchase", "type": "double"}],
+    })
+    ev = event_cells(spark, sf_dir)
+    plain = IncrementalIndexer(
+        spark, conf, state_path=str(tmp_path / "ps"),
+        index_path=str(tmp_path / "pi"),
+    ).replay(ev, n_chunks=3)
+    bucketed = IncrementalIndexer(
+        spark, conf, state_path=str(tmp_path / "bs"),
+        index_path=str(tmp_path / "bi"), n_buckets=4,
+    ).replay(ev, n_chunks=3)
+    a = {r["id"]: r["purchase_d"] for r in plain.collect()}
+    b = {r["id"]: r["purchase_d"] for r in bucketed.collect()}
+    assert a == b
