@@ -487,12 +487,16 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path, recall unit-tested)."""
     from hbase_indexer_spark.pipeline.dedup import embedding_cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, threshold=0.4)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return load(spark, sf_dir, "documents")
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,7 +548,9 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for 10 query vectors."""
     from hbase_indexer_spark.pipeline.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, ANN_QUERY_IDS, k=5)
 
 
@@ -553,7 +559,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate by construction; recall vs brute force is unit-tested)."""
     from hbase_indexer_spark.pipeline.similarity import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, ANN_QUERY_IDS, k=5, n_bits=8)
 
 

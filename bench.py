@@ -20,18 +20,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headline set: batch index build, column index, full decode matrix,
-# incremental apply, and the analytics scans
+# headline set: batch index builds, full decode matrix, incremental apply
+# (plain + bucketed store + real Structured Streaming), analytics scans,
+# and the training-data pipeline (dedup family, ANN, text, multimodal)
 BENCH_QUERIES = [
     "row_index_customer",
     "column_index_orders",
     "typed_decode_matrix",
     "incremental_row_index",
+    "streaming_row_index",
     "stream_static_join",
     "pricing_summary",
     "revenue_forecast",
     "top_unshipped_orders",
     "regional_revenue",
+    "exact_dedup",
+    "simhash",
+    "minhash_lsh_dedup",
+    "embedding_cosine_dedup",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_profile",
+    "media_frame_sample",
 ]
 
 
