@@ -268,16 +268,26 @@ class IncrementalIndexer:
                 batch_cells.filter(F.col("op").isin("delete_row", "delete_family"))
                 .select("op", "row", "family").distinct().collect()
             )
-            row_dels = {r["row"] for r in dels if r["op"] == "delete_row"}
-            fam_dels = {(r["row"], r["family"]) for r in dels
-                        if r["op"] == "delete_family"}
-            preds.extend(F.col(conf.row_field) == r for r in sorted(row_dels))
-            if conf.column_family_field:
-                preds.extend(
-                    (F.col(conf.row_field) == r)
-                    & (F.col(conf.column_family_field) == fam)
-                    for r, fam in sorted(fam_dels)
+            # the row/cf fields hold FORMATTED values (P13) — format the
+            # collected raw values the same way before comparing
+            if conf.unique_key_formatter == "hex":
+                def fv(s: str) -> str:
+                    return s.encode().hex()
+            else:
+                def fv(s: str) -> str:
+                    return s
+            row_dels = sorted({fv(r["row"]) for r in dels if r["op"] == "delete_row"})
+            fam_dels = sorted({(fv(r["row"]), fv(r["family"])) for r in dels
+                               if r["op"] == "delete_family"})
+            # one IN-list predicate per delete scope: a predicate per deleted
+            # row would blow up the plan (a WAL batch can carry thousands)
+            if row_dels:
+                preds.append(F.col(conf.row_field).isin(row_dels))
+            if fam_dels and conf.column_family_field:
+                pair = F.concat_ws(
+                    "\x00", F.col(conf.row_field), F.col(conf.column_family_field)
                 )
+                preds.append(pair.isin(["\x00".join(p) for p in fam_dels]))
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -299,13 +309,42 @@ class IncrementalIndexer:
                             "docs_upserted": None}
             if n == 0:
                 return
-            if self.conf.mapping_type == MAPPING_COLUMN:
-                self._process_column_mode(batch)
-            else:
-                self._process_row_mode(batch)
+            with self._micro_batch_tuning(n):
+                if self.conf.mapping_type == MAPPING_COLUMN:
+                    self._process_column_mode(batch)
+                else:
+                    self._process_row_mode(batch)
             self.metrics_log.append(self.metrics)
         finally:
             batch.unpersist()
+
+    def _micro_batch_tuning(self, batch_rows: int):
+        """Size the shuffle to the observed batch: a micro-batch far below
+        the session's shuffle width gets few partitions and no AQE (adaptive
+        replanning costs an extra job per stage — pure overhead when every
+        shuffle is small by construction).  Big batches keep the session
+        settings untouched, AQE included.
+        """
+        import contextlib
+
+        conf = self.spark.conf
+        sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
+        parts = max(4, min(sess_parts, batch_rows // 50_000))
+        if parts >= sess_parts:
+            return contextlib.nullcontext()
+
+        @contextlib.contextmanager
+        def tuned():
+            prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                yield
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev_aqe)
+                conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+
+        return tuned()
 
     def replay(self, events: DataFrame, n_chunks: int = 1,
                chunk_col: str = "seq") -> DataFrame:
