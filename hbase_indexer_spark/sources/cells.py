@@ -63,3 +63,35 @@ def scan_tables(tables: dict[str, DataFrame], table_expr: str) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def group_events(cells: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """S3 — group a WAL batch's cells into one SepEvent per (table, row),
+    preserving arrival order inside the event (SepConsumer.java:229-264:
+    Multimap<rowKey, Cell> -> SepEvent(table, row, cells, payload)).
+
+    ``extra_cols`` (e.g. seq/event_ts) ride along as max-aggregates.
+    One partial-aggregable exchange.
+    """
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct("ts", "family", "qualifier", "op", "value"))
+        ).alias("cells")
+    ]
+    aggs += [F.max(c).alias(c) for c in extra_cols]
+    return cells.groupBy("table", "row").agg(*aggs)
+
+
+def extract_payload(cells: DataFrame, family: str, qualifier: str) -> DataFrame:
+    """U5 — side-channel payload: pull the designated cell's bytes as a
+    per-row ``payload`` column during capture (PayloadExtractor.java:1-37,
+    BasePayloadExtractor.java:1-73; consumed SepConsumer.java:244-253).
+    The payload cell is data, not a mapped field — exactly 'just another
+    extracted column'."""
+    target = F.when(
+        (F.col("family") == family) & (F.col("qualifier") == qualifier),
+        F.struct("ts", "value"),
+    )
+    return cells.groupBy("table", "row").agg(
+        F.max(target)["value"].alias("payload")
+    )

@@ -188,3 +188,34 @@ def test_table_regex_routing(spark):
     # hyphen-escaped so unformatTable (UniqueTableKeyFormatter.java:39,
     # interface-only in the reference) stays reversible
     assert out[0]["id"] == r"sep\-user\-demo-r1"
+
+
+def test_group_events_s3(spark):
+    from hbase_indexer_spark.sources.cells import group_events
+
+    cells = spark.createDataFrame(
+        [("t", "r1", "f", "b", 2, "put", b"2"),
+         ("t", "r1", "f", "a", 1, "put", b"1"),
+         ("t", "r2", "f", "a", 3, "put", b"3")],
+        "table string, row string, family string, qualifier string, "
+        "ts long, op string, value binary",
+    )
+    out = {r["row"]: r["cells"] for r in group_events(cells).collect()}
+    assert [c["qualifier"] for c in out["r1"]] == ["a", "b"]  # ts-sorted
+    assert len(out["r2"]) == 1
+
+
+def test_extract_payload_u5(spark):
+    from hbase_indexer_spark.sources.cells import extract_payload
+
+    cells = spark.createDataFrame(
+        [("t", "r1", "f", "data", 1, "put", b"x"),
+         ("t", "r1", "f", "_payload_", 1, "put", b"p1"),
+         ("t", "r1", "f", "_payload_", 2, "put", b"p2"),
+         ("t", "r2", "f", "data", 1, "put", b"y")],
+        "table string, row string, family string, qualifier string, "
+        "ts long, op string, value binary",
+    )
+    out = {r["row"]: r["payload"] for r in
+           extract_payload(cells, "f", "_payload_").collect()}
+    assert out == {"r1": b"p2", "r2": None}  # newest version wins
