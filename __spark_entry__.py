@@ -625,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_rollup": q_event_time_rollup,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "pricing_summary": _analytics("pricing_summary"),
+        "top_customers_per_nation": _analytics("top_customers_per_nation"),
+        "revenue_rollup": _analytics("revenue_rollup"),
         "revenue_forecast": _analytics("revenue_forecast"),
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
         "regional_revenue": _analytics("regional_revenue"),

@@ -115,7 +115,61 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface (§2.7 extension): top-3 customers by account
+    balance per nation — rank over a partitioned window; the window
+    partition key reuses the aggregation shuffle (one exchange)."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey", "c_custkey",
+            _dec(F.col("c_acctbal")).cast("double").alias("acctbal"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (§2.6 extension): order-count + revenue rolled
+    up over (priority, status) — ROLLUP is one expand + one aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"),
+        )
+        .orderBy(F.asc_nulls_first("o_orderpriority"),
+                 F.asc_nulls_first("o_orderstatus"))
+    )
+
+
 ORACLES = {
+    "top_customers_per_nation": """
+        SELECT c_nationkey, c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal, rnk
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+            FROM customer
+        ) WHERE rnk <= 3
+        ORDER BY c_nationkey, rnk
+    """,
+    "revenue_rollup": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
