@@ -29,7 +29,7 @@ def escape_part(col: Column) -> Column:
 
 
 def unescape_part(col: Column) -> Column:
-    return F.regexp_replace(col, r"\\\\-", "-")
+    return F.regexp_replace(col, r"\\-", "-")
 
 
 def format_row_string(row: Column) -> Column:
@@ -76,3 +76,52 @@ def row_formatter(name: str):
 
 def keyvalue_formatter(name: str):
     return FORMATTERS[name][1]
+
+
+# ---------------------------------------------------------------------------
+# Unformat (the bidirectional half of the UniqueKeyFormatter contract:
+# unformatRow/unformatKeyValue/unformatTable drive delete routing for
+# multi-table indexers — UniqueKeyFormatter.java:1-77, use sites
+# Indexer.java:367-379,439-443; split regex BaseUniqueKeyFormatter.java:31)
+# ---------------------------------------------------------------------------
+
+# the reference splits on '-' not preceded by a backslash: (?<!\)-
+_SPLIT_PATTERN = r"(?<!\\)-"
+
+
+def split_id(col: Column) -> Column:
+    """Formatted id -> array of still-escaped parts."""
+    return F.split(col, _SPLIT_PATTERN)
+
+
+def unformat_keyvalue_string(col: Column) -> Column:
+    """'row-family-qualifier' (escaped) -> struct(row, family, qualifier)."""
+    parts = split_id(col)
+    return F.struct(
+        unescape_part(parts[0]).alias("row"),
+        unescape_part(parts[1]).alias("family"),
+        unescape_part(parts[2]).alias("qualifier"),
+    )
+
+
+def _unhex_str(col: Column) -> Column:
+    return F.unhex(col).cast("string")
+
+
+def unformat_row_hex(col: Column) -> Column:
+    return _unhex_str(col)
+
+
+def unformat_keyvalue_hex(col: Column) -> Column:
+    parts = split_id(col)
+    return F.struct(
+        _unhex_str(parts[0]).alias("row"),
+        _unhex_str(parts[1]).alias("family"),
+        _unhex_str(parts[2]).alias("qualifier"),
+    )
+
+
+def unformat_table(col: Column, hex_mode: bool = False) -> Column:
+    """Table-qualified id -> its table-name component (first part)."""
+    first = split_id(col)[0]
+    return _unhex_str(first) if hex_mode else unescape_part(first)

@@ -219,3 +219,45 @@ def test_extract_payload_u5(spark):
     out = {r["row"]: r["payload"] for r in
            extract_payload(cells, "f", "_payload_").collect()}
     assert out == {"r1": b"p2", "r2": None}  # newest version wins
+
+
+def test_unique_key_roundtrip_with_hyphens(spark):
+    """BaseUniqueKeyFormatterTest round-trip: hyphens inside parts escape
+    as \\- and split on (?<!\\)- recovers the original parts."""
+    from pyspark.sql import functions as F
+
+    from hbase_indexer_spark.functions import unique_key as uk
+
+    df = spark.createDataFrame(
+        [("row-1", "fam-x", "qual-y"), ("plain", "f", "q")],
+        "row string, family string, qualifier string",
+    )
+    fmt = df.select(
+        "row", "family", "qualifier",
+        uk.format_keyvalue_string(
+            F.col("row"), F.col("family"), F.col("qualifier")).alias("id_s"),
+        uk.format_keyvalue_hex(
+            F.col("row"), F.col("family"), F.col("qualifier")).alias("id_h"),
+    )
+    back = fmt.select(
+        "row", "family", "qualifier",
+        uk.unformat_keyvalue_string(F.col("id_s")).alias("s"),
+        uk.unformat_keyvalue_hex(F.col("id_h")).alias("h"),
+    )
+    for r in back.collect():
+        for part in ("row", "family", "qualifier"):
+            assert r["s"][part] == r[part], ("string", part, r)
+            assert r["h"][part] == r[part], ("hex", part, r)
+
+
+def test_unformat_table(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_indexer_spark.functions import unique_key as uk
+
+    df = spark.createDataFrame([("my-table", "r1")], "t string, row string")
+    qualified = df.select(
+        uk.with_table(F.col("t"), uk.format_row_string(F.col("row"))).alias("id")
+    )
+    assert qualified.select(
+        uk.unformat_table(F.col("id")).alias("t")).first()["t"] == "my-table"
