@@ -506,6 +506,21 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_docs(spark, sf_dir))
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (LLM-token proxy)."""
+    from hbase_indexer_spark.pipeline.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup materialization: exact-dup collapse + near-dup
+    loser drop -> the kept corpus doc ids."""
+    from hbase_indexer_spark.pipeline.dedup import deduped_corpus
+
+    return deduped_corpus(_docs(spark, sf_dir), threshold=0.7)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by content md5."""
     from hbase_indexer_spark.pipeline.dedup import exact_dedup_groups
@@ -631,7 +646,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
         "regional_revenue": _analytics("regional_revenue"),
         "text_profile": q_text_profile,
+        "token_stats": q_token_stats,
+        "deduped_corpus": q_deduped_corpus,
         "exact_dedup": q_exact_dedup,
+        "promo_part_revenue": _analytics("promo_part_revenue"),
+        "supplier_nation_balance": _analytics("supplier_nation_balance"),
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -877,6 +896,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["embedding_cosine_dedup"] = embedding_cosine_pairs_sql(threshold=0.4)
     out["exact_dedup"] = EXACT_DEDUP_SQL
+    from hbase_indexer_spark.pipeline.dedup import deduped_corpus_sql
+    from hbase_indexer_spark.pipeline.text import TOKEN_STATS_SQL
+
+    out["token_stats"] = TOKEN_STATS_SQL
+    out["deduped_corpus"] = deduped_corpus_sql(threshold=0.7)
     out["ngram_jaccard_dedup"] = ngram_jaccard_sql(threshold=0.7)
     out["minhash_signatures"] = minhash_signatures_sql()
     # LSH output is exact-verified; with 16x3 banding recall at the data's

@@ -390,3 +390,47 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
         .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
         .select("x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup materialization
+# ---------------------------------------------------------------------------
+
+def deduped_corpus(docs: DataFrame, threshold: float = 0.7, n: int = 3) -> DataFrame:
+    """The kept corpus after dedup: exact duplicates collapse to their
+    lowest doc_id, and the higher doc_id of every verified near-dup pair is
+    dropped.  The rule is deterministic (no clustering iteration), which is
+    what a production pipeline wants for reproducible corpus snapshots.
+
+    Scale: exact keep-set is one hash shuffle; near-dup losers come from
+    the LSH-banded pair generation — never all-pairs.
+    """
+    exact_keep = (
+        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    losers = (
+        minhash_lsh_dedup_pairs(docs, threshold=threshold, n=n)
+        .select(F.col("y").alias("doc_id")).distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def deduped_corpus_sql(threshold: float = 0.7, n: int = 3) -> str:
+    return f"""
+        WITH pairs AS ({ngram_jaccard_sql(threshold, n)}),
+        keepers AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        losers AS (SELECT DISTINCT y AS doc_id FROM pairs)
+        SELECT k.doc_id FROM keepers k
+        LEFT JOIN losers l ON k.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL
+        ORDER BY k.doc_id
+    """

@@ -123,3 +123,34 @@ def text_profile(docs: DataFrame) -> DataFrame:
         quality_score(F.col("text"), n).alias("quality"),
         fingerprint(F.col("text")).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token statistics (whitespace + BPE-ish regex counting)
+# ---------------------------------------------------------------------------
+
+# GPT-2-flavoured pre-tokenizer shape: letter runs | digit runs | single
+# non-space symbols.  Plain character classes only, so Java regex (Spark)
+# and RE2-ish (DuckDB) agree character-for-character.
+BPE_TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace tokens and BPE-ish regex tokens
+    (the cheap proxy for 'how many LLM tokens is this corpus')."""
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_REGEX), F.lit(0)))
+        .alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS INTEGER) AS n_tokens_bpe,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+"""

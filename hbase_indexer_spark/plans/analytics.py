@@ -151,7 +151,55 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: part dim broadcast against the lineitem fact; one
+    conditional aggregate, no fact-side pre-shuffle."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+              .otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double").alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).orderBy("p_brand")
+
+
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dim rollup joined to nation (broadcast): per-nation supplier
+    count + balance aggregate."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.sum(_dec(F.col("s_acctbal"))).cast("double").alias("total_bal"))
+        .orderBy("n_name")
+    )
+
+
 ORACLES = {
+    "promo_part_revenue": """
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "supplier_nation_balance": """
+        SELECT n_name, count(*) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
     "top_customers_per_nation": """
         SELECT c_nationkey, c_custkey,
                CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal, rnk
