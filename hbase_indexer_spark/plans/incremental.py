@@ -40,6 +40,18 @@ from hbase_indexer_spark.sinks.index_store import IndexStore
 CELL_COLS = ["table", "row", "family", "qualifier", "ts", "op", "value"]
 
 
+def _run_concurrently(*jobs) -> None:
+    """Run independent Spark actions on sibling threads (Spark's scheduler
+    interleaves their stages across the executor pool).  Exceptions
+    propagate; all jobs are awaited."""
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = [pool.submit(j) for j in jobs]
+        for f in futures:
+            f.result()
+
+
 def gate_events(events: DataFrame, conf: IndexerConf,
                 subscription_ts: int | None = None) -> DataFrame:
     """F1 route + S2 subscription-timestamp gate + F2 relevance filter."""
@@ -191,41 +203,51 @@ class IncrementalIndexer:
         updated = updated_row_cells(state, batch).cache()
         touched = batch.select("table", "row").distinct()
         try:
-            if self.bucketed:
-                # bucket-granular state update: replace touched keys only
-                self.state.merge(
-                    adds=updated.withColumn(
-                        "_k", self._state_key(F.col("table"), F.col("row"))
-                    ),
-                    replace_keys=touched.select(
-                        self._state_key(F.col("table"), F.col("row")).alias("_k")
-                    ),
+            # run the two publish jobs (state, index) concurrently — they
+            # are independent given the cached delta (the block manager
+            # dedups concurrent computation of a cached partition), and a
+            # micro-batch's wall time is job-count bound, not data bound
+            def publish_state() -> None:
+                if self.bucketed:
+                    # bucket-granular state update: replace touched keys only
+                    self.state.merge(
+                        adds=updated.withColumn(
+                            "_k", self._state_key(F.col("table"), F.col("row"))
+                        ),
+                        replace_keys=touched.select(
+                            self._state_key(F.col("table"), F.col("row")).alias("_k")
+                        ),
+                    )
+                else:
+                    new_state = updated if state is None else (
+                        state.select(*CELL_COLS)
+                        .join(F.broadcast(touched), ["table", "row"], "left_anti")
+                        .unionByName(updated)
+                    )
+                    self.state.overwrite(new_state, self.spark)
+
+            def publish_index() -> None:
+                # A1 dedup is implicit — the doc is rebuilt once per touched
+                # row from its current state ("index the last state",
+                # Indexer.java:252-292)
+                docs = row_documents(updated, conf)
+                # Every touched id is either re-added or (F5) gone -> replace
+                # the whole touched key space in one broadcast + one write job
+                from hbase_indexer_spark.operators.extraction import row_id_expr
+
+                touched_ids = touched.select(
+                    row_id_expr(conf, F.col("row"), F.col("table"))
+                    .alias(conf.unique_key_field)
                 )
-            else:
-                new_state = updated if state is None else (
-                    state.select(*CELL_COLS)
-                    .join(F.broadcast(touched), ["table", "row"], "left_anti")
-                    .unionByName(updated)
-                )
-                self.state.overwrite(new_state, self.spark)
+                from pyspark.sql import Observation
 
-            # A1 dedup is implicit — the doc is rebuilt once per touched row
-            # from its current state ("index the last state",
-            # Indexer.java:252-292)
-            docs = row_documents(updated, conf)
-            # Every touched id is either re-added or (F5) gone -> replace
-            # the whole touched key space in one broadcast + one write job
-            from hbase_indexer_spark.operators.extraction import row_id_expr
+                obs = Observation()
+                obs_docs = docs.observe(obs, F.count(F.lit(1)).alias("adds"))
+                self.index.merge(self.spark, adds=obs_docs,
+                                 replace_keys=touched_ids)
+                self.metrics["docs_upserted"] = obs.get["adds"]
 
-            touched_ids = touched.select(
-                row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
-            )
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            docs = docs.observe(obs, F.count(F.lit(1)).alias("adds"))
-            self.index.merge(self.spark, adds=docs, replace_keys=touched_ids)
-            self.metrics["docs_upserted"] = obs.get["adds"]
+            _run_concurrently(publish_state, publish_index)
         finally:
             updated.unpersist()
 

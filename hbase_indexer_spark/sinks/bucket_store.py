@@ -101,8 +101,10 @@ class BucketedIndexStore:
     def _read_dirs(self, dirs: list[str]) -> DataFrame | None:
         if not dirs:
             return None
-        spark = SparkSession.getActiveSession()
-        assert spark is not None
+        # getActiveSession is thread-local; concurrent publish jobs run on
+        # sibling threads, where getOrCreate returns the existing default
+        # session without creating a new one
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         # recursiveFileLookup disables partition inference: version/bucket
         # path components never collide with user column names; the bucket
         # of a row is re-derivable from its key when needed
