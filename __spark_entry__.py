@@ -482,6 +482,40 @@ def q_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 extension: per-user session windows (12h inactivity gap), batch
+    closed form; the applyInPandasWithState streaming form is proven
+    equivalent in tests/test_sessions.py."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.streaming.sessions import event_times, sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(event_times(e))
+
+
+def q_skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread two-phase aggregation (operators/skew.py): per-user event
+    stats via (key, salt) partial agg + per-key combine — algebraically
+    identical to the plain GROUP BY the oracle runs."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.operators.skew import salted_two_phase_agg
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        # parquet ts is int64 nanos; truncate to micros to match the oracle's
+        # microsecond timestamp precision (integer DIV — float div loses
+        # precision at 1e18)
+        F.expr("CAST(ts AS BIGINT) DIV 1000").alias("ts_us"),
+        "event_id",
+    )
+    return salted_two_phase_agg(
+        e, ["user_id"],
+        [("*", "count", "n_events"), ("ts_us", "min", "first_ts"),
+         ("ts_us", "max", "last_ts"), ("event_id", "max", "max_event_id")],
+        n_salt=16,
+    )
+
+
 def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs (exact baseline; LSH variant is the
     scale path, recall unit-tested)."""
@@ -580,6 +614,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, ANN_QUERY_IDS, k=5, n_bits=8)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k (no SQL oracle —
+    approximate by construction; recall vs brute force is unit-tested)."""
+    from hbase_indexer_spark.pipeline.similarity import ivf_topk
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, ANN_QUERY_IDS, k=5, n_cells=16, n_probe=4)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary payload + metadata -> mapInPandas feature extract."""
     from hbase_indexer_spark.pipeline.multimodal import decode_media, media_fixture
@@ -638,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_extract_prefix": q_doc_extract_prefix,
         "shard_routing": q_shard_routing,
         "event_time_rollup": q_event_time_rollup,
+        "session_windows": q_session_windows,
+        "skew_salted_user_stats": q_skew_salted_user_stats,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -657,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
     }
@@ -862,6 +910,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('day', ts) AS day, event_type,
                count(*) AS cnt, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """
+    from hbase_indexer_spark.streaming.sessions import sessionize_sql
+
+    out["session_windows"] = sessionize_sql()
+    out["skew_salted_user_stats"] = """
+        SELECT user_id, count(*) AS n_events,
+               min(epoch_us(ts)) AS first_ts, max(epoch_us(ts)) AS last_ts,
+               max(event_id) AS max_event_id
+        FROM events GROUP BY user_id
     """
     out.update(ORACLES)
 

@@ -17,6 +17,8 @@ JVM-side; for very wide vectors a numpy pandas-UDF variant is provided.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve via module globals)
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -151,6 +153,104 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64,
         "query_id", F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("qv"), F.col("embedding")).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search — the classic coarse-quantizer path
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(emb: DataFrame, n_cells: int = 16, sample_mod: int = 11,
+                     iters: int = 10, seed: int = 7):
+    """Train the IVF coarse quantizer: spherical k-means over a deterministic
+    hash sample of the corpus (``xxhash64(vec_id) % sample_mod == 0`` — no
+    full scan ordering, reproducible on any cluster layout), solved on the
+    driver with numpy.  The sample, not the corpus, bounds driver memory; at
+    100 TB this trains on ~1/sample_mod of the rows — raise ``sample_mod``
+    with corpus size (training needs only ~100x n_cells vectors).
+
+    Returns an L2-normalized (n_cells, dim) float64 ndarray.
+    """
+    import numpy as np
+
+    rows = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0)
+        .select("vec_id", "embedding").collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])  # collect order is not deterministic
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        # spherical k-means: assign by max cosine, re-center, re-normalize
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def assign_cells(emb: DataFrame, centroids, n_probe: int = 1,
+                 out_col: str = "cell") -> DataFrame:
+    """Tag each vector with its ``n_probe`` nearest coarse cells (by cosine),
+    as an array column.  Arrow-batched numpy matmul; the centroid matrix
+    rides the UDF closure (small — n_cells x dim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = centroids  # (n_cells, dim), normalized
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells_of(vs: pd.Series) -> pd.Series:
+        m = np.array(list(vs), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cents.T                      # (rows, n_cells)
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(int).tolist() for row in top])
+
+    return emb.withColumn(out_col, cells_of(F.col("embedding")))
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_cells: int = 16, n_probe: int = 4,
+             centroids=None) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in exactly one coarse cell
+    (write-time partitioning at scale — the inverted file); each query
+    probes its ``n_probe`` nearest cells and exact-re-ranks only those
+    candidates.  Probed fraction ~ n_probe/n_cells of the corpus per query;
+    recall grows with n_probe (n_probe = n_cells degrades to brute force).
+
+    Scale shape: one corpus pass to assign cells (or none, if the corpus is
+    stored partitioned by cell), queries x probes broadcast against the
+    cell-pruned corpus — no corpus shuffle, no cartesian.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_cells=n_cells)
+    corpus = assign_cells(emb, centroids, n_probe=1).select(
+        "vec_id", "embedding", F.element_at(F.col("cell"), 1).alias("cell")
+    )
+    q = assign_cells(
+        emb.filter(F.col("vec_id").isin(query_ids)), centroids, n_probe=n_probe
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.explode(F.col("cell")).alias("cell"),
+    )
+    cands = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

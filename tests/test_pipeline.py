@@ -53,6 +53,34 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     assert recall >= 0.3, recall
 
 
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    from hbase_indexer_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    qids = list(range(10))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, qids, 5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
+        emb, qids, 5, n_cells=16, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    # 4/16 cells probed (~25% of an unclustered corpus) must clearly beat
+    # the 25% random-scan baseline
+    assert recall >= 0.4, recall
+    # every query must return a full k (cells are never empty at n_probe=4)
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in approx)
+    assert all(per_q[q] == 5 for q in qids), per_q
+
+
+def test_ann_ivf_full_probe_is_exact(emb):
+    # n_probe == n_cells degrades to brute force exactly
+    from hbase_indexer_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    qids = [0, 1, 2]
+    a = sorted(map(tuple, brute_force_topk(emb, qids, 5).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, qids, 5, n_cells=8, n_probe=8).collect()))
+    assert a == b
+
+
 def test_numpy_topk_matches_bruteforce(emb):
     from hbase_indexer_spark.pipeline.similarity import brute_force_topk, numpy_topk
 
