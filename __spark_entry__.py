@@ -516,6 +516,16 @@ def q_skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 extension: registered Python UDAF (exact median, Arrow GROUPED_AGG)
+    mixed with JVM partial-aggregable aggregates in one shuffle."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.functions.udaf import event_value_stats
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_value_stats(e)
+
+
 def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs (exact baseline; LSH variant is the
     scale path, recall unit-tested)."""
@@ -685,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_rollup": q_event_time_rollup,
         "session_windows": q_session_windows,
         "skew_salted_user_stats": q_skew_salted_user_stats,
+        "udaf_event_stats": q_udaf_event_stats,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -698,6 +709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "promo_part_revenue": _analytics("promo_part_revenue"),
         "supplier_nation_balance": _analytics("supplier_nation_balance"),
+        "order_priority_check": _analytics("order_priority_check"),
+        "customer_order_distribution": _analytics("customer_order_distribution"),
+        "large_orders": _analytics("large_orders"),
+        "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
+        "priority_shipping_stats": _analytics("priority_shipping_stats"),
+        "part_supplier_variety": _analytics("part_supplier_variety"),
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -914,6 +931,12 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.streaming.sessions import sessionize_sql
 
     out["session_windows"] = sessionize_sql()
+    out["udaf_event_stats"] = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               median(value) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
     out["skew_salted_user_stats"] = """
         SELECT user_id, count(*) AS n_events,
                min(epoch_us(ts)) AS first_ts, max(epoch_us(ts)) AS last_ts,

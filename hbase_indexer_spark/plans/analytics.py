@@ -183,7 +183,179 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: EXISTS → LEFT SEMI join (fact side deduped by the
+    semi join itself, no distinct needed), then a tiny agg over orders."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: LEFT OUTER join so zero-order customers survive,
+    two-level aggregation (per-customer count, then histogram).  The outer
+    join shuffles on custkey; the second agg is tiny (distinct counts)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: HAVING-subquery = aggregate once on the fact, filter
+    the aggregate, then join dims onto the (small) surviving key set —
+    the fact is scanned once, never re-shuffled for the IN."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("total_qty_d"))
+        .filter(F.col("total_qty_d") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _dec(F.col("o_totalprice")).cast("double").alias("totalprice"),
+            F.col("total_qty_d").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: scalar subquery (avg balance of funded customers,
+    broadcast as a 1-row cross join) + LEFT ANTI join (customers with no
+    recent orders).  Both the scalar and the anti-side key set stay tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec(F.col("c_acctbal"), 18, 6)).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(_dec(F.col("c_acctbal"), 18, 6) > F.col("avg_bal"))
+        .join(recent.select("o_custkey"), cust.c_custkey == recent.o_custkey,
+              "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def priority_shipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: fact→dim join + conditional two-way counts per
+    group (high- vs low-priority orders per return flag)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi_pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi_pri, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi_pri, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped (partsupp⇒lineitem adaptation): distinct-count of
+    suppliers per (brand, size-class) — COUNT(DISTINCT) expands to a
+    two-phase agg; part dim broadcasts onto the fact."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
 ORACLES = {
+    "order_priority_check": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "customer_order_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+            GROUP BY c_custkey
+        ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+               CAST(total_qty_d AS DOUBLE) AS total_qty
+        FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_d
+              FROM lineitem GROUP BY l_orderkey HAVING total_qty_d > 150) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "idle_high_balance_customers": """
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,6)) >
+              (SELECT avg(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer
+               WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "priority_shipping_stats": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "part_supplier_variety": """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 5, 9, 13)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
     "promo_part_revenue": """
         SELECT p_brand,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
