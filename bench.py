@@ -34,6 +34,12 @@ BENCH_QUERIES = [
     "revenue_forecast",
     "top_unshipped_orders",
     "regional_revenue",
+    "customer_order_distribution",
+    "large_orders",
+    "part_supplier_variety",
+    "udaf_event_stats",
+    "session_windows",
+    "skew_salted_user_stats",
     "exact_dedup",
     "simhash",
     "minhash_lsh_dedup",

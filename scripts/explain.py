@@ -57,6 +57,37 @@ CHECKS = {
         [r"HashAggregate", r"partial_min"],
         NO_PYTHON,
     ),
+    # new analytics shapes: the join strategy IS the property under test
+    "order_priority_check": (
+        [r"LeftSemi", r"partial_count"],
+        NO_PYTHON,
+    ),
+    "customer_order_distribution": (
+        [r"LeftOuter", r"partial_count"],
+        NO_PYTHON,
+    ),
+    "large_orders": (
+        [r"partial_sum", r"BroadcastHashJoin"],
+        NO_PYTHON,
+    ),
+    "idle_high_balance_customers": (
+        [r"LeftAnti"],
+        NO_PYTHON,
+    ),
+    "priority_shipping_stats": (
+        [r"partial_sum", r"PushedFilters"],
+        NO_PYTHON,
+    ),
+    "part_supplier_variety": (
+        # COUNT(DISTINCT) expands to two-phase partial_count(distinct ...)
+        [r"BroadcastHashJoin", r"partial_count\(distinct"],
+        NO_PYTHON,
+    ),
+    # U7: the Python agg stage is the point — assert it's the Arrow path
+    "udaf_event_stats": (
+        [r"ArrowAggregatePython", r"partial_sum"],
+        [r"BatchEvalPython"],
+    ),
 }
 
 
