@@ -635,6 +635,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, ANN_QUERY_IDS, k=5, n_cells=16, n_probe=4)
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the materialized inverted-file store: build once (the one
+    full corpus pass), then query via partition-pruned scans of probed
+    cells only (no SQL oracle; indexed==ad-hoc is unit-tested)."""
+    from hbase_indexer_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="hbis_ivf_"), "index")
+    build_ivf_index(emb, path, n_cells=16)
+    queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk_indexed(spark, path, queries, k=5, n_probe=4)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary payload + metadata -> mapInPandas feature extract."""
     from hbase_indexer_spark.pipeline.multimodal import decode_media, media_fixture
@@ -722,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
     }

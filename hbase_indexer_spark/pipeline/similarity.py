@@ -259,6 +259,75 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF index store — write-time cell partitioning (the 100 TB layout)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
+                    centroids=None) -> None:
+    """Materialize the inverted file: corpus written ONCE partitioned by
+    coarse cell (``path/cell=<i>/``), centroids saved alongside.  At query
+    time only probed cells' files are read (Hive partition pruning) — per
+    query the scan cost is ~``n_probe/n_cells`` of the corpus, independent
+    of corpus size.  This is the layout the ad-hoc ``ivf_topk`` simulates;
+    at 100 TB the build is the one full pass and queries never re-scan."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_cells=n_cells)
+    corpus = assign_cells(emb, centroids, n_probe=1).select(
+        "vec_id", "embedding", F.element_at(F.col("cell"), 1).alias("cell")
+    )
+    corpus.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump([[float(x) for x in row] for row in centroids], f)
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
+                     n_probe: int = 4) -> DataFrame:
+    """Query a :func:`build_ivf_index` store: assign each query to its
+    ``n_probe`` nearest cells, scan ONLY those partitions (pruned at the
+    source — verify via ``df.inputFiles()``), exact-re-rank candidates.
+
+    ``queries``: DataFrame(query_id, qv).  The probed-cell list is tiny
+    (≤ queries × n_probe ints) and drives an ``isin`` partition filter.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.array(json.load(f), dtype=np.float64)
+
+    tagged = assign_cells(
+        queries.select(F.col("query_id").alias("vec_id"),
+                       F.col("qv").alias("embedding")),
+        centroids, n_probe=n_probe,
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.explode(F.col("cell")).alias("cell"),
+    )
+    q = tagged.cache()
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    cands = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def numpy_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     """Arrow/numpy variant of brute-force top-k: per-partition matmul via
     mapInPandas (the pattern for very wide embeddings where a per-element

@@ -81,6 +81,49 @@ def test_ann_ivf_full_probe_is_exact(emb):
     assert a == b
 
 
+def test_ivf_index_store_matches_adhoc_and_prunes(emb, spark, tmp_path):
+    """The materialized inverted file must return exactly what the ad-hoc
+    IVF path returns (same centroids), and the query-time scan must touch
+    ONLY the probed cell partitions."""
+    from hbase_indexer_spark.pipeline.similarity import (
+        assign_cells,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids=cents)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = sorted(map(tuple, ivf_topk_indexed(
+        spark, path, queries, k=5, n_probe=3).collect()))
+    want = sorted(map(tuple, ivf_topk(
+        emb, qids, k=5, n_probe=3, centroids=cents).collect()))
+    assert got == want
+
+    # partition pruning: the pruned corpus reads only probed cell dirs
+    probed = {
+        c for r in assign_cells(
+            emb.filter(F.col("vec_id").isin(qids)), cents, n_probe=3
+        ).select("cell").collect() for c in r["cell"]
+    }
+    # (inputFiles() ignores pushed filters — ask the scan itself which
+    # files it actually read)
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin([int(c) for c in probed]))
+    touched = {
+        r["f"].split("cell=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched == {str(c) for c in probed}
+    assert len(touched) < 8  # strictly fewer than all cells
+
+
 def test_numpy_topk_matches_bruteforce(emb):
     from hbase_indexer_spark.pipeline.similarity import brute_force_topk, numpy_topk
 
