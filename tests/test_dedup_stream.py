@@ -1,0 +1,114 @@
+"""Streaming dedup: stream==batch equivalence and watermark state eviction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "text string, event_time timestamp"
+
+
+def _write_file(spark, rows, path):
+    from datetime import datetime
+
+    typed = [(t, datetime.fromisoformat(s)) for t, s in rows]
+    spark.createDataFrame(typed, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _drop(staging_dir, src_dir, tag):
+    n = 0
+    for f in os.listdir(staging_dir):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(staging_dir, f),
+                      os.path.join(src_dir, f"{tag}-{n}.parquet"))
+            n += 1
+
+
+def test_stream_exact_dedup_equals_batch(spark, tmp_path):
+    from hbase_indexer_spark.streaming.dedup_stream import (
+        batch_first_per_key,
+        dedup_stream_exact,
+    )
+
+    rows = [
+        ("hello  world", "2024-01-01 00:00:00"),
+        ("Hello World", "2024-01-01 00:00:00"),   # same normalized key
+        ("other doc", "2024-01-01 00:05:00"),
+        ("other doc", "2024-01-01 00:05:00"),     # identical duplicate
+        ("third", "2024-01-01 00:10:00"),
+    ]
+    df_rows = [(t, s) for t, s in rows]
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    _write_file(spark, df_rows, str(stage))
+    _drop(str(stage), str(src), "b0")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        dedup_stream_exact(stream)
+        .writeStream.format("memory").queryName("dedup_exact")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_keys = {r["text"].lower().replace("  ", " ")
+                for r in spark.table("dedup_exact").collect()}
+    from datetime import datetime
+
+    batch = spark.createDataFrame(
+        [(t, datetime.fromisoformat(s)) for t, s in df_rows], SCHEMA
+    )
+    want_keys = {r["text"].lower().replace("  ", " ")
+                 for r in batch_first_per_key(batch).collect()}
+    assert got_keys == want_keys
+    assert spark.table("dedup_exact").count() == 3  # one per distinct key
+
+
+def test_watermark_dedup_bounds_state(spark, tmp_path):
+    """Duplicates within the horizon collapse; after the watermark passes,
+    the key's state is evicted and a later duplicate is re-emitted —
+    bounded state is exactly this trade."""
+    from hbase_indexer_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        dedup_stream(stream, delay="10 minutes")
+        .writeStream.format("memory").queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: dup pair inside the horizon -> collapses to one
+        _write_file(spark, [("doc A", "2024-01-01 00:00:00"),
+                            ("doc A", "2024-01-01 00:01:00"),
+                            ("doc B", "2024-01-01 00:00:00")], str(stage))
+        _drop(str(stage), str(src), "b1")
+        q.processAllAvailable()
+        # batch 2: advances the watermark far past A's expiry (00:11)
+        _write_file(spark, [("doc C", "2024-01-01 01:00:00")], str(stage))
+        _drop(str(stage), str(src), "b2")
+        q.processAllAvailable()
+        # batch 3: A again, after eviction -> re-emitted
+        _write_file(spark, [("doc A", "2024-01-01 01:00:00")], str(stage))
+        _drop(str(stage), str(src), "b3")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    texts = [r["text"] for r in spark.table("dedup_wm").collect()]
+    assert texts.count("doc B") == 1
+    assert texts.count("doc C") == 1
+    assert texts.count("doc A") == 2  # once per horizon, not globally once
