@@ -152,6 +152,32 @@ def q_prefix_qualifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_index(message_cells(spark, sf_dir), _conf(MESSAGE_QUAL_CONF))
 
 
+def q_positional_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 positional output fields: i-th qualifier-sorted value -> i-th
+    name, empty name skips (ExtractHBaseCellsBuilder.java:210-221)."""
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import message_cells
+
+    conf = _conf({
+        "table": "indexdemo-message",
+        "fields": [{"value": "content:ord-*",
+                    "output_fields": ["first_msg", "", "third_msg"]}],
+    })
+    return build_index(message_cells(spark, sf_dir), conf)
+
+
+def q_payload_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 payload extractor: pull the designated cell's bytes as a per-row
+    side-channel payload column (PayloadExtractor.java:1-37)."""
+    from hbase_indexer_spark.functions.bytes_codec import decode_string
+    from hbase_indexer_spark.sources.cells import extract_payload
+    from hbase_indexer_spark.sources.fixtures import user_cells
+
+    got = extract_payload(user_cells(spark, sf_dir), "info", "email")
+    return got.select(F.col("row").alias("id"),
+                      decode_string(F.col("payload")).alias("payload_s"))
+
+
 def q_dynamic_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 dynamic output fields, emitted as sorted (key,value) entries."""
     from hbase_indexer_spark.plans.batch import build_index
@@ -695,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_values": q_prefix_values,
         "prefix_qualifiers": q_prefix_qualifiers,
         "dynamic_fields": q_dynamic_fields,
+        "positional_fields": q_positional_fields,
+        "payload_extraction": q_payload_extraction,
         "typed_decode_matrix": q_typed_decode_matrix,
         "bigdecimal_decode": q_bigdecimal_decode,
         "scan_range_pushdown": q_scan_range_pushdown,
@@ -716,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_user_stats": q_skew_salted_user_stats,
         "udaf_event_stats": q_udaf_event_stats,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "min_cost_supplier": _analytics("min_cost_supplier"),
+        "disjunctive_promo_revenue": _analytics("disjunctive_promo_revenue"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
         "revenue_rollup": _analytics("revenue_rollup"),
@@ -792,6 +822,17 @@ def oracle_sql() -> dict[str, str]:
                                     value := o_orderpriority)
                         ORDER BY 'ord-' || CAST(o_orderkey AS VARCHAR)) AS entries
             FROM orders GROUP BY o_custkey
+        """,
+        "positional_fields": """
+            SELECT CAST(o_custkey AS VARCHAR) AS id,
+                   (list(o_orderpriority ORDER BY 'ord-' || CAST(o_orderkey AS VARCHAR)))[1] AS first_msg,
+                   (list(o_orderpriority ORDER BY 'ord-' || CAST(o_orderkey AS VARCHAR)))[3] AS third_msg
+            FROM orders GROUP BY o_custkey
+        """,
+        "payload_extraction": """
+            SELECT CAST(c_custkey AS VARCHAR) AS id,
+                   c_name || '@example.com' AS payload_s
+            FROM customer
         """,
         "typed_decode_matrix": """
             SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)

@@ -51,6 +51,10 @@ class FieldDef:
     wildcard: bool          # value spec ended with '*'
     source: str = SOURCE_VALUE
     type: str = "string"    # default string (IndexerConf.java:76)
+    # P8 — positional output fields (ExtractHBaseCellsBuilder.java:210-221):
+    # the i-th extracted (qualifier-sorted) value goes to the i-th name;
+    # an empty-string name skips that position.
+    output_fields: tuple = ()
 
     @property
     def dynamic_name(self) -> bool:
@@ -107,8 +111,19 @@ class IndexerConf:
                     raise ValueError("source=qualifier requires a wildcard qualifier")
                 if not known_type(ftype) and not callable(ftype):
                     raise ValueError(f"unknown field type {ftype!r}")
+                output_fields = tuple(fd.get("output_fields", ()))
+                if output_fields and not wildcard:
+                    # reference: outputFields only applies to multi-valued
+                    # (wildcard) extraction (ExtractHBaseCellsBuilder.java:210)
+                    raise ValueError("output_fields requires a wildcard qualifier")
+                name = fd.get("name", "")
+                if not name and not output_fields:
+                    raise ValueError("field needs a name or output_fields")
+                if output_fields and name.endswith("*"):
+                    raise ValueError("output_fields and dynamic name are exclusive")
                 out.append(
-                    FieldDef(name_prefix + fd["name"], family, qual, wildcard, source, ftype)
+                    FieldDef(name_prefix + name, family, qual, wildcard, source,
+                             ftype, output_fields)
                 )
             return out
 
@@ -143,7 +158,11 @@ class IndexerConf:
             raise ValueError(f"bad read_row {self.read_row!r}")
         if self.unique_key_formatter not in ("string", "hex"):
             raise ValueError(f"bad unique_key_formatter {self.unique_key_formatter!r}")
-        names = [f.name for f in self.fields]
+        names = [
+            n
+            for f in self.fields
+            for n in ((of for of in f.output_fields if of) if f.output_fields else (f.name,))
+        ]
         if len(names) != len(set(names)):
             raise ValueError("duplicate field names")
 

@@ -137,7 +137,23 @@ def field_expr(fd: FieldDef, cells_arr: Column) -> Column:
         # P7: qualifier tail becomes the field name -> closed-form MapType column
         tails = F.transform(matched, lambda c: c["qualifier"].substr(F.lit(len(fd.qualifier) + 1), F.length(c["qualifier"])))
         return F.map_from_arrays(tails, values).alias(fd.name_stem)
-    return values.alias(fd.name)
+    return values.alias(fd.name or "_positional")
+
+
+def field_exprs(fd: FieldDef, cells_arr: Column) -> list[Column]:
+    """Compile one FieldDef into its output column(s).  Normally one column;
+    P8 positional output fields (``outputFields: [a,"",c]``,
+    ExtractHBaseCellsBuilder.java:210-221) expand the qualifier-sorted
+    extracted array into one column per non-empty name — the i-th value
+    feeds the i-th name, empty names skip that position."""
+    base = field_expr(fd, cells_arr)
+    if not fd.output_fields:
+        return [base]
+    return [
+        F.try_element_at(base, F.lit(i + 1)).alias(name)
+        for i, name in enumerate(fd.output_fields)
+        if name
+    ]
 
 
 def row_id_expr(conf: IndexerConf, row: Column, table: Column) -> Column:
@@ -208,7 +224,7 @@ def row_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
         F.collect_list(F.struct("family", "qualifier", "value")).alias("_cells")
     )
     arr = F.col("_cells")
-    cols = id_cols + [field_expr(fd, arr) for fd in conf.fields]
+    cols = id_cols + [c for fd in conf.fields for c in field_exprs(fd, arr)]
     return grouped.select(*cols)
 
 
@@ -237,6 +253,10 @@ def column_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
     # evaluate every field def against the single cell
     single = F.array(F.struct("family", "qualifier", "value"))
     for fd in conf.fields:
+        if fd.output_fields:
+            # per-cell doc: only position 0 can ever match
+            cols.extend(field_exprs(fd, single))
+            continue
         fe = field_expr(fd, single)
         if fd.wildcard and not fd.dynamic_name:
             # per-cell doc: a wildcard match yields exactly the one value

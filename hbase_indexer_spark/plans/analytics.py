@@ -301,7 +301,83 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped decorrelated MIN: per part, the supplier(s) whose
+    line price equals the part-wise minimum.  The correlated scalar
+    subquery decorrelates into a partial-aggregable groupBy + an equi-join
+    back on (partkey, price); part and supplier dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = _t(spark, sf_dir, "supplier")
+    pmin = (
+        li.groupBy(F.col("l_partkey").alias("mp_partkey"))
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    return (
+        li.join(pmin, (li.l_partkey == pmin.mp_partkey)
+                & (li.l_extendedprice == pmin.min_price))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_name", "s_acctbal", "min_price")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: OR-of-conjunctions over a broadcast part join.
+    The partkey equi-join stays a single broadcast hash join; the
+    disjunctive residual is evaluated post-join, and the per-side
+    conjuncts (brand/size, quantity) still push into the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 ORACLES = {
+    "min_cost_supplier": """
+        WITH pmin AS (
+            SELECT l_partkey, min(l_extendedprice) AS min_price
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_partkey, p_name, s_name, s_acctbal, min_price,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN pmin ON l.l_partkey = pmin.l_partkey
+                 AND l.l_extendedprice = pmin.min_price
+        JOIN part ON l.l_partkey = p_partkey
+        JOIN supplier ON l.l_suppkey = s_suppkey
+        WHERE p_size = 15
+        GROUP BY p_partkey, p_name, s_name, s_acctbal, min_price
+        ORDER BY p_partkey, s_name
+    """,
+    "disjunctive_promo_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
     "order_priority_check": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

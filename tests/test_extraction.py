@@ -102,6 +102,44 @@ def test_dynamic_output_field(spark):
     assert row["out_"] == {"x": "1", "y": "2"}
 
 
+def test_positional_output_fields(spark):
+    # P8, ExtractHBaseCellsBuilder.java:210-221 — i-th sorted value to the
+    # i-th name, empty name skips the position, missing position -> NULL
+    conf = IndexerConf.from_dict({
+        "table": "t",
+        "fields": [{"value": "data:d_*",
+                    "output_fields": ["first", "", "third"]}],
+    })
+    df = cells_df(spark, [
+        put("r1", "data", "d_a", "va"),
+        put("r1", "data", "d_b", "vb"),
+        put("r1", "data", "d_c", "vc"),
+        put("r2", "data", "d_only", "solo"),
+    ])
+    out = {r["id"]: r for r in row_documents(df, conf).collect()}
+    assert set(out["r1"].asDict()) == {"id", "first", "third"}
+    assert out["r1"]["first"] == "va" and out["r1"]["third"] == "vc"
+    assert out["r2"]["first"] == "solo" and out["r2"]["third"] is None
+
+
+def test_positional_output_fields_validation():
+    with pytest.raises(ValueError, match="wildcard"):
+        IndexerConf.from_dict({
+            "table": "t",
+            "fields": [{"value": "data:d", "output_fields": ["a"]}],
+        })
+    with pytest.raises(ValueError, match="name or output_fields"):
+        IndexerConf.from_dict({
+            "table": "t", "fields": [{"value": "data:d_*"}],
+        })
+    with pytest.raises(ValueError, match="duplicate"):
+        IndexerConf.from_dict({
+            "table": "t",
+            "fields": [{"name": "a", "value": "info:x"},
+                       {"value": "data:d_*", "output_fields": ["", "a"]}],
+        })
+
+
 def test_latest_version_wins(spark):
     conf = IndexerConf.from_dict({
         "table": "t", "fields": [{"name": "n", "value": "info:name"}],
