@@ -746,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "min_cost_supplier": _analytics("min_cost_supplier"),
         "disjunctive_promo_revenue": _analytics("disjunctive_promo_revenue"),
+        "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
         "revenue_rollup": _analytics("revenue_rollup"),

@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "customer_order_distribution",
     "large_orders",
     "part_supplier_variety",
+    "min_cost_supplier",
+    "disjunctive_promo_revenue",
+    "top_revenue_supplier",
     "udaf_event_stats",
     "session_windows",
     "skew_salted_user_stats",

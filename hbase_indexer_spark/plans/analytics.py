@@ -350,7 +350,49 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: quarterly revenue per supplier, then the
+    supplier(s) hitting the global max — the scalar subquery becomes a
+    broadcast of a 1-row aggregate onto the revenue view (computed once,
+    reused for both sides).  Revenue stays DECIMAL until the final
+    projection so the max-equality is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    revenue_expr = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue_expr).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
 ORACLES = {
+    "top_revenue_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
     "min_cost_supplier": """
         WITH pmin AS (
             SELECT l_partkey, min(l_extendedprice) AS min_price

@@ -88,6 +88,21 @@ CHECKS = {
         [r"ArrowAggregatePython", r"partial_sum"],
         [r"BatchEvalPython"],
     ),
+    # Q2 shape: decorrelated MIN is a partial-aggregable groupBy; dims broadcast
+    "min_cost_supplier": (
+        [r"partial_min", r"BroadcastHashJoin"],
+        NO_PYTHON,
+    ),
+    # Q19 shape: disjunctive residual must not break the broadcast equi-join
+    "disjunctive_promo_revenue": (
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
+    # Q15 shape: 1-row max aggregate broadcasts onto the revenue view
+    "top_revenue_supplier": (
+        [r"BroadcastHashJoin", r"partial_sum", r"PushedFilters: \[.*l_shipdate"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
 }
 
 
