@@ -744,6 +744,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_user_stats": q_skew_salted_user_stats,
         "udaf_event_stats": q_udaf_event_stats,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "nation_trade_volume": _analytics("nation_trade_volume"),
+        "market_share": _analytics("market_share"),
+        "product_type_profit": _analytics("product_type_profit"),
+        "returned_item_losses": _analytics("returned_item_losses"),
+        "important_part_value": _analytics("important_part_value"),
+        "small_quantity_revenue": _analytics("small_quantity_revenue"),
+        "excess_inventory_suppliers": _analytics("excess_inventory_suppliers"),
+        "waiting_suppliers": _analytics("waiting_suppliers"),
         "min_cost_supplier": _analytics("min_cost_supplier"),
         "disjunctive_promo_revenue": _analytics("disjunctive_promo_revenue"),
         "top_revenue_supplier": _analytics("top_revenue_supplier"),

@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "min_cost_supplier",
     "disjunctive_promo_revenue",
     "top_revenue_supplier",
+    "nation_trade_volume",
+    "market_share",
+    "returned_item_losses",
+    "waiting_suppliers",
     "udaf_event_stats",
     "session_windows",
     "skew_salted_user_stats",

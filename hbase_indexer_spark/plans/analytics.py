@@ -378,7 +378,358 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations by year, with
+    the nation dim joined twice under different roles (supplier side vs
+    customer side).  Both role dims broadcast; the only fact-fact shuffle
+    is lineitem⋈orders on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1, n2 = "NATION_1", "NATION_2"
+    sup_n = sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey) \
+               .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey) \
+                 .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    vol = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup_n), li.l_suppkey == sup_n.s_suppkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+                | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1)))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("volume"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of PROMO-part revenue delivered
+    into an ASIA-customer market, by order year.  share = conditional sum /
+    total sum — both aggregated exactly in DECIMAL, divided once in double.
+    All dims broadcast; lineitem⋈orders is the single big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_in_region = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    sup_n = sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey) \
+               .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == cust_in_region.c_custkey, "left_semi")
+        .join(F.broadcast(sup_n), li.l_suppkey == sup_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero))
+            .cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (adapted: no partsupp table, so profit is the
+    discounted price): per supplier-nation per ship year, over parts whose
+    name contains 'widget'.  part/supplier/nation all broadcast; the fact
+    is scanned once and shuffles only for the final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sup_n = sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey) \
+               .select("s_suppkey", "n_name")
+    profit = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_n), li.l_suppkey == sup_n.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer for one
+    quarter, top 20.  Orders date-filtered before the fact join; customer
+    and nation broadcast onto the aggregated result."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    lo = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("revenue_d"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name",
+                _dec(F.col("c_acctbal")).cast("double").alias("acctbal"),
+                F.col("revenue_d").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: per-part shipped value, keeping parts above 1.5×
+    the average part value — the HAVING scalar subquery becomes a 1-row
+    aggregate broadcast cross-joined onto the per-part aggregate (fact
+    scanned once, re-aggregated from the grouped result, never re-scanned).
+    The avg-based cut (not a fixed fraction of the total) keeps the
+    selectivity stable as the part count scales with the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = _dec(F.col("l_extendedprice")) * _dec(F.col("l_quantity"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("part_value_d"))
+    total = per_part.agg(F.sum("part_value_d").alias("total_value_d"),
+                         F.count(F.lit(1)).alias("n_parts"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_d").cast("double") * F.col("n_parts")
+                > F.col("total_value_d").cast("double") * 1.5)
+        .select("l_partkey", F.col("part_value_d").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from lines whose quantity is below half the
+    part's average quantity.  The correlated AVG decorrelates into a
+    per-part (count, sum) aggregate joined back on partkey; the comparison
+    `2*qty*cnt < total` is kept in exact DECIMAL/BIGINT arithmetic so both
+    engines agree bit-for-bit.  Brand filter broadcasts onto the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec(F.col("l_quantity"))).alias("total_qty"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.ap_partkey)
+        .filter(_dec(F.col("l_quantity")) * 2 * F.col("cnt") < F.col("total_qty"))
+        .agg((F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers in ASIA nations who shipped more than 50
+    units of any bolt-named part during 1997 — nested IN-subqueries become
+    a chain of aggregates and LEFT SEMI joins; the supplier table is only
+    touched by the final (tiny) key set."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    heavy = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey").distinct()
+    )
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (adapted: late = shipped >60 days after the order
+    date, since the testdata has no receipt/commit dates): suppliers who
+    were the SOLE late supplier on a finished multi-supplier order.  The
+    classic EXISTS / NOT-EXISTS self-join pair collapses into one per-order
+    aggregate — distinct suppliers, distinct late suppliers, and the single
+    late supplier via a conditional max — one fact shuffle on orderkey
+    instead of three self-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_VOL_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
 ORACLES = {
+    "nation_trade_volume": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum({_VOL_SQL}) AS DOUBLE) AS volume,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "market_share": f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN n_name = 'NATION_2' THEN {_VOL_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+               CAST(sum({_VOL_SQL}) AS DOUBLE) AS total_volume,
+               CAST(sum(CASE WHEN n_name = 'NATION_2' THEN {_VOL_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum({_VOL_SQL}) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+          AND o_custkey IN (
+              SELECT c_custkey FROM customer
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA')
+        GROUP BY 1 ORDER BY 1
+    """,
+    "product_type_profit": f"""
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               CAST(sum({_VOL_SQL}) AS DOUBLE) AS profit, count(*) AS n_lines
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "returned_item_losses": f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+               CAST(sum({_VOL_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "important_part_value": """
+        WITH pv AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS part_value_d
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(part_value_d AS DOUBLE) AS part_value
+        FROM pv
+        WHERE CAST(part_value_d AS DOUBLE) * (SELECT count(*) FROM pv) >
+              (SELECT CAST(sum(part_value_d) AS DOUBLE) FROM pv) * 1.5
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "small_quantity_revenue": """
+        WITH pp AS (
+            SELECT l_partkey AS ap_partkey, count(*) AS cnt,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pp ON l_partkey = ap_partkey
+        WHERE p_brand = 'Brand#13'
+          AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < total_qty
+    """,
+    "excess_inventory_suppliers": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey = 2
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE '%bolt%')
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        ORDER BY s_suppkey
+    """,
+    "waiting_suppliers": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                       THEN l_suppkey END) AS n_late,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN l_suppkey END) AS late_supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM per_order JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+    """,
     "top_revenue_supplier": """
         WITH revenue AS (
             SELECT l_suppkey,

@@ -103,6 +103,44 @@ CHECKS = {
         [r"BroadcastHashJoin", r"partial_sum", r"PushedFilters: \[.*l_shipdate"],
         [r"SortMergeJoin", *NO_PYTHON],
     ),
+    # Q7 shape: both nation roles broadcast; one fact-fact shuffle at most
+    "nation_trade_volume": (
+        [r"BroadcastHashJoin", r"partial_sum"],
+        NO_PYTHON,
+    ),
+    # Q8 shape: region membership is a broadcast LEFT SEMI, dims broadcast
+    "market_share": (
+        [r"BroadcastHashJoin", r"LeftSemi", r"partial_sum"],
+        NO_PYTHON,
+    ),
+    # Q10 shape: date filter pushed into the orders scan; dims broadcast
+    # onto the aggregated (small) result, never onto the fact
+    "returned_item_losses": (
+        [r"BroadcastHashJoin", r"partial_sum",
+         r"PushedFilters: \[.*o_orderdate"],
+        NO_PYTHON,
+    ),
+    # Q11 shape: 1-row total broadcasts (nested-loop on a single row is fine)
+    "important_part_value": (
+        [r"partial_sum", r"Broadcast"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
+    # Q17 shape: decorrelated AVG = per-part partial agg joined back
+    "small_quantity_revenue": (
+        [r"BroadcastHashJoin", r"partial_count"],
+        NO_PYTHON,
+    ),
+    # Q20 shape: IN-subquery chain = LEFT SEMI joins, supplier never scanned wide
+    "excess_inventory_suppliers": (
+        [r"LeftSemi", r"partial_sum", r"PushedFilters: \[.*l_shipdate"],
+        NO_PYTHON,
+    ),
+    # Q21 shape: one per-order aggregate (two distincts = Expand + gid-
+    # filtered partial counts), no EXISTS self-joins anywhere in the plan
+    "waiting_suppliers": (
+        [r"Expand", r"partial_count", r"BroadcastHashJoin"],
+        NO_PYTHON,
+    ),
 }
 
 
