@@ -626,6 +626,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components (large-star /
+    small-star) over the Jaccard pair graph; every doc gets a canonical
+    cluster representative."""
+    from hbase_indexer_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.7)
+
+
 ANN_QUERY_IDS = list(range(10))
 
 
@@ -777,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1056,6 +1066,9 @@ def oracle_sql() -> dict[str, str]:
     # LSH output is exact-verified; with 16x3 banding recall at the data's
     # J>=0.9 dup structure is ~1-8e-10, so the exact-Jaccard set IS the oracle
     out["minhash_lsh_dedup"] = ngram_jaccard_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
+
+    out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)
     out["simhash"] = simhash_sql()
     out["ann_bruteforce_topk"] = brute_force_topk_sql(ANN_QUERY_IDS, k=5)
     out["media_features"] = MEDIA_FEATURES_SQL

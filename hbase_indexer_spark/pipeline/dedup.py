@@ -434,3 +434,112 @@ def deduped_corpus_sql(threshold: float = 0.7, n: int = 3) -> str:
         WHERE l.doc_id IS NULL
         ORDER BY k.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster formation: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list ``(u, v)`` via
+    alternating large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the published
+    shuffle-only formulation that converges in O(log^2 n) rounds on any
+    graph and in 1-2 rounds on near-dup clusters (which are near-cliques).
+
+    Returns ``(id, component)`` for every node that appears in an edge;
+    component = the minimum node id of the component.  Each round is two
+    groupBy shuffles over the (shrinking) edge set; lineage is cut with
+    ``localCheckpoint`` so iteration count never deepens the plan.
+
+    No driver-side collect of nodes/edges — the only driver values per
+    round are an (edge-count, edge-hash) pair for convergence detection.
+    """
+    e = edges.select(F.col(edges.columns[0]).alias("u"),
+                     F.col(edges.columns[1]).alias("v"))
+    e = e.filter(F.col("u") != F.col("v"))
+
+    def _large_star(sym: DataFrame) -> DataFrame:
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        return (sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def _small_star(sym: DataFrame) -> DataFrame:
+        ori = sym.filter(F.col("v") < F.col("u"))
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (ori.join(mins, "u")
+               .filter(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        self_link = mins.select("u", F.col("m").alias("v"))
+        return nbr.union(self_link).distinct()
+
+    def _fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    cur = e.localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star output is already directed large->small — exactly the
+        # orientation small-star consumes, so no re-symmetrize between them
+        cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # final form is a star forest: every non-root points at its component min
+    members = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("id")).distinct() \
+               .withColumn("component", F.col("id"))
+    return members.union(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.7,
+                   n: int = 3) -> DataFrame:
+    """Cluster id per document: near-dup pairs (n-gram Jaccard >= threshold)
+    become graph edges; connected components give each doc its canonical
+    cluster representative (min doc_id).  Docs with no near-dup keep their
+    own id — the output is a total assignment over the corpus, ready for
+    `GROUP BY component` canonical-doc selection."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n)
+    comp = connected_components(pairs.select("x", "y"))
+    return (
+        docs.select(F.col("doc_id"))
+        .join(comp, docs.doc_id == comp.id, "left_outer")
+        .select("doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
+    )
+
+
+def dedup_clusters_sql(threshold: float = 0.7, n: int = 3) -> str:
+    """DuckDB oracle: min-reachable-id via a recursive transitive closure —
+    exact on the small SF gate sizes (the Spark path is the scale path)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({ngram_jaccard_sql(threshold, n)}),
+        edges AS (
+            SELECT x AS u, y AS v FROM pairs
+            UNION
+            SELECT y AS u, x AS v FROM pairs
+        ),
+        walk(id, r) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u
+        )
+        SELECT d.doc_id,
+               coalesce(least(min(w.r), d.doc_id), d.doc_id) AS component
+        FROM documents d LEFT JOIN walk w ON d.doc_id = w.id
+        GROUP BY d.doc_id
+    """
