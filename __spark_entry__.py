@@ -626,6 +626,31 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+SAMPLE_FRACS = {"en": 0.5, "de": 1.0, "zh": 0.25}
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (map-only, restart-safe)."""
+    from hbase_indexer_spark.pipeline.curation import train_test_split
+
+    return train_test_split(_docs(spark, sf_dir), test_frac=0.1)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic Bernoulli sampling (rebalance the mix)."""
+    from hbase_indexer_spark.pipeline.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_FRACS)
+
+
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus cleaning: profile filters + exact dedup + LSH
+    near-dup removal in one plan."""
+    from hbase_indexer_spark.pipeline.curation import curated_corpus
+
+    return curated_corpus(_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components (large-star /
     small-star) over the Jaccard pair graph; every doc gets a canonical
@@ -787,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "curated_corpus": q_curated_corpus,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1069,6 +1097,15 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.curation import (
+        curated_corpus_sql,
+        stratified_sample_sql,
+        train_test_split_sql,
+    )
+
+    out["train_test_split"] = train_test_split_sql(test_frac=0.1)
+    out["stratified_sample"] = stratified_sample_sql(SAMPLE_FRACS)
+    out["curated_corpus"] = curated_corpus_sql()
     out["simhash"] = simhash_sql()
     out["ann_bruteforce_topk"] = brute_force_topk_sql(ANN_QUERY_IDS, k=5)
     out["media_features"] = MEDIA_FEATURES_SQL

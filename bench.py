@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "session_windows",
     "skew_salted_user_stats",
     "exact_dedup",
+    "curated_corpus",
+    "train_test_split",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",

@@ -1,0 +1,164 @@
+"""Corpus curation operators: deterministic train/test splitting,
+stratified sampling, and the composed clean-corpus query.
+
+All selection is hash-based (md5-derived, seeded by an explicit salt), so:
+
+- **no shuffle, no state**: every operator is a pure map over the corpus —
+  the only shape that is trivially correct at 100 TB (a reservoir or
+  rand()-based sampler is neither deterministic nor restart-safe);
+- **stable under re-runs and appends**: a document's split/sample fate
+  depends only on (doc_id, salt), never on partitioning, row order, or
+  cluster size — re-running after adding data never migrates old docs
+  across splits (the property training pipelines need to avoid test-set
+  leakage);
+- **cross-engine reproducible**: the same md5 arithmetic runs in DuckDB,
+  so the t2 oracle matches bit-for-bit.
+
+Reference analog: none (the reference has no sampling surface) — these are
+part of the beyond-reference training-data operators, same registry surface
+as pipeline.dedup / pipeline.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.text import token_hash60
+
+SPLIT_BUCKETS = 10_000
+
+
+def _bucket(doc_id: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): 60-bit md5 hash of
+    ``doc_id:salt`` — changing the salt re-deals every assignment."""
+    key = F.concat(doc_id.cast("string"), F.lit(":" + salt))
+    return token_hash60(key) % SPLIT_BUCKETS
+
+
+def _bucket_sql(salt: str, doc_id: str = "doc_id") -> str:
+    return (f"CAST(('0x' || substr(md5(CAST({doc_id} AS VARCHAR) || ':{salt}'),"
+            f" 1, 15)) AS BIGINT) % {SPLIT_BUCKETS}")
+
+
+def train_test_split(docs: DataFrame, test_frac: float = 0.1,
+                     salt: str = "split-v1") -> DataFrame:
+    """Assign every doc to 'train' or 'test' by hash bucket.  Pure
+    projection — the split of 100 TB costs one scan, and a given doc_id
+    lands in the same split on every run and every cluster."""
+    cut = int(test_frac * SPLIT_BUCKETS)
+    b = _bucket(F.col("doc_id"), salt)
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < cut, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def train_test_split_sql(test_frac: float = 0.1,
+                         salt: str = "split-v1") -> str:
+    cut = int(test_frac * SPLIT_BUCKETS)
+    b = _bucket_sql(salt)
+    return f"""
+        SELECT doc_id, {b} AS bucket,
+               CASE WHEN {b} < {cut} THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """
+
+
+def stratified_sample(docs: DataFrame, fracs: dict[str, float],
+                      strat_col: str = "lang", default_frac: float = 0.0,
+                      salt: str = "sample-v1") -> DataFrame:
+    """Per-stratum Bernoulli sampling at deterministic hash rates — the
+    'rebalance the language mix' primitive.  ``fracs`` maps stratum value →
+    keep fraction; unlisted strata keep ``default_frac``.  Map-only: the
+    stratum rate lookup is a literal CASE chain, not a join."""
+    cut = F.lit(int(default_frac * SPLIT_BUCKETS))
+    for value, frac in sorted(fracs.items()):
+        cut = F.when(F.col(strat_col) == value,
+                     F.lit(int(frac * SPLIT_BUCKETS))).otherwise(cut)
+    return (
+        docs.withColumn("_b", _bucket(F.col("doc_id"), salt))
+        .filter(F.col("_b") < cut)
+        .select("doc_id", strat_col, F.col("_b").alias("bucket"))
+    )
+
+
+def stratified_sample_sql(fracs: dict[str, float], strat_col: str = "lang",
+                          default_frac: float = 0.0,
+                          salt: str = "sample-v1") -> str:
+    cases = " ".join(
+        f"WHEN {strat_col} = '{v}' THEN {int(f * SPLIT_BUCKETS)}"
+        for v, f in sorted(fracs.items())
+    )
+    cut = f"CASE {cases} ELSE {int(default_frac * SPLIT_BUCKETS)} END"
+    b = _bucket_sql(salt)
+    return f"""
+        SELECT doc_id, {strat_col}, {b} AS bucket
+        FROM documents
+        WHERE {b} < {cut}
+    """
+
+
+def curated_corpus(docs: DataFrame, min_tokens: int = 10,
+                   min_quality: float = 0.5,
+                   dedup_threshold: float = 0.7) -> DataFrame:
+    """The composed corpus-cleaning pipeline: per-doc profile filters
+    (length + quality), exact-dedup keep-set, near-dup loser removal —
+    each stage the scale-path variant (map-only profile, one hash shuffle
+    for exact dedup, LSH-banded near-dup pairs).  Returns the surviving
+    docs with their metrics, ready to feed tokenization."""
+    from hbase_indexer_spark.pipeline.dedup import minhash_lsh_dedup_pairs
+    from hbase_indexer_spark.pipeline.text import quality_score, tokens
+
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    profiled = docs.select(
+        "doc_id", "lang",
+        n.alias("n_tokens"),
+        quality_score(F.col("text"), n).alias("quality"),
+    ).filter((F.col("n_tokens") >= min_tokens)
+             & (F.col("quality") >= min_quality))
+    exact_keep = (
+        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    losers = (
+        minhash_lsh_dedup_pairs(docs, threshold=dedup_threshold)
+        .select(F.col("y").alias("doc_id")).distinct()
+    )
+    return (
+        profiled
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def curated_corpus_sql(min_tokens: int = 10, min_quality: float = 0.5,
+                       dedup_threshold: float = 0.7) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL, ngram_jaccard_sql
+    from hbase_indexer_spark.pipeline.text import QUALITY_SQL
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, text, {TOKS_SQL} AS toks FROM documents
+        ), t2 AS (
+            SELECT doc_id, lang, text, toks, len(toks) AS n_tokens FROM t
+        ), profiled AS (
+            SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   {QUALITY_SQL} AS quality
+            FROM t2
+            WHERE n_tokens >= {min_tokens} AND {QUALITY_SQL} >= {min_quality}
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), pairs AS ({ngram_jaccard_sql(dedup_threshold)}),
+        losers AS (SELECT DISTINCT y AS doc_id FROM pairs)
+        SELECT p.doc_id, p.lang, p.n_tokens, p.quality
+        FROM profiled p
+        JOIN keepers k ON p.doc_id = k.doc_id
+        LEFT JOIN losers l ON p.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL
+        ORDER BY p.doc_id
+    """

@@ -1,0 +1,68 @@
+"""Curation operators: determinism/stability invariants that matter for
+training pipelines (no leakage across re-runs, partition-independence)."""
+
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.curation import (
+    curated_corpus,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_partition_independent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r["doc_id"]: r["split"]
+         for r in train_test_split(docs).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in train_test_split(docs.repartition(13)).collect()}
+    assert a == b
+
+
+def test_split_covers_and_respects_frac(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = train_test_split(docs, test_frac=0.2).collect()
+    assert len(out) == docs.count()
+    frac = sum(1 for r in out if r["split"] == "test") / len(out)
+    assert 0.1 < frac < 0.3  # hash-uniform around 0.2
+
+
+def test_split_salt_redeal(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r["doc_id"]: r["split"]
+         for r in train_test_split(docs, salt="v1").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in train_test_split(docs, salt="v2").collect()}
+    assert a != b  # a new salt re-deals assignments
+    assert set(a) == set(b)
+
+
+def test_split_stable_under_append(spark, sf_dir):
+    # old docs never migrate when the corpus grows: assignment depends
+    # only on (doc_id, salt)
+    docs = _docs(spark, sf_dir)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    part = {r["doc_id"]: r["split"] for r in train_test_split(half).collect()}
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(docs, {"en": 1.0, "de": 0.0}, default_frac=0.5)
+    got = {r["lang"]: 1 for r in out.select("lang").distinct().collect()}
+    assert "en" in got and "de" not in got
+    n_en = out.filter(F.col("lang") == "en").count()
+    assert n_en == docs.filter(F.col("lang") == "en").count()
+
+
+def test_curated_corpus_is_filtered_subset(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = curated_corpus(docs, min_tokens=1, min_quality=0.0)
+    kept = [r["doc_id"] for r in out.collect()]
+    assert 0 < len(kept) <= docs.count()
+    assert len(set(kept)) == len(kept)
