@@ -493,6 +493,79 @@ def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every error event attributed to the same user's most
+    recent prior click (backward inclusive).  Union + running last() —
+    one shuffle, no range explosion; ordering on raw nano longs is exact."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.operators.joins import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(err, clk, on=["user_id"], left_ts="ts", right_ts="ts",
+                    payload=["event_id", "value"])
+    return out.select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("event_id_r").alias("click_id"),
+        F.col("value_r").alias("click_value"),
+    )
+
+
+VALUE_BANDS = [
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("high", 150.0, 300.0),
+    ("extreme", 300.0, 500.0),
+    ("hot_tail", 400.0, 500.0),   # overlaps `extreme` on purpose
+    ("all", 0.0, 500.0),          # covers everything
+]
+
+
+def q_event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events joined into overlapping value bands
+    via grid bucketing — equi-join on the cell key + exact residual, never
+    a cross join."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.operators.joins import interval_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    joined = interval_join(e, F.broadcast(bands), "value", "lo", "hi", grid=50.0)
+    return (
+        joined.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("band")
+    )
+
+
+def q_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 window surface beyond rank: lag + running (cumulative) sum per
+    user in event-time order.  The running sum folds in DECIMAL so the
+    result is associativity-independent (segment-tree vs incremental
+    window engines agree bit-for-bit)."""
+    _ensure_session_confs(spark)
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(run)
+        .cast("double").alias("run_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
 def q_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 extension: tumbling 1-day event-time window rollup (the windowed
     aggregation the reference lacks; watermark-ready in streaming form)."""
@@ -774,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_extract_prefix": q_doc_extract_prefix,
         "shard_routing": q_shard_routing,
         "event_time_rollup": q_event_time_rollup,
+        "asof_click_attribution": q_asof_click_attribution,
+        "event_value_bands": q_event_value_bands,
+        "user_event_history": q_user_event_history,
         "session_windows": q_session_windows,
         "skew_salted_user_stats": q_skew_salted_user_stats,
         "udaf_event_stats": q_udaf_event_stats,
@@ -1035,6 +1111,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('day', ts) AS day, event_type,
                count(*) AS cnt, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """
+    out["asof_click_attribution"] = """
+        WITH err AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        ), clk AS (
+            SELECT user_id, ts, max(event_id) AS click_id,
+                   arg_max(value, event_id) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, c.click_id, c.click_value
+        FROM err e ASOF LEFT JOIN clk c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    """
+    bands_values = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+    out["event_value_bands"] = f"""
+        WITH bands(band, lo, hi) AS (VALUES {bands_values})
+        SELECT band, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band ORDER BY band
+    """
+    out["user_event_history"] = """
+        SELECT event_id, user_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                    (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS run_value,
+               CAST(row_number() OVER w AS INTEGER) AS seq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     """
     from hbase_indexer_spark.streaming.sessions import sessionize_sql
 

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "market_share",
     "returned_item_losses",
     "waiting_suppliers",
+    "asof_click_attribution",
+    "event_value_bands",
     "udaf_event_stats",
     "session_windows",
     "skew_salted_user_stats",

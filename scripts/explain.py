@@ -141,6 +141,21 @@ CHECKS = {
         [r"Expand", r"partial_count", r"BroadcastHashJoin"],
         NO_PYTHON,
     ),
+    # as-of join: union + ONE keyed sort window; no range/nested-loop join
+    "asof_click_attribution": (
+        [r"Window", r"Union"],
+        [r"NestedLoop", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # interval join via grid cells: must be an equi-join Catalyst can
+    # broadcast, never a nested-loop range join
+    "event_value_bands": (
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"BroadcastNestedLoopJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    "user_event_history": (
+        [r"Window"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 
