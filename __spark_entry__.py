@@ -566,6 +566,54 @@ def q_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set-operation surface: nations with rich customers INTERSECT
+    nations with rich suppliers, UNION ALL nations with rich customers
+    EXCEPT nations with rich suppliers (tagged).  Both set ops run on
+    already-aggregated key sets — tiny shuffles."""
+    _ensure_session_confs(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c_nations = cust.filter(F.col("c_acctbal") > 7500) \
+        .select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s_nations = sup.filter(F.col("s_acctbal") > 7500) \
+        .select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c_nations.intersect(s_nations).withColumn("side", F.lit("both"))
+    cust_only = c_nations.exceptAll(s_nations).withColumn("side", F.lit("cust_only"))
+    return both.unionByName(cust_only).orderBy("side", "nationkey")
+
+
+def q_sliding_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 extension: SLIDING event-time windows (12h window, 6h slide) —
+    each event lands in 2 windows via Spark's window(); the oracle
+    reproduces the window set arithmetically."""
+    _ensure_session_confs(spark)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        e.groupBy(F.window(t, "12 hours", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+        .orderBy("w_start", "event_type")
+    )
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated, PERCENTILE_CONT semantics) of event
+    value per type — the ordered-statistics aggregation surface."""
+    _ensure_session_confs(spark)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+            F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 extension: tumbling 1-day event-time window rollup (the windowed
     aggregation the reference lacks; watermark-ready in streaming form)."""
@@ -848,6 +896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_routing": q_shard_routing,
         "event_time_rollup": q_event_time_rollup,
         "asof_click_attribution": q_asof_click_attribution,
+        "nation_set_ops": q_nation_set_ops,
+        "sliding_event_rates": q_sliding_event_rates,
+        "event_value_percentiles": q_event_value_percentiles,
         "event_value_bands": q_event_value_bands,
         "user_event_history": q_user_event_history,
         "session_windows": q_session_windows,
@@ -1111,6 +1162,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('day', ts) AS day, event_type,
                count(*) AS cnt, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """
+    out["nation_set_ops"] = """
+        WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                   WHERE c_acctbal > 7500),
+             s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+                   WHERE s_acctbal > 7500)
+        SELECT nationkey, 'both' AS side
+        FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+        UNION ALL
+        SELECT nationkey, 'cust_only' AS side
+        FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        ORDER BY side, nationkey
+    """
+    out["sliding_event_rates"] = """
+        WITH g AS (
+            SELECT event_type,
+                   CAST(to_timestamp(floor(epoch(ts)/21600)*21600) AS TIMESTAMP)
+                     AS grid
+            FROM events
+        ), w AS (
+            SELECT event_type,
+                   unnest([grid, grid - INTERVAL 6 HOUR]) AS w_start
+            FROM g
+        )
+        SELECT w_start, event_type, count(*) AS cnt
+        FROM w GROUP BY 1, 2 ORDER BY w_start, event_type
+    """
+    out["event_value_percentiles"] = """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     out["asof_click_attribution"] = """
         WITH err AS (
