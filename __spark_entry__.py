@@ -120,6 +120,27 @@ def q_row_index_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_index(user_cells(spark, sf_dir), _conf(USER_CONF))
 
 
+USER_XML = """<indexer table="indexdemo-user">
+  <field name="firstname_s" value="info:firstname"/>
+  <field name="lastname_s" value="info:lastname"/>
+  <field name="age_i" value="info:age" type="int"/>
+  <field name="email_s" value="info:email"/>
+  <field name="acctbal_d" value="info:acctbal" type="double"/>
+  <field name="nation_i" value="info:nation" type="int"/>
+</indexer>"""
+
+
+def q_xml_conf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship build driven by a reference-format XML <indexer>
+    definition (indexerconf.xsd surface) — a reference user's config file
+    is drop-in."""
+    from hbase_indexer_spark.config.indexer_conf import conf_from_xml
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.sources.fixtures import user_cells
+
+    return build_index(user_cells(spark, sf_dir), conf_from_xml(USER_XML))
+
+
 def q_column_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLUMN mapping: per-cell docs, hyphen-escaped ids, P13 injection."""
     from hbase_indexer_spark.plans.batch import build_index
@@ -871,6 +892,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_index_customer": q_row_index_customer,
+        "xml_conf_index": q_xml_conf_index,
         "column_index_orders": q_column_index_orders,
         "column_index_orders_hex": q_column_index_orders_hex,
         "prefix_values": q_prefix_values,
@@ -1242,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
                max(event_id) AS max_event_id
         FROM events GROUP BY user_id
     """
+    out["xml_conf_index"] = out["row_index_customer"]
     out.update(ORACLES)
 
     from hbase_indexer_spark.pipeline.dedup import (

@@ -55,6 +55,9 @@ class FieldDef:
     # the i-th extracted (qualifier-sorted) value goes to the i-th name;
     # an empty-string name skips that position.
     output_fields: tuple = ()
+    # U1 — (key, value) params for a custom value mapper (the Configurable
+    # contract, ConfigureUtil.java:1-33); ignored by built-in types.
+    params: tuple = ()
 
     @property
     def dynamic_name(self) -> bool:
@@ -123,7 +126,8 @@ class IndexerConf:
                     raise ValueError("output_fields and dynamic name are exclusive")
                 out.append(
                     FieldDef(name_prefix + name, family, qual, wildcard, source,
-                             ftype, output_fields)
+                             ftype, output_fields,
+                             tuple(sorted(fd.get("params", {}).items())))
                 )
             return out
 
@@ -190,3 +194,102 @@ class IndexerConf:
         never prove completeness (AbstractPrefixMatchingExtractor.java:89-93),
         so DYNAMIC mode must re-read/join."""
         return not any(f.wildcard for f in self.fields)
+
+
+# -- XML surface (drop-in for reference users' <indexer> files) -------------
+
+# reference formatter class names (indexerconf.xsd `unique-key-formatter`
+# attr; defaults StringUniqueKeyFormatter, IndexerConf.java:74) -> engine
+# formatter keys.  Bare "string"/"hex" also accepted.
+_FORMATTER_CLASSES = {
+    "com.ngdata.hbaseindexer.uniquekey.StringUniqueKeyFormatter": "string",
+    "com.ngdata.hbaseindexer.uniquekey.HexUniqueKeyFormatter": "hex",
+    "string": "string",
+    "hex": "hex",
+}
+
+
+def conf_from_xml(xml_text: str) -> IndexerConf:
+    """Parse a reference-format ``<indexer>`` XML definition (the
+    ``indexerconf.xsd`` surface a reference user already has on disk) into
+    an :class:`IndexerConf`.
+
+    Mapping:
+
+    - attributes ``table / mapping-type / read-row / mapper /
+      unique-key-field / row-field / column-family-field /
+      table-name-field`` map 1:1 (hyphens -> underscores);
+    - ``unique-key-formatter`` accepts the reference class names
+      (String/HexUniqueKeyFormatter) or bare ``string``/``hex``;
+    - ``<field name value source type>`` maps 1:1; the engine-extension
+      attribute ``output-fields`` (comma-separated) maps to P8 positional
+      output fields;
+    - ``<extract prefix value type>`` maps to a prefixed sub-document
+      field (P14) named after the qualifier part of ``value``;
+    - indexer-level ``<param>`` elements become transform variables (P16);
+      field-level ``<param>`` elements are passed to the field's custom
+      value mapper (U1, the ``Configurable`` analog).
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    if root.tag != "indexer":
+        raise ValueError(f"expected <indexer> root, got <{root.tag}>")
+
+    def field_dict(el) -> dict:
+        d = {}
+        if el.get("name") is not None:
+            d["name"] = el.get("name")
+        if el.get("value") is not None:
+            d["value"] = el.get("value")
+        if el.get("source") is not None:
+            d["source"] = el.get("source")
+        if el.get("type") is not None:
+            d["type"] = el.get("type")
+        if el.get("output-fields") is not None:
+            d["output_fields"] = [s.strip()
+                                  for s in el.get("output-fields").split(",")]
+        params = {p.get("name"): p.get("value") for p in el.findall("param")}
+        if params:
+            d["params"] = params
+        return d
+
+    d: dict = {"table": root.get("table")}
+    if d["table"] is None:
+        raise ValueError("<indexer> requires a table attribute")
+    for xml_attr, key in [
+        ("mapping-type", "mapping_type"), ("read-row", "read_row"),
+        ("mapper", "mapper"), ("unique-key-field", "unique_key_field"),
+        ("row-field", "row_field"),
+        ("column-family-field", "column_family_field"),
+        ("table-name-field", "table_name_field"),
+    ]:
+        if root.get(xml_attr) is not None:
+            d[key] = root.get(xml_attr)
+    fmt = root.get("unique-key-formatter")
+    if fmt is not None:
+        try:
+            d["unique_key_formatter"] = _FORMATTER_CLASSES[fmt]
+        except KeyError:
+            raise ValueError(f"unknown unique-key-formatter {fmt!r}") from None
+
+    d["fields"] = [field_dict(el) for el in root.findall("field")]
+    extracts = []
+    for el in root.findall("extract"):
+        fd = field_dict(el)
+        if "value" not in fd:
+            raise ValueError("<extract> requires a value attribute")
+        _, qual, wildcard = parse_field_value(fd["value"])
+        fd.setdefault("name", (qual + "*") if wildcard else (qual or "content"))
+        extracts.append({"prefix": el.get("prefix", ""), "fields": [fd]})
+    if extracts:
+        d["extracts"] = extracts
+    variables = {p.get("name"): p.get("value") for p in root.findall("param")}
+    if variables:
+        d["variables"] = variables
+    return IndexerConf.from_dict(d)
+
+
+def conf_from_xml_file(path: str) -> IndexerConf:
+    with open(path, encoding="utf-8") as f:
+        return conf_from_xml(f.read())

@@ -254,6 +254,10 @@ def known_type(type_name: str) -> bool:
     return type_name in DECODERS or type_name in _CUSTOM_MAPPERS
 
 
+def is_custom_mapper(type_name) -> bool:
+    return isinstance(type_name, str) and type_name in _CUSTOM_MAPPERS
+
+
 def decoder_for(type_name: str):
     """Decoder lookup, mirroring ByteArrayValueMappers.getMapper dispatch
     (ByteArrayValueMappers.java:106-126): built-ins first, then custom

@@ -32,7 +32,7 @@ from hbase_indexer_spark.config.indexer_conf import (
     FieldDef,
     IndexerConf,
 )
-from hbase_indexer_spark.functions.bytes_codec import decoder_for
+from hbase_indexer_spark.functions.bytes_codec import decoder_for, is_custom_mapper
 from hbase_indexer_spark.functions import unique_key as uk
 
 OP_PUT = "put"
@@ -101,6 +101,11 @@ def latest_cells(cells: DataFrame, order_cols: tuple[str, ...] = ("ts",)) -> Dat
 
 def _decode(fd: FieldDef, raw: Column) -> Column:
     dec = decoder_for(fd.type) if isinstance(fd.type, str) else fd.type
+    if fd.params and is_custom_mapper(fd.type):
+        # U1 Configurable contract: a custom mapper with <param> config is
+        # called as fn(col, params_dict) (ConfigureUtil.java:1-33 analog);
+        # params on built-in types are config metadata only
+        return dec(raw, dict(fd.params))
     return dec(raw)
 
 
