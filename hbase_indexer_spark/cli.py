@@ -1,0 +1,188 @@
+"""Command-line surface mirroring the reference's ``bin/hbase-indexer``
+client commands (bin/hbase-indexer:240-268; AddIndexerCli / UpdateIndexerCli /
+DeleteIndexerCli / ListIndexersCli, hbase-indexer-cli/src/main/java/...).
+
+A reference user's workflow
+
+    hbase-indexer add-indexer -n myindexer -c indexerconf.xml
+    hbase-indexer list-indexers --dump
+    hbase-indexer update-indexer -n myindexer --batch BUILD_REQUESTED
+    hbase-indexer delete-indexer -n myindexer
+
+maps verbatim, with ``--model DIR`` standing in for ``--zookeeper`` (the
+registry lives in a JSON-file IndexerModel instead of ZK znodes —
+IndexerModelImpl.java; same optimistic-concurrency semantics).
+
+Commands only mutate/read the model; a running :class:`IndexerSupervisor`
+(the server analog) reconciles on its next ``sync()`` — exactly the
+reference split where CLIs write ZK and the leader-elected IndexerMaster
+reacts (IndexerMaster.java:434-564).  ``delete-indexer`` therefore marks
+``DELETE_REQUESTED`` rather than removing the definition itself
+(DeleteIndexerCli.java: sets lifecycle state; master does the teardown).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import asdict, replace
+
+from hbase_indexer_spark.lifecycle import (
+    ACTIVE,
+    BUILD_REQUESTED,
+    DELETE_REQUESTED,
+    DO_NOT_SUBSCRIBE,
+    INACTIVE,
+    SUBSCRIBE_AND_CONSUME,
+    SUBSCRIBE_DO_NOT_CONSUME,
+    IndexerDefinition,
+    IndexerModel,
+)
+
+_INCREMENTAL_STATES = (
+    SUBSCRIBE_AND_CONSUME, SUBSCRIBE_DO_NOT_CONSUME, DO_NOT_SUBSCRIBE,
+)
+_BATCH_STATES = (BUILD_REQUESTED, INACTIVE)
+
+VERSION = "hbase-indexer-spark 1.0 (reference surface v1.6-SNAPSHOT)"
+
+
+def _load_conf(path: str) -> dict:
+    """Accept either a reference-format indexerconf.xml or a JSON conf dict
+    (the engine-native form) — sniffed by leading '<'."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    if text.lstrip().startswith("<"):
+        from hbase_indexer_spark.config.indexer_conf import conf_from_xml
+        conf_from_xml(text)  # validate eagerly, like AddOrUpdateIndexerCli
+        return {"xml": text}
+    conf = json.loads(text)
+    from hbase_indexer_spark.config.indexer_conf import IndexerConf
+    IndexerConf.from_dict(conf)
+    return conf
+
+
+def _common_update_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-c", "--indexer-conf", metavar="indexerconf.xml",
+                   help="indexer configuration (XML or JSON)")
+    p.add_argument("--lifecycle", choices=(ACTIVE, DELETE_REQUESTED),
+                   help="lifecycle state")
+    p.add_argument("--incremental", choices=_INCREMENTAL_STATES,
+                   help="incremental indexing state")
+    p.add_argument("--batch", choices=_BATCH_STATES,
+                   help="batch indexing state (only BUILD_REQUESTED is "
+                        "settable, like the reference)")
+    p.add_argument("--subscription-ts", type=int, default=None,
+                   help="events before this ts are ignored (S2 gate)")
+    p.add_argument("--batch-snapshot-path", default=None,
+                   help="snapshot parquet for batch rebuilds "
+                        "(batch-cli-arguments analog)")
+
+
+def _apply_updates(d: IndexerDefinition, args) -> IndexerDefinition:
+    if args.indexer_conf:
+        d = replace(d, conf=_load_conf(args.indexer_conf))
+    if args.batch_snapshot_path:
+        d = replace(d, conf={**d.conf,
+                             "batch_snapshot_path": args.batch_snapshot_path})
+    if args.lifecycle:
+        d = replace(d, lifecycle_state=args.lifecycle)
+    if args.incremental:
+        d = replace(d, incremental_state=args.incremental)
+    if args.batch:
+        d = replace(d, batch_build_state=args.batch)
+    if args.subscription_ts is not None:
+        d = replace(d, subscription_ts=args.subscription_ts)
+    return d
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="hbase-indexer",
+        description="Spark-native analog of the reference CLI "
+                    "(bin/hbase-indexer client commands)")
+    ap.add_argument("--model", default=".indexer-model",
+                    help="registry directory (the --zookeeper analog)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("add-indexer", help="define a new indexer")
+    p.add_argument("-n", "--name", required=True)
+    _common_update_args(p)
+
+    p = sub.add_parser("update-indexer", help="update an existing indexer")
+    p.add_argument("-n", "--name", required=True)
+    _common_update_args(p)
+
+    p = sub.add_parser("delete-indexer",
+                       help="request deletion (supervisor tears down)")
+    p.add_argument("-n", "--name", required=True)
+
+    p = sub.add_parser("list-indexers", help="list defined indexers")
+    p.add_argument("--dump", action="store_true",
+                   help="print full definitions as JSON")
+
+    sub.add_parser("version", help="print version")
+    return ap
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    out = out if out is not None else sys.stdout
+    args = build_parser().parse_args(argv)
+    if args.command == "version":
+        print(VERSION, file=out)
+        return 0
+
+    model = IndexerModel(args.model)
+
+    if args.command == "add-indexer":
+        if model.get(args.name) is not None:
+            print(f"Indexer {args.name} already exists", file=out)
+            return 1
+        if not args.indexer_conf:
+            print("add-indexer requires -c/--indexer-conf", file=out)
+            return 1
+        d = _apply_updates(IndexerDefinition(name=args.name), args)
+        model.put(d)
+        print(f"Indexer {args.name} added", file=out)
+        return 0
+
+    if args.command == "update-indexer":
+        d = model.get(args.name)
+        if d is None:
+            print(f"Indexer {args.name} does not exist", file=out)
+            return 1
+        model.put(_apply_updates(d, args))
+        print(f"Indexer {args.name} updated", file=out)
+        return 0
+
+    if args.command == "delete-indexer":
+        d = model.get(args.name)
+        if d is None:
+            print(f"Indexer {args.name} does not exist", file=out)
+            return 1
+        model.put(replace(d, lifecycle_state=DELETE_REQUESTED))
+        print(f"Deletion of indexer {args.name} requested", file=out)
+        return 0
+
+    if args.command == "list-indexers":
+        defs = model.list()
+        print(f"Number of indexes: {len(defs)}", file=out)
+        for d in defs:
+            print(f"\n{d.name}", file=out)
+            print(f"  + Lifecycle state: {d.lifecycle_state}", file=out)
+            print(f"  + Incremental indexing state: {d.incremental_state}",
+                  file=out)
+            print(f"  + Batch indexing state: {d.batch_build_state}", file=out)
+            print(f"  + Occ version: {d.occ_version}", file=out)
+            if args.dump:
+                print("  + Definition:", file=out)
+                print("    " + json.dumps(asdict(d), indent=1)
+                      .replace("\n", "\n    "), file=out)
+        return 0
+
+    raise AssertionError(f"unhandled command {args.command}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

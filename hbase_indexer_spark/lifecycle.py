@@ -68,6 +68,13 @@ class IndexerDefinition:
     occ_version: int = -1  # -1 = not yet persisted
 
     def indexer_conf(self) -> IndexerConf:
+        """Resolve the conf dict; a definition added from a reference-format
+        indexerconf.xml file (via the CLI) embeds the XML verbatim under an
+        ``xml`` key, mirroring how the reference stores the uploaded XML
+        bytes in the ZK znode (IndexerDefinition.getConfiguration)."""
+        if "xml" in self.conf:
+            from hbase_indexer_spark.config.indexer_conf import conf_from_xml
+            return conf_from_xml(self.conf["xml"])
         return IndexerConf.from_dict(self.conf)
 
 

@@ -1,0 +1,140 @@
+"""CLI tests — the bin/hbase-indexer client-command surface
+(AddIndexerCli / UpdateIndexerCli / DeleteIndexerCli / ListIndexersCli;
+bin/hbase-indexer:240-268).  A reference user's add/update/delete/list
+workflow against a conf XML file must work verbatim, and the supervisor
+must pick up CLI-made state changes on its next sync."""
+
+import io
+import os
+
+import pytest
+
+from hbase_indexer_spark.cli import main
+from hbase_indexer_spark.lifecycle import (
+    BUILD_COMPLETED,
+    BUILD_REQUESTED,
+    DELETE_REQUESTED,
+    DO_NOT_SUBSCRIBE,
+    IndexerModel,
+    IndexerSupervisor,
+)
+
+XML = """<indexer table="t">
+  <field name="name_s" value="info:name"/>
+  <field name="age_i" value="info:age" type="int"/>
+</indexer>"""
+
+
+def run(model_dir, *argv):
+    out = io.StringIO()
+    rc = main(["--model", str(model_dir), *argv], out=out)
+    return rc, out.getvalue()
+
+
+@pytest.fixture()
+def conf_file(tmp_path):
+    p = tmp_path / "indexerconf.xml"
+    p.write_text(XML)
+    return str(p)
+
+
+def test_add_list_update_delete_roundtrip(tmp_path, conf_file):
+    model_dir = tmp_path / "model"
+
+    rc, out = run(model_dir, "add-indexer", "-n", "ix1", "-c", conf_file)
+    assert rc == 0 and "added" in out
+
+    # duplicate add refuses, like AddIndexerCli
+    rc, out = run(model_dir, "add-indexer", "-n", "ix1", "-c", conf_file)
+    assert rc == 1 and "already exists" in out
+
+    model = IndexerModel(str(model_dir))
+    d = model.get("ix1")
+    conf = d.indexer_conf()
+    assert [f.name for f in conf.fields] == ["name_s", "age_i"]
+    assert d.occ_version == 0
+
+    rc, out = run(model_dir, "list-indexers", "--dump")
+    assert rc == 0
+    assert "Number of indexes: 1" in out
+    assert "ix1" in out and "SUBSCRIBE_AND_CONSUME" in out
+
+    rc, _ = run(model_dir, "update-indexer", "-n", "ix1",
+                "--batch", BUILD_REQUESTED, "--incremental", DO_NOT_SUBSCRIBE)
+    assert rc == 0
+    d = model.get("ix1")
+    assert d.batch_build_state == BUILD_REQUESTED
+    assert d.incremental_state == DO_NOT_SUBSCRIBE
+    assert d.occ_version == 1
+
+    # delete marks DELETE_REQUESTED; the definition survives until a
+    # supervisor tears it down (DeleteIndexerCli semantics)
+    rc, _ = run(model_dir, "delete-indexer", "-n", "ix1")
+    assert rc == 0
+    assert model.get("ix1").lifecycle_state == DELETE_REQUESTED
+
+    rc, out = run(model_dir, "update-indexer", "-n", "missing")
+    assert rc == 1 and "does not exist" in out
+    rc, out = run(model_dir, "delete-indexer", "-n", "missing")
+    assert rc == 1 and "does not exist" in out
+
+
+def test_json_conf_and_validation(tmp_path):
+    model_dir = tmp_path / "model"
+    p = tmp_path / "conf.json"
+    p.write_text('{"table": "t", "fields": [{"name": "n_s", "value": "f:q"}]}')
+    rc, _ = run(model_dir, "add-indexer", "-n", "jx", "-c", str(p))
+    assert rc == 0
+    assert IndexerModel(str(model_dir)).get("jx").indexer_conf().table == "t"
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text("<notindexer/>")
+    with pytest.raises(ValueError):
+        run(model_dir, "add-indexer", "-n", "bad", "-c", str(bad))
+
+
+def test_version(tmp_path):
+    rc, out = run(tmp_path / "m", "version")
+    assert rc == 0 and "hbase-indexer-spark" in out
+
+
+def test_cli_drives_supervisor_batch_build(spark, tmp_path, conf_file):
+    """End-to-end control plane: CLI add-indexer from an XML file +
+    update-indexer --batch BUILD_REQUESTED, then a supervisor sync runs the
+    rebuild and publishes — the CLI→ZK→IndexerMaster flow collapsed onto
+    the JSON model (IndexerMaster.java:288-329)."""
+    model_dir = tmp_path / "model"
+    cells = spark.createDataFrame(
+        [("t", "r1", "info", "name", 1, "put", b"alice"),
+         ("t", "r1", "info", "age", 1, "put", (30).to_bytes(4, "big")),
+         ("t", "r2", "info", "name", 1, "put", b"bob")],
+        "table string, row string, family string, qualifier string, "
+        "ts long, op string, value binary",
+    )
+    snap = str(tmp_path / "snapshot")
+    cells.write.parquet(snap)
+
+    rc, _ = run(model_dir, "add-indexer", "-n", "ix1", "-c", conf_file,
+                "--incremental", DO_NOT_SUBSCRIBE,
+                "--batch-snapshot-path", snap)
+    assert rc == 0
+    rc, _ = run(model_dir, "update-indexer", "-n", "ix1",
+                "--batch", BUILD_REQUESTED)
+    assert rc == 0
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    sup = IndexerSupervisor(spark, IndexerModel(str(model_dir)),
+                            str(tmp_path / "work"), src)
+    sup.sync()
+
+    model = IndexerModel(str(model_dir))
+    assert model.get("ix1").batch_build_state == BUILD_COMPLETED
+    got = {r["id"]: (r["name_s"], r["age_i"])
+           for r in sup.read_index("ix1").collect()}
+    assert got == {"r1": ("alice", 30), "r2": ("bob", None)}
+
+    rc, _ = run(model_dir, "delete-indexer", "-n", "ix1")
+    assert rc == 0
+    sup.sync()
+    assert model.get("ix1") is None
