@@ -428,6 +428,39 @@ def q_morphline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_index(user_cells(spark, sf_dir), conf)
 
 
+def q_etl_enrichment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 extension — Kite-command-parity stages (convertTimestamp,
+    grok-style regex_extract, readJson/extractJsonPaths,
+    sanitizeUnknownSolrFields, logDebug-as-observe) composed into one
+    chain over events, then aggregated.  All stages stay JVM-side."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config([
+        {"stage": "sql_expr", "field": "ts_ms", "expr": "ts div 1000000"},
+        {"stage": "convert_timestamp", "field": "ts_ms", "into": "hour_s",
+         "input_formats": ["unixTimeInMillis"],
+         "output_format": "yyyy-MM-dd HH"},
+        {"stage": "extract_json_paths", "field": "props",
+         "paths": {"k_raw": "$.k"}},
+        {"stage": "sql_expr", "field": "k_val", "expr": "cast(k_raw as int)"},
+        {"stage": "regex_extract", "field": "event_type",
+         "pattern": "^(?P<ev_head>[a-z])(?P<ev_tail>[a-z]+)$"},
+        {"stage": "log_debug", "name": "enriched", "sum": "k_val"},
+        {"stage": "sanitize_unknown_fields",
+         "keep": ["event_id", "hour_s", "ev_head", "ev_tail", "k_val"]},
+    ])
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        chain(e)
+        .groupBy("hour_s", "ev_head")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("k_val").alias("sum_k"),
+             F.count_distinct("ev_tail").alias("n_types"))
+        .orderBy("hour_s", "ev_head")
+    )
+
+
 def q_custom_value_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 custom ByteArrayValueMapper by name: a CSV-ish splitter mapping
     one cell to multiple values (the IndexerIT.java:678-721 scenario)."""
@@ -912,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_row_index": q_streaming_row_index,
         "stream_static_join": q_stream_static_join,
         "morphline_chain": q_morphline_chain,
+        "etl_enrichment_chain": q_etl_enrichment_chain,
         "custom_value_mapper": q_custom_value_mapper,
         "row_mapper_udtf": q_row_mapper_udtf,
         "doc_extract_prefix": q_doc_extract_prefix,
@@ -1179,6 +1213,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT {md5_shard_sql("CAST(c_custkey AS VARCHAR)", 8)} AS shard,
                count(*) AS cnt
         FROM customer GROUP BY 1 ORDER BY shard
+    """
+    out["etl_enrichment_chain"] = """
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour_s,
+               substr(event_type, 1, 1) AS ev_head,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
+               CAST(count(DISTINCT substr(event_type, 2)) AS BIGINT) AS n_types
+        FROM events GROUP BY 1, 2 ORDER BY hour_s, ev_head
     """
     out["event_time_rollup"] = """
         SELECT date_trunc('day', ts) AS day, event_type,

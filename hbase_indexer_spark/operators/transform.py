@@ -93,6 +93,111 @@ def _sql_expr(params: dict) -> Stage:
     return lambda df: df.withColumn(name, F.expr(expr))
 
 
+@register_stage("convert_timestamp")
+def _convert_timestamp(params: dict) -> Stage:
+    """Kite ``convertTimestamp`` analog: parse ``field`` with the first
+    matching input format and re-emit in ``output_format``.  Formats are
+    Spark datetime patterns; ``unixTimeInMillis`` / ``unixTimeInSeconds``
+    are accepted like Kite's special tokens.  Stays in codegen: the
+    try-each-format cascade compiles to coalesce(to_timestamp(...)...)."""
+    name = params["field"]
+    out = params.get("into", name)
+    in_fmts = params.get("input_formats", ["yyyy-MM-dd'T'HH:mm:ss'Z'"])
+    out_fmt = params.get("output_format", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+    def parse_one(fmt):
+        c = F.col(name)
+        if fmt == "unixTimeInMillis":
+            return F.timestamp_millis(c.cast("long"))
+        if fmt == "unixTimeInSeconds":
+            return F.timestamp_seconds(c.cast("long"))
+        return F.try_to_timestamp(c, F.lit(fmt))
+
+    def stage(df: DataFrame) -> DataFrame:
+        ts = F.coalesce(*[parse_one(f) for f in in_fmts])
+        if out_fmt == "unixTimeInMillis":
+            o = F.unix_millis(ts)
+        elif out_fmt == "unixTimeInSeconds":
+            o = F.unix_seconds(ts)
+        else:
+            o = F.date_format(ts, out_fmt)
+        return df.withColumn(out, o)
+
+    return stage
+
+
+@register_stage("regex_extract")
+def _regex_extract(params: dict) -> Stage:
+    """Kite ``grok``/``extract`` analog without the pattern dictionary:
+    named groups of ``pattern`` applied to ``field`` become output columns.
+    Non-matching rows get NULLs (grok's default) or are dropped when
+    ``drop_unmatched`` is set (grok's record-drop behavior).
+
+    Both Python ``(?P<name>...)`` and Java ``(?<name>...)`` named-group
+    syntax are accepted; the pattern executes JVM-side (regexp_extract)."""
+    name = params["field"]
+    # normalize named-group syntax: Python form for groupindex parsing,
+    # Java form for the JVM regex engine
+    py_pattern = re.sub(r"\(\?<(?![=!])", "(?P<", params["pattern"])
+    # JVM side: strip the names (Java rejects underscores in group names)
+    # and address groups positionally — numbering is identical, since named
+    # groups participate in positional numbering in both engines
+    jvm_pattern = re.sub(r"\(\?P<[^>]+>", "(", py_pattern)
+    groups = [g for g, _ in sorted(
+        re.compile(py_pattern).groupindex.items(), key=lambda kv: kv[1])]
+    if not groups:
+        raise ValueError("regex_extract pattern needs named groups "
+                         "(?P<name>...)")
+    drop_unmatched = params.get("drop_unmatched", False)
+
+    def stage(df: DataFrame) -> DataFrame:
+        if drop_unmatched:
+            df = df.filter(F.col(name).rlike(jvm_pattern))
+        gidx = re.compile(py_pattern).groupindex
+        matched = F.col(name).rlike(jvm_pattern)
+        # regexp_extract yields '' on no-match; normalize to NULL
+        return df.withColumns(
+            {g: F.when(matched,
+                       F.regexp_extract(F.col(name), jvm_pattern, gidx[g]))
+             for g in groups})
+
+    return stage
+
+
+@register_stage("extract_json_paths")
+def _extract_json_paths(params: dict) -> Stage:
+    """Kite ``readJson``+``extractJsonPaths`` analog: ``paths`` maps output
+    field -> JSONPath (``$.a.b``) evaluated against the JSON text in
+    ``field`` (get_json_object — JVM-side, no Python)."""
+    name = params["field"]
+    paths = params["paths"]
+    return lambda df: df.withColumns(
+        {out: F.get_json_object(F.col(name), p) for out, p in paths.items()})
+
+
+@register_stage("sanitize_unknown_fields")
+def _sanitize_unknown_fields(params: dict) -> Stage:
+    """``sanitizeUnknownSolrFields`` analog (used by the reference's MR
+    morphlines): drop every column not in the declared schema, keeping
+    declared order.  ``keep`` lists the schema fields; columns the frame
+    doesn't have are ignored (Solr would supply defaults)."""
+    keep = params["keep"]
+    return lambda df: df.select(*[c for c in keep if c in df.columns])
+
+
+@register_stage("log_debug")
+def _log_debug(params: dict) -> Stage:
+    """``logDebug``/``logTrace`` analog: a pass-through that registers a
+    named `observe` metric (count + optional sum) instead of per-record
+    driver logging — per-record logs don't exist on a cluster; observed
+    metrics arrive with each action/micro-batch (K3 counters)."""
+    metric = params.get("name", "log_debug")
+    exprs = [F.count(F.lit(1)).alias(f"{metric}_count")]
+    if "sum" in params:
+        exprs.append(F.sum(F.expr(params["sum"])).alias(f"{metric}_sum"))
+    return lambda df: df.observe(metric, *exprs)
+
+
 _VAR = re.compile(r"\$\{([^}]+)\}")
 
 

@@ -49,6 +49,10 @@ CHECKS = {
         [r"HashAggregate", r"partial_sum", r"PushedFilters: \[.*l_shipdate"],
         [r"BatchEvalPython"],
     ),
+    "etl_enrichment_chain": (
+        [r"HashAggregate", r"partial_"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
     "exact_dedup": (
         [r"HashAggregate", r"partial_"],
         [r"SortMergeJoin", r"BatchEvalPython"],
