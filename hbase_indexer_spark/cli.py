@@ -122,6 +122,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump", action="store_true",
                    help="print full definitions as JSON")
 
+    for cmd, h in [("replication-status",
+                    "per-indexer queue depth / consumed position"),
+                   ("replication-wait",
+                    "block until all consumption queues are drained")]:
+        p = sub.add_parser(cmd, help=h)
+        p.add_argument("--work-dir", required=True,
+                       help="supervisor work directory")
+        p.add_argument("--events", required=True,
+                       help="event file-drop directory")
+        if cmd == "replication-wait":
+            p.add_argument("--timeout", type=float, default=300.0)
+            p.add_argument("--poll", type=float, default=1.0)
+
     sub.add_parser("version", help="print version")
     return ap
 
@@ -180,6 +193,24 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 print("    " + json.dumps(asdict(d), indent=1)
                       .replace("\n", "\n    "), file=out)
         return 0
+
+    if args.command == "replication-status":
+        from hbase_indexer_spark.monitoring import replication_status
+        for s in replication_status(args.model, args.work_dir, args.events):
+            docs = "-" if s["index_docs"] is None else s["index_docs"]
+            print(f"{s['name']}: {s['incremental_state']}, "
+                  f"processed {s['processed_files']} file(s), "
+                  f"pending {s['pending_files']}, docs {docs}, "
+                  f"{'CAUGHT UP' if s['caught_up'] else 'LAGGING'}",
+                  file=out)
+        return 0
+
+    if args.command == "replication-wait":
+        from hbase_indexer_spark.monitoring import replication_wait
+        ok = replication_wait(args.model, args.work_dir, args.events,
+                              timeout_s=args.timeout, poll_s=args.poll)
+        print("caught up" if ok else "timed out", file=out)
+        return 0 if ok else 1
 
     raise AssertionError(f"unhandled command {args.command}")
 

@@ -138,3 +138,55 @@ def test_cli_drives_supervisor_batch_build(spark, tmp_path, conf_file):
     assert rc == 0
     sup.sync()
     assert model.get("ix1") is None
+
+
+def test_replication_status_and_wait(spark, tmp_path, conf_file):
+    """replication-status / replication-wait analogs: queue depth is read
+    from the events dir vs the streaming checkpoint's FileStreamSource log
+    (the ZK replication-queue inspection, ReplicationStatusCli), with no
+    SparkSession in the client."""
+    from hbase_indexer_spark.monitoring import (
+        replication_status,
+        replication_wait,
+    )
+
+    model_dir = str(tmp_path / "model")
+    work_dir = str(tmp_path / "work")
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    # reference-shaped conf targets table "t"; ship one WAL batch file
+    rc, _ = run(model_dir, "add-indexer", "-n", "ix1", "-c", conf_file)
+    assert rc == 0
+    df = spark.createDataFrame(
+        [(1, 1, "t", "r1", "info", "name", 1, "put", b"alice")],
+        "seq long, event_ts long, table string, row string, family string, "
+        "qualifier string, ts long, op string, value binary",
+    )
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "c0.parquet"))
+
+    # before any consumption: one pending file, nothing processed
+    (s,) = replication_status(model_dir, work_dir, src)
+    assert s["pending_files"] == 1 and s["processed_files"] == 0
+    assert not s["caught_up"]
+    assert not replication_wait(model_dir, work_dir, src, timeout_s=0.1,
+                                poll_s=0.05)
+
+    sup = IndexerSupervisor(spark, IndexerModel(model_dir), work_dir, src)
+    sup.sync()
+
+    (s,) = replication_status(model_dir, work_dir, src)
+    assert s["caught_up"] and s["processed_files"] == 1
+    assert s["pending_files"] == 0
+    assert s["index_docs"] == 1
+    assert replication_wait(model_dir, work_dir, src, timeout_s=1)
+
+    rc, out = run(model_dir, "replication-status",
+                  "--work-dir", work_dir, "--events", src)
+    assert rc == 0 and "CAUGHT UP" in out
+    rc, out = run(model_dir, "replication-wait",
+                  "--work-dir", work_dir, "--events", src, "--timeout", "1")
+    assert rc == 0 and "caught up" in out
