@@ -198,6 +198,32 @@ def _log_debug(params: dict) -> Stage:
     return lambda df: df.observe(metric, *exprs)
 
 
+@register_stage("if_then_else")
+def _if_then_else(params: dict) -> Stage:
+    """Kite ``if``/``tryRules`` analog: rows matching ``condition`` (a SQL
+    boolean expression) flow through the ``then`` sub-chain, the rest
+    through ``else`` (default: pass through unchanged), and the streams
+    re-unite by name.
+
+    Set-oriented form of Kite's per-record branch: one filter per branch
+    on the same scan (Catalyst collapses shared subtrees under codegen;
+    no shuffle is introduced), then unionByName with null-fill so a branch
+    may add columns the other lacks — matching morphline records, whose
+    fields are open maps."""
+    cond = params["condition"]
+    then_chain = TransformChain.from_config(params.get("then", []))
+    else_chain = TransformChain.from_config(params.get("else", []))
+
+    def stage(df: DataFrame) -> DataFrame:
+        c = F.expr(cond)
+        then_df = then_chain(df.filter(c))
+        # NULL condition rows take the else branch, like SQL CASE
+        else_df = else_chain(df.filter(~F.coalesce(c, F.lit(False))))
+        return then_df.unionByName(else_df, allowMissingColumns=True)
+
+    return stage
+
+
 _VAR = re.compile(r"\$\{([^}]+)\}")
 
 

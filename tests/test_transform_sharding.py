@@ -235,3 +235,42 @@ def test_regex_extract_requires_named_groups():
     with pytest.raises(ValueError):
         TransformChain.from_config(
             [{"stage": "regex_extract", "field": "f", "pattern": "ab+"}])
+
+
+def test_if_then_else_stage(spark):
+    """Kite if/tryRules analog: branch sub-chains re-unite by name with
+    null-fill; NULL conditions take the else branch like SQL CASE."""
+    df = spark.createDataFrame(
+        [(1, "a@x.com"), (2, "bad"), (3, None)], "id int, email string")
+    chain = TransformChain.from_config([
+        {"stage": "if_then_else",
+         "condition": "email LIKE '%@%'",
+         "then": [
+             {"stage": "split_field", "field": "email", "into": "parts",
+              "pattern": "@"},
+             {"stage": "sql_expr", "field": "domain", "expr": "parts[1]"},
+             {"stage": "drop_field", "field": "parts"},
+         ],
+         "else": [
+             {"stage": "set_field", "field": "quarantined", "value": "y"},
+         ]},
+    ])
+    rows = {r["id"]: r for r in chain(df).collect()}
+    assert len(rows) == 3
+    assert rows[1]["domain"] == "x.com" and rows[1]["quarantined"] is None
+    assert rows[2]["domain"] is None and rows[2]["quarantined"] == "y"
+    assert rows[3]["quarantined"] == "y"  # NULL condition -> else branch
+
+
+def test_dry_run_s10(spark):
+    """S10 dry-run sink (IndexerDryRun.java:54-140): doc build materialized
+    without touching any index store."""
+    from hbase_indexer_spark.operators.extraction import row_documents
+    conf = IndexerConf.from_dict({
+        "table": "t", "fields": [{"name": "name_s", "value": "info:name"}]})
+    cells = cells_df(spark, [("t", "r1", "info", "name", 1, "Alice"),
+                             ("t", "r2", "info", "name", 1, "Bob")])
+    docs = row_documents(cells, conf)
+    from hbase_indexer_spark.streaming.stream import dry_run as dr
+    out = dr(docs, n=1)
+    assert len(out) == 1 and out[0]["name_s"] in ("Alice", "Bob")
