@@ -25,11 +25,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and the training-data pipeline (dedup family, ANN, text, multimodal)
 BENCH_QUERIES = [
     "row_index_customer",
+    "xml_conf_index",
     "column_index_orders",
     "typed_decode_matrix",
     "incremental_row_index",
     "streaming_row_index",
     "stream_static_join",
+    "etl_enrichment_chain",
     "pricing_summary",
     "revenue_forecast",
     "top_unshipped_orders",
