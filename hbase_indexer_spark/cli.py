@@ -135,6 +135,25 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--timeout", type=float, default=300.0)
             p.add_argument("--poll", type=float, default=1.0)
 
+    p = sub.add_parser(
+        "batch-indexer",
+        help="standalone batch index build from a snapshot (the "
+             "hbase-indexer-mr HBaseMapReduceIndexerTool analog)")
+    p.add_argument("--hbase-indexer-file", required=True,
+                   metavar="indexerconf.xml",
+                   help="indexer conf (XML or JSON), no registry needed")
+    p.add_argument("--input", required=True,
+                   help="snapshot parquet of canonical cells (the scan)")
+    p.add_argument("--output-dir", default=None,
+                   help="index destination (direct-write IndexStore, or "
+                        "shard directories with --shards)")
+    p.add_argument("--shards", type=int, default=0,
+                   help="offline mode: build N shard directories "
+                        "(reducers>0); 0 = direct-write mode")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the first docs instead of writing "
+                        "(IndexerDryRun)")
+
     sub.add_parser("version", help="print version")
     return ap
 
@@ -194,6 +213,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
                       .replace("\n", "\n    "), file=out)
         return 0
 
+    if args.command == "batch-indexer":
+        return _batch_indexer(args, out)
+
     if args.command == "replication-status":
         from hbase_indexer_spark.monitoring import replication_status
         for s in replication_status(args.model, args.work_dir, args.events):
@@ -213,6 +235,43 @@ def main(argv: list[str] | None = None, out=None) -> int:
         return 0 if ok else 1
 
     raise AssertionError(f"unhandled command {args.command}")
+
+
+def _batch_indexer(args, out) -> int:
+    """The hbase-indexer-mr tool (HBaseMapReduceIndexerTool.java:113-257):
+    scan snapshot -> doc build, then either direct-write into the live
+    index (reducers==0, :202-223), offline shard build (--shards,
+    :224-256), or a dry-run that materializes docs without writing
+    (IndexerDryRun short-circuit, :125-127)."""
+    conf_dict = _load_conf(args.hbase_indexer_file)
+    from hbase_indexer_spark.lifecycle import IndexerDefinition
+    conf = IndexerDefinition(name="batch", conf=conf_dict).indexer_conf()
+
+    from hbase_indexer_spark.plans.batch import build_index
+    from hbase_indexer_spark.session import get_spark
+    spark = get_spark("batch-indexer")
+    docs = build_index(spark.read.parquet(args.input), conf)
+
+    if args.dry_run:
+        from hbase_indexer_spark.streaming.stream import dry_run
+        for row in dry_run(docs):
+            print(row.asDict(), file=out)
+        return 0
+    if args.output_dir is None:
+        print("batch-indexer requires --output-dir (or --dry-run)", file=out)
+        return 1
+    if args.shards > 0:
+        from hbase_indexer_spark.sinks.sharding import write_sharded
+        write_sharded(docs, args.output_dir, conf.unique_key_field,
+                      args.shards)
+        print(f"built {args.shards} shard(s) at {args.output_dir}", file=out)
+    else:
+        from hbase_indexer_spark.sinks.index_store import IndexStore
+        store = IndexStore(args.output_dir, key=conf.unique_key_field)
+        store.overwrite(docs, spark)
+        print(f"index published at {args.output_dir} "
+              f"(version {store.current_version()})", file=out)
+    return 0
 
 
 if __name__ == "__main__":

@@ -190,3 +190,47 @@ def test_replication_status_and_wait(spark, tmp_path, conf_file):
     rc, out = run(model_dir, "replication-wait",
                   "--work-dir", work_dir, "--events", src, "--timeout", "1")
     assert rc == 0 and "caught up" in out
+
+
+def test_batch_indexer_tool(spark, tmp_path, conf_file):
+    """batch-indexer (HBaseMapReduceIndexerTool analog): dry-run,
+    direct-write, and offline sharded modes from a conf XML + snapshot."""
+    cells = spark.createDataFrame(
+        [("t", f"r{i}", "info", "name", 1, "put", f"user{i}".encode())
+         for i in range(20)],
+        "table string, row string, family string, qualifier string, "
+        "ts long, op string, value binary",
+    )
+    snap = str(tmp_path / "snap")
+    cells.write.parquet(snap)
+
+    rc, out = run(tmp_path / "m", "batch-indexer",
+                  "--hbase-indexer-file", conf_file, "--input", snap,
+                  "--dry-run")
+    assert rc == 0 and "user" in out and len(out.strip().splitlines()) == 20
+
+    # direct-write mode publishes a readable IndexStore
+    idx = str(tmp_path / "index")
+    rc, out = run(tmp_path / "m", "batch-indexer",
+                  "--hbase-indexer-file", conf_file, "--input", snap,
+                  "--output-dir", idx)
+    assert rc == 0 and "version 0" in out
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    assert IndexStore(idx, key="id").read(spark).count() == 20
+
+    # offline mode: one directory per shard, every doc routed
+    sharded = str(tmp_path / "shards")
+    rc, out = run(tmp_path / "m", "batch-indexer",
+                  "--hbase-indexer-file", conf_file, "--input", snap,
+                  "--output-dir", sharded, "--shards", "4")
+    assert rc == 0
+    back = spark.read.parquet(sharded)
+    assert back.count() == 20
+    assert sorted(r["shard"] for r in back.select("shard").distinct()
+                  .collect()) == sorted(set(
+        r["shard"] for r in back.collect()))
+
+    # missing output without dry-run refuses
+    rc, out = run(tmp_path / "m", "batch-indexer",
+                  "--hbase-indexer-file", conf_file, "--input", snap)
+    assert rc == 1 and "--output-dir" in out
