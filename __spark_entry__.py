@@ -751,6 +751,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_docs(spark, sf_dir))
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style intra-doc repetition signals (dup-word,
+    top-word, dup-bigram counts) — the quality-filter family the reference
+    lacks; two map-side-combinable shuffles, all Catalyst."""
+    from hbase_indexer_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex (LLM-token proxy)."""
     from hbase_indexer_spark.pipeline.text import token_stats
@@ -979,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
         "regional_revenue": _analytics("regional_revenue"),
         "text_profile": q_text_profile,
+        "repetition_filter": q_repetition_filter,
         "token_stats": q_token_stats,
         "deduped_corpus": q_deduped_corpus,
         "exact_dedup": q_exact_dedup,
@@ -1325,6 +1335,9 @@ def oracle_sql() -> dict[str, str]:
         lang_id_sql,
     )
 
+    from hbase_indexer_spark.pipeline.text import repetition_sql
+    out["repetition_filter"] = (
+        repetition_sql() + " ORDER BY doc_id")
     out["text_profile"] = f"""
         WITH t AS (
             SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents

@@ -154,3 +154,83 @@ TOKEN_STATS_SQL = f"""
            CAST(length(text) AS INTEGER) AS n_chars
     FROM documents
 """
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText-style
+    repetition filters: duplicate-word fraction, top-word fraction,
+    duplicate-bigram fraction) as integer counts per document.
+
+    Scale path: unigrams and bigrams unify into ONE exploded stream, so
+    the whole operator is two shuffles — (doc, gram) with map-side
+    combine, then (doc) — regardless of corpus size.  Bigrams are built
+    with zip_with over the token array shifted by one (no UDF)."""
+    toks = tokens(F.col(text_col))
+    unigrams = F.transform(
+        toks, lambda w: F.struct(F.lit(1).alias("n"), w.alias("g")))
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1)))
+    bigrams = F.filter(
+        F.zip_with(
+            toks, shifted,
+            lambda a, b: F.when(
+                b.isNotNull(),
+                F.struct(F.lit(2).alias("n"),
+                         F.concat_ws(" ", a, b).alias("g")))),
+        lambda s: s.isNotNull())
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(F.concat(unigrams, bigrams)).alias("e"),
+    ).select(id_col, F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+    counts = exploded.groupBy(id_col, "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    def agg_for(n, fn, pred=None):
+        cond = F.col("n") == n
+        if pred is not None:
+            cond = cond & pred
+        return fn(F.when(cond, F.col("cnt")))
+
+    return counts.groupBy(id_col).agg(
+        F.coalesce(agg_for(1, F.sum), F.lit(0)).alias("n_words"),
+        F.coalesce(agg_for(1, F.count), F.lit(0)).alias("n_distinct_words"),
+        F.coalesce(agg_for(1, F.max), F.lit(0)).alias("top_word_count"),
+        F.coalesce(agg_for(1, F.sum, F.col("cnt") > 1),
+                   F.lit(0)).alias("dup_word_count"),
+        F.coalesce(agg_for(2, F.sum), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(agg_for(2, F.sum, F.col("cnt") > 1),
+                   F.lit(0)).alias("dup_bigram_count"),
+    )
+
+
+def repetition_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`repetition_stats` (bigrams via a lateral
+    generate_series index walk)."""
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, {TOKS_SQL} AS toks FROM {table}
+        ), grams AS (
+            SELECT doc_id, 1 AS n, unnest(toks) AS g FROM tk
+            UNION ALL
+            SELECT tk.doc_id, 2 AS n,
+                   toks[i.x] || ' ' || toks[i.x + 1] AS g
+            FROM tk, LATERAL unnest(generate_series(1, len(toks) - 1)) AS i(x)
+        ), c AS (
+            SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+        )
+        SELECT doc_id,
+               CAST(coalesce(sum(cnt) FILTER (WHERE n = 1), 0) AS BIGINT)
+                   AS n_words,
+               CAST(coalesce(count(*) FILTER (WHERE n = 1), 0) AS BIGINT)
+                   AS n_distinct_words,
+               CAST(coalesce(max(cnt) FILTER (WHERE n = 1), 0) AS BIGINT)
+                   AS top_word_count,
+               CAST(coalesce(sum(cnt) FILTER (WHERE n = 1 AND cnt > 1), 0)
+                    AS BIGINT) AS dup_word_count,
+               CAST(coalesce(sum(cnt) FILTER (WHERE n = 2), 0) AS BIGINT)
+                   AS n_bigrams,
+               CAST(coalesce(sum(cnt) FILTER (WHERE n = 2 AND cnt > 1), 0)
+                    AS BIGINT) AS dup_bigram_count
+        FROM c GROUP BY doc_id
+    """

@@ -49,6 +49,10 @@ CHECKS = {
         [r"HashAggregate", r"partial_sum", r"PushedFilters: \[.*l_shipdate"],
         [r"BatchEvalPython"],
     ),
+    "repetition_filter": (
+        [r"HashAggregate", r"partial_count"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
     "etl_enrichment_chain": (
         [r"HashAggregate", r"partial_"],
         [r"SortMergeJoin", *NO_PYTHON],

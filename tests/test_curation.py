@@ -66,3 +66,27 @@ def test_curated_corpus_is_filtered_subset(spark, sf_dir):
     kept = [r["doc_id"] for r in out.collect()]
     assert 0 < len(kept) <= docs.count()
     assert len(set(kept)) == len(kept)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from hbase_indexer_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),      # words: a*3 b*2; bigrams: ab*2 ba*2
+         (2, "x y z"),          # no repetition
+         (3, "w"),              # single word, no bigrams
+         (4, "")],              # empty -> drops out entirely
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    r = rows[1]
+    assert (r["n_words"], r["n_distinct_words"]) == (5, 2)
+    assert r["top_word_count"] == 3
+    assert r["dup_word_count"] == 5          # both words repeat
+    assert r["n_bigrams"] == 4 and r["dup_bigram_count"] == 4
+    r = rows[2]
+    assert (r["n_words"], r["dup_word_count"]) == (3, 0)
+    assert r["n_bigrams"] == 2 and r["dup_bigram_count"] == 0
+    r = rows[3]
+    assert (r["n_words"], r["n_bigrams"]) == (1, 0)
