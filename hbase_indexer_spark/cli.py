@@ -136,6 +136,20 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--poll", type=float, default=1.0)
 
     p = sub.add_parser(
+        "server",
+        help="run the master/supervisor reconcile loop (the Main.java "
+             "server process: watch the model, start/stop streams, serve "
+             "batch builds)")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--events", required=True,
+                   help="event file-drop directory (the SEP source)")
+    p.add_argument("--poll", type=float, default=5.0,
+                   help="seconds between reconcile passes")
+    p.add_argument("--once", action="store_true",
+                   help="single reconcile pass, then exit (for scripting)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    p = sub.add_parser(
         "batch-indexer",
         help="standalone batch index build from a snapshot (the "
              "hbase-indexer-mr HBaseMapReduceIndexerTool analog)")
@@ -213,6 +227,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
                       .replace("\n", "\n    "), file=out)
         return 0
 
+    if args.command == "server":
+        return _server(args, model, out)
+
     if args.command == "batch-indexer":
         return _batch_indexer(args, out)
 
@@ -235,6 +252,32 @@ def main(argv: list[str] | None = None, out=None) -> int:
         return 0 if ok else 1
 
     raise AssertionError(f"unhandled command {args.command}")
+
+
+def _server(args, model: IndexerModel, out) -> int:
+    """The server process (Main.java:103-132 startServices): one driver
+    owning the SparkSession, reconciling streaming queries and batch
+    builds against the model until interrupted."""
+    import time as _time
+
+    from hbase_indexer_spark.lifecycle import IndexerSupervisor
+    from hbase_indexer_spark.session import get_spark
+
+    spark = get_spark("hbase-indexer-server")
+    sup = IndexerSupervisor(spark, model, args.work_dir, args.events,
+                            max_files_per_trigger=args.max_files_per_trigger)
+    try:
+        while True:
+            sup.sync(available_now=True)
+            if args.once:
+                break
+            _time.sleep(args.poll)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        sup.stop_all()
+    print("server stopped", file=out)
+    return 0
 
 
 def _batch_indexer(args, out) -> int:

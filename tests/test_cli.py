@@ -234,3 +234,30 @@ def test_batch_indexer_tool(spark, tmp_path, conf_file):
     rc, out = run(tmp_path / "m", "batch-indexer",
                   "--hbase-indexer-file", conf_file, "--input", snap)
     assert rc == 1 and "--output-dir" in out
+
+
+def test_server_once(spark, tmp_path, conf_file):
+    """server --once: one reconcile pass consumes pending events and
+    publishes, sharing the test session via getOrCreate."""
+    model_dir = str(tmp_path / "model")
+    work_dir = str(tmp_path / "work")
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    rc, _ = run(model_dir, "add-indexer", "-n", "ix1", "-c", conf_file)
+    assert rc == 0
+    df = spark.createDataFrame(
+        [(1, 1, "t", "r1", "info", "name", 1, "put", b"alice")],
+        "seq long, event_ts long, table string, row string, family string, "
+        "qualifier string, ts long, op string, value binary",
+    )
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "c0.parquet"))
+
+    rc, out = run(model_dir, "server", "--work-dir", work_dir,
+                  "--events", src, "--once")
+    assert rc == 0 and "server stopped" in out
+    from hbase_indexer_spark.monitoring import replication_status
+    (s,) = replication_status(model_dir, work_dir, src)
+    assert s["caught_up"] and s["index_docs"] == 1
