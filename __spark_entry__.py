@@ -970,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_user_stats": q_skew_salted_user_stats,
         "udaf_event_stats": q_udaf_event_stats,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "order_priority_cube": _analytics("order_priority_cube"),
+        "order_status_pivot": _analytics("order_status_pivot"),
         "nation_trade_volume": _analytics("nation_trade_volume"),
         "market_share": _analytics("market_share"),
         "product_type_profit": _analytics("product_type_profit"),

@@ -151,6 +151,39 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets surface (§2.6 extension): all four grouping
+    combinations of (order year, priority) in ONE expand + aggregation —
+    no re-scan per grouping set."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .cube("o_year", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"))
+        .orderBy(F.asc_nulls_first("o_year"),
+                 F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-year order counts spread across status columns —
+    pivot with an explicit value list compiles to ONE conditional
+    aggregation (no extra shuffle vs a plain groupBy)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_year",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c.lower()}")
+          for c in ("F", "O", "P")],
+    ).orderBy("o_year")
+
+
 def promo_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped: part dim broadcast against the lineitem fact; one
     conditional aggregate, no fact-side pre-shuffle."""
@@ -851,6 +884,21 @@ ORACLES = {
             FROM customer
         ) WHERE rnk <= 3
         ORDER BY c_nationkey, rnk
+    """,
+    "order_priority_cube": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+        ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "order_status_pivot": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        FROM orders GROUP BY 1 ORDER BY o_year
     """,
     "revenue_rollup": """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
