@@ -29,9 +29,14 @@ from pyspark.sql import functions as F
 class IndexStore:
     """A keyed, versioned materialized view with upsert/delete merge."""
 
-    def __init__(self, path: str, key: str = "id"):
+    def __init__(self, path: str, key: str = "id", retain: int = 2):
         self.path = path
         self.key = key
+        # versions kept on disk after each publish (>=1).  Older versions
+        # stay readable via read(version=...) — the audit/time-travel
+        # surface a go-live flip gives for free (GoLive keeps the previous
+        # Solr index generation the same way until the next merge).
+        self.retain = max(1, retain)
 
     # -- version plumbing (go-live analog) --------------------------------
 
@@ -48,10 +53,27 @@ class IndexStore:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, f"v={v}")
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        v = self.current_version()
+    def versions(self) -> list[int]:
+        """Retained, readable versions (ascending; last is current)."""
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        cur = self.current_version()
+        return sorted(
+            int(n[2:]) for n in names
+            if n.startswith("v=") and n[2:].isdigit() and int(n[2:]) <= cur
+        )
+
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame | None:
+        """Current index, or a retained older version (time travel)."""
+        v = self.current_version() if version is None else version
         if v < 0:
             return None
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"version {version} not retained (have {self.versions()})")
         return spark.read.parquet(self._version_dir(v))
 
     def _publish(self, df: DataFrame, spark: SparkSession) -> None:
@@ -61,7 +83,7 @@ class IndexStore:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._current_file())  # atomic go-live flip
-        old = self._version_dir(v - 2)
+        old = self._version_dir(v - self.retain)
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 

@@ -106,3 +106,29 @@ def test_incremental_bucketed_matches_plain(spark, tmp_path, sf_dir):
     a = {r["id"]: r["purchase_d"] for r in plain.collect()}
     b = {r["id"]: r["purchase_d"] for r in bucketed.collect()}
     assert a == b
+
+
+def test_index_store_time_travel(spark, tmp_path):
+    """Retained versions stay readable (go-live keeps the previous
+    generation); older ones prune at publish and refuse to read."""
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+
+    store = IndexStore(str(tmp_path / "ix"), key="id", retain=3)
+    for i in range(4):
+        store.merge(spark, adds=spark.createDataFrame(
+            [(f"r{i}", i)], "id string, v int"))
+    assert store.current_version() == 3
+    assert store.versions() == [1, 2, 3]          # v=0 pruned (retain=3)
+
+    assert store.read(spark).count() == 4          # current: r0..r3
+    assert store.read(spark, version=1).count() == 2
+    assert store.read(spark, version=2).count() == 3
+    with pytest.raises(ValueError, match="not retained"):
+        store.read(spark, version=0)
+
+    # default retain=2 matches the original keep-previous behavior
+    s2 = IndexStore(str(tmp_path / "ix2"), key="id")
+    for i in range(3):
+        s2.merge(spark, adds=spark.createDataFrame(
+            [(f"r{i}", i)], "id string, v int"))
+    assert s2.versions() == [1, 2]
