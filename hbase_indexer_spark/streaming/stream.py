@@ -50,12 +50,34 @@ EVENT_SCHEMA = StructType([
 
 
 def read_event_stream(spark: SparkSession, path: str,
-                      max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-drop event stream: one parquet file per shipped WAL batch."""
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+                      max_files_per_trigger: int | None = None,
+                      format: str = "parquet") -> DataFrame:
+    """File-drop event stream: one file per shipped WAL batch.
+
+    ``format`` may be ``parquet`` (default), ``json`` (newline-delimited;
+    the binary ``value`` rides base64, Spark's JSON binary encoding), or
+    ``csv`` (header-less, column order = EVENT_SCHEMA, value base64).
+    Any Structured Streaming source producing the canonical schema works —
+    these are the shapes WAL-shipping jobs commonly land."""
+    reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    if format == "parquet":
+        return reader.schema(EVENT_SCHEMA).parquet(path)
+    if format == "json":
+        return reader.schema(EVENT_SCHEMA).json(path)
+    if format == "csv":
+        # CSV has no binary type: read value as base64 text and decode
+        from pyspark.sql import functions as F
+
+        csv_schema = StructType([
+            StructField(f.name, StringType() if f.name == "value"
+                        else f.dataType)
+            for f in EVENT_SCHEMA.fields
+        ])
+        df = reader.schema(csv_schema).csv(path)
+        return df.withColumn("value", F.unbase64(F.col("value")))
+    raise ValueError(f"unsupported event stream format {format!r}")
 
 
 class IndexerStreamJob:

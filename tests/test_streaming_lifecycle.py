@@ -217,3 +217,35 @@ def test_supervisor_delete(spark, supervised):
     sup.sync()
     assert model.get("ix1") is None
     assert sup.read_index("ix1") is None
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_event_stream_formats(spark, tmp_path, fmt):
+    """S1 source breadth: JSON and CSV WAL drops produce the same index as
+    parquet (binary values ride base64 in both text formats)."""
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+
+    src = str(tmp_path / f"events_{fmt}")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [ev(1, "r1", "name", "alice"), ev(2, "r2", "name", "bob"),
+         ev(3, "r1", "name", "alice2")], EVENT_DDL)
+    if fmt == "json":
+        df.coalesce(1).write.mode("append").json(src)
+    else:
+        df.selectExpr("seq", "event_ts", "table", "row", "family",
+                      "qualifier", "ts", "op",
+                      "base64(value) AS value") \
+          .coalesce(1).write.mode("append").csv(src)
+
+    ix = IncrementalIndexer(
+        spark, IndexerConf.from_dict(CONF),
+        state_path=str(tmp_path / "state"),
+        index_path=str(tmp_path / "index"),
+    )
+    job = IndexerStreamJob(ix, str(tmp_path / "ckpt"))
+    events = read_event_stream(spark, src, format=fmt)
+    job.run_available(events)
+    got = {r["id"]: r["name_s"]
+           for r in IndexStore(str(tmp_path / "index")).read(spark).collect()}
+    assert got == {"r1": "alice2", "r2": "bob"}
