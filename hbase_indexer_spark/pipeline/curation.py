@@ -108,21 +108,30 @@ def curated_corpus(docs: DataFrame, min_tokens: int = 10,
     each stage the scale-path variant (map-only profile, one hash shuffle
     for exact dedup, LSH-banded near-dup pairs).  Returns the surviving
     docs with their metrics, ready to feed tokenization."""
+    from pyspark.sql import Window
+
     from hbase_indexer_spark.pipeline.dedup import minhash_lsh_dedup_pairs
     from hbase_indexer_spark.pipeline.text import quality_score, tokens
 
     t = tokens(F.col("text"))
     n = F.size(t)
-    profiled = docs.select(
-        "doc_id", "lang",
-        n.alias("n_tokens"),
-        quality_score(F.col("text"), n).alias("quality"),
-    ).filter((F.col("n_tokens") >= min_tokens)
-             & (F.col("quality") >= min_quality))
-    exact_keep = (
-        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
-        .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # profile metrics and the exact-dedup hash come out of ONE text scan;
+    # the keep decision is a window-min over the hash (one shuffle), not a
+    # second scan + self-semi-join — at 100 TB the text read is the cost
+    profiled = (
+        docs.select(
+            "doc_id", "lang",
+            n.alias("n_tokens"),
+            quality_score(F.col("text"), n).alias("quality"),
+            F.md5(F.col("text")).alias("h"),
+        )
+        .withColumn(
+            "keep",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")))
+        .filter((F.col("n_tokens") >= min_tokens)
+                & (F.col("quality") >= min_quality)
+                & F.col("keep"))
+        .drop("h", "keep")
     )
     losers = (
         minhash_lsh_dedup_pairs(docs, threshold=dedup_threshold)
@@ -130,7 +139,6 @@ def curated_corpus(docs: DataFrame, min_tokens: int = 10,
     )
     return (
         profiled
-        .join(exact_keep, "doc_id", "left_semi")
         .join(losers, "doc_id", "left_anti")
         .orderBy("doc_id")
     )
