@@ -72,6 +72,50 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     )
 
 
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224,
+                 backend: str = "fake") -> DataFrame:
+    """Resize stage plumbing: payload in, payload out with updated typed
+    metadata — the schema/batch shape a PIL/ffmpeg-backed resize would
+    have.  ``backend='fake'`` deterministically truncates or tile-pads the
+    payload to ``target_w * target_h`` bytes (so output size is exactly
+    what a real w x h x 1 resample would produce); real backends raise
+    until a decoder is plugged in.
+
+    Scale note: runs inside mapInPandas over Arrow batches — payload bytes
+    never leave the executor, and the stage preserves partitioning (no
+    shuffle)."""
+    if backend != "fake":
+        raise NotImplementedError(
+            f"backend {backend!r} requires media libraries not present in "
+            "this environment; plug a resampler into resize_media()"
+        )
+    target = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fit(b: bytes) -> bytes:
+                if len(b) >= target:
+                    return b[:target]
+                if not b:
+                    return bytes(target)
+                reps = -(-target // len(b))  # ceil-div tile pad
+                return (b * reps)[:target]
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload": pdf["payload"].map(fit),
+                "width": target_w,
+                "height": target_h,
+            })
+
+    return df.mapInPandas(
+        resize,
+        "doc_id long, media_type string, payload binary, "
+        "width int, height int",
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stage shape: one output row per sampled offset
     (UDTF-style fan-out through mapInPandas)."""

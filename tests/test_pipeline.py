@@ -157,3 +157,35 @@ def test_exact_dedup_partitions_docs(docs):
     groups = exact_dedup_groups(docs)
     total = groups.agg(F.sum("n_copies")).first()[0]
     assert total == docs.count()
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    """Resize stage: exact target payload size (truncate or tile-pad),
+    metadata updated, partitioning preserved (no shuffle in the plan)."""
+    import pytest
+
+    from hbase_indexer_spark.pipeline.multimodal import (
+        media_fixture,
+        resize_media,
+    )
+
+    media = media_fixture(spark, sf_dir)
+    out = resize_media(media, target_w=8, target_h=4)
+    rows = out.limit(200).collect()
+    assert rows
+    for r in rows:
+        assert len(r["payload"]) == 32
+        assert (r["width"], r["height"]) == (8, 4)
+    # empty payload pads with zero bytes
+    src = media.filter("octet_length(payload) = 0")
+    if src.count():
+        z = resize_media(src, 2, 2).first()
+        assert z["payload"] == bytes(4)
+    # tile-pad: short payload repeats
+    short = media.filter("octet_length(payload) BETWEEN 1 AND 5")
+    if short.count():
+        r = resize_media(short, 4, 4).first()
+        assert len(r["payload"]) == 16
+    assert "Exchange" not in resize_media(media, 4, 4)._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(NotImplementedError):
+        resize_media(media, backend="pil")
