@@ -153,3 +153,38 @@ def test_column_mode_delete_family_by_query(spark, tmp_path):
         ev(2, "r1", None, op="delete_family", family="info"),
     ], conf, n_chunks=2)
     assert out == {}
+
+
+def test_redelivered_batch_is_idempotent(spark, tmp_path):
+    """T1: at-least-once delivery -> effective exactly-once.  Structured
+    Streaming redelivers the LAST uncommitted micro-batch after a failure;
+    reapplying it against the already-updated state/index must be a no-op
+    (the MERGE-on-unique-key sink + set-oriented state replace)."""
+    conf = IndexerConf.from_dict(ROW_CONF)
+    b1 = spark.createDataFrame(
+        [ev(1, "r1", "name", "alice"), ev(2, "r2", "name", "bob")],
+        EVENT_SCHEMA)
+    b2 = spark.createDataFrame(
+        [ev(3, "r1", "name", "alicia"), ev(4, "r2", "mail", None,
+                                           op="delete_family"),
+         ev(5, "r3", "name", "carol")],
+        EVENT_SCHEMA)
+    ix = IncrementalIndexer(
+        spark, conf,
+        state_path=str(tmp_path / "state"),
+        index_path=str(tmp_path / "index"),
+    )
+    ix.process_batch(b1)
+    ix.process_batch(b2)
+    expect = {r["id"]: r.asDict()
+              for r in ix.index.read(spark).collect()}
+    assert set(expect) == {"r1", "r3"}          # r2 family-deleted
+    assert expect["r1"]["name_s"] == "alicia"
+
+    ix.process_batch(b2)                        # redelivery
+    again = {r["id"]: r.asDict() for r in ix.index.read(spark).collect()}
+    assert again == expect
+
+    ix.process_batch(b2)                        # and again
+    assert {r["id"]: r.asDict()
+            for r in ix.index.read(spark).collect()} == expect
