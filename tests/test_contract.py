@@ -1,0 +1,33 @@
+"""Driver-contract drift guards: every declared query keeps its oracle and
+its COVERAGE.md line, so the correctness gate can never silently narrow."""
+
+import __spark_entry__ as entry
+
+# genuinely non-SQL-expressible ops (iterative / approximate): the driver
+# records a rows-only check for these, and COVERAGE.md flags them
+ROWS_ONLY = {"ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed"}
+
+
+def test_every_query_has_oracle_or_is_declared_rows_only():
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert not (oracles - qs), f"oracle without query: {oracles - qs}"
+    missing = qs - oracles
+    assert missing == ROWS_ONLY, (
+        f"queries without oracle beyond the declared rows-only set: "
+        f"{missing ^ ROWS_ONLY}")
+
+
+def test_coverage_doc_mentions_every_gate_query():
+    with open("COVERAGE.md", encoding="utf-8") as f:
+        text = f.read()
+    missing = [q for q in entry.queries() if q not in text]
+    assert not missing, f"COVERAGE.md missing gate queries: {missing}"
+
+
+def test_bench_queries_are_registered():
+    import bench
+
+    qs = set(entry.queries())
+    unknown = [q for q in bench.BENCH_QUERIES if q not in qs]
+    assert not unknown, f"bench names unknown queries: {unknown}"
