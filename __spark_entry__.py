@@ -461,6 +461,32 @@ def q_etl_enrichment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_branching_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """if/tryRules branch stage, oracle-checked: high-value events get a
+    computed score, the rest a flag; streams re-unite with null-fill and
+    aggregate per branch."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config([
+        {"stage": "if_then_else", "condition": "value >= 100",
+         "then": [
+             {"stage": "set_field", "field": "tier", "value": "high"},
+             {"stage": "sql_expr", "field": "score",
+              "expr": "cast(floor(value / 10) as bigint)"},
+         ],
+         "else": [{"stage": "set_field", "field": "tier", "value": "low"}]},
+    ])
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        chain(e)
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("score").alias("sum_score"))
+        .orderBy("tier", "event_type")
+    )
+
+
 def q_custom_value_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 custom ByteArrayValueMapper by name: a CSV-ish splitter mapping
     one cell to multiple values (the IndexerIT.java:678-721 scenario)."""
@@ -955,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": q_stream_static_join,
         "morphline_chain": q_morphline_chain,
         "etl_enrichment_chain": q_etl_enrichment_chain,
+        "branching_chain": q_branching_chain,
         "custom_value_mapper": q_custom_value_mapper,
         "row_mapper_udtf": q_row_mapper_udtf,
         "doc_extract_prefix": q_doc_extract_prefix,
@@ -1225,6 +1252,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT {md5_shard_sql("CAST(c_custkey AS VARCHAR)", 8)} AS shard,
                count(*) AS cnt
         FROM customer GROUP BY 1 ORDER BY shard
+    """
+    out["branching_chain"] = """
+        SELECT CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS tier,
+               event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN value >= 100
+                             THEN CAST(floor(value / 10) AS BIGINT) END)
+                    AS BIGINT) AS sum_score
+        FROM events GROUP BY 1, 2 ORDER BY tier, event_type
     """
     out["etl_enrichment_chain"] = """
         SELECT strftime(ts, '%Y-%m-%d %H') AS hour_s,
