@@ -148,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--once", action="store_true",
                    help="single reconcile pass, then exit (for scripting)")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--events-format", default="parquet",
+                   choices=("parquet", "json", "csv"),
+                   help="event file format (binary values ride base64 in "
+                        "the text formats)")
 
     p = sub.add_parser(
         "batch-indexer",
@@ -265,7 +269,8 @@ def _server(args, model: IndexerModel, out) -> int:
 
     spark = get_spark("hbase-indexer-server")
     sup = IndexerSupervisor(spark, model, args.work_dir, args.events,
-                            max_files_per_trigger=args.max_files_per_trigger)
+                            max_files_per_trigger=args.max_files_per_trigger,
+                            events_format=args.events_format)
     try:
         while True:
             sup.sync(available_now=True)

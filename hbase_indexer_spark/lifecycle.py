@@ -151,12 +151,14 @@ class IndexerSupervisor:
     single driver-side loop (no ZK, no leader election)."""
 
     def __init__(self, spark: SparkSession, model: IndexerModel, work_dir: str,
-                 events_path: str, max_files_per_trigger: int | None = None):
+                 events_path: str, max_files_per_trigger: int | None = None,
+                 events_format: str = "parquet"):
         self.spark = spark
         self.model = model
         self.work_dir = work_dir
         self.events_path = events_path
         self.max_files_per_trigger = max_files_per_trigger
+        self.events_format = events_format
         self.jobs: dict[str, IndexerStreamJob] = {}
 
     # -- paths -------------------------------------------------------------
@@ -206,7 +208,8 @@ class IndexerSupervisor:
                 self.jobs[d.name] = job
             if job.query is None:
                 events = read_event_stream(
-                    self.spark, self.events_path, self.max_files_per_trigger
+                    self.spark, self.events_path, self.max_files_per_trigger,
+                    format=self.events_format,
                 )
                 if available_now:
                     job.run_available(events)

@@ -63,7 +63,8 @@ def _pending_event_files(events_path: str, processed: set[str]) -> list[str]:
         return []
     return sorted(
         n for n in names
-        if n.endswith(".parquet") and not n.startswith("_")
+        if n.endswith((".parquet", ".json", ".csv"))
+        and not n.startswith(("_", "."))
         and n not in processed
     )
 

@@ -261,3 +261,26 @@ def test_server_once(spark, tmp_path, conf_file):
     from hbase_indexer_spark.monitoring import replication_status
     (s,) = replication_status(model_dir, work_dir, src)
     assert s["caught_up"] and s["index_docs"] == 1
+
+
+def test_server_consumes_json_events(spark, tmp_path, conf_file):
+    """--events-format json: the supervisor consumes text-format WAL drops
+    end-to-end."""
+    model_dir = str(tmp_path / "model")
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    rc, _ = run(model_dir, "add-indexer", "-n", "ix1", "-c", conf_file)
+    assert rc == 0
+    spark.createDataFrame(
+        [(1, 1, "t", "r1", "info", "name", 1, "put", b"alice")],
+        "seq long, event_ts long, table string, row string, family string, "
+        "qualifier string, ts long, op string, value binary",
+    ).coalesce(1).write.mode("append").json(src)
+
+    work_dir = str(tmp_path / "work")
+    rc, out = run(model_dir, "server", "--work-dir", work_dir,
+                  "--events", src, "--events-format", "json", "--once")
+    assert rc == 0
+    sup = IndexerSupervisor(spark, IndexerModel(model_dir), work_dir, src)
+    assert {r["id"]: r["name_s"] for r in sup.read_index("ix1").collect()} \
+        == {"r1": "alice"}
