@@ -293,3 +293,47 @@ def conf_from_xml(xml_text: str) -> IndexerConf:
 def conf_from_xml_file(path: str) -> IndexerConf:
     with open(path, encoding="utf-8") as f:
         return conf_from_xml(f.read())
+
+
+def conf_to_xml(conf: IndexerConf) -> str:
+    """Render an :class:`IndexerConf` as a reference-format ``<indexer>``
+    document (the inverse of :func:`conf_from_xml`) — lets an engine-native
+    definition be exported back into the ``indexerconf.xsd`` shape a
+    reference deployment consumes.
+
+    ``transform_stages`` have no xsd representation (they are the
+    morphline file, shipped separately in the reference) and are not
+    rendered; everything else round-trips:
+    ``conf_from_xml(conf_to_xml(c)) == replace(c, transform_stages=())``.
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("indexer", {"table": conf.table})
+    defaults = IndexerConf(table=conf.table)
+    for attr, xml_attr in [
+        ("mapping_type", "mapping-type"), ("read_row", "read-row"),
+        ("mapper", "mapper"), ("unique_key_field", "unique-key-field"),
+        ("row_field", "row-field"),
+        ("column_family_field", "column-family-field"),
+        ("table_name_field", "table-name-field"),
+        ("unique_key_formatter", "unique-key-formatter"),
+    ]:
+        v = getattr(conf, attr)
+        if v is not None and v != getattr(defaults, attr):
+            root.set(xml_attr, v)
+    for f in conf.fields:
+        el = ET.SubElement(root, "field", {
+            "name": f.name,
+            "value": f"{f.family}:{f.qualifier}{'*' if f.wildcard else ''}",
+        })
+        if f.source != SOURCE_VALUE:
+            el.set("source", f.source)
+        if f.type != "string":
+            el.set("type", f.type)
+        if f.output_fields:
+            el.set("output-fields", ",".join(f.output_fields))
+        for k, v in f.params:
+            ET.SubElement(el, "param", {"name": k, "value": str(v)})
+    for k, v in conf.variables:
+        ET.SubElement(root, "param", {"name": k, "value": str(v)})
+    return ET.tostring(root, encoding="unicode")

@@ -79,3 +79,71 @@ def test_chunking_invariance(spark, log):
 def test_bucketed_equals_plain(spark, log):
     rows = to_rows(log)
     assert replay(spark, rows, 2) == replay(spark, rows, 2, n_buckets=3)
+
+
+# -- XML conf round-trip (conf_to_xml is the inverse of conf_from_xml) ------
+
+_ident = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1,
+                 max_size=8)
+_types = st.sampled_from(["string", "int", "long", "float", "double",
+                          "boolean"])
+
+
+@st.composite
+def _field_dicts(draw):
+    wildcard = draw(st.booleans())
+    name = draw(_ident) + ("*" if wildcard and draw(st.booleans()) else "")
+    d = {
+        "name": name,
+        "value": f"{draw(_ident)}:{draw(_ident)}{'*' if wildcard else ''}",
+        "type": draw(_types),
+    }
+    if wildcard:
+        if draw(st.booleans()):
+            d["source"] = "qualifier"
+        if not name.endswith("*") and draw(st.booleans()):
+            d["output_fields"] = draw(
+                st.lists(_ident, min_size=1, max_size=3))
+    return d
+
+
+@st.composite
+def _conf_dicts(draw):
+    d = {
+        "table": draw(_ident),
+        "unique_key_field": draw(_ident),
+        "unique_key_formatter": draw(st.sampled_from(["string", "hex"])),
+        # uniquify output names by index — duplicate doc-field names are
+        # rejected by IndexerConf.validate, not a round-trip concern
+        "fields": [
+            {**f,
+             "name": f"f{i}_" + f["name"],
+             **({"output_fields": [f"o{i}_{j}_{n}" for j, n in
+                 enumerate(f["output_fields"])]}
+                if "output_fields" in f else {})}
+            for i, f in enumerate(
+                draw(st.lists(_field_dicts(), min_size=1, max_size=5)))
+        ],
+    }
+    if draw(st.booleans()):
+        d["mapping_type"] = "column"
+        d["row_field"] = draw(_ident)
+        d["column_family_field"] = draw(_ident)
+    if draw(st.booleans()):
+        d["variables"] = draw(
+            st.dictionaries(_ident, _ident, max_size=3))
+    return d
+
+
+@settings(max_examples=100, deadline=None)
+@given(_conf_dicts())
+def test_conf_xml_roundtrip(conf_dict):
+    """conf_from_xml(conf_to_xml(c)) == c for every XML-expressible conf."""
+    from hbase_indexer_spark.config.indexer_conf import (
+        IndexerConf,
+        conf_from_xml,
+        conf_to_xml,
+    )
+
+    c = IndexerConf.from_dict(conf_dict)
+    assert conf_from_xml(conf_to_xml(c)) == c
