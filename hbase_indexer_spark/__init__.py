@@ -14,3 +14,46 @@ the same semantics Spark-first:
 """
 
 __version__ = "0.1.0"
+
+# lazy public API (PEP 562): importing the package stays light; names
+# resolve on first touch
+_EXPORTS = {
+    "IndexerConf": "hbase_indexer_spark.config.indexer_conf",
+    "FieldDef": "hbase_indexer_spark.config.indexer_conf",
+    "conf_from_xml": "hbase_indexer_spark.config.indexer_conf",
+    "conf_from_xml_file": "hbase_indexer_spark.config.indexer_conf",
+    "conf_to_xml": "hbase_indexer_spark.config.indexer_conf",
+    "build_index": "hbase_indexer_spark.plans.batch",
+    "IncrementalIndexer": "hbase_indexer_spark.plans.incremental",
+    "IndexStore": "hbase_indexer_spark.sinks.index_store",
+    "BucketedIndexStore": "hbase_indexer_spark.sinks.bucket_store",
+    "IndexerModel": "hbase_indexer_spark.lifecycle",
+    "IndexerDefinition": "hbase_indexer_spark.lifecycle",
+    "IndexerSupervisor": "hbase_indexer_spark.lifecycle",
+    "IndexerStreamJob": "hbase_indexer_spark.streaming.stream",
+    "read_event_stream": "hbase_indexer_spark.streaming.stream",
+    "TransformChain": "hbase_indexer_spark.operators.transform",
+    "register_stage": "hbase_indexer_spark.operators.transform",
+    "register_row_mapper": "hbase_indexer_spark.operators.transform",
+    "register_value_mapper": "hbase_indexer_spark.functions.bytes_codec",
+    "get_spark": "hbase_indexer_spark.session",
+    "replication_status": "hbase_indexer_spark.monitoring",
+    "replication_wait": "hbase_indexer_spark.monitoring",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    try:
+        module = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(module), name)
+
+
+def __dir__():
+    return __all__

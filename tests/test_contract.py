@@ -31,3 +31,14 @@ def test_bench_queries_are_registered():
     qs = set(entry.queries())
     unknown = [q for q in bench.BENCH_QUERIES if q not in qs]
     assert not unknown, f"bench names unknown queries: {unknown}"
+
+
+def test_public_api_exports_resolve():
+    import hbase_indexer_spark as pkg
+
+    for name in pkg.__all__:
+        assert getattr(pkg, name) is not None
+    import pytest
+
+    with pytest.raises(AttributeError):
+        pkg.not_a_real_export
