@@ -76,22 +76,32 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        # fault-isolated: one broken query must not zero the whole bench
+        try:
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            times[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg.splitlines()[0][:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf else None,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -344,6 +344,80 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.4,
     return emb.select(id_col, vec_col).mapInPandas(part, "x long, y long")
 
 
+def embedding_cosine_pairs_blocked(emb: DataFrame, threshold: float = 0.4,
+                                   n_blocks: int = 8,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine near-dup pairs, fully distributed: block-partitioned
+    all-pairs matmul (the classic blocked similarity join).
+
+    Rows hash into ``n_blocks`` blocks; every unordered block pair
+    (i <= j) is one cogroup task that compares its two blocks with a
+    single numpy matmul.  No driver-side collect, no broadcast of the
+    corpus: shuffle volume is O(rows x n_blocks) and each task holds two
+    1/n_blocks fractions of the corpus — size n_blocks ~ sqrt(cluster
+    parallelism) so tasks stay memory-bounded at any corpus size.  Same
+    output as ``embedding_cosine_pairs`` (exact, deterministic); use the
+    LSH variant when even O(n^2/B) flops is too much.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    B = n_blocks
+    blocked = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("b"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(B) if i <= j],
+        "bi int, bj int",
+    )
+    left = (
+        blocked.alias("l")
+        .join(F.broadcast(pairs.alias("pl")),
+              F.col("l.b") == F.col("pl.bi"))
+        .select(F.col("pl.bi").alias("bi"), F.col("pl.bj").alias("bj"),
+                F.col("l.id").alias("id"), F.col("l.v").alias("v"))
+    )
+    right = (
+        blocked.alias("r")
+        .join(F.broadcast(pairs.alias("pr")),
+              F.col("r.b") == F.col("pr.bj"))
+        .select(F.col("pr.bi").alias("bi"), F.col("pr.bj").alias("bj"),
+                F.col("r.id").alias("id2"), F.col("r.v").alias("v2"))
+    )
+
+    def compare(key, lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"x": [], "y": []}).astype("int64")
+        lm = np.array(list(lpdf["v"]), dtype=np.float64)
+        rm = np.array(list(rpdf["v2"]), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        li = lpdf["id"].to_numpy()
+        ri = rpdf["id2"].to_numpy()
+        ii, jj = np.nonzero(sims >= threshold)
+        x, y = li[ii], ri[jj]
+        # same-block tasks see every pair twice (and self-pairs once);
+        # cross-block pairs appear exactly once — orient to x < y
+        keep = x != y
+        x, y = x[keep], y[keep]
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        if key[0] == key[1]:
+            keep2 = x < y
+            lo, hi = x[keep2], y[keep2]
+        return pd.DataFrame({"x": lo, "y": hi})
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(compare, "x long, y long")
+    )
+
+
 def embedding_cosine_pairs_sql(threshold: float = 0.4) -> str:
     return f"""
         SELECT a.vec_id AS x, b.vec_id AS y

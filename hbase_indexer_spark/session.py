@@ -29,9 +29,6 @@ def get_spark(app_name: str = "hbase-indexer-spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # driver testdata stores event ts as parquet TIMESTAMP(NANOS), which
-        # Spark rejects by default; read it as a raw nanos long instead
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

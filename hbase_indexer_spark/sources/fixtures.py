@@ -145,12 +145,14 @@ def event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seq, event_ts) + canonical cell columns.  Cell ts = seq (= event_id,
     unique & monotone with arrival order) so last-event-wins (A1) and
     tombstone ordering are deterministic and SQL-mirrorable."""
+    from hbase_indexer_spark.functions.timeutil import ts_millis
+
     e = load(spark, sf_dir, "events")
-    # ts arrives as a raw nanos long (see session.py nanosAsLong); WAL write
-    # time in ms = ns div 1e6 (floor, same as DuckDB epoch_ms on TIMESTAMP_NS)
+    # WAL write time in ms, dtype-aware (Spark 4 reads the parquet
+    # TIMESTAMP(NANOS) as timestamp_ntz; see functions/timeutil.py)
     return e.select(
         F.col("event_id").alias("seq"),
-        F.expr("ts div 1000000").alias("event_ts"),
+        ts_millis(e).alias("event_ts"),
         F.lit(EVENT_TABLE).alias("table"),
         F.col("user_id").cast("string").alias("row"),
         F.lit("info").alias("family"),

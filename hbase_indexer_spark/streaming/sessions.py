@@ -59,12 +59,13 @@ FLUSH_EVENT_TYPE = "__flush__"
 
 def event_times(events: DataFrame) -> DataFrame:
     """Project the driver's events table to the sessionization input.
-    ``ts`` arrives as raw parquet NANOS (long) — integer floor-divide to
-    ms, matching DuckDB's ``epoch_ms(ts)`` (fp division would lose
-    precision: epoch-ns exceeds a double's 53-bit mantissa)."""
+    Epoch-ms derivation is dtype-aware (``functions/timeutil.ts_millis``)
+    and matches DuckDB's ``epoch_ms(ts)`` exactly (integer floor)."""
+    from hbase_indexer_spark.functions.timeutil import ts_millis
+
     return events.select(
         "user_id",
-        F.expr("ts DIV 1000000").alias("ts_ms"),
+        ts_millis(events).alias("ts_ms"),
         "event_type",
     )
 

@@ -167,6 +167,24 @@ def test_embedding_lsh_subset_of_exact(spark, sf_dir):
     assert approx <= exact
 
 
+def test_embedding_blocked_matches_exact(spark, sf_dir):
+    """The distributed blocked matmul (no driver collect) is bit-identical
+    to the broadcast exact path."""
+    from hbase_indexer_spark.pipeline.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["x"], r["y"]) for r in
+             embedding_cosine_pairs(emb, threshold=0.4).collect()}
+    blocked = [(r["x"], r["y"]) for r in
+               embedding_cosine_pairs_blocked(emb, threshold=0.4,
+                                              n_blocks=4).collect()]
+    assert len(blocked) == len(set(blocked))  # each pair exactly once
+    assert set(blocked) == exact
+
+
 def test_kite_parity_stages(spark):
     """convertTimestamp / grok-regex / extractJsonPaths /
     sanitizeUnknownSolrFields analogs (Kite command library surface the
