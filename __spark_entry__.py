@@ -483,6 +483,56 @@ def q_etl_enrichment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 avro path: readAvroContainer + extractAvroPaths morphline pair
+    (morphlines.conf:40-48).  Containers are built per customer from their
+    orders with the engine's own OCF encoder, then decoded/extracted/
+    aggregated through the stage chain — an encode -> decode round-trip
+    over real container framing."""
+    import pandas as pd
+
+    from hbase_indexer_spark.functions.avro_codec import encode_container
+    from hbase_indexer_spark.operators.transform import TransformChain
+    from hbase_indexer_spark.sources.fixtures import load
+
+    schema = {
+        "type": "record", "name": "Order",
+        "fields": [
+            {"name": "orderkey", "type": "long"},
+            {"name": "priority", "type": "string"},
+            {"name": "total", "type": "double"},
+        ],
+    }
+
+    def pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("o_orderkey")
+        recs = [
+            {"orderkey": int(k), "priority": p, "total": float(t)}
+            for k, p, t in zip(pdf["o_orderkey"], pdf["o_orderpriority"],
+                               pdf["o_totalprice"])
+        ]
+        return pd.DataFrame({"custkey": [int(key[0])],
+                             "body": [encode_container(schema, recs)]})
+
+    o = load(spark, sf_dir, "orders")
+    packed = o.groupBy("o_custkey").applyInPandas(pack, "custkey long, body binary")
+    chain = TransformChain.from_config([
+        {"stage": "read_avro_container", "field": "body"},
+        {"stage": "extract_avro_paths",
+         "paths": {"orderkey": "/orderkey", "priority": "/priority",
+                   "total": "/total"},
+         "types": {"orderkey": "long", "total": "double"}},
+    ])
+    return (
+        chain(packed)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.count_distinct("priority").alias("n_priorities"),
+             F.sum(F.col("total").cast("decimal(18,2)")).cast("double")
+             .alias("sum_total"))
+    )
+
+
 def q_branching_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """if/tryRules branch stage, oracle-checked: high-value events get a
     computed score, the rest a flag; streams re-unite with null-fill and
@@ -1019,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": q_stream_static_join,
         "morphline_chain": q_morphline_chain,
         "etl_enrichment_chain": q_etl_enrichment_chain,
+        "avro_container_decode": q_avro_container_decode,
         "branching_chain": q_branching_chain,
         "custom_value_mapper": q_custom_value_mapper,
         "row_mapper_udtf": q_row_mapper_udtf,
@@ -1047,8 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "media_frame_sample": q_media_frame_sample,
-        "media_features": q_media_features,
         # ------------- 50-query gate window ends around here -------------
+        "media_features": q_media_features,
         "ann_ivf_topk": q_ann_ivf_topk,
         "stratified_sample": q_stratified_sample,
         "nation_set_ops": q_nation_set_ops,
@@ -1312,6 +1363,14 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS sum_k,
                CAST(count(DISTINCT substr(event_type, 2)) AS BIGINT) AS n_types
         FROM events GROUP BY 1, 2 ORDER BY hour_s, ev_head
+    """
+    out["avro_container_decode"] = """
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               count(DISTINCT o_orderpriority) AS n_priorities,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_total
+        FROM orders GROUP BY o_custkey
     """
     out["event_time_rollup"] = """
         SELECT date_trunc('day', ts) AS day, event_type,

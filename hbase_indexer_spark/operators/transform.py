@@ -175,6 +175,48 @@ def _extract_json_paths(params: dict) -> Stage:
         {out: F.get_json_object(F.col(name), p) for out, p in paths.items()})
 
 
+@register_stage("read_avro_container")
+def _read_avro_container(params: dict) -> Stage:
+    """``readAvroContainer`` analog (morphlines.conf:40-41 pairs it with a
+    byte[]-typed extractHBaseCells output): parse the Avro Object
+    Container File bytes in ``field`` — schema is embedded in the
+    container — and emit ONE ROW PER CONTAINED RECORD (morphline commands
+    are record multiplicators), each record as canonical JSON in
+    ``into``.  One Arrow-batched python hop; pair with
+    ``extract_avro_paths`` which stays JVM-side."""
+    name = params.get("field", "_attachment_body")
+    into = params.get("into", "avro_json")
+    keep_source = params.get("keep_source", False)
+
+    def stage(df: DataFrame) -> DataFrame:
+        from hbase_indexer_spark.functions.avro_codec import container_to_json
+
+        out = df.withColumn(into, F.explode(container_to_json(F.col(name))))
+        return out if keep_source else out.drop(name)
+
+    return stage
+
+
+@register_stage("extract_avro_paths")
+def _extract_avro_paths(params: dict) -> Stage:
+    """``extractAvroPaths`` analog (morphlines.conf:43-47): ``paths`` maps
+    output field -> record path (``/user_name`` like the reference config,
+    nested ``/a/b`` supported); optional ``types`` casts the extracted
+    text.  Runs as get_json_object + cast — whole-stage codegen, no
+    python."""
+    src = params.get("field", "avro_json")
+    paths = params["paths"]
+    types = params.get("types", {})
+
+    def col_for(path: str) -> F.Column:
+        jp = "$" + path.replace("/", ".")
+        return F.get_json_object(F.col(src), jp)
+
+    return lambda df: df.withColumns(
+        {out: (col_for(p).cast(types[out]) if out in types else col_for(p))
+         for out, p in paths.items()})
+
+
 @register_stage("sanitize_unknown_fields")
 def _sanitize_unknown_fields(params: dict) -> Stage:
     """``sanitizeUnknownSolrFields`` analog (used by the reference's MR
