@@ -177,8 +177,14 @@ class IncrementalIndexer:
             # collide on bare rowkey when replacing a key space)
             self.state = BucketedIndexStore(state_path, key="_k",
                                             n_buckets=n_buckets)
+            # column-mode: bucket the per-cell docs by their ROW field so
+            # row-scoped delete-by-query (K8) prunes to touched buckets
+            bucket_field = (conf.row_field
+                            if conf.mapping_type == "column" and conf.row_field
+                            else None)
             self.index = BucketedIndexStore(index_path, key=conf.unique_key_field,
-                                            n_buckets=n_buckets)
+                                            n_buckets=n_buckets,
+                                            bucket_field=bucket_field)
         else:
             self.state = IndexStore(state_path, key="row")
             self.index = IndexStore(index_path, key=conf.unique_key_field)
@@ -276,11 +282,21 @@ class IncrementalIndexer:
         )
         # F4 delete classification (Indexer.java:361-384):
         # delete_column -> delete by formatted KeyValue id (a later put in the
-        # same batch re-adds: merge applies deletes before adds)
-        del_ids = batch_cells.filter(F.col("op") == "delete_column").select(
+        # same batch re-adds: merge applies deletes before adds).  The key
+        # stays FIRST; the formatted row rides along when configured so a
+        # row-bucketed store can derive each delete's bucket.
+        del_id_cols = [
             keyvalue_id_expr(conf, F.col("row"), F.col("family"), F.col("qualifier"))
             .alias(conf.unique_key_field)
-        )
+        ]
+        if conf.row_field:
+            from hbase_indexer_spark.functions import unique_key as uk
+
+            fmt_row = (uk.format_row_hex if conf.unique_key_formatter == "hex"
+                       else uk.format_row_string)
+            del_id_cols.append(fmt_row(F.col("row")).alias(conf.row_field))
+        del_ids = batch_cells.filter(F.col("op") == "delete_column") \
+            .select(*del_id_cols)
         # delete_row / delete_family -> delete-by-query (K8) against the
         # configured row/cf fields; missing config = warn & skip, matching
         # Indexer.java:404-410,420-426
@@ -310,12 +326,20 @@ class IncrementalIndexer:
                     "\x00", F.col(conf.row_field), F.col(conf.column_family_field)
                 )
                 preds.append(pair.isin(["\x00".join(p) for p in fam_dels]))
+        # every delete-by-query above is row-scoped: the touched row set
+        # bounds it, so a row-bucketed store prunes to those buckets
+        scope_rows = sorted({fv(r["row"]) for r in dels}) if conf.row_field and preds else []
+        delete_scope = (
+            self.spark.createDataFrame([(v,) for v in scope_rows], "rowval string")
+            if scope_rows else None
+        )
         from pyspark.sql import Observation
 
         obs = Observation()
         adds = adds.observe(obs, F.count(F.lit(1)).alias("adds"))
         self.index.merge(self.spark, adds=adds, delete_ids=del_ids,
-                         delete_predicates=preds or None)
+                         delete_predicates=preds or None,
+                         delete_scope=delete_scope)
         self.metrics["docs_upserted"] = obs.get["adds"]
 
     # -- entry points ------------------------------------------------------

@@ -35,12 +35,23 @@ BUCKET_COL = "_b"
 
 
 class BucketedIndexStore:
-    """A keyed materialized view with bucket-granular copy-on-write MERGE."""
+    """A keyed materialized view with bucket-granular copy-on-write MERGE.
 
-    def __init__(self, path: str, key: str = "id", n_buckets: int = 16):
+    ``bucket_field`` (default: the key) picks the column rows are hash-
+    bucketed on.  A column-mode index (one doc per cell, key = formatted
+    KeyValue id) should bucket on its ROW field instead of the id: every
+    cell of a row then lands in one bucket, so row-scoped delete-by-query
+    (K8 delete_row/delete_family) prunes to the deleted rows' buckets
+    instead of forcing a full-view rewrite — the same reason HBase itself
+    keys regions by row, not by cell.
+    """
+
+    def __init__(self, path: str, key: str = "id", n_buckets: int = 16,
+                 bucket_field: str | None = None):
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        self.bucket_field = bucket_field or key
 
     def bucket_of(self, col: Column) -> Column:
         return F.pmod(F.xxhash64(col.cast("string")), F.lit(self.n_buckets))
@@ -128,7 +139,7 @@ class BucketedIndexStore:
         is derived from the key here and exists only in the layout, never as
         a data column)."""
         out_dir = os.path.join(self.path, f"v={v}")
-        tagged = df.withColumn(BUCKET_COL, self.bucket_of(F.col(self.key)))
+        tagged = df.withColumn(BUCKET_COL, self.bucket_of(F.col(self.bucket_field)))
         (
             tagged.repartition(F.col(BUCKET_COL))
             .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
@@ -144,6 +155,19 @@ class BucketedIndexStore:
         """Full rebuild publish (K6)."""
         self._publish(self._write_version(df, self.current_version() + 1))
 
+    def _bucket_values(self, df: DataFrame) -> Column:
+        """The bucket of each row of a changed-key frame: taken from the
+        bucket_field column when the frame carries it, else from the key
+        (only valid when the store buckets by key)."""
+        if self.bucket_field in df.columns:
+            return self.bucket_of(F.col(self.bucket_field))
+        if self.bucket_field != self.key:
+            raise ValueError(
+                f"changed-key frame must carry bucket column "
+                f"{self.bucket_field!r} (store is not bucketed by key)")
+        col = self.key if self.key in df.columns else df.columns[0]
+        return self.bucket_of(F.col(col))
+
     def merge(
         self,
         spark: SparkSession | None = None,
@@ -151,21 +175,26 @@ class BucketedIndexStore:
         delete_ids: DataFrame | None = None,
         delete_predicates: list[Column] | None = None,
         replace_keys: DataFrame | None = None,
+        delete_scope: DataFrame | None = None,
     ) -> None:
         """Bucket-granular MERGE: same contract as IndexStore.merge, but
         only buckets containing changed keys are read and rewritten.
 
-        ``delete_predicates`` cannot be key-bounded (delete-by-query may hit
-        any bucket), so passing them forces a full-view rewrite — exactly
-        the reason the reference treats deleteByQuery as the heavyweight
-        operation (DirectSolrInputDocumentWriter.java:176-193).
+        ``delete_predicates`` alone cannot be key-bounded (delete-by-query
+        may hit any bucket), so they force a full-view rewrite — the reason
+        the reference treats deleteByQuery as the heavyweight operation
+        (DirectSolrInputDocumentWriter.java:176-193).  When the caller DOES
+        know the bound — row-scoped deletes on a row-bucketed store — it
+        passes ``delete_scope``: a one-column frame of bucket_field values
+        the predicates are confined to, and the merge prunes to those
+        buckets like any keyed change.
         """
         if self.current_version() < 0:
             if adds is not None:
                 self.overwrite(adds)
             return
 
-        if delete_predicates:
+        if delete_predicates and delete_scope is None:
             base = self.read()
             assert base is not None
             for pred in delete_predicates:
@@ -174,22 +203,29 @@ class BucketedIndexStore:
         else:
             # the changed-key set (small: bounded by the batch) -> touched
             # buckets; everything else keeps its existing files
-            changed = None
-            for ks in (adds.select(self.key) if adds is not None else None,
-                       delete_ids, replace_keys):
+            changed_buckets = []
+            for ks in (adds, delete_ids, replace_keys):
                 if ks is not None:
-                    k = ks.select(F.col(ks.columns[0]).alias(self.key))
-                    changed = k if changed is None else changed.unionByName(k)
-            if changed is None:
+                    changed_buckets.append(
+                        ks.select(self._bucket_values(ks).alias("b")))
+            if delete_scope is not None:
+                # scope frame holds bucket_field VALUES by contract
+                changed_buckets.append(delete_scope.select(
+                    self.bucket_of(F.col(delete_scope.columns[0])).alias("b")))
+            if not changed_buckets:
                 return
-            touched = {
-                r["b"] for r in
-                changed.select(self.bucket_of(F.col(self.key)).alias("b"))
-                .distinct().collect()
-            }
+            allb = changed_buckets[0]
+            for extra in changed_buckets[1:]:
+                allb = allb.unionByName(extra)
+            touched = {r["b"] for r in allb.distinct().collect()}
             dirs = self._bucket_dirs()
             untouched_dirs = {b: d for b, d in dirs.items() if b not in touched}
             base = self.read_buckets(touched)
+            if base is not None and delete_predicates:
+                # predicates are scope-confined, so filtering only the
+                # touched buckets equals filtering the full view
+                for pred in delete_predicates:
+                    base = base.filter(~F.coalesce(pred, F.lit(False)))
 
         out = base
         if out is not None:

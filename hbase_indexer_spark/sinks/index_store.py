@@ -96,10 +96,15 @@ class IndexStore:
         delete_ids: DataFrame | None = None,
         delete_predicates: list[Column] | None = None,
         replace_keys: DataFrame | None = None,
+        delete_scope: DataFrame | None = None,
     ) -> None:
         """One batch changeset, applied in the reference's order: deletes by
         query, deletes by id, then adds (an add for an id wins over an
         earlier state — SolrUpdateCollector add-overwrites semantics).
+
+        ``delete_scope`` is accepted for signature parity with the bucketed
+        store (which uses it to prune delete-by-query I/O); the plain store
+        rewrites the whole view regardless, so it is ignored here.
 
         ``replace_keys``: when the changeset fully covers a key space (every
         key in it is either re-added or implicitly deleted — the row-mode

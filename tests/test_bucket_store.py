@@ -70,6 +70,48 @@ def test_delete_predicates_force_full_rewrite(spark, store):
     assert as_dict(store.read()) == {"a": 1}
 
 
+def test_scoped_delete_predicates_prune_buckets(spark, tmp_path):
+    """K8 delete-by-query with a known key bound: only the scoped rows'
+    buckets are read/rewritten; every other bucket keeps its files."""
+    store = BucketedIndexStore(str(tmp_path / "rb"), key="cell_id",
+                               n_buckets=8, bucket_field="row_s")
+    base = spark.createDataFrame(
+        [(f"r{i}-f-q{j}", f"r{i}", i * 10 + j) for i in range(16) for j in range(2)],
+        "cell_id string, row_s string, v long",
+    )
+    store.overwrite(base)
+    before = store._bucket_dirs()
+    scope = spark.createDataFrame([("r3",)], "rowval string")
+    store.merge(delete_predicates=[F.col("row_s").isin(["r3"])],
+                delete_scope=scope)
+    after = store._bucket_dirs()
+    touched = spark.range(1).select(
+        store.bucket_of(F.lit("r3")).alias("b")).first()["b"]
+    moved = {b for b in after if after[b] != before.get(b)}
+    assert moved <= {touched}, f"only r3's bucket may move, got {moved}"
+    got = {r["cell_id"] for r in store.read().collect()}
+    assert not any(c.startswith("r3-") for c in got)
+    assert len(got) == 30  # 16*2 - 2 deleted cells
+
+
+def test_row_bucketed_delete_ids_carry_bucket_column(spark, tmp_path):
+    """delete_ids on a row-bucketed store derive buckets from the
+    carried row column; merging without it raises."""
+    store = BucketedIndexStore(str(tmp_path / "rb2"), key="cell_id",
+                               n_buckets=4, bucket_field="row_s")
+    base = spark.createDataFrame(
+        [("r1-f-a", "r1", 1), ("r1-f-b", "r1", 2), ("r2-f-a", "r2", 3)],
+        "cell_id string, row_s string, v long",
+    )
+    store.overwrite(base)
+    dels = spark.createDataFrame([("r1-f-a", "r1")], "cell_id string, row_s string")
+    store.merge(delete_ids=dels)
+    assert {r["cell_id"] for r in store.read().collect()} == {"r1-f-b", "r2-f-a"}
+    with pytest.raises(ValueError, match="bucket column"):
+        store.merge(delete_ids=spark.createDataFrame([("r2-f-a",)],
+                                                     "cell_id string"))
+
+
 def test_gc_drops_unreferenced_versions(spark, store):
     store.overwrite(docs(spark, [("a", 1)]))
     for i in range(4):
