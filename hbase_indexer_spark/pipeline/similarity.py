@@ -119,46 +119,150 @@ def hyperplane_sketch(v: Column, dim: int, n_bits: int = 12,
     return sig
 
 
-def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64,
-             n_bits: int = 8, probe_bits: int = 2) -> DataFrame:
-    """Approximate top-k: bucket corpus by hyperplane sketch, probe the
-    query's bucket plus all <=probe_bits-flip neighbors, exact re-rank
-    within.  Probed fraction = C(n_bits,<=probe_bits) / 2^n_bits — tune
-    n_bits up with corpus size (16 bits + 2-probe at 10^9 vectors touches
-    ~0.2% of the corpus per query); recall rises with how clustered the
-    embedding space is."""
-    sketched = emb.withColumn("bkt", hyperplane_sketch(F.col("embedding"), dim, n_bits))
-    q = sketched.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("bkt").alias("qbkt"),
-    )
+def _probe_masks(n_bits: int, probe_bits: int) -> list[int]:
+    """Bucket ids to probe around a query's sketch: the bucket itself plus
+    every bucket within ``probe_bits`` bit-flips (multi-probe LSH)."""
     masks = [0] + [1 << b for b in range(n_bits)]
     if probe_bits >= 2:
         masks += [
             (1 << a) | (1 << b)
             for a in range(n_bits) for b in range(a + 1, n_bits)
         ]
-    probes = q.select(
-        "query_id", "qv",
-        F.explode(
-            F.array(*[
-                F.col("qbkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks
-            ])
-        ).alias("bkt"),
-    )
-    cands = sketched.join(F.broadcast(probes), "bkt").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored = cands.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    if probe_bits >= 3:
+        masks += [
+            (1 << a) | (1 << b) | (1 << c)
+            for a in range(n_bits)
+            for b in range(a + 1, n_bits)
+            for c in range(b + 1, n_bits)
+        ]
+    return masks
+
+
+def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64,
+             n_bits: int = 8, probe_bits: int = 2, n_tables: int = 1,
+             with_sim: bool = False) -> DataFrame:
+    """Approximate top-k: bucket corpus by hyperplane sketch, probe the
+    query's bucket plus all <=probe_bits-flip neighbors, exact re-rank
+    within.  Probed fraction = C(n_bits,<=probe_bits) / 2^n_bits — tune
+    n_bits up with corpus size (16 bits + 2-probe at 10^9 vectors touches
+    ~0.2% of the corpus per query); recall rises with how clustered the
+    embedding space is.
+
+    ``n_tables`` > 1 enables OR-amplification: candidates are unioned
+    across independent hyperplane families (plane_offset = t * n_bits), so
+    a true neighbor is missed only if EVERY table misses it — miss
+    probability decays geometrically in n_tables at ~n_tables× probe cost.
+    This, not probe widening, is the recall lever at scale.
+
+    ``with_sim`` appends ``sim_q`` — the neighbor's exact cosine rounded to
+    4 decimals — so an external oracle can verify every returned row is
+    truthful even though the candidate set is approximate.
+    """
+    masks = _probe_masks(n_bits, probe_bits)
+    per_table = []
+    for t in range(n_tables):
+        off = t * n_bits
+        sketched = emb.withColumn(
+            "bkt", hyperplane_sketch(F.col("embedding"), dim, n_bits, plane_offset=off)
+        )
+        q = sketched.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+            F.col("bkt").alias("qbkt"),
+        )
+        probes = q.select(
+            "query_id", "qv",
+            F.explode(
+                F.array(*[
+                    F.col("qbkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks
+                ])
+            ).alias("bkt"),
+        )
+        cands = sketched.join(F.broadcast(probes), "bkt").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        per_table.append(cands.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+        ))
+    scored = per_table[0]
+    for extra in per_table[1:]:
+        scored = scored.unionByName(extra)
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
     )
+    if with_sim:
+        return ranked.select(
+            "query_id", "neighbor_id", "rank",
+            F.round(F.col("sim"), 4).alias("sim_q"),
+        )
+    return ranked.select("query_id", "neighbor_id", "rank")
+
+
+def lsh_topk_sql(query_ids: list[int], k: int = 5, dim: int = 64,
+                 n_bits: int = 8, probe_bits: int = 2, n_tables: int = 1,
+                 with_sim: bool = False) -> str:
+    """ANSI-SQL mirror of :func:`lsh_topk` for the DuckDB oracle.
+
+    The LSH pipeline is fully deterministic (LCG hyperplanes, fixed probe
+    masks), so the whole approximate path — sketch, multi-probe bucket
+    join, OR-amplified candidate union, exact re-rank — is expressible as
+    SQL with the plane components inlined as literals.  A hash-match
+    against this oracle therefore verifies the approximate result EXACTLY:
+    the candidate generation, the dedup, the ranking, and (``with_sim``)
+    each returned neighbor's true cosine.
+    """
+    ids = ", ".join(str(i) for i in query_ids)
+    masks = ", ".join(str(m) for m in _probe_masks(n_bits, probe_bits))
+
+    def sketch_expr(off: int) -> str:
+        terms = []
+        for b in range(n_bits):
+            plane = ", ".join(repr(c) for c in _hyperplane(dim, off + b))
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"[{plane}]) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    table_ctes, table_selects = [], []
+    for t in range(n_tables):
+        off = t * n_bits
+        table_ctes.append(f"""
+        sk{t} AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   CAST({sketch_expr(off)} AS BIGINT) AS bkt
+            FROM embeddings
+        ), q{t} AS (
+            SELECT vec_id AS query_id, v AS qv, bkt AS qbkt
+            FROM sk{t} WHERE vec_id IN ({ids})
+        ), probes{t} AS (
+            SELECT query_id, qv, xor(qbkt, m.m) AS bkt
+            FROM q{t}, UNNEST([{masks}]) AS m(m)
+        )""")
+        table_selects.append(
+            f"SELECT p.query_id, s.vec_id AS neighbor_id, p.qv, s.v "
+            f"FROM sk{t} s JOIN probes{t} p USING (bkt) "
+            f"WHERE s.vec_id <> p.query_id"
+        )
+    cands = " UNION ALL ".join(table_selects)
+    sim_col = ", round(sim, 4) AS sim_q" if with_sim else ""
+    return f"""
+        WITH {", ".join(table_ctes)},
+        scored AS (
+            SELECT DISTINCT query_id, neighbor_id,
+                   list_cosine_similarity(qv, v) AS sim
+            FROM ({cands})
+        )
+        SELECT query_id, neighbor_id, rank{sim_col} FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -45,12 +45,19 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
 
     qids = list(range(10))
     exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, qids, 5).collect()}
-    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(emb, qids, 5, n_bits=8).collect()}
-    recall = len(exact & approx) / len(exact)
     # this corpus is unclustered (no cosine pair >= 0.8), the hardest case
-    # for LSH; with 8 bits + 2-bit probes (~14% of corpus probed) recall
-    # must still clearly beat the ~14% random-scan baseline
-    assert recall >= 0.3, recall
+    # for LSH; sized for it: 3-bit multi-probe x 2 OR-amplified plane
+    # families.  Deterministic (LCG planes, fixed data), so the bar is a
+    # hard floor, not a flaky threshold.
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(
+        emb, qids, 5, n_bits=8, probe_bits=3, n_tables=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+    # the single-table 2-probe config (the cheap path) must still clearly
+    # beat its ~14% probed-fraction random-scan baseline
+    cheap = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(
+        emb, qids, 5, n_bits=8).collect()}
+    assert len(exact & cheap) / len(exact) >= 0.3
 
 
 def test_ann_ivf_recall_vs_bruteforce(emb):
