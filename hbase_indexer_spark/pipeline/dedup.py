@@ -586,8 +586,16 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.7,
     become graph edges; connected components give each doc its canonical
     cluster representative (min doc_id).  Docs with no near-dup keep their
     own id — the output is a total assignment over the corpus, ready for
-    `GROUP BY component` canonical-doc selection."""
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n)
+    `GROUP BY component` canonical-doc selection.
+
+    Edges come from the LSH-banded pair path (bucketed candidates +
+    exact-Jaccard verify), never the all-pairs shingle join: a hot shingle
+    shared by k docs costs k^2 join rows in the brute path — a skew bomb
+    at scale — while the banded path bounds candidates per bucket.  LSH
+    candidate-verified pairs are Jaccard-exact, so wherever band recall
+    holds (unit-tested: banded == exact pair set on the fixtures) the
+    component assignment is identical to the brute construction."""
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=threshold, n=n)
     comp = connected_components(pairs.select("x", "y"))
     return (
         docs.select(F.col("doc_id"))
