@@ -269,19 +269,35 @@ def lsh_topk_sql(query_ids: list[int], k: int = 5, dim: int = 64,
 # IVF (inverted-file) approximate search — the classic coarse-quantizer path
 # ---------------------------------------------------------------------------
 
-def kmeans_centroids(emb: DataFrame, n_cells: int = 16, sample_mod: int = 11,
+TRAIN_VECTORS_PER_CELL = 100  # k-means needs ~100x n_cells training vectors
+
+
+def ivf_sample_mod(n_rows: int, n_cells: int) -> int:
+    """Hash-sample modulus that keeps the driver-side k-means training set
+    at ~TRAIN_VECTORS_PER_CELL x n_cells vectors regardless of corpus size
+    (expected sample = n_rows / mod).  Pure and deterministic so the same
+    corpus always trains on the same sample."""
+    target = TRAIN_VECTORS_PER_CELL * n_cells
+    return max(1, n_rows // max(1, target))
+
+
+def kmeans_centroids(emb: DataFrame, n_cells: int = 16,
+                     sample_mod: int | None = None,
                      iters: int = 10, seed: int = 7):
     """Train the IVF coarse quantizer: spherical k-means over a deterministic
     hash sample of the corpus (``xxhash64(vec_id) % sample_mod == 0`` — no
     full scan ordering, reproducible on any cluster layout), solved on the
-    driver with numpy.  The sample, not the corpus, bounds driver memory; at
-    100 TB this trains on ~1/sample_mod of the rows — raise ``sample_mod``
-    with corpus size (training needs only ~100x n_cells vectors).
+    driver with numpy.  The sample, not the corpus, bounds driver memory:
+    by default ``sample_mod`` is auto-sized from a corpus count so the
+    collected training set stays at ~100x n_cells vectors whether the
+    corpus is 10^3 or 10^10 rows (training gains nothing past that).
 
     Returns an L2-normalized (n_cells, dim) float64 ndarray.
     """
     import numpy as np
 
+    if sample_mod is None:
+        sample_mod = ivf_sample_mod(emb.count(), n_cells)
     rows = (
         emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0)
         .select("vec_id", "embedding").collect()

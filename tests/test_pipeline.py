@@ -88,6 +88,28 @@ def test_ann_ivf_full_probe_is_exact(emb):
     assert a == b
 
 
+def test_ivf_sample_mod_bounds_driver_sample():
+    """The k-means training collect must stay ~100x n_cells vectors no
+    matter the corpus size — a fixed modulus would OOM the driver at 100 TB."""
+    from hbase_indexer_spark.pipeline.similarity import (
+        TRAIN_VECTORS_PER_CELL,
+        ivf_sample_mod,
+    )
+
+    for n_rows in (500, 10**6, 10**9, 10**12):
+        for n_cells in (16, 256):
+            mod = ivf_sample_mod(n_rows, n_cells)
+            expected_sample = n_rows / mod
+            target = TRAIN_VECTORS_PER_CELL * n_cells
+            # never more than 2x the target once the corpus exceeds it...
+            if n_rows >= target:
+                assert expected_sample <= 2 * target, (n_rows, n_cells, mod)
+                # ...and never starved below half of it either
+                assert expected_sample >= target / 2, (n_rows, n_cells, mod)
+            else:  # tiny corpus: train on everything
+                assert mod == 1
+
+
 def test_ivf_index_store_matches_adhoc_and_prunes(emb, spark, tmp_path):
     """The materialized inverted file must return exactly what the ad-hoc
     IVF path returns (same centroids), and the query-time scan must touch
