@@ -160,15 +160,23 @@ class IncrementalIndexer:
 
     def __init__(self, spark: SparkSession, conf: IndexerConf, state_path: str,
                  index_path: str, subscription_ts: int | None = None,
-                 n_buckets: int | None = None):
+                 n_buckets: int | None = None,
+                 delete_inlist_max: int = 1000):
         """``n_buckets``: when set, state and index use the bucketed
         copy-on-write store (BucketedIndexStore) — per-batch I/O bounded by
         touched buckets instead of table size.  This is the 100 TB
         configuration; the default plain store is simpler and fine for
-        small views."""
+        small views.
+
+        ``delete_inlist_max``: column-mode delete-by-query scopes at or
+        below this many distinct values are collected into literal IN-list
+        predicates (scan-prunable); above it they stay distributed and are
+        applied as anti-joins — a WAL batch carrying 100k row-deletes never
+        materializes on the driver or in the plan."""
         self.spark = spark
         self.conf = conf
         self.subscription_ts = subscription_ts
+        self.delete_inlist_max = delete_inlist_max
         self.bucketed = n_buckets is not None
         if self.bucketed:
             from hbase_indexer_spark.sinks.bucket_store import BucketedIndexStore
@@ -301,44 +309,80 @@ class IncrementalIndexer:
         # configured row/cf fields; missing config = warn & skip, matching
         # Indexer.java:404-410,420-426
         preds: list[Column] = []
+        delete_match: list[DataFrame] | None = None
+        delete_scope: DataFrame | None = None
         if conf.row_field:
-            dels = (
-                batch_cells.filter(F.col("op").isin("delete_row", "delete_family"))
-                .select("op", "row", "family").distinct().collect()
-            )
+            from hbase_indexer_spark.functions import unique_key as uk
+
             # the row/cf fields hold FORMATTED values (P13) — format the
-            # collected raw values the same way before comparing
-            if conf.unique_key_formatter == "hex":
-                def fv(s: str) -> str:
-                    return s.encode().hex()
-            else:
-                def fv(s: str) -> str:
-                    return s
-            row_dels = sorted({fv(r["row"]) for r in dels if r["op"] == "delete_row"})
-            fam_dels = sorted({(fv(r["row"]), fv(r["family"])) for r in dels
-                               if r["op"] == "delete_family"})
-            # one IN-list predicate per delete scope: a predicate per deleted
-            # row would blow up the plan (a WAL batch can carry thousands)
-            if row_dels:
-                preds.append(F.col(conf.row_field).isin(row_dels))
-            if fam_dels and conf.column_family_field:
-                pair = F.concat_ws(
-                    "\x00", F.col(conf.row_field), F.col(conf.column_family_field)
+            # raw cell values the same way before comparing
+            fmt = (uk.format_row_hex if conf.unique_key_formatter == "hex"
+                   else uk.format_row_string)
+            dbq = batch_cells.filter(
+                F.col("op").isin("delete_row", "delete_family"))
+            row_dels_df = (
+                dbq.filter(F.col("op") == "delete_row")
+                .select(fmt(F.col("row")).alias(conf.row_field)).distinct()
+            )
+            fam_dels_df = None
+            if conf.column_family_field:
+                fam_dels_df = (
+                    dbq.filter(F.col("op") == "delete_family")
+                    .select(fmt(F.col("row")).alias(conf.row_field),
+                            fmt(F.col("family")).alias(conf.column_family_field))
+                    .distinct()
                 )
-                preds.append(pair.isin(["\x00".join(p) for p in fam_dels]))
-        # every delete-by-query above is row-scoped: the touched row set
-        # bounds it, so a row-bucketed store prunes to those buckets
-        scope_rows = sorted({fv(r["row"]) for r in dels}) if conf.row_field and preds else []
-        delete_scope = (
-            self.spark.createDataFrame([(v,) for v in scope_rows], "rowval string")
-            if scope_rows else None
-        )
+            # one small count decides the shape: collected IN-lists make
+            # literal predicates the scan can prune on, but their size is
+            # driver- and plan-bounded, so past delete_inlist_max the
+            # delete set stays distributed (anti-join, K8 at WAL scale)
+            counts = dbq.agg(
+                F.countDistinct(
+                    F.when(F.col("op") == "delete_row", F.col("row"))
+                ).alias("nr"),
+                F.countDistinct(
+                    F.when(F.col("op") == "delete_family",
+                           F.concat_ws("\x00", "row", "family"))
+                ).alias("nf"),
+            ).collect()[0]
+            n_row_dels = counts["nr"]
+            n_fam_dels = counts["nf"] if fam_dels_df is not None else 0
+            if n_row_dels + n_fam_dels <= self.delete_inlist_max:
+                if n_row_dels:
+                    row_dels = sorted(r[0] for r in row_dels_df.collect())
+                    preds.append(F.col(conf.row_field).isin(row_dels))
+                if n_fam_dels:
+                    fam_dels = sorted(
+                        (r[0], r[1]) for r in fam_dels_df.collect())
+                    pair = F.concat_ws(
+                        "\x00", F.col(conf.row_field),
+                        F.col(conf.column_family_field))
+                    preds.append(pair.isin(["\x00".join(p) for p in fam_dels]))
+                self.metrics["delete_path"] = "inlist"
+            else:
+                delete_match = []
+                if n_row_dels:
+                    delete_match.append(row_dels_df)
+                if n_fam_dels:
+                    delete_match.append(fam_dels_df)
+                self.metrics["delete_path"] = "join"
+            # every delete-by-query above is row-scoped: the touched row
+            # set bounds it, so a row-bucketed store prunes to those
+            # buckets.  Built distributively — never collected.
+            if n_row_dels + n_fam_dels:
+                scope = row_dels_df.select(
+                    F.col(conf.row_field).alias("rowval"))
+                if n_fam_dels:
+                    scope = scope.unionByName(fam_dels_df.select(
+                        F.col(conf.row_field).alias("rowval")))
+                delete_scope = scope.distinct()
         from pyspark.sql import Observation
 
         obs = Observation()
         adds = adds.observe(obs, F.count(F.lit(1)).alias("adds"))
         self.index.merge(self.spark, adds=adds, delete_ids=del_ids,
                          delete_predicates=preds or None,
+                         delete_match=delete_match or None,
                          delete_scope=delete_scope)
         self.metrics["docs_upserted"] = obs.get["adds"]
 

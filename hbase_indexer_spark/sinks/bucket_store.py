@@ -176,29 +176,41 @@ class BucketedIndexStore:
         delete_predicates: list[Column] | None = None,
         replace_keys: DataFrame | None = None,
         delete_scope: DataFrame | None = None,
+        delete_match: list[DataFrame] | None = None,
     ) -> None:
         """Bucket-granular MERGE: same contract as IndexStore.merge, but
         only buckets containing changed keys are read and rewritten.
 
-        ``delete_predicates`` alone cannot be key-bounded (delete-by-query
-        may hit any bucket), so they force a full-view rewrite — the reason
-        the reference treats deleteByQuery as the heavyweight operation
-        (DirectSolrInputDocumentWriter.java:176-193).  When the caller DOES
-        know the bound — row-scoped deletes on a row-bucketed store — it
-        passes ``delete_scope``: a one-column frame of bucket_field values
-        the predicates are confined to, and the merge prunes to those
-        buckets like any keyed change.
+        ``delete_predicates``/``delete_match`` alone cannot be key-bounded
+        (delete-by-query may hit any bucket), so they force a full-view
+        rewrite — the reason the reference treats deleteByQuery as the
+        heavyweight operation (DirectSolrInputDocumentWriter.java:176-193).
+        When the caller DOES know the bound — row-scoped deletes on a
+        row-bucketed store — it passes ``delete_scope``: a one-column frame
+        of bucket_field values the deletes are confined to, and the merge
+        prunes to those buckets like any keyed change.
+
+        ``delete_match``: set-oriented delete-by-query (see
+        IndexStore.merge) — anti-join on each frame's columns; the path for
+        delete sets too large for a collected IN-list.
         """
         if self.current_version() < 0:
             if adds is not None:
                 self.overwrite(adds)
             return
 
-        if delete_predicates and delete_scope is None:
+        def _apply_dbq(df: DataFrame) -> DataFrame:
+            for pred in (delete_predicates or []):
+                df = df.filter(~F.coalesce(pred, F.lit(False)))
+            # unhinted join: AQE broadcasts small match sets, shuffles big
+            for m in (delete_match or []):
+                df = df.join(m.distinct(), on=list(m.columns), how="left_anti")
+            return df
+
+        if (delete_predicates or delete_match) and delete_scope is None:
             base = self.read()
             assert base is not None
-            for pred in delete_predicates:
-                base = base.filter(~F.coalesce(pred, F.lit(False)))
+            base = _apply_dbq(base)
             untouched_dirs: dict[int, str] = {}
         else:
             # the changed-key set (small: bounded by the batch) -> touched
@@ -221,11 +233,10 @@ class BucketedIndexStore:
             dirs = self._bucket_dirs()
             untouched_dirs = {b: d for b, d in dirs.items() if b not in touched}
             base = self.read_buckets(touched)
-            if base is not None and delete_predicates:
-                # predicates are scope-confined, so filtering only the
-                # touched buckets equals filtering the full view
-                for pred in delete_predicates:
-                    base = base.filter(~F.coalesce(pred, F.lit(False)))
+            if base is not None:
+                # deletes are scope-confined, so applying them to only the
+                # touched buckets equals applying them to the full view
+                base = _apply_dbq(base)
 
         out = base
         if out is not None:

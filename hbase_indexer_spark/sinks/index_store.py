@@ -97,10 +97,17 @@ class IndexStore:
         delete_predicates: list[Column] | None = None,
         replace_keys: DataFrame | None = None,
         delete_scope: DataFrame | None = None,
+        delete_match: list[DataFrame] | None = None,
     ) -> None:
         """One batch changeset, applied in the reference's order: deletes by
         query, deletes by id, then adds (an add for an id wins over an
         earlier state — SolrUpdateCollector add-overwrites semantics).
+
+        ``delete_match``: the set-oriented form of delete-by-query — each
+        frame's columns name index fields, and any index row equal to one
+        of the frame's rows on ALL those columns is deleted (broadcast
+        anti-join).  Callers use this instead of a ``delete_predicates``
+        IN-list when the value set is too large to collect to the driver.
 
         ``delete_scope`` is accepted for signature parity with the bucketed
         store (which uses it to prune delete-by-query I/O); the plain store
@@ -122,6 +129,12 @@ class IndexStore:
         if delete_predicates:
             for pred in delete_predicates:
                 out = out.filter(~F.coalesce(pred, F.lit(False)))
+        if delete_match:
+            # no broadcast hint: the match set is unbounded by contract
+            # (that's why it isn't an IN-list) — AQE broadcasts it when the
+            # runtime size allows and falls back to a shuffle join when not
+            for m in delete_match:
+                out = out.join(m.distinct(), on=list(m.columns), how="left_anti")
         if replace_keys is not None:
             out = out.join(
                 F.broadcast(

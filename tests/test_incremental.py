@@ -188,3 +188,44 @@ def test_redelivered_batch_is_idempotent(spark, tmp_path):
     ix.process_batch(b2)                        # and again
     assert {r["id"]: r.asDict()
             for r in ix.index.read(spark).collect()} == expect
+
+
+@pytest.mark.parametrize("n_buckets", [None, 8])
+def test_column_mode_large_delete_batch_uses_join_path(spark, tmp_path, n_buckets):
+    """K8 at WAL scale: a batch whose distinct delete-by-query scope
+    exceeds delete_inlist_max must NOT be collected into IN-list literals —
+    the delete set stays distributed (anti-join), on both store kinds, and
+    the merged result is identical to the small-batch semantics."""
+    conf = IndexerConf.from_dict(COL_CONF)
+    n_rows = 40
+    puts = [ev(i + 1, f"r{i:03d}", "m1", f"v{i}") for i in range(n_rows)]
+    # delete_row for the odd rows, delete_family for rows 0/4/8 (mod 4)
+    dels = [ev(n_rows + i + 1, f"r{i:03d}", None, op="delete_row")
+            for i in range(n_rows) if i % 2 == 1]
+    dels += [ev(2 * n_rows + i + 1, f"r{i:03d}", None, op="delete_family")
+             for i in range(n_rows) if i % 4 == 0]
+    ix = IncrementalIndexer(
+        spark, conf,
+        state_path=str(tmp_path / f"state{n_buckets}"),
+        index_path=str(tmp_path / f"index{n_buckets}"),
+        n_buckets=n_buckets,
+        delete_inlist_max=5,          # force the distributed path
+    )
+    ix.process_batch(spark.createDataFrame(puts, EVENT_SCHEMA))
+    ix.process_batch(spark.createDataFrame(dels, EVENT_SCHEMA))
+    assert ix.metrics["delete_path"] == "join"
+    survivors = {r["id"] for r in ix.index.read(spark).collect()}
+    assert survivors == {f"r{i:03d}-info-m1" for i in range(n_rows)
+                        if i % 2 == 0 and i % 4 != 0}
+
+    # same batches under the default (IN-list) threshold -> same result
+    ix2 = IncrementalIndexer(
+        spark, conf,
+        state_path=str(tmp_path / f"state2{n_buckets}"),
+        index_path=str(tmp_path / f"index2{n_buckets}"),
+        n_buckets=n_buckets,
+    )
+    ix2.process_batch(spark.createDataFrame(puts, EVENT_SCHEMA))
+    ix2.process_batch(spark.createDataFrame(dels, EVENT_SCHEMA))
+    assert ix2.metrics["delete_path"] == "inlist"
+    assert {r["id"] for r in ix2.index.read(spark).collect()} == survivors
