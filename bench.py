@@ -59,9 +59,17 @@ BENCH_QUERIES = [
     "embedding_cosine_dedup",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_lsh_verified",
     "text_profile",
     "repetition_filter",
     "media_frame_sample",
+    # r4 additions: the re-verified §2.7 extension surface and the
+    # remaining heavy pipeline plans
+    "sliding_event_rates",
+    "user_event_history",
+    "dedup_clusters",
+    "deduped_corpus",
+    "incremental_column_index",
 ]
 
 
@@ -94,14 +102,37 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
-        "value": total,
+        # an errored query contributes no time, so a smaller total would
+        # read as "faster" exactly when something broke — report the
+        # metric as invalid instead and exit nonzero
+        "value": None if errors else total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf else None,
     }
     if errors:
         out["errors"] = errors
+
+    # per-query regression deltas vs the committed baseline snapshot
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path, encoding="utf-8") as f:
+            base = json.load(f).get("queries", {})
+        for name, t in sorted(times.items()):
+            b = base.get(name)
+            if b:
+                ratio = t / b
+                flag = "  <-- REGRESSION" if ratio > 1.5 else ""
+                print(f"# delta {name}: {t:.2f}s vs baseline {b:.2f}s "
+                      f"({ratio:.2f}x){flag}", file=sys.stderr)
+            else:
+                print(f"# delta {name}: {t:.2f}s (no baseline)",
+                      file=sys.stderr)
+
     print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
