@@ -1063,12 +1063,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_row_index_customer(spark, "/root/testdata/sf0.001")
 
 
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Every gate query pins the session confs first: the driver builds its
+    own SparkSession, and timeutil now REFUSES to run under a non-UTC
+    session timezone instead of silently mutating it."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries.  Reference-parity gates (SURVEY §2 rows) come first, then
     # the LLM-training-pipeline operators; TPC-H-shaped analytics and
     # §2.7 extension surfaces (stable green since r1) follow at 51+.
-    return {
+    return {name: _pinned(fn) for name, fn in {
         # --- reference-parity core (SURVEY §2 S/K/P/F/J/A/T/U rows) ---
         "row_index_customer": q_row_index_customer,
         "xml_conf_index": q_xml_conf_index,
@@ -1166,7 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
         "priority_shipping_stats": _analytics("priority_shipping_stats"),
         "part_supplier_variety": _analytics("part_supplier_variety"),
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -19,6 +19,15 @@ Supported schema subset: records of primitives, nullable unions
 records — the shapes the morphline pair is used for.  Decoding happens
 in one Arrow-batched pandas UDF that emits each record as a canonical
 JSON string; path extraction then stays JVM-side via get_json_object.
+
+Convention for ``bytes``-typed fields: the ENCODER consumes raw
+``bytes`` values, but the DECODER emits a lowercase hex string — the
+decoded record must round-trip through JSON (the UDF's output format),
+which has no binary type.  ``encode -> decode`` is therefore not an
+identity for bytes fields by design; compare against ``value.hex()`` on
+the consumer side (the extraction stages treat the hex form as the
+field's canonical string representation, matching unique_key's hex
+formatter elsewhere in the engine).
 """
 
 from __future__ import annotations

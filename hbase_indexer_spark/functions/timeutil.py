@@ -15,10 +15,17 @@ dtype-aware, and must agree with DuckDB's ``epoch_us(ts)`` /
 helpers are the single place that knows the rule; nothing else in the
 repo may touch ``ts`` arithmetic directly.
 
-All arithmetic stays integral (``div``): epoch-nanos exceeds a double's
-53-bit mantissa, and floor-division is what both the nanos path and
-DuckDB's ``epoch_ms`` produce, so the two reader paths and the oracle
-agree bit-for-bit at every granularity.
+All arithmetic stays integral (``div``, which truncates toward zero):
+epoch-nanos exceeds a double's 53-bit mantissa, so float division is
+never used.  Truncation — not floor — is deliberately the rule on both
+sides of the epoch: DuckDB's ``epoch_ms`` itself truncates toward zero
+(``epoch_ms(TIMESTAMP '1969-12-31 23:59:59.999999')`` = 0, not -1;
+verified empirically in tests/test_timeutil.py), so ``div`` is the exact
+mirror for pre-1970 timestamps too.
+
+The session timezone must be UTC (hbase_indexer_spark.session.get_spark
+pins it; __spark_entry__ re-pins it on driver-built sessions).  These
+helpers VERIFY that instead of silently mutating session state.
 """
 
 from __future__ import annotations
@@ -32,8 +39,13 @@ def _us_sql(df: DataFrame, col: str) -> str:
     dt = dict(df.dtypes).get(col, "")
     if dt.startswith("timestamp"):
         # NTZ -> TIMESTAMP cast interprets the wall-clock in the session
-        # timezone; pin UTC so it matches DuckDB's naive-as-UTC epoch_us.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        # timezone; it must be UTC to match DuckDB's naive-as-UTC epoch_us.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"ts arithmetic requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}); use hbase_indexer_spark.session.get_spark "
+                f"or pin the conf at session setup")
         return f"unix_micros(CAST({col} AS TIMESTAMP))"
     # legacy raw int64-nanos reader
     return f"CAST({col} AS BIGINT) div 1000"
@@ -45,7 +57,8 @@ def ts_micros(df: DataFrame, col: str = "ts") -> Column:
 
 
 def ts_millis(df: DataFrame, col: str = "ts") -> Column:
-    """Epoch milliseconds (BIGINT, floor) — mirrors DuckDB ``epoch_ms(ts)``."""
+    """Epoch milliseconds (BIGINT, truncating like DuckDB ``epoch_ms(ts)``
+    — see the module docstring for the pre-1970 behavior)."""
     return F.expr(f"({_us_sql(df, col)}) div 1000")
 
 

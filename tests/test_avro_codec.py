@@ -92,3 +92,17 @@ def test_stage_pair_explodes_and_extracts(spark):
         [{"stage": "read_avro_container", "field": "body"}])(df) \
         .select("avro_json").first()["avro_json"]
     assert json.loads(one) == json.loads(json.dumps(json.loads(one), sort_keys=True))
+
+
+def test_bytes_fields_decode_to_hex_strings():
+    """The documented convention: encoder takes raw bytes, decoder emits
+    lowercase hex (decoded records must survive JSON, which has no binary
+    type) — so encode->decode maps b"..." to its .hex() form."""
+    schema = {"type": "record", "name": "B",
+              "fields": [{"name": "payload", "type": "bytes"},
+                         {"name": "opt", "type": ["null", "bytes"]}]}
+    recs = [{"payload": b"\x00\xffab", "opt": None},
+            {"payload": b"", "opt": b"\x01\x02"}]
+    got = decode_container(encode_container(schema, recs))
+    assert got == [{"payload": "00ff6162", "opt": None},
+                   {"payload": "", "opt": "0102"}]
