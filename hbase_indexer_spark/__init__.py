@@ -36,6 +36,7 @@ _EXPORTS = {
     "register_stage": "hbase_indexer_spark.operators.transform",
     "register_row_mapper": "hbase_indexer_spark.operators.transform",
     "register_value_mapper": "hbase_indexer_spark.functions.bytes_codec",
+    "IndexerRestServer": "hbase_indexer_spark.rest",
     "get_spark": "hbase_indexer_spark.session",
     "replication_status": "hbase_indexer_spark.monitoring",
     "replication_wait": "hbase_indexer_spark.monitoring",

@@ -152,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("parquet", "json", "csv"),
                    help="event file format (binary values ride base64 in "
                         "the text formats)")
+    p.add_argument("--rest-port", type=int, default=None,
+                   help="also serve the REST control plane on this port "
+                        "(the embedded jetty IndexerResource analog; "
+                        "0 = ephemeral)")
 
     p = sub.add_parser(
         "batch-indexer",
@@ -271,6 +275,12 @@ def _server(args, model: IndexerModel, out) -> int:
     sup = IndexerSupervisor(spark, model, args.work_dir, args.events,
                             max_files_per_trigger=args.max_files_per_trigger,
                             events_format=args.events_format)
+    rest = None
+    if args.rest_port is not None:
+        from hbase_indexer_spark.rest import IndexerRestServer
+
+        rest = IndexerRestServer(model, sup, port=args.rest_port).start()
+        print(f"REST control plane at {rest.url}/indexer", file=out)
     try:
         while True:
             sup.sync(available_now=True)
@@ -280,6 +290,8 @@ def _server(args, model: IndexerModel, out) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        if rest is not None:
+            rest.stop()
         sup.stop_all()
     print("server stopped", file=out)
     return 0
