@@ -1000,6 +1000,21 @@ def q_ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, ANN_QUERY_IDS, **ANN_LSH_VERIFIED_CFG)
 
 
+def q_ann_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over PINNED deterministic centroids with a full SQL oracle:
+    cell assignment, n_probe probing, candidate re-rank and each returned
+    neighbor's true cosine are all hash-checked against DuckDB (the IVF
+    analog of ann_lsh_verified).  The trained-quantizer production path
+    (ann_ivf_topk / ann_ivf_indexed) keeps its recall/pruning unit tests;
+    this row pins the MECHANICS exactly."""
+    from hbase_indexer_spark.pipeline.similarity import ivf_topk_pinned
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_pinned(emb, ANN_QUERY_IDS, k=5, n_cells=16, n_probe=4)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer) approximate top-k (no SQL oracle —
     approximate by construction; recall vs brute force is unit-tested)."""
@@ -1123,11 +1138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "deduped_corpus": q_deduped_corpus,
-        "repetition_filter": q_repetition_filter,
         "train_test_split": q_train_test_split,
         "curated_corpus": q_curated_corpus,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_verified": q_ann_lsh_verified,
+        "ann_ivf_verified": q_ann_ivf_verified,
         "media_frame_sample": q_media_frame_sample,
         # r4 rotation: sliding_event_rates and user_event_history were the
         # only queries whose last recorded gate status was FAIL (r2 ts bug,
@@ -1143,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- 50-query gate window ends here -------------
         "text_profile": q_text_profile,
         "token_stats": q_token_stats,
+        "repetition_filter": q_repetition_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "media_features": q_media_features,
@@ -1512,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.multimodal import MEDIA_FEATURES_SQL
     from hbase_indexer_spark.pipeline.similarity import (
         brute_force_topk_sql,
+        ivf_topk_pinned_sql,
         lsh_topk_sql,
     )
     from hbase_indexer_spark.pipeline.text import (
@@ -1564,6 +1581,8 @@ def oracle_sql() -> dict[str, str]:
     out["simhash"] = simhash_sql()
     out["ann_bruteforce_topk"] = brute_force_topk_sql(ANN_QUERY_IDS, k=5)
     out["ann_lsh_verified"] = lsh_topk_sql(ANN_QUERY_IDS, **ANN_LSH_VERIFIED_CFG)
+    out["ann_ivf_verified"] = ivf_topk_pinned_sql(ANN_QUERY_IDS, k=5,
+                                                  n_cells=16, n_probe=4)
     out["media_features"] = MEDIA_FEATURES_SQL
     out["media_frame_sample"] = """
         WITH offs AS (

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_verified",
+    "ann_ivf_verified",
     "text_profile",
     "repetition_filter",
     "media_frame_sample",

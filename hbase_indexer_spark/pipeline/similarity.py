@@ -265,6 +265,125 @@ def lsh_topk_sql(query_ids: list[int], k: int = 5, dim: int = 64,
     """
 
 
+def _pinned_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids (LCG, offset family 1000+
+    so they never collide with the LSH planes).  Used by the VERIFIED IVF
+    path: with centroids fixed as literals, the whole IVF pipeline becomes
+    expressible in both Catalyst and ANSI SQL with no trained state."""
+    cents = []
+    for c in range(n_cells):
+        v = _hyperplane(dim, 1000 + c)
+        n = sum(x * x for x in v) ** 0.5
+        cents.append([x / n for x in v])
+    return cents
+
+
+def ivf_topk_pinned(emb: DataFrame, query_ids: list[int], k: int = 5,
+                    dim: int = 64, n_cells: int = 16,
+                    n_probe: int = 4) -> DataFrame:
+    """IVF top-k over PINNED centroids, entirely in Catalyst — the
+    hash-checkable mirror of the IVF mechanics (cell assignment, n_probe
+    probing, candidate re-rank), with no k-means state:
+
+    - per-row cell ranking is a shuffle-free ``array_sort`` over
+      ``struct(-dot, cell)`` (ascending == dot desc, cell asc — exactly the
+      ``ORDER BY d DESC, cell`` the SQL oracle uses);
+    - corpus rows take their top-1 cell, queries their top-``n_probe``;
+    - candidates join on cell and re-rank by exact cosine.
+
+    The production path (:func:`ivf_topk` / the index store) keeps trained
+    centroids and Arrow-batched assignment; this pinned variant exists so
+    the approximate family has an exact external oracle
+    (``ivf_topk_pinned_sql``), like ``lsh_topk``/``lsh_topk_sql``.
+    """
+    cents = _pinned_centroids(dim, n_cells)
+    # one 2-D literal + one transform keeps the expression tree (and its
+    # codegen) O(1) in n_cells instead of unrolling 16 aggregate folds
+    cents_lit = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in cents
+    ])
+
+    def cell_ranking(v: Column) -> Column:
+        scored = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                (-dot(v, c)).alias("nd"),
+                i.cast("int").alias("cell"),
+            ),
+        )
+        return F.array_sort(scored)
+
+    corpus = emb.select(
+        "vec_id", "embedding",
+        F.element_at(cell_ranking(F.col("embedding")), 1)["cell"].alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(cell_ranking(F.col("embedding")), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    cands = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round(F.col("sim"), 4).alias("sim_q"))
+    )
+
+
+def ivf_topk_pinned_sql(query_ids: list[int], k: int = 5, dim: int = 64,
+                        n_cells: int = 16, n_probe: int = 4) -> str:
+    """ANSI-SQL mirror of :func:`ivf_topk_pinned` (DuckDB oracle): pinned
+    centroids inlined as VALUES rows, cell ranking as a window over the
+    cross join, identical tie-breaks (dot DESC, cell ASC)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cents = _pinned_centroids(dim, n_cells)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, cv) AS (VALUES {values}),
+        sims AS (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS d,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_dot_product(
+                                          CAST(e.embedding AS DOUBLE[]), c.cv)
+                                          DESC, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        corpus AS (SELECT vec_id, v, cell FROM sims WHERE rn = 1),
+        probes AS (
+            SELECT vec_id AS query_id, v AS qv, cell
+            FROM sims WHERE rn <= {n_probe} AND vec_id IN ({ids})
+        ),
+        scored AS (
+            SELECT p.query_id, s.vec_id AS neighbor_id,
+                   list_cosine_similarity(p.qv, s.v) AS sim
+            FROM corpus s JOIN probes p USING (cell)
+            WHERE s.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_q FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate search — the classic coarse-quantizer path
 # ---------------------------------------------------------------------------
