@@ -1149,9 +1149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed in r3 but never re-gated) — they MUST sit inside the checked
         # prefix until recorded green.  nation_set_ops re-enters for the
         # same reason (last gated r2).  Swapped out: the no-oracle approx-ANN
-        # rows (ann_lsh_verified now gates that path exactly) and two
-        # stable-green pure-Catalyst trivials (text_profile, token_stats —
-        # green r2+r3, unchanged since).
+        # rows (ann_lsh_verified / ann_ivf_verified now gate those paths
+        # exactly) and three stable-green pure-Catalyst trivials
+        # (text_profile, token_stats, repetition_filter — green r2+r3,
+        # unchanged since).
         "sliding_event_rates": q_sliding_event_rates,
         "user_event_history": q_user_event_history,
         "nation_set_ops": q_nation_set_ops,
