@@ -164,6 +164,20 @@ CHECKS = {
         [r"Window"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # verified-LSH: probes broadcast onto the sketched corpus (equi-join on
+    # bucket), sketch/cosine folds stay JVM-side — never a cartesian pass
+    "ann_lsh_verified": (
+        [r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
+    # verified-IVF: cell assignment is a per-row array_sort (no shuffle, no
+    # pandas UDF); candidates join on cell as a broadcast equi-join
+    "ann_ivf_verified": (
+        [r"BroadcastHashJoin", r"array_sort"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
 }
 
 
