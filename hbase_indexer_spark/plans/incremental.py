@@ -388,13 +388,21 @@ class IncrementalIndexer:
 
     # -- entry points ------------------------------------------------------
 
-    def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+    def process_batch(self, batch: DataFrame, batch_id: int | None = None,
+                      precount: int | None = None) -> None:
         # cache the gated batch: it is consumed several times per micro-batch
         # (tombstone masks, puts, touched-row set, delete ids) and would
         # otherwise re-run the source scan for each consumer
         batch = gate_events(batch, self.conf, self.subscription_ts).cache()
         try:
-            n = batch.count()  # materializes the cache; K3-analog counter
+            if precount is None:
+                n = batch.count()  # materializes the cache; K3-analog counter
+            else:
+                # caller already knows the gated size (replay's one-pass
+                # chunk census) — skip the count job; the cache then
+                # materializes inside the publish jobs (the block manager
+                # dedups concurrent computes of a cached partition)
+                n = precount
             self.metrics = {"batch_id": batch_id, "relevant_events": n,
                             "docs_upserted": None}
             if n == 0:
@@ -445,17 +453,28 @@ class IncrementalIndexer:
         else:
             events = events.cache()
             try:
+                # ONE census job replaces (bounds + per-chunk count) — the
+                # per-chunk counts let process_batch skip its count action,
+                # so an n_chunk replay runs n fewer jobs
                 bounds = events.select(
                     F.min(chunk_col).alias("lo"), F.max(chunk_col).alias("hi")
                 ).first()
                 lo, hi = bounds["lo"], bounds["hi"]
                 span = (hi - lo + 1 + n_chunks - 1) // n_chunks
+                gated = gate_events(events, self.conf, self.subscription_ts)
+                census = {
+                    r["chunk"]: r["n"]
+                    for r in gated.groupBy(
+                        F.expr(f"(CAST({chunk_col} AS BIGINT) - {lo}) div {span}")
+                        .alias("chunk")
+                    ).agg(F.count(F.lit(1)).alias("n")).collect()
+                }
                 for i in range(n_chunks):
                     start = lo + i * span
                     chunk = events.filter(
                         (F.col(chunk_col) >= start) & (F.col(chunk_col) < start + span)
                     )
-                    self.process_batch(chunk)
+                    self.process_batch(chunk, precount=census.get(i, 0))
             finally:
                 events.unpersist()
         out = self.index.read(self.spark)
