@@ -256,9 +256,12 @@ class IncrementalIndexer:
                 from pyspark.sql import Observation
 
                 obs = Observation()
-                obs_docs = docs.observe(obs, F.count(F.lit(1)).alias("adds"))
-                self.index.merge(self.spark, adds=obs_docs,
-                                 replace_keys=touched_ids)
+                # root-level observation (union_adds_observed): an observed
+                # docs subtree is AQE-prunable when every touched row was
+                # deleted (empty docs), which would block obs.get forever
+                self.index.merge(self.spark, adds=docs,
+                                 replace_keys=touched_ids,
+                                 adds_observation=obs)
                 self.metrics["docs_upserted"] = obs.get["adds"]
 
             _run_concurrently(publish_state, publish_index)
@@ -379,11 +382,14 @@ class IncrementalIndexer:
         from pyspark.sql import Observation
 
         obs = Observation()
-        adds = adds.observe(obs, F.count(F.lit(1)).alias("adds"))
+        # the adds counter is observed at the ROOT of merge's written plan
+        # (union_adds_observed) — observing the adds subtree hangs obs.get
+        # on all-delete batches (AQE prunes the empty union child)
         self.index.merge(self.spark, adds=adds, delete_ids=del_ids,
                          delete_predicates=preds or None,
                          delete_match=delete_match or None,
-                         delete_scope=delete_scope)
+                         delete_scope=delete_scope,
+                         adds_observation=obs)
         self.metrics["docs_upserted"] = obs.get["adds"]
 
     # -- entry points ------------------------------------------------------

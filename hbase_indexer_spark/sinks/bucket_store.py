@@ -31,6 +31,8 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hbase_indexer_spark.sinks.index_store import union_adds_observed
+
 BUCKET_COL = "_b"
 
 
@@ -177,9 +179,14 @@ class BucketedIndexStore:
         replace_keys: DataFrame | None = None,
         delete_scope: DataFrame | None = None,
         delete_match: list[DataFrame] | None = None,
+        adds_observation=None,
     ) -> None:
         """Bucket-granular MERGE: same contract as IndexStore.merge, but
         only buckets containing changed keys are read and rewritten.
+
+        ``adds_observation``: root-level no-extra-action adds counter —
+        see IndexStore.merge / union_adds_observed for why it must sit at
+        the root of the written plan.
 
         ``delete_predicates``/``delete_match`` alone cannot be key-bounded
         (delete-by-query may hit any bucket), so they force a full-view
@@ -196,6 +203,9 @@ class BucketedIndexStore:
         """
         if self.current_version() < 0:
             if adds is not None:
+                if adds_observation is not None:
+                    adds = adds.observe(
+                        adds_observation, F.count(F.lit(1)).alias("adds"))
                 self.overwrite(adds)
             return
 
@@ -249,7 +259,13 @@ class BucketedIndexStore:
             if del_keys is not None:
                 out = out.join(F.broadcast(del_keys.distinct()), self.key, "left_anti")
         if adds is not None:
-            out = adds if out is None else out.unionByName(adds)
+            if out is None:
+                out = adds
+                if adds_observation is not None:
+                    out = out.observe(
+                        adds_observation, F.count(F.lit(1)).alias("adds"))
+            else:
+                out = union_adds_observed(out, adds, adds_observation)
         if out is None:
             return
         written = self._write_version(out, self.current_version() + 1)

@@ -25,6 +25,29 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_NEW_TAG = "_hbis_is_add"
+
+
+def union_adds_observed(out: DataFrame, adds: DataFrame,
+                        observation=None) -> DataFrame:
+    """Union the changeset onto the surviving rows; with an ``Observation``,
+    tag the adds, count them in a ROOT-level observe, and drop the tag.
+
+    The root placement is load-bearing: a CollectMetrics attached to the
+    adds subtree sits inside a union child that AQE's runtime
+    empty-relation propagation may prune (all-delete batches), and a pruned
+    metrics node never fires — ``Observation.get`` then blocks forever.
+    The root of the written plan always executes.
+    """
+    if observation is None:
+        return out.unionByName(adds)
+    tagged = out.withColumn(_NEW_TAG, F.lit(False)).unionByName(
+        adds.withColumn(_NEW_TAG, F.lit(True)))
+    return tagged.observe(
+        observation,
+        F.count(F.when(F.col(_NEW_TAG), F.lit(1))).alias("adds"),
+    ).drop(_NEW_TAG)
+
 
 class IndexStore:
     """A keyed, versioned materialized view with upsert/delete merge."""
@@ -98,10 +121,22 @@ class IndexStore:
         replace_keys: DataFrame | None = None,
         delete_scope: DataFrame | None = None,
         delete_match: list[DataFrame] | None = None,
+        adds_observation=None,
     ) -> None:
         """One batch changeset, applied in the reference's order: deletes by
         query, deletes by id, then adds (an add for an id wins over an
         earlier state — SolrUpdateCollector add-overwrites semantics).
+
+        ``adds_observation``: an ``Observation`` that will receive the
+        number of upserted docs under the key ``"adds"`` with NO extra
+        action (the K3 counter).  The metrics node is attached at the ROOT
+        of the written plan — adds rows are tagged, counted by a
+        root-level observe, and the tag dropped — never to the adds
+        subtree: AQE's runtime empty-relation propagation can prune an
+        empty union child, and a pruned CollectMetrics never fires, which
+        leaves ``Observation.get`` blocked forever (bit us under
+        foreachBatch on all-delete micro-batches; tests/test_streaming_
+        lifecycle.py::test_stream_column_mode_with_delete_by_query).
 
         ``delete_match``: the set-oriented form of delete-by-query — each
         frame's columns name index fields, and any index row equal to one
@@ -123,6 +158,9 @@ class IndexStore:
         if current is None:
             if adds is None:
                 return
+            if adds_observation is not None:
+                adds = adds.observe(
+                    adds_observation, F.count(F.lit(1)).alias("adds"))
             self._publish(adds, spark)
             return
         out = current
@@ -143,7 +181,7 @@ class IndexStore:
                 on=self.key, how="left_anti",
             )
             if adds is not None:
-                out = out.unionByName(adds)
+                out = union_adds_observed(out, adds, adds_observation)
             self._publish(out, spark)
             return
         if delete_ids is not None:
@@ -154,7 +192,8 @@ class IndexStore:
         if adds is not None:
             out = out.join(
                 F.broadcast(adds.select(self.key).distinct()), on=self.key, how="left_anti"
-            ).unionByName(adds)
+            )
+            out = union_adds_observed(out, adds, adds_observation)
         self._publish(out, spark)
 
     def overwrite(self, df: DataFrame, spark: SparkSession) -> None:

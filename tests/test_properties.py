@@ -147,3 +147,43 @@ def test_conf_xml_roundtrip(conf_dict):
 
     c = IndexerConf.from_dict(conf_dict)
     assert conf_from_xml(conf_to_xml(c)) == c
+
+
+# ---------------------------------------------------------------------------
+# Avro codec: encode -> decode is the identity on the supported subset
+# (pure python, no Spark session — cheap enough for many examples)
+# ---------------------------------------------------------------------------
+
+AVRO_SCHEMA = {
+    "type": "record", "name": "P",
+    "fields": [
+        {"name": "n", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+avro_rec_st = st.fixed_dictionaries({
+    "n": st.integers(-(2 ** 62), 2 ** 62),      # full zigzag-varint range
+    "s": st.text(max_size=40),                   # arbitrary unicode
+    "d": st.floats(allow_nan=False),             # NaN breaks == by design
+    "ok": st.booleans(),
+    "opt": st.none() | st.text(max_size=10),
+    "xs": st.lists(st.integers(-(2 ** 40), 2 ** 40), max_size=8),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(recs=st.lists(avro_rec_st, max_size=12),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_avro_container_roundtrip_random(recs, codec):
+    from hbase_indexer_spark.functions.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    blob = encode_container(AVRO_SCHEMA, recs, codec=codec)
+    assert decode_container(blob) == recs

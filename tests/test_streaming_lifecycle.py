@@ -249,3 +249,59 @@ def test_event_stream_formats(spark, tmp_path, fmt):
     got = {r["id"]: r["name_s"]
            for r in IndexStore(str(tmp_path / "index")).read(spark).collect()}
     assert got == {"r1": "alice2", "r2": "bob"}
+
+
+def test_stream_column_mode_with_delete_by_query(spark, tmp_path):
+    """Column-mode through the REAL streaming path (checkpointed
+    foreachBatch), including K8 delete-by-query arriving in a later
+    micro-batch — the streaming analog of ColumnBasedIndexerTest."""
+    col_conf = IndexerConf.from_dict({
+        "table": "t", "mapping_type": "column",
+        "row_field": "row_s", "column_family_field": "cf_s",
+        "fields": [{"name": "val", "value": "info:*"}],
+    })
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    ix = IncrementalIndexer(
+        spark, col_conf,
+        state_path=str(tmp_path / "state"),
+        index_path=str(tmp_path / "index"),
+    )
+    job = IndexerStreamJob(ix, str(tmp_path / "checkpoint"))
+    write_chunk(spark, src, [ev(1, "r1", "m1", "hello"),
+                             ev(2, "r1", "m2", "world"),
+                             ev(3, "r2", "m1", "keep")], "c0")
+    job.run_available(read_event_stream(spark, src, max_files_per_trigger=1))
+    ids = {r["id"] for r in ix.index.read(spark).collect()}
+    assert ids == {"r1-info-m1", "r1-info-m2", "r2-info-m1"}
+
+    # later micro-batch: delete_column one cell, delete_row the other row
+    write_chunk(spark, src, [ev(4, "r1", "m1", None, op="delete_column"),
+                             ev(5, "r2", None, op="delete_row")], "c1")
+    job.run_available(read_event_stream(spark, src, max_files_per_trigger=1))
+    ids = {r["id"] for r in ix.index.read(spark).collect()}
+    assert ids == {"r1-info-m2"}
+
+
+def test_stream_row_mode_all_delete_batch(spark, tmp_path):
+    """A micro-batch containing ONLY deletes must not wedge the stream:
+    the adds-counter observation sits at the root of the merged plan, so
+    AQE pruning the empty docs subtree cannot starve Observation.get
+    (the row-mode twin of the column-mode all-delete hang)."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    ix = IncrementalIndexer(
+        spark, IndexerConf.from_dict(CONF),
+        state_path=str(tmp_path / "state"),
+        index_path=str(tmp_path / "index"),
+    )
+    job = IndexerStreamJob(ix, str(tmp_path / "checkpoint"))
+    write_chunk(spark, src, [ev(1, "r1", "name", "alice"),
+                             ev(2, "r2", "name", "bob")], "c0")
+    job.run_available(read_event_stream(spark, src, max_files_per_trigger=1))
+    # all-delete follow-up batch: every touched row vanishes
+    write_chunk(spark, src, [ev(3, "r1", "name", None, op="delete_row"),
+                             ev(4, "r2", "name", None, op="delete_row")], "c1")
+    job.run_available(read_event_stream(spark, src, max_files_per_trigger=1))
+    assert index_dict(ix, spark) == {}
+    assert ix.metrics["docs_upserted"] == 0
