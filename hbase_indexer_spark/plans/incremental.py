@@ -40,6 +40,19 @@ from hbase_indexer_spark.sinks.index_store import IndexStore
 CELL_COLS = ["table", "row", "family", "qualifier", "ts", "op", "value"]
 
 
+def _observed_adds(obs) -> int:
+    """Read the root-level adds counter (see union_adds_observed).  When the
+    merged output is empty AT RUNTIME, AQE can collapse the whole written
+    plan to an empty relation; the observation then completes with a
+    degenerate schemaless row that PySpark's toPyRow rejects.  An output
+    that collapsed to empty contains zero adds by construction, so the
+    failed read IS the answer."""
+    try:
+        return obs.get["adds"]
+    except Exception:
+        return 0
+
+
 def _run_concurrently(*jobs) -> None:
     """Run independent Spark actions on sibling threads (Spark's scheduler
     interleaves their stages across the executor pool).  Exceptions
@@ -262,7 +275,7 @@ class IncrementalIndexer:
                 self.index.merge(self.spark, adds=docs,
                                  replace_keys=touched_ids,
                                  adds_observation=obs)
-                self.metrics["docs_upserted"] = obs.get["adds"]
+                self.metrics["docs_upserted"] = _observed_adds(obs)
 
             _run_concurrently(publish_state, publish_index)
         finally:
@@ -390,7 +403,7 @@ class IncrementalIndexer:
                          delete_match=delete_match or None,
                          delete_scope=delete_scope,
                          adds_observation=obs)
-        self.metrics["docs_upserted"] = obs.get["adds"]
+        self.metrics["docs_upserted"] = _observed_adds(obs)
 
     # -- entry points ------------------------------------------------------
 
