@@ -284,3 +284,47 @@ def test_server_consumes_json_events(spark, tmp_path, conf_file):
     sup = IndexerSupervisor(spark, IndexerModel(model_dir), work_dir, src)
     assert {r["id"]: r["name_s"] for r in sup.read_index("ix1").collect()} \
         == {"r1": "alice"}
+
+
+def test_server_once_with_rest_port(spark, tmp_path, conf_file):
+    """server --rest-port: the REST control plane serves the model during
+    the reconcile loop (embedded IndexerResource analog)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from hbase_indexer_spark import cli as cli_mod
+
+    model_dir = str(tmp_path / "model")
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    rc, _ = run(model_dir, "add-indexer", "-n", "ix1", "-c", conf_file)
+    assert rc == 0
+
+    # capture the ephemeral port by intercepting the server object
+    from hbase_indexer_spark.rest import IndexerRestServer
+
+    started = {}
+    orig_start = IndexerRestServer.start
+
+    def capture_start(self):
+        started["srv"] = self
+        # probe the API from a thread while the (single-pass) loop runs
+        def probe():
+            with urllib.request.urlopen(f"{self.url}/indexer") as r:
+                started["defs"] = _json.loads(r.read())
+        started["t"] = threading.Thread(target=probe)
+        out = orig_start(self)
+        started["t"].start()
+        return out
+
+    IndexerRestServer.start = capture_start
+    try:
+        rc, out = run(model_dir, "server", "--work-dir",
+                      str(tmp_path / "work"), "--events", src, "--once",
+                      "--rest-port", "0")
+    finally:
+        IndexerRestServer.start = orig_start
+    started["t"].join(timeout=10)
+    assert rc == 0 and "REST control plane at" in out
+    assert [d["name"] for d in started["defs"]] == ["ix1"]
