@@ -208,6 +208,30 @@ def q_payload_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                       decode_string(F.col("payload")).alias("payload_s"))
 
 
+def q_event_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 per-row event grouping: a WAL batch's cells grouped into one
+    SepEvent per (table, row) with arrival-ordered cells
+    (SepConsumer.java:229-264 Multimap -> SepEvent).  The cell list is
+    serialized ts:family:qualifier:op:has_value in array_sort order so the
+    oracle can hash-check grouping, ordering and ride-along aggregates."""
+    from hbase_indexer_spark.sources.cells import group_events
+    from hbase_indexer_spark.sources.fixtures import event_cells
+
+    g = group_events(event_cells(spark, sf_dir), extra_cols=("seq", "event_ts"))
+    cell_s = F.transform(
+        F.col("cells"),
+        lambda c: F.concat_ws(
+            ":", c["ts"].cast("string"), c["family"], c["qualifier"], c["op"],
+            c["value"].isNotNull().cast("string")),
+    )
+    return g.select(
+        F.col("row").alias("row_key"),
+        F.size("cells").alias("n_cells"),
+        F.concat_ws(_US, cell_s).alias("cells_s"),
+        "seq", "event_ts",
+    )
+
+
 def q_dynamic_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 dynamic output fields, emitted as sorted (key,value) entries."""
     from hbase_indexer_spark.plans.batch import build_index
@@ -1160,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "token_stats": q_token_stats,
         "repetition_filter": q_repetition_filter,
+        "event_grouping": q_event_grouping,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "media_features": q_media_features,
@@ -1584,6 +1609,18 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_verified"] = lsh_topk_sql(ANN_QUERY_IDS, **ANN_LSH_VERIFIED_CFG)
     out["ann_ivf_verified"] = ivf_topk_pinned_sql(ANN_QUERY_IDS, k=5,
                                                   n_cells=16, n_probe=4)
+    out["event_grouping"] = """
+        SELECT CAST(user_id AS VARCHAR) AS row_key,
+               count(*) AS n_cells,
+               string_agg(
+                   CAST(event_id AS VARCHAR) || ':info:' || event_type || ':'
+                   || CASE WHEN event_type = 'error'
+                           THEN 'delete_row:false' ELSE 'put:true' END,
+                   chr(31) ORDER BY event_id) AS cells_s,
+               max(event_id) AS seq,
+               max(epoch_ms(ts)) AS event_ts
+        FROM events GROUP BY user_id
+    """
     out["media_features"] = MEDIA_FEATURES_SQL
     out["media_frame_sample"] = """
         WITH offs AS (
