@@ -182,12 +182,25 @@ def minhash_signatures_sql(n: int = 3, k: int = N_SIGS) -> str:
     """
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band k=48 sigs into 16 bands of 3 rows; docs sharing any band bucket
     are candidates.  Equality join on (band, key) — shuffle on the band key,
     never a cross join.  The 16 band keys explode out of ONE pass over the
     signatures (a 16-way union of selects would recompute the signature
-    aggregation per band)."""
+    aggregation per band).
+
+    ``max_bucket_size`` is the hot-bucket guard for template-heavy corpora
+    (boilerplate pages, license headers): a bucket holding k docs emits
+    k(k-1)/2 all-pairs rows — one million-member bucket is a 10^12-row
+    join.  Buckets over the cap instead emit STAR candidates (every member
+    paired with the bucket's min doc_id): linear in bucket size, and since
+    downstream verification is exact Jaccard, precision is unchanged;
+    recall within an oversized bucket holds whenever its members are
+    mutually near-dup (the template case that creates such buckets),
+    reached transitively through the representative in
+    connected-components.  Default None preserves exact all-pairs
+    candidates."""
     entries = [
         F.struct(
             F.lit(band).alias("band"),
@@ -200,22 +213,44 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(F.array(*entries)).alias("e")
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
+    if max_bucket_size is None:
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+            .distinct()
+        )
+    stats = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep"))
+    tagged = bands.join(stats, ["band", "bkey"])
+    small = tagged.filter(F.col("_n") <= max_bucket_size) \
+                  .select("doc_id", "band", "bkey")
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
-        .distinct()
     )
+    star = (
+        tagged.filter((F.col("_n") > max_bucket_size)
+                      & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("x"), F.col("doc_id").alias("y"))
+    )
+    return all_pairs.unionByName(star).distinct()
 
 
 def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.7,
-                            n: int = 3) -> DataFrame:
+                            n: int = 3,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """The scale path: LSH candidates -> exact Jaccard verification for
     candidates ONLY (never all pairs).  With 16 bands x 3 rows, recall at
     J>=0.9 is 1 - (1-0.9^3)^16 ~ 1 - 8e-10; the driver data's true dups are
-    all J>=0.9 (verified), so output == exact-Jaccard output."""
+    all J>=0.9 (verified), so output == exact-Jaccard output.
+
+    ``max_bucket_size``: hot-bucket star-candidate guard, see
+    lsh_candidate_pairs — set it on template-heavy corpora where a single
+    band bucket can hold thousands of members."""
     # one shingle explosion feeds signatures, sizes and the verify join —
     # cache it (its recompute is the whole tokenize+shingle pass)
     sh = exploded_shingles(docs, n).cache()
@@ -223,7 +258,7 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.7,
         F.min((F.col("h") * a + b) % P).alias(f"s{i}")
         for i, (a, b) in enumerate(PERMS)
     ])
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(sigs, max_bucket_size=max_bucket_size)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")

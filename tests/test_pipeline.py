@@ -218,3 +218,41 @@ def test_resize_media_plumbing(spark, sf_dir):
     assert "Exchange" not in resize_media(media, 4, 4)._jdf.queryExecution().executedPlan().toString()
     with pytest.raises(NotImplementedError):
         resize_media(media, backend="pil")
+
+
+def test_lsh_hot_bucket_star_guard(spark):
+    """Template-heavy corpus: 30 near-identical docs land in the same band
+    buckets.  With the star guard the candidate set is linear in bucket
+    size, and because the members are mutually near-dup, the verified pair
+    graph still connects every duplicate to the representative — the
+    deduped keep-set is identical to the exact path's."""
+    from hbase_indexer_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_dedup_pairs,
+        minhash_signatures,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the template boilerplate header repeats verbatim ") * 3
+    rows = [(i, base + f"tail{i % 3}") for i in range(30)]
+    rows += [(100 + i, f"completely unrelated document number {i} with its "
+              f"own distinct content about topic {i} " * 4) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(docs)
+    n_all = lsh_candidate_pairs(sigs).count()
+    n_star = lsh_candidate_pairs(sigs, max_bucket_size=5).count()
+    assert n_star < n_all                      # quadratic -> linear
+    assert n_star <= 3 * 30                    # ~bucket-linear bound
+
+    exact = {(r["x"], r["y"])
+             for r in minhash_lsh_dedup_pairs(docs, 0.7).collect()}
+    # losers (docs to drop) must be identical under the guard: every
+    # near-dup still reaches the representative
+    def losers(pairs):
+        return {y for _, y in pairs}
+
+    guarded = {(r["x"], r["y"]) for r in minhash_lsh_dedup_pairs(
+        docs, 0.7, max_bucket_size=5).collect()}
+    assert losers(guarded) == losers(exact)
+    assert len(guarded) <= len(exact)
