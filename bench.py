@@ -114,22 +114,28 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    # per-query regression deltas vs the committed baseline snapshot
+    # per-query regression deltas vs the committed baseline snapshot —
+    # human-readable on stderr, machine-readable in the JSON line
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     if os.path.exists(base_path):
         with open(base_path, encoding="utf-8") as f:
             base = json.load(f).get("queries", {})
+        ratios = {}
         for name, t in sorted(times.items()):
             b = base.get(name)
             if b:
-                ratio = t / b
-                flag = "  <-- REGRESSION" if ratio > 1.5 else ""
+                ratios[name] = round(t / b, 3)
+                flag = "  <-- REGRESSION" if ratios[name] > 1.5 else ""
                 print(f"# delta {name}: {t:.2f}s vs baseline {b:.2f}s "
-                      f"({ratio:.2f}x){flag}", file=sys.stderr)
+                      f"({ratios[name]:.2f}x){flag}", file=sys.stderr)
             else:
                 print(f"# delta {name}: {t:.2f}s (no baseline)",
                       file=sys.stderr)
+        out["vs_baseline"] = {
+            "ratios": ratios,
+            "regressions": sorted(n for n, r in ratios.items() if r > 1.5),
+        }
 
     print(json.dumps(out))
     if errors:
