@@ -42,3 +42,22 @@ def test_public_api_exports_resolve():
 
     with pytest.raises(AttributeError):
         pkg.not_a_real_export
+
+
+def test_gate_window_policy():
+    """The driver's correctness gate checks only the FIRST 50 queries()
+    entries, so the window composition is audit policy (round-3 ADVICE):
+    no rows-only query may occupy a gated slot, and queries being
+    re-verified after a failure must sit inside the window."""
+    window = list(entry.queries())[:50]
+    assert not (set(window) & ROWS_ONLY), (
+        f"rows-only queries inside the gate window: "
+        f"{sorted(set(window) & ROWS_ONLY)}")
+    oracles = set(entry.oracle_sql())
+    assert set(window) <= oracles, (
+        f"gated queries without an oracle: {sorted(set(window) - oracles)}")
+    # r4 rotation pins: last-recorded-FAIL queries (r2 ts bug) and the
+    # oracle-gated ANN rows must be in the checked prefix
+    for must in ("sliding_event_rates", "user_event_history",
+                 "nation_set_ops", "ann_lsh_verified", "ann_ivf_verified"):
+        assert must in window, f"{must} fell out of the gate window"
