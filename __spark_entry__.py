@@ -900,6 +900,41 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_language_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language mix: per predicted language, doc/token totals and
+    agreement with the corpus's own labels (integer aggs, one tiny shuffle)."""
+    from hbase_indexer_spark.pipeline.text import language_histogram
+
+    return language_histogram(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing >=3 distinct word
+    6-grams with the held-out split (broadcast test n-gram set — the train
+    corpus is never shuffled)."""
+    from hbase_indexer_spark.pipeline.decontam import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), n=6, min_shared=3)
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dominating phrases: top-20 word trigrams by document
+    frequency (per-doc-distinct explode + partial-agg count + stable top-k)."""
+    from hbase_indexer_spark.pipeline.decontam import ngram_topk
+
+    return ngram_topk(_docs(spark, sf_dir), n=3, k=20)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/pattern redaction over event payloads: regexp_replace chain
+    (email/url/phone/number) + per-rule audit counts; map-only codegen."""
+    from hbase_indexer_spark.pipeline.scrub import scrub
+    from hbase_indexer_spark.sources.fixtures import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    return scrub(ev, text_col="props")
+
+
 def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup materialization: exact-dup collapse + near-dup
     loser drop -> the kept corpus doc ids."""
@@ -1184,6 +1219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "token_stats": q_token_stats,
         "repetition_filter": q_repetition_filter,
+        "language_histogram": q_language_histogram,
+        "decontaminate": q_decontaminate,
+        "ngram_topk": q_ngram_topk,
+        "pii_scrub": q_pii_scrub,
         "event_grouping": q_event_grouping,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -1586,6 +1625,18 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import TOKEN_STATS_SQL
 
     out["token_stats"] = TOKEN_STATS_SQL
+    from hbase_indexer_spark.pipeline.decontam import (
+        decontaminate_sql,
+        ngram_topk_sql,
+    )
+    from hbase_indexer_spark.pipeline.scrub import scrub_sql
+    from hbase_indexer_spark.pipeline.text import LANGUAGE_HISTOGRAM_SQL
+
+    out["language_histogram"] = LANGUAGE_HISTOGRAM_SQL
+    out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
+    out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
+    out["pii_scrub"] = scrub_sql("events", text_col="props",
+                                 extra_cols=["event_id"])
     out["deduped_corpus"] = deduped_corpus_sql(threshold=0.7)
     out["ngram_jaccard_dedup"] = ngram_jaccard_sql(threshold=0.7)
     out["minhash_signatures"] = minhash_signatures_sql()

@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "text_profile",
     "repetition_filter",
     "media_frame_sample",
+    "decontaminate",
+    "ngram_topk",
+    "pii_scrub",
+    "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the
     # remaining heavy pipeline plans
     "sliding_event_rates",

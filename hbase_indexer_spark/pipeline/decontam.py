@@ -1,0 +1,143 @@
+"""Benchmark decontamination and corpus n-gram statistics.
+
+Training pipelines must remove (or at least flag) training documents that
+overlap an evaluation/benchmark set — otherwise the benchmark leaks into
+the training corpus and eval numbers are meaningless.  The standard
+technique (used by public LLM data pipelines) is word-n-gram overlap: a
+train doc is *contaminated* if it shares at least ``min_shared`` distinct
+word n-grams with any document in the held-out set.
+
+Scale shape (the only one that works at 100 TB):
+
+- the held-out/benchmark side is SMALL (thousands of docs, not billions),
+  so its distinct n-gram set is collected into a **broadcast hash join** —
+  the train corpus is scanned once, map-side, with no shuffle of the text;
+- the train side explodes per-doc *distinct* n-grams (dedup inside the
+  row, before the join — bounds the join fan-out by doc length);
+- the only shuffle is the final ``groupBy(doc_id).count()`` over matched
+  grams, which is partial-aggregated map-side and carries only
+  (doc_id, count) pairs for docs that matched at all.
+
+``ngram_topk`` reuses the same per-doc distinct n-gram explode to compute
+corpus-wide document frequency — the "what phrases dominate my corpus"
+diagnostic — as one partially-aggregated count + a deterministic top-k.
+
+Both have bit-exact DuckDB mirrors (same tokenizer regex, same md5-derived
+split as pipeline.curation) so the t2 oracle verifies them end-to-end.
+
+Reference analog: none (beyond-reference training-data surface, same
+registry as pipeline.dedup / pipeline.curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.curation import SPLIT_BUCKETS, _bucket, _bucket_sql
+from hbase_indexer_spark.pipeline.text import tokens
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` (whitespace tokens joined by a
+    single space).  Docs shorter than ``n`` tokens yield an empty array —
+    guarded explicitly because Spark's ``sequence(1, 0)`` would count
+    DOWN, not produce an empty range."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _ngrams_sql(n: int, text: str = "text") -> str:
+    """DuckDB mirror of :func:`word_ngrams` (1-based inclusive list_slice)."""
+    toks = f"list_filter(string_split_regex({text}, '\\s+'), x -> x <> '')"
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+def decontaminate(docs: DataFrame, n: int = 6, min_shared: int = 3,
+                  test_frac: float = 0.1, salt: str = "split-v1") -> DataFrame:
+    """Flag train-split documents sharing >= ``min_shared`` distinct word
+    ``n``-grams with the test split.
+
+    Returns (doc_id, n_shared) for every contaminated train doc.  The test
+    split is the same deterministic hash split as
+    :func:`~hbase_indexer_spark.pipeline.curation.train_test_split`, so the
+    operator composes with it without re-dealing any assignment.
+
+    The test n-gram set goes through ``F.broadcast`` — at 100 TB the train
+    corpus is never shuffled; each executor streams its own split of the
+    scan against the broadcast hash set.
+    """
+    cut = int(test_frac * SPLIT_BUCKETS)
+    is_test = _bucket(F.col("doc_id"), salt) < cut
+    grams = docs.select("doc_id", is_test.alias("is_test"),
+                        F.explode(word_ngrams(F.col("text"), n)).alias("g"))
+    test_g = grams.filter("is_test").select("g").distinct()
+    return (
+        grams.filter(~F.col("is_test"))
+        .join(F.broadcast(test_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate_sql(n: int = 6, min_shared: int = 3,
+                      test_frac: float = 0.1, salt: str = "split-v1",
+                      table: str = "documents") -> str:
+    cut = int(test_frac * SPLIT_BUCKETS)
+    return f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   ({_bucket_sql(salt)}) < {cut} AS is_test,
+                   unnest({_ngrams_sql(n)}) AS g
+            FROM {table}
+        ),
+        test_g AS (SELECT DISTINCT g FROM grams WHERE is_test)
+        SELECT doc_id, count(*) AS n_shared
+        FROM grams JOIN test_g USING (g)
+        WHERE NOT is_test
+        GROUP BY doc_id
+        HAVING count(*) >= {min_shared}
+    """
+
+
+def ngram_topk(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Top-``k`` word ``n``-grams by document frequency (number of docs
+    containing the gram at least once).
+
+    One explode + one partially-aggregated count; the top-k is a global
+    sort over only the (gram, df) aggregate — tiny next to the corpus.
+    Ties break on the gram string so the limit is deterministic
+    cross-engine.
+    """
+    return (
+        docs.select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(n: int = 3, k: int = 20, table: str = "documents") -> str:
+    return f"""
+        WITH grams AS (
+            SELECT doc_id, unnest({_ngrams_sql(n)}) AS ngram FROM {table}
+        )
+        SELECT ngram, count(*) AS df
+        FROM grams
+        GROUP BY ngram
+        ORDER BY df DESC, ngram ASC
+        LIMIT {k}
+    """

@@ -111,6 +111,44 @@ FINGERPRINT_SQL = (
 )
 
 
+def language_histogram(docs: DataFrame) -> DataFrame:
+    """Corpus language mix as a (label, prediction) confusion matrix: per
+    pair, how many docs and how many whitespace tokens — the "what is the
+    language balance of my corpus, and how well does the cheap heuristic
+    track the labels" diagnostic.
+
+    Integer aggregates only — double sums would accumulate in engine- and
+    partition-order and break bit-exact oracle comparison.  One partial
+    aggregation over a handful of language-pair keys: free at any scale.
+    """
+    return (
+        docs.select(
+            F.col("lang").alias("lang_label"),
+            lang_id(F.col("text")).alias("lang_pred"),
+            token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+LANGUAGE_HISTOGRAM_SQL = f"""
+    SELECT lang_label, lang_pred,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT lang AS lang_label,
+               {lang_id_sql()} AS lang_pred,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+        FROM documents
+    )
+    GROUP BY lang_label, lang_pred
+"""
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """Per-document text analysis record: tokens, language, quality,
     fingerprint — the per-doc stage of a data-curation pipeline."""

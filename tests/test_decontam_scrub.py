@@ -1,0 +1,92 @@
+"""Unit tests for decontamination, n-gram stats, and PII scrubbing —
+fixture-driven behavior the sf-corpus oracle can't exercise (the synthetic
+docs contain no emails/urls, and contamination needs a known plant)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.decontam import (
+    decontaminate,
+    ngram_topk,
+    word_ngrams,
+)
+from hbase_indexer_spark.pipeline.scrub import DEFAULT_RULES, scrub
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 3).alias("g")).first()
+    assert out["g"] == []
+
+
+def test_word_ngrams_distinct_and_ordered_content(spark):
+    df = spark.createDataFrame([("x y x y x y",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 2).alias("g")).first()
+    assert sorted(out["g"]) == ["x y", "y x"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # find a doc_id for each split under the default salt, then plant a
+    # shared 8-token span between one train doc and one test doc
+    from hbase_indexer_spark.pipeline.curation import train_test_split
+
+    base = [(i, f"filler{i} " * 12) for i in range(40)]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    split = {r["doc_id"]: r["split"]
+             for r in train_test_split(df, test_frac=0.3).collect()}
+    test_id = next(i for i in split if split[i] == "test")
+    train_id = next(i for i in split if split[i] == "train")
+    clean_id = next(i for i in split
+                    if split[i] == "train" and i != train_id)
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, (span if i in (test_id, train_id) else f"filler{i} ") + f" tail{i} " * 8)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared"]
+           for r in decontaminate(df, n=6, min_shared=3,
+                                  test_frac=0.3).collect()}
+    assert train_id in out and out[train_id] >= 3
+    assert clean_id not in out
+
+
+def test_decontaminate_plan_broadcasts_test_side(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ngram_topk_deterministic_ties(spark):
+    # every bigram appears in exactly one doc -> full tie; the k cut must
+    # then be alphabetical, stable across runs and partitionings
+    df = spark.createDataFrame(
+        [(i, f"w{i:02d} w{i:02d}x") for i in range(10)],
+        "doc_id long, text string")
+    out = [r["ngram"] for r in ngram_topk(df, n=2, k=3).collect()]
+    assert out == sorted(out) and len(out) == 3
+    assert out[0] == "w00 w00x"
+
+
+def test_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.com or visit "
+             "https://ex.org/a?b=1 or call +1 (555) 123-4567 room 12")],
+        "id long, text string")
+    row = scrub(df).first()
+    s = row["text_scrubbed"]
+    assert "<EMAIL>" in s and "<URL>" in s and "<PHONE>" in s
+    assert "corp.example.com" not in s and "555" not in s
+    # the trailing bare number survives as <NUM>, not <PHONE>
+    assert s.rstrip().endswith("room <NUM>")
+    assert (row["n_email"], row["n_url"], row["n_phone"]) == (1, 1, 1)
+
+
+def test_scrub_rule_order_email_before_number(spark):
+    df = spark.createDataFrame([(1, "a1b2@x3.com end")], "id long, text string")
+    s = scrub(df).first()["text_scrubbed"]
+    assert s == "<EMAIL> end"
+
+
+def test_scrub_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "t 9")], "id long, text string")
+    plan = scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
