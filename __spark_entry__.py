@@ -1025,6 +1025,15 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, ANN_QUERY_IDS, k=5)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric embedding quantization (4x ANN memory lever):
+    per-vector scale + codes + audited max reconstruction error; map-only."""
+    from hbase_indexer_spark.pipeline.similarity import quantize_embeddings
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return quantize_embeddings(load(spark, sf_dir, "embeddings"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k (no SQL oracle —
     approximate by construction; recall vs brute force is unit-tested)."""
@@ -1220,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "repetition_filter": q_repetition_filter,
         "language_histogram": q_language_histogram,
+        "embedding_quantize": q_embedding_quantize,
         "decontaminate": q_decontaminate,
         "ngram_topk": q_ngram_topk,
         "pii_scrub": q_pii_scrub,
@@ -1633,6 +1643,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import LANGUAGE_HISTOGRAM_SQL
 
     out["language_histogram"] = LANGUAGE_HISTOGRAM_SQL
+    from hbase_indexer_spark.pipeline.similarity import quantize_embeddings_sql
+
+    out["embedding_quantize"] = quantize_embeddings_sql()
     out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "media_frame_sample",
     "decontaminate",
     "ngram_topk",
+    "embedding_quantize",
     "pii_scrub",
     "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the

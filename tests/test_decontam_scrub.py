@@ -90,3 +90,27 @@ def test_scrub_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "t 9")], "id long, text string")
     plan = scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_quantize_error_bounded_and_ansi_safe(spark):
+    from hbase_indexer_spark.pipeline.similarity import quantize_embeddings
+
+    rows = [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # error bound: half a quantization step per component
+    assert out[1]["max_err"] <= out[1]["scale"] / 2 + 1e-12
+    codes1 = [int(c) for c in out[1]["codes_s"].split("\x1f")]
+    assert codes1 == [64, -127, 32]  # floor(x/scale + .5)
+    # zero vector: guarded division, all-zero codes, zero error
+    assert out[2]["scale"] == 0.0 and out[2]["max_err"] == 0.0
+    assert out[2]["codes_s"] == "\x1f".join(["0"] * 3)
+    assert out[3]["codes_s"] == "127"
+
+
+def test_quantize_is_shuffle_free(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
