@@ -44,10 +44,14 @@ def word_ngrams(text: Column, n: int) -> Column:
     guarded explicitly because Spark's ``sequence(1, 0)`` would count
     DOWN, not produce an empty range."""
     t = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
+    # n shifted copies zipped element-wise — n slice ops per doc instead of
+    # one slice+join per gram (the per-gram form is ~5x slower: higher-order
+    # transform bodies run interpreted, and each gram re-sliced the array)
+    m = F.size(t) - F.lit(n - 1)
+    grams = F.slice(t, 1, m)
+    for j in range(2, n + 1):
+        grams = F.zip_with(grams, F.slice(t, j, m),
+                           lambda acc, w: F.concat(acc, F.lit(" "), w))
     return F.array_distinct(
         F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
