@@ -935,6 +935,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub(ev, text_col="props")
 
 
+def q_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch: corpus vocabulary estimate from the k smallest
+    token hashes — deterministic (md5-based), unlike HLL, so oracle-exact."""
+    from hbase_indexer_spark.pipeline.text import vocab_kmv
+
+    return vocab_kmv(_docs(spark, sf_dir), k=256)
+
+
 def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup materialization: exact-dup collapse + near-dup
     loser drop -> the kept corpus doc ids."""
@@ -1230,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "language_histogram": q_language_histogram,
         "embedding_quantize": q_embedding_quantize,
+        "vocab_estimate": q_vocab_estimate,
         "decontaminate": q_decontaminate,
         "ngram_topk": q_ngram_topk,
         "pii_scrub": q_pii_scrub,
@@ -1646,6 +1655,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.similarity import quantize_embeddings_sql
 
     out["embedding_quantize"] = quantize_embeddings_sql()
+    from hbase_indexer_spark.pipeline.text import vocab_kmv_sql
+
+    out["vocab_estimate"] = vocab_kmv_sql(k=256)
     out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",

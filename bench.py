@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "ngram_topk",
     "embedding_quantize",
+    "vocab_estimate",
     "pii_scrub",
     "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the

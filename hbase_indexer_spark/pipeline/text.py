@@ -272,3 +272,69 @@ def repetition_sql(table: str = "documents") -> str:
                     AS BIGINT) AS dup_bigram_count
         FROM c GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary estimation: KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+_HASH_SPACE = 1 << 60  # token_hash60 is uniform in [0, 2^60)
+
+
+def vocab_kmv(docs: DataFrame, k: int = 256) -> DataFrame:
+    """Corpus vocabulary-size estimate via a k-minimum-values sketch
+    (Bar-Yossef et al. 2002): keep the k smallest 60-bit token hashes;
+    ``est = (k-1) * 2^60 / h_k``.  Exact when the vocabulary fits in k.
+
+    Unlike HLL (``approx_count_distinct``) this is **deterministic** —
+    the estimate depends only on the md5-derived hash values, so the
+    DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: the token stream collapses to distinct hashes (the only
+    shuffle — vocabulary-sized, orders of magnitude below the corpus),
+    then ``orderBy(h).limit(k)`` runs as per-partition top-k + a k*P
+    driver merge — bounded memory at any corpus size.  Output is one row:
+    (n_min, h_k, est_vocab).
+    """
+    mins = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .select(token_hash60(F.col("tok")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    km1 = F.lit(float(k - 1))
+    space = F.lit(_HASH_SPACE).cast("double")
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_min"),
+        F.max("h").alias("h_k"),
+    ).select(
+        "n_min",
+        "h_k",
+        F.when(F.col("n_min") < k, F.col("n_min"))
+        .otherwise(
+            F.floor(km1 * space / F.col("h_k").cast("double")).cast("long")
+        )
+        .alias("est_vocab"),
+    )
+
+
+def vocab_kmv_sql(k: int = 256, table: str = "documents") -> str:
+    return f"""
+        WITH mins AS (
+            SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM (
+                SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM {table}
+            )
+            ORDER BY h LIMIT {k}
+        )
+        SELECT n_min, h_k,
+               CASE WHEN n_min < {k} THEN n_min
+                    ELSE CAST(floor(CAST({k - 1} AS DOUBLE)
+                              * CAST({_HASH_SPACE} AS DOUBLE)
+                              / CAST(h_k AS DOUBLE)) AS BIGINT)
+               END AS est_vocab
+        FROM (SELECT count(*) AS n_min, max(h) AS h_k FROM mins)
+    """

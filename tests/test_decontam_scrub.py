@@ -114,3 +114,22 @@ def test_quantize_is_shuffle_free(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_vocab_kmv_exact_below_k_and_estimates_above(spark):
+    from hbase_indexer_spark.pipeline.text import vocab_kmv
+
+    # 30 distinct tokens, k=256 -> the sketch is exact
+    small = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(5)],
+        "doc_id long, text string")
+    r = vocab_kmv(small, k=256).first()
+    assert (r["n_min"], r["est_vocab"]) == (30, 30)
+
+    # 2000 distinct tokens, k=128 -> estimate within 25% of truth
+    big = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(100))) for i in range(20)],
+        "doc_id long, text string")
+    r = vocab_kmv(big, k=128).first()
+    assert r["n_min"] == 128
+    assert abs(r["est_vocab"] - 2000) / 2000 < 0.25, r["est_vocab"]
