@@ -630,6 +630,21 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     Zero vectors quantize to all-zero codes (the ``scale = 0`` division
     guard — under ANSI mode floor(inf) would throw, not wrap).
     """
+    q = quantize_codes(emb, vec_col=vec_col, id_col=id_col)
+    return q.select(
+        id_col,
+        "scale",
+        F.concat_ws("\x1f", F.transform(F.col("codes"),
+                                        lambda c: c.cast("string")))
+        .alias("codes_s"),
+        "max_err",
+    )
+
+
+def quantize_codes(emb: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Array form of :func:`quantize_embeddings` — (id, scale,
+    codes array<int>, max_err) — the shape ANN paths consume directly."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
     scale = max_abs / F.lit(127.0)
@@ -644,9 +659,21 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     return emb.select(
         F.col(id_col),
         scale.alias("scale"),
-        F.concat_ws("\x1f", F.transform(codes, lambda c: c.cast("string")))
-        .alias("codes_s"),
+        codes.alias("codes"),
         err.alias("max_err"),
+    )
+
+
+def dequantize(qdf: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Reconstruct approximate vectors (``code_i * scale``) from
+    :func:`quantize_codes` output — drop-in for any search path that
+    expects an ``(id, embedding)`` frame (codes-first ANN re-rank)."""
+    return qdf.select(
+        F.col(id_col),
+        F.transform(F.col("codes"),
+                    lambda c: c.cast("double") * F.col("scale"))
+        .alias(vec_col),
     )
 
 

@@ -133,3 +133,23 @@ def test_vocab_kmv_exact_below_k_and_estimates_above(spark):
     r = vocab_kmv(big, k=128).first()
     assert r["n_min"] == 128
     assert abs(r["est_vocab"] - 2000) / 2000 < 0.25, r["est_vocab"]
+
+
+def test_quantized_search_preserves_topk(spark, sf_dir):
+    # codes-first ANN: searching over dequantized int8 vectors must agree
+    # with full-precision search for almost all of the top-k
+    from hbase_indexer_spark.pipeline.similarity import (
+        brute_force_topk,
+        dequantize,
+        quantize_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, qids, k=10).collect()}
+    approx_emb = dequantize(quantize_codes(emb))
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in brute_force_topk(approx_emb, qids, k=10).collect()}
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.9, overlap
