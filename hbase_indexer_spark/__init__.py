@@ -40,6 +40,19 @@ _EXPORTS = {
     "get_spark": "hbase_indexer_spark.session",
     "replication_status": "hbase_indexer_spark.monitoring",
     "replication_wait": "hbase_indexer_spark.monitoring",
+    # training-data-pipeline headliners (full surface in the submodules)
+    "exact_dedup_groups": "hbase_indexer_spark.pipeline.dedup",
+    "minhash_lsh_dedup_pairs": "hbase_indexer_spark.pipeline.dedup",
+    "dedup_clusters": "hbase_indexer_spark.pipeline.dedup",
+    "deduped_corpus": "hbase_indexer_spark.pipeline.dedup",
+    "brute_force_topk": "hbase_indexer_spark.pipeline.similarity",
+    "quantize_embeddings": "hbase_indexer_spark.pipeline.similarity",
+    "text_profile": "hbase_indexer_spark.pipeline.text",
+    "vocab_kmv": "hbase_indexer_spark.pipeline.text",
+    "train_test_split": "hbase_indexer_spark.pipeline.curation",
+    "decontaminate": "hbase_indexer_spark.pipeline.decontam",
+    "ngram_topk": "hbase_indexer_spark.pipeline.decontam",
+    "scrub": "hbase_indexer_spark.pipeline.scrub",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
