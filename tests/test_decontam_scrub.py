@@ -153,3 +153,38 @@ def test_quantized_search_preserves_topk(spark, sf_dir):
               for r in brute_force_topk(approx_emb, qids, k=10).collect()}
     overlap = len(exact & approx) / len(exact)
     assert overlap >= 0.9, overlap
+
+
+def test_scrub_and_profile_run_on_streams(spark, tmp_path):
+    # the curation map ops are pure projections, so they must compose with
+    # readStream unchanged and produce exactly the batch result
+    from hbase_indexer_spark.pipeline.scrub import scrub
+    from hbase_indexer_spark.pipeline.text import text_profile
+
+    schema = "doc_id long, text string"
+    rows = [(1, "mail a@b.co now 42"), (2, "plain words only here")]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        text_profile(scrub(stream).withColumnRenamed("text_scrubbed", "text2")
+                     .drop("text").withColumnRenamed("text2", "text"))
+        .writeStream.format("memory").queryName("scrub_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM scrub_stream").collect()}
+
+    batch = spark.createDataFrame(rows, schema)
+    want = {r["doc_id"]: r for r in text_profile(
+        scrub(batch).withColumnRenamed("text_scrubbed", "text2")
+        .drop("text").withColumnRenamed("text2", "text")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].asDict() == want[k].asDict()
