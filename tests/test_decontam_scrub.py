@@ -188,3 +188,50 @@ def test_scrub_and_profile_run_on_streams(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k].asDict() == want[k].asDict()
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis) — batched: one Spark job per example
+# set, not per example, by collecting the strategy into a single DataFrame
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+text_st = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    min_size=0, max_size=80)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(text_st, min_size=1, max_size=30))
+def test_scrub_output_never_contains_digits(spark, texts):
+    # the NUMBER rule runs last over [0-9]+, so no digit can survive any
+    # rule interaction — the strongest single invariant of the chain
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    for r in scrub(df).collect():
+        assert not any(c.isdigit() for c in r["text_scrubbed"]), r
+
+
+token_st = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(token_st, min_size=0, max_size=12),
+                min_size=1, max_size=20))
+def test_word_ngrams_counts_and_shape(spark, docs_tokens):
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", word_ngrams(F.col("text"), n).alias("g")).collect()}
+    for i, toks in enumerate(docs_tokens):
+        grams = out[i]
+        assert len(grams) <= max(0, len(toks) - n + 1)
+        assert len(set(grams)) == len(grams)          # distinct
+        for g in grams:
+            assert len(g.split(" ")) == n             # exactly n tokens
