@@ -475,9 +475,12 @@ class IncrementalIndexer:
                 # ONE census job replaces (bounds + per-chunk count) — the
                 # per-chunk counts let process_batch skip its count action,
                 # so an n_chunk replay runs n fewer jobs
+                # collect(), not first(): first() is limit(1), and Spark's
+                # incremental limit-scaling runs up to 4 partial jobs even
+                # over a 1-row aggregate — collect on it is a single job
                 bounds = events.select(
                     F.min(chunk_col).alias("lo"), F.max(chunk_col).alias("hi")
-                ).first()
+                ).collect()[0]
                 lo, hi = bounds["lo"], bounds["hi"]
                 span = (hi - lo + 1 + n_chunks - 1) // n_chunks
                 gated = gate_events(events, self.conf, self.subscription_ts)
