@@ -421,7 +421,10 @@ def q_streaming_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(tmp, "events")
     os.makedirs(src)
     ev = event_cells(spark, sf_dir).cache()
-    bounds = ev.select(SF.min("seq").alias("lo"), SF.max("seq").alias("hi")).first()
+    # collect, not first: first() = limit(1) triggers incremental
+    # limit-scaling (several partial jobs) even over a 1-row aggregate
+    bounds = ev.select(SF.min("seq").alias("lo"),
+                       SF.max("seq").alias("hi")).collect()[0]
     span = (bounds["hi"] - bounds["lo"] + 4) // 4
     for i in range(4):
         start = bounds["lo"] + i * span
