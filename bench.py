@@ -128,11 +128,18 @@ def main() -> None:
         with open(base_path, encoding="utf-8") as f:
             base = json.load(f).get("queries", {})
         ratios = {}
+        # a regression needs BOTH a >1.5x ratio and a >2s absolute delta:
+        # sub-second queries swing multiples under background load, and the
+        # first queries absorb codegen warmup — pure-ratio flags cried wolf
+        def regressed(name: str) -> bool:
+            return (ratios[name] > 1.5
+                    and times[name] - base.get(name, 0.0) > 2.0)
+
         for name, t in sorted(times.items()):
             b = base.get(name)
             if b:
                 ratios[name] = round(t / b, 3)
-                flag = "  <-- REGRESSION" if ratios[name] > 1.5 else ""
+                flag = "  <-- REGRESSION" if regressed(name) else ""
                 print(f"# delta {name}: {t:.2f}s vs baseline {b:.2f}s "
                       f"({ratios[name]:.2f}x){flag}", file=sys.stderr)
             else:
@@ -140,7 +147,7 @@ def main() -> None:
                       file=sys.stderr)
         out["vs_baseline"] = {
             "ratios": ratios,
-            "regressions": sorted(n for n, r in ratios.items() if r > 1.5),
+            "regressions": sorted(n for n in ratios if regressed(n)),
         }
 
     print(json.dumps(out))
