@@ -178,6 +178,38 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # decontamination: the held-out n-gram set broadcasts; the train corpus
+    # is never shuffled before the (doc_id, count) aggregate
+    "decontaminate": (
+        [r"BroadcastHashJoin", r"partial_count"],
+        [r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # corpus top-k: map-side-combined count + bounded TakeOrdered, no sort
+    # of the full gram stream
+    "ngram_topk": (
+        [r"partial_count", r"TakeOrderedAndProject"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
+    # scrub and quantize are pure projections: no keyed shuffle, no Python
+    # (the one RoundRobin exchange is the load() fixture's source respread
+    # — the local analog of region splits, not part of the operator)
+    "pii_scrub": (
+        [r"Project"],
+        [r"hashpartitioning", r"rangepartitioning", *NO_PYTHON],
+    ),
+    "embedding_quantize": (
+        [r"Project"],
+        [r"hashpartitioning", r"rangepartitioning", *NO_PYTHON],
+    ),
+    # KMV sketch: distinct hashes then bounded per-partition top-k merge
+    "vocab_estimate": (
+        [r"partial_", r"TakeOrderedAndProject"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
+    "language_histogram": (
+        [r"HashAggregate", r"partial_count"],
+        [r"SortMergeJoin", *NO_PYTHON],
+    ),
 }
 
 
