@@ -235,3 +235,41 @@ def test_word_ngrams_counts_and_shape(spark, docs_tokens):
         assert len(set(grams)) == len(grams)          # distinct
         for g in grams:
             assert len(g.split(" ")) == n             # exactly n tokens
+
+
+def test_decontaminate_streams_against_static_benchmark(spark, tmp_path):
+    # online contamination filter: incoming train docs stream against a
+    # STATIC benchmark n-gram set (stream-static broadcast join) and must
+    # flag exactly what the batch form flags
+    from hbase_indexer_spark.pipeline.decontam import word_ngrams
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame([(100, span)], "doc_id long, text string")
+    bench_grams = (bench.select(F.explode(word_ngrams(F.col("text"), 6))
+                                .alias("g")).distinct())
+
+    rows = [(1, span + " extra tail words here"),
+            (2, "unrelated filler content with many plain words going on")]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    flagged = (
+        stream.select("doc_id",
+                      F.explode(word_ngrams(F.col("text"), 6)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    q = (flagged.writeStream.format("memory").queryName("decontam_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["n_shared"]
+           for r in spark.sql("SELECT * FROM decontam_stream").collect()}
+    assert 1 in got and got[1] >= 3
+    assert 2 not in got
