@@ -938,6 +938,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub(ev, text_col="props")
 
 
+def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/hapax diagnostic: distinct tokens and corpus occurrences per
+    power-of-two frequency band (two partial-agg shuffles, integer-only)."""
+    from hbase_indexer_spark.pipeline.text import token_freq_spectrum
+
+    return token_freq_spectrum(_docs(spark, sf_dir))
+
+
 def q_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch: corpus vocabulary estimate from the k smallest
     token hashes — deterministic (md5-based), unlike HLL, so oracle-exact."""
@@ -1242,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_histogram": q_language_histogram,
         "embedding_quantize": q_embedding_quantize,
         "vocab_estimate": q_vocab_estimate,
+        "token_freq_spectrum": q_token_freq_spectrum,
         "decontaminate": q_decontaminate,
         "ngram_topk": q_ngram_topk,
         "pii_scrub": q_pii_scrub,
@@ -1661,6 +1670,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import vocab_kmv_sql
 
     out["vocab_estimate"] = vocab_kmv_sql(k=256)
+    from hbase_indexer_spark.pipeline.text import token_freq_spectrum_sql
+
+    out["token_freq_spectrum"] = token_freq_spectrum_sql()
     out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",

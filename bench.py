@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "ngram_topk",
     "embedding_quantize",
     "vocab_estimate",
+    "token_freq_spectrum",
     "pii_scrub",
     "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the

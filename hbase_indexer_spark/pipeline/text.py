@@ -338,3 +338,65 @@ def vocab_kmv_sql(k: int = 256, table: str = "documents") -> str:
                END AS est_vocab
         FROM (SELECT count(*) AS n_min, max(h) AS h_k FROM mins)
     """
+
+
+# ---------------------------------------------------------------------------
+# Token frequency spectrum (Zipf / hapax diagnostic)
+# ---------------------------------------------------------------------------
+
+# power-of-two frequency bands as an explicit CASE chain: integer compares
+# only, so Spark and DuckDB bucket identically (a floor(log2(f)) would ride
+# on float rounding at band edges)
+_SPECTRUM_BANDS = [(1, 1, "1"), (2, 3, "2-3"), (4, 7, "4-7"),
+                   (8, 15, "8-15"), (16, 31, "16-31")]
+_SPECTRUM_TOP = "32+"
+
+
+def token_freq_spectrum(docs: DataFrame) -> DataFrame:
+    """How is corpus mass distributed over token frequency?  Per
+    power-of-two frequency band: how many distinct tokens fall in it and
+    how many corpus occurrences they account for — the "how much is hapax
+    noise vs. head tokens" vocabulary-pruning diagnostic.
+
+    Two partially-aggregated shuffles: token counts (vocabulary-sized),
+    then a handful of band keys.  Integer aggregates only.
+    """
+    freqs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    band = F.lit(_SPECTRUM_TOP)
+    for lo, hi, label in reversed(_SPECTRUM_BANDS):
+        band = F.when(F.col("freq") <= hi, F.lit(label)).otherwise(band)
+    return (
+        freqs.select(band.alias("band"), "freq")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("n_occurrences"),
+        )
+    )
+
+
+def token_freq_spectrum_sql(table: str = "documents") -> str:
+    cases = " ".join(
+        f"WHEN freq <= {hi} THEN '{label}'"
+        for _lo, hi, label in _SPECTRUM_BANDS
+    )
+    return f"""
+        WITH freqs AS (
+            SELECT tok, count(*) AS freq
+            FROM (
+                SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM {table}
+            )
+            GROUP BY tok
+        )
+        SELECT CASE {cases} ELSE '{_SPECTRUM_TOP}' END AS band,
+               count(*) AS n_tokens,
+               CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM freqs
+        GROUP BY band
+    """

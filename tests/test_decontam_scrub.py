@@ -273,3 +273,14 @@ def test_decontaminate_streams_against_static_benchmark(spark, tmp_path):
            for r in spark.sql("SELECT * FROM decontam_stream").collect()}
     assert 1 in got and got[1] >= 3
     assert 2 not in got
+
+
+def test_token_freq_spectrum_bands(spark):
+    from hbase_indexer_spark.pipeline.text import token_freq_spectrum
+
+    # one hapax, one token appearing 3x, one appearing 40x
+    text = " ".join(["once"] + ["few"] * 3 + ["head"] * 40)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["band"]: (r["n_tokens"], r["n_occurrences"])
+           for r in token_freq_spectrum(df).collect()}
+    assert got == {"1": (1, 1), "2-3": (1, 3), "32+": (1, 40)}
