@@ -1022,6 +1022,15 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_corpus(_docs(spark, sf_dir))
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What actually feeds the tokenizer: train split of the curated corpus
+    (profile + exact dedup + LSH near-dup) minus benchmark-contaminated
+    docs — the full composed pipeline in one plan."""
+    from hbase_indexer_spark.pipeline.curation import training_corpus
+
+    return training_corpus(_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components (large-star /
     small-star) over the Jaccard pair graph; every doc gets a canonical
@@ -1251,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "vocab_estimate": q_vocab_estimate,
         "token_freq_spectrum": q_token_freq_spectrum,
+        "training_corpus": q_training_corpus,
         "decontaminate": q_decontaminate,
         "ngram_topk": q_ngram_topk,
         "pii_scrub": q_pii_scrub,
@@ -1695,6 +1705,9 @@ def oracle_sql() -> dict[str, str]:
     out["train_test_split"] = train_test_split_sql(test_frac=0.1)
     out["stratified_sample"] = stratified_sample_sql(SAMPLE_FRACS)
     out["curated_corpus"] = curated_corpus_sql()
+    from hbase_indexer_spark.pipeline.curation import training_corpus_sql
+
+    out["training_corpus"] = training_corpus_sql()
     out["simhash"] = simhash_sql()
     out["ann_bruteforce_topk"] = brute_force_topk_sql(ANN_QUERY_IDS, k=5)
     out["ann_lsh_verified"] = lsh_topk_sql(ANN_QUERY_IDS, **ANN_LSH_VERIFIED_CFG)

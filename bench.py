@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "vocab_estimate",
     "token_freq_spectrum",
+    "training_corpus",
     "pii_scrub",
     "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the

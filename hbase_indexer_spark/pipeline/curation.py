@@ -170,3 +170,48 @@ def curated_corpus_sql(min_tokens: int = 10, min_quality: float = 0.5,
         WHERE l.doc_id IS NULL
         ORDER BY p.doc_id
     """
+
+
+def training_corpus(docs: DataFrame, min_tokens: int = 10,
+                    min_quality: float = 0.5, dedup_threshold: float = 0.7,
+                    ngram_n: int = 6, min_shared: int = 3,
+                    test_frac: float = 0.1,
+                    salt: str = "split-v1") -> DataFrame:
+    """The full what-actually-feeds-the-tokenizer composition: the train
+    split of the curated corpus (profile filters + exact dedup + LSH
+    near-dup removal) minus benchmark-contaminated documents.
+
+    Each stage is the scale-path variant, and every join added here is
+    small-side: the split predicate is a map-only hash, the contaminated
+    set is (flagged docs only) — an anti-join Spark broadcasts."""
+    from hbase_indexer_spark.pipeline.decontam import decontaminate
+
+    kept = curated_corpus(docs, min_tokens=min_tokens,
+                          min_quality=min_quality,
+                          dedup_threshold=dedup_threshold)
+    cut = int(test_frac * SPLIT_BUCKETS)
+    train_only = kept.filter(_bucket(F.col("doc_id"), salt) >= cut)
+    contaminated = decontaminate(docs, n=ngram_n, min_shared=min_shared,
+                                 test_frac=test_frac, salt=salt)
+    return train_only.join(contaminated.select("doc_id"), "doc_id",
+                           "left_anti")
+
+
+def training_corpus_sql(min_tokens: int = 10, min_quality: float = 0.5,
+                        dedup_threshold: float = 0.7, ngram_n: int = 6,
+                        min_shared: int = 3, test_frac: float = 0.1,
+                        salt: str = "split-v1") -> str:
+    from hbase_indexer_spark.pipeline.decontam import decontaminate_sql
+
+    cut = int(test_frac * SPLIT_BUCKETS)
+    return f"""
+        WITH curated AS ({curated_corpus_sql(min_tokens, min_quality,
+                                             dedup_threshold)}),
+        contaminated AS ({decontaminate_sql(ngram_n, min_shared,
+                                            test_frac, salt)})
+        SELECT c.*
+        FROM curated c
+        LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+        WHERE ({_bucket_sql(salt, 'c.doc_id')}) >= {cut}
+          AND x.doc_id IS NULL
+    """

@@ -284,3 +284,24 @@ def test_token_freq_spectrum_bands(spark):
     got = {r["band"]: (r["n_tokens"], r["n_occurrences"])
            for r in token_freq_spectrum(df).collect()}
     assert got == {"1": (1, 1), "2-3": (1, 3), "32+": (1, 40)}
+
+
+def test_training_corpus_composition_invariants(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.curation import (
+        curated_corpus,
+        train_test_split,
+        training_corpus,
+    )
+    from hbase_indexer_spark.pipeline.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    final = {r["doc_id"] for r in training_corpus(docs).collect()}
+    curated = {r["doc_id"] for r in curated_corpus(docs).collect()}
+    split = {r["doc_id"]: r["split"]
+             for r in train_test_split(docs, test_frac=0.1).collect()}
+    dirty = {r["doc_id"] for r in decontaminate(docs).collect()}
+    assert final <= curated
+    assert all(split[d] == "train" for d in final)
+    assert not (final & dirty)
+    # and it actually removed something relative to plain curation
+    assert final != curated
