@@ -210,6 +210,12 @@ CHECKS = {
         [r"HashAggregate", r"partial_count"],
         [r"SortMergeJoin", *NO_PYTHON],
     ),
+    # full corpus composition: the added split/contamination joins must
+    # stay broadcast/anti, and nothing in the chain may go cartesian
+    "training_corpus": (
+        [r"BroadcastHashJoin", r"LeftAnti"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 
