@@ -1253,6 +1253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_history": q_user_event_history,
         "nation_set_ops": q_nation_set_ops,
         # ------------- 50-query gate window ends here -------------
+        # r5 rotation plan: once sliding_event_rates / user_event_history /
+        # nation_set_ops record green (this round), swap them out for the
+        # strongest r4 pipeline additions (training_corpus, decontaminate,
+        # vocab_estimate) so the driver gates the new surface too.  All
+        # r4 additions are locally sweep-verified at sf0.001/0.01/0.1
+        # (CHECK_LOCAL_r04*.txt).
         "text_profile": q_text_profile,
         "token_stats": q_token_stats,
         "repetition_filter": q_repetition_filter,
