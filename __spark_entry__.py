@@ -938,6 +938,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub(ev, text_col="props")
 
 
+def q_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KMV vocabulary estimates (the grouped sketch form the
+    mixture rebalancer reads); O(k) state per group."""
+    from hbase_indexer_spark.pipeline.text import vocab_kmv_by
+
+    return vocab_kmv_by(_docs(spark, sf_dir), group_col="lang", k=128)
+
+
 def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf/hapax diagnostic: distinct tokens and corpus occurrences per
     power-of-two frequency band (two partial-agg shuffles, integer-only)."""
@@ -1267,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_estimate": q_vocab_estimate,
         "token_freq_spectrum": q_token_freq_spectrum,
         "training_corpus": q_training_corpus,
+        "vocab_by_lang": q_vocab_by_lang,
         "decontaminate": q_decontaminate,
         "ngram_topk": q_ngram_topk,
         "pii_scrub": q_pii_scrub,
@@ -1689,6 +1698,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import token_freq_spectrum_sql
 
     out["token_freq_spectrum"] = token_freq_spectrum_sql()
+    from hbase_indexer_spark.pipeline.text import vocab_kmv_by_sql
+
+    out["vocab_by_lang"] = vocab_kmv_by_sql(group_col="lang", k=128)
     out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",

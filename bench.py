@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "vocab_estimate",
     "token_freq_spectrum",
     "training_corpus",
+    "vocab_by_lang",
     "pii_scrub",
     "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the

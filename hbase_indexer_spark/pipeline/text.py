@@ -400,3 +400,72 @@ def token_freq_spectrum_sql(table: str = "documents") -> str:
         FROM freqs
         GROUP BY band
     """
+
+
+def vocab_kmv_by(docs: DataFrame, group_col: str = "lang",
+                 k: int = 128) -> DataFrame:
+    """Per-group KMV distinct estimates (vocabulary per language / source):
+    the grouped form of :func:`vocab_kmv` — rank token hashes inside each
+    group, keep each group's k smallest, estimate per group.
+
+    One shuffle keyed on (group, hash-distinct) then a per-group window
+    rank over at most the group's vocabulary; state per group is O(k).
+    The per-group estimates are what a mixture rebalancer reads ("how much
+    lexical diversity does each slice contribute").
+    """
+    from pyspark.sql.window import Window
+
+    hashes = (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("grp", token_hash60(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    mins = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k)
+    km1 = F.lit(float(k - 1))
+    space = F.lit(_HASH_SPACE).cast("double")
+    return (
+        mins.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_min"), F.max("h").alias("h_k"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_min",
+            "h_k",
+            F.when(F.col("n_min") < k, F.col("n_min"))
+            .otherwise(F.floor(km1 * space / F.col("h_k").cast("double"))
+                       .cast("long"))
+            .alias("est_vocab"),
+        )
+    )
+
+
+def vocab_kmv_by_sql(group_col: str = "lang", k: int = 128,
+                     table: str = "documents") -> str:
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT {group_col} AS grp,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM (
+                SELECT {group_col},
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM {table}
+            )
+        ), mins AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM hashes
+        )
+        SELECT grp AS {group_col}, n_min, h_k,
+               CASE WHEN n_min < {k} THEN n_min
+                    ELSE CAST(floor(CAST({k - 1} AS DOUBLE)
+                              * CAST({_HASH_SPACE} AS DOUBLE)
+                              / CAST(h_k AS DOUBLE)) AS BIGINT)
+               END AS est_vocab
+        FROM (
+            SELECT grp, count(*) AS n_min, max(h) AS h_k
+            FROM mins WHERE rn <= {k} GROUP BY grp
+        )
+    """

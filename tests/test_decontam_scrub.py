@@ -305,3 +305,18 @@ def test_training_corpus_composition_invariants(spark, sf_dir):
     assert not (final & dirty)
     # and it actually removed something relative to plain curation
     assert final != curated
+
+
+def test_vocab_kmv_by_matches_global_on_single_group(spark):
+    from hbase_indexer_spark.pipeline.text import vocab_kmv, vocab_kmv_by
+
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(f"tok{i}_{j}" for j in range(60)))
+         for i in range(10)],
+        "doc_id long, lang string, text string")
+    grouped = vocab_kmv_by(df, group_col="lang", k=64).collect()
+    glob = vocab_kmv(df, k=64).first()
+    assert len(grouped) == 1
+    g = grouped[0]
+    assert (g["n_min"], g["h_k"], g["est_vocab"]) == (
+        glob["n_min"], glob["h_k"], glob["est_vocab"])
