@@ -1030,6 +1030,14 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_corpus(_docs(spark, sf_dir))
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc detection: directional n-gram containment >= 0.8 — the
+    quote/subset duplicates Jaccard structurally misses."""
+    from hbase_indexer_spark.pipeline.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What actually feeds the tokenizer: train split of the curated corpus
     (profile + exact dedup + LSH near-dup) minus benchmark-contaminated
@@ -1276,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_spectrum": q_token_freq_spectrum,
         "training_corpus": q_training_corpus,
         "vocab_by_lang": q_vocab_by_lang,
+        "ngram_containment": q_ngram_containment,
         "decontaminate": q_decontaminate,
         "ngram_topk": q_ngram_topk,
         "pii_scrub": q_pii_scrub,
@@ -1701,6 +1710,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import vocab_kmv_by_sql
 
     out["vocab_by_lang"] = vocab_kmv_by_sql(group_col="lang", k=128)
+    from hbase_indexer_spark.pipeline.dedup import ngram_containment_sql
+
+    out["ngram_containment"] = ngram_containment_sql(threshold=0.8)
     out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",

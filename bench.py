@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "token_freq_spectrum",
     "training_corpus",
     "vocab_by_lang",
+    "ngram_containment",
     "pii_scrub",
     "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the

@@ -155,6 +155,63 @@ def ngram_jaccard_sql(threshold: float = 0.7, n: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# N-gram containment (doc-in-doc detection)
+# ---------------------------------------------------------------------------
+
+def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                            n: int = 3) -> DataFrame:
+    """Directional containment: pairs where ``|sh(x) ∩ sh(y)| / |sh(x)| >=
+    threshold`` — doc ``x`` is (near-)contained in ``y``.  Catches the
+    quote/subset duplicates Jaccard structurally misses: a short doc fully
+    embedded in a long one has tiny Jaccard (union is dominated by the long
+    doc) but containment 1.0.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (pairs sharing
+    zero shingles never materialize), both directions kept.  Declared
+    brute baseline: MinHash-LSH does NOT retrieve these candidates (minhash
+    approximates Jaccard, which is exactly what containment escapes), so
+    the scale path is a one-sided scheme over the SMALLER doc's shingles
+    (sample k of sh(x), probe the inverted index, verify survivors) —
+    the verify step below is that verifier.
+    """
+    sh = exploded_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes, F.col("x") == F.col("doc_id"))
+        .select(
+            "x", "y", "n_inter", F.col("n_sh").alias("n_x"),
+            (F.col("n_inter").cast("double") / F.col("n_sh").cast("double"))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def ngram_containment_sql(threshold: float = 0.8, n: int = 3) -> str:
+    return f"""
+        WITH {shingle_cte_sql(n)}, sz AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT x, y, n_inter, sz.n_sh AS n_x,
+               CAST(n_inter AS DOUBLE) / CAST(sz.n_sh AS DOUBLE) AS containment
+        FROM inter JOIN sz ON x = sz.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sz.n_sh AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 

@@ -320,3 +320,21 @@ def test_vocab_kmv_by_matches_global_on_single_group(spark):
     g = grouped[0]
     assert (g["n_min"], g["h_k"], g["est_vocab"]) == (
         glob["n_min"], glob["h_k"], glob["est_vocab"])
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from hbase_indexer_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string")
+    cont = {(r["x"], r["y"]): r["containment"]
+            for r in ngram_containment_pairs(df, threshold=0.8).collect()}
+    jac = {(r["x"], r["y"]) for r in ngram_jaccard_pairs(df, 0.7).collect()}
+    assert cont[(1, 2)] == 1.0          # short fully embedded in long
+    assert (2, 1) not in cont           # containment is directional
+    assert (1, 2) not in jac            # Jaccard structurally misses it
