@@ -1030,6 +1030,14 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_corpus(_docs(spark, sf_dir))
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming join over SimHash signatures (pigeonhole recall 1
+    for hamming<=3 with 4 bands); candidates verified by popcount only."""
+    from hbase_indexer_spark.pipeline.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-in-doc detection: directional n-gram containment >= 0.8 — the
     quote/subset duplicates Jaccard structurally misses."""
@@ -1285,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "vocab_by_lang": q_vocab_by_lang,
         "ngram_containment": q_ngram_containment,
+        "simhash_near_dups": q_simhash_near_dups,
         "decontaminate": q_decontaminate,
         "ngram_topk": q_ngram_topk,
         "pii_scrub": q_pii_scrub,
@@ -1713,6 +1722,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import ngram_containment_sql
 
     out["ngram_containment"] = ngram_containment_sql(threshold=0.8)
+    from hbase_indexer_spark.pipeline.dedup import simhash_near_pairs_sql
+
+    out["simhash_near_dups"] = simhash_near_pairs_sql(max_hamming=3)
     out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "training_corpus",
     "vocab_by_lang",
     "ngram_containment",
+    "simhash_near_dups",
     "pii_scrub",
     "language_histogram",
     # r4 additions: the re-verified §2.7 extension surface and the

@@ -389,6 +389,60 @@ def simhash_sql() -> str:
     """
 
 
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs via a banded Hamming join — the scale path
+    for signature-level dedup.  The 60-bit signature splits into
+    ``n_bands`` equal bands; by pigeonhole, two signatures within
+    ``max_hamming < n_bands`` bits MUST agree on at least one whole band,
+    so same-band equality joins retrieve every qualifying pair (recall is
+    exactly 1 — the quadratic all-pairs scan the oracle runs is therefore
+    a complete referee, and the banded plan is pure optimization).
+
+    One explode (n_bands rows/doc), equality joins on (band, value),
+    popcount verify on candidates only — never all-pairs.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    width = N_BITS // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash(docs)
+    bands = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        for i in range(n_bands)
+    ]))
+    banded = sigs.select("doc_id", "simhash", bands.alias("b")).select(
+        "doc_id", "simhash", "b.bi", "b.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bi") == F.col("b.bi"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"),
+                F.col("a.simhash").alias("xs"), F.col("b.simhash").alias("ys"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("xs").bitwiseXOR(F.col("ys"))).cast("int")
+    return (cand.select("x", "y", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    """Oracle: the exact all-pairs Hamming scan.  Complete referee for the
+    banded join because pigeonhole recall is exactly 1 (see above)."""
+    return f"""
+        WITH sigs AS ({simhash_sql()})
+        SELECT a.doc_id AS x, b.doc_id AS y,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -338,3 +338,27 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert cont[(1, 2)] == 1.0          # short fully embedded in long
     assert (2, 1) not in cont           # containment is directional
     assert (1, 2) not in jac            # Jaccard structurally misses it
+
+
+def test_simhash_banded_join_is_complete(spark, sf_dir):
+    # pigeonhole: the banded join must find EXACTLY the quadratic scan's
+    # pairs — recall 1, no approximation
+    from hbase_indexer_spark.pipeline.dedup import simhash, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = {(r["x"], r["y"], r["hamming"])
+              for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    sigs = simhash(docs).collect()
+    brute = set()
+    sig_list = [(r["doc_id"], r["simhash"]) for r in sigs]
+    for i, (dx, sx) in enumerate(sig_list):
+        for dy, sy in sig_list[i + 1:]:
+            h = bin(sx ^ sy).count("1")
+            if h <= 3:
+                a, b = (dx, dy) if dx < dy else (dy, dx)
+                brute.add((a, b, h))
+    assert banded == brute and brute
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=4, n_bands=4)
