@@ -216,6 +216,17 @@ CHECKS = {
         [r"BroadcastHashJoin", r"LeftAnti"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # banded Hamming join: candidates come from an EQUALITY join on
+    # (band, value) — the popcount filter must never degrade the plan to
+    # a cartesian/nested-loop all-pairs scan
+    "simhash_near_dups": (
+        [r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    "ngram_containment": (
+        [r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
 }
 
 
