@@ -98,13 +98,20 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        # fault-isolated: one broken query must not zero the whole bench
+        # best-of-2: the first run pays Python-worker-pool fork, codegen
+        # warmup, and any transient background load; the min of two runs is
+        # the engine's plan cost.  Single-run timings swung 2-4x run-to-run
+        # on the same plan (measured r4), making regression flags noise.
+        runs: list[float] = []
         try:
-            df = qs[name](spark, SF_DIR)
-            n = df.count()
-            times[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+            for _ in range(2):
+                t0 = time.time()
+                df = qs[name](spark, SF_DIR)
+                n = df.count()
+                runs.append(time.time() - t0)
+            times[name] = round(min(runs), 3)
+            print(f"# {name}: {n} rows in {times[name]}s "
+                  f"(runs: {[round(r, 2) for r in runs]})", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             msg = f"{type(exc).__name__}: {exc}"
             errors[name] = msg.splitlines()[0][:300]
