@@ -1,0 +1,61 @@
+"""Global plan lint: every registered query's physical plan is scanned for
+operators that do not survive a 100x scale-up — CartesianProduct (all-pairs)
+and BroadcastNestedLoopJoin (non-equi broadcast loop).  Unlike
+test_plan_contracts.py (which pins per-query plan *shapes*), this is a
+blanket floor over the whole queries() surface, so a newly-added query with
+an accidental cross join fails the suite immediately.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+# justified exceptions, each with the reason the node is scale-safe
+ALLOW_BNLJ = {
+    # TPC-H Q22: `c_acctbal > (select avg(c_acctbal) ...)` — the broadcast
+    # side is a single-row global aggregate, so the "nested loop" is a
+    # constant-time comparison per row, not an all-pairs join.
+    "idle_high_balance_customers",
+    # TPC-H Q11: `having sum(...) > (select sum(...) * frac)` — same
+    # single-row scalar-aggregate broadcast shape as Q22.
+    "important_part_value",
+    # declared brute-force baseline: every corpus vector scored against the
+    # K=|query_ids| broadcast query vectors; the broadcast side is O(K),
+    # so the loop is K dot products per row — linear scan by design (the
+    # scale path is ann_lsh_topk / ann_ivf_indexed).
+    "ann_bruteforce_topk",
+}
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    out = {}
+    for name, fn in entry.queries().items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf_dir).explain("formatted")
+        out[name] = buf.getvalue()
+    return out
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_no_nested_loop_join_outside_allowlist(all_plans):
+    offenders = [
+        n for n, p in all_plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in ALLOW_BNLJ
+    ]
+    assert not offenders, f"nested-loop join in: {offenders}"
+
+
+def test_allowlist_entries_still_needed(all_plans):
+    # prune the allowlist when a query stops producing the node
+    stale = [n for n in ALLOW_BNLJ
+             if "BroadcastNestedLoopJoin" not in all_plans.get(n, "")]
+    assert not stale, f"allowlist entries no longer needed: {stale}"
