@@ -1064,6 +1064,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.7)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document passage dedup: every repeated 10-token span
+    is removed from all but its first (doc_id, pos) occurrence and each
+    document's text is rebuilt from the surviving spans."""
+    from hbase_indexer_spark.pipeline.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), span=10)
+
+
 ANN_QUERY_IDS = list(range(10))
 
 
@@ -1256,9 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "span_dedup": q_span_dedup,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "deduped_corpus": q_deduped_corpus,
-        "train_test_split": q_train_test_split,
         "curated_corpus": q_curated_corpus,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_verified": q_ann_lsh_verified,
@@ -1283,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab_estimate) so the driver gates the new surface too.  All
         # r4 additions are locally sweep-verified at sf0.001/0.01/0.1
         # (CHECK_LOCAL_r04*.txt).
+        # rotated out of the window for r4's span_dedup (stable-green since
+        # r3 and pinned by tests/test_curation.py + the local sweeps)
+        "train_test_split": q_train_test_split,
         "text_profile": q_text_profile,
         "token_stats": q_token_stats,
         "repetition_filter": q_repetition_filter,
@@ -1738,6 +1750,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.dedup import span_dedup_sql
+
+    out["span_dedup"] = span_dedup_sql(span=10)
     from hbase_indexer_spark.pipeline.curation import (
         curated_corpus_sql,
         stratified_sample_sql,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "curated_corpus",
     "train_test_split",
+    "span_dedup",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",

@@ -771,3 +771,118 @@ def dedup_clusters_sql(threshold: float = 0.7, n: int = 3) -> str:
         FROM documents d LEFT JOIN walk w ON d.doc_id = w.id
         GROUP BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (C4-style repeated-passage removal)
+# ---------------------------------------------------------------------------
+
+def doc_spans(docs: DataFrame, span: int = 10) -> DataFrame:
+    """Explode each document into consecutive non-overlapping ``span``-token
+    passages: ``(doc_id, pos, span)``.  The tail passage keeps its natural
+    (shorter) length.  Mirrors the C4 preprocessing unit (three-sentence
+    spans there; fixed token windows here — the corpus has no sentence
+    boundaries)."""
+    t = tokens(F.col("text"))
+    n_spans = F.ceil(F.size(t) / F.lit(span)).cast("int")
+    spans = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+
+
+def span_dedup(docs: DataFrame, span: int = 10) -> DataFrame:
+    """C4-style global passage dedup: any ``span``-token passage that occurs
+    more than once across the whole corpus is removed from every document
+    except its first occurrence (lowest ``(doc_id, pos)``); each document's
+    text is rebuilt from its surviving passages in order.
+
+    Returns ``(doc_id, text, n_spans, n_removed)`` for every input document
+    (documents whose every passage was removed keep an empty string).
+
+    Scale: the keeper per passage is a ``min(struct(doc_id, pos))``
+    aggregation — map-side combinable, so a passage repeated millions of
+    times (boilerplate) costs one partial per input partition, not a
+    skewed window sort.  Then one equi-join back on the passage hash and
+    one regroup by doc_id: three shuffles total, none all-pairs, no
+    driver materialization.  Joining on the md5 of the passage (not the
+    passage text) keeps shuffle rows narrow at 100 TB.
+    """
+    sp = doc_spans(docs, span=span).withColumn("h", F.md5(F.col("span")))
+    keepers = sp.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep")
+    )
+    kept = (
+        sp.join(keepers, "h")
+        .withColumn("is_keep", F.struct("doc_id", "pos") == F.col("keep"))
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_keep"),
+                                   F.struct("pos", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((~F.col("is_keep")).cast("long")).alias("n_removed"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def span_dedup_sql(span: int = 10) -> str:
+    """DuckDB oracle: same semantics via a row_number window (exact at gate
+    scale; the Spark path replaces the window with the combinable min)."""
+    return f"""
+        WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        s0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, cast(ceil(len(toks)/{span}.0) AS BIGINT)),
+                       i -> struct_pack(
+                           pos := i,
+                           span := array_to_string(
+                               toks[i*{span}+1 : i*{span}+{span}], ' ')))) AS u
+            FROM tk
+        ),
+        s AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM s0),
+        k AS (
+            SELECT doc_id, pos, span,
+                   row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id, pos) AS rn
+            FROM s
+        ),
+        r AS (
+            SELECT doc_id,
+                   coalesce(string_agg(span, ' ' ORDER BY pos)
+                            FILTER (WHERE rn = 1), '') AS text,
+                   count(*) AS n_spans,
+                   count(*) FILTER (WHERE rn > 1) AS n_removed
+            FROM k GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.text, '') AS text,
+               coalesce(r.n_spans, 0) AS n_spans,
+               coalesce(r.n_removed, 0) AS n_removed
+        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+    """

@@ -227,6 +227,15 @@ CHECKS = {
         [r"partial_count"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # C4-style passage dedup: the global first-occurrence keeper must stay
+    # a map-side-combinable min(struct) aggregation (partial_min) — a
+    # Window row_number over the passage key would sort every occurrence
+    # of a hot boilerplate passage on one reducer
+    "span_dedup": (
+        [r"partial_min"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
 }
 
 

@@ -1,0 +1,67 @@
+"""C4-style cross-document passage dedup (span_dedup).
+
+Pins: first-occurrence-wins keeper rule across documents, within-document
+repeated spans, tail spans shorter than the window, full-loss documents
+(empty rebuilt text), empty input documents, and that every input doc_id
+survives to the output exactly once.
+"""
+
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.dedup import doc_spans, span_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _out(spark, rows, span=3):
+    res = span_dedup(_docs(spark, rows), span=span).orderBy("doc_id").collect()
+    return {r["doc_id"]: (r["text"], r["n_spans"], r["n_removed"]) for r in res}
+
+
+def test_repeated_span_removed_from_later_doc(spark):
+    out = _out(spark, [
+        (1, "a b c d e f"),          # spans: "a b c", "d e f"
+        (2, "a b c x y z"),          # "a b c" repeats -> removed here
+    ])
+    assert out[1] == ("a b c d e f", 2, 0)
+    assert out[2] == ("x y z", 2, 1)
+
+
+def test_within_document_repeat_keeps_first(spark):
+    out = _out(spark, [(7, "a b c a b c q")])   # spans: abc, abc, q
+    assert out[7] == ("a b c q", 3, 1)
+
+
+def test_tail_span_shorter_than_window(spark):
+    out = _out(spark, [(1, "a b c d")])          # spans: "a b c", "d"
+    assert out[1] == ("a b c d", 2, 0)
+    # the short tail "d" is its own span and deduplicates too
+    out2 = _out(spark, [(1, "a b c d"), (2, "x y z d")])
+    assert out2[2] == ("x y z", 2, 1)
+
+
+def test_identical_docs_second_empties(spark):
+    out = _out(spark, [(1, "a b c"), (2, "a b c")])
+    assert out[1] == ("a b c", 1, 0)
+    assert out[2] == ("", 1, 1)
+
+
+def test_empty_doc_survives_with_no_spans(spark):
+    out = _out(spark, [(1, ""), (2, "a b c")])
+    assert out[1] == ("", 0, 0)
+    assert out[2] == ("a b c", 1, 0)
+
+
+def test_every_doc_id_exactly_once(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = span_dedup(docs, span=10)
+    assert res.count() == docs.count()
+    assert res.select("doc_id").distinct().count() == docs.count()
+
+
+def test_doc_spans_positions_are_contiguous(spark):
+    sp = doc_spans(_docs(spark, [(1, "a b c d e f g")]), span=2).collect()
+    assert [(r["pos"], r["span"]) for r in sorted(sp)] == [
+        (0, "a b"), (1, "c d"), (2, "e f"), (3, "g")]
