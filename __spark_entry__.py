@@ -1055,6 +1055,16 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_corpus(_docs(spark, sf_dir))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: each document's token span and training-sequence
+    ids when the corpus is concatenated in doc_id order and split every
+    128 tokens — exact global prefix sum via the two-level block scan
+    (no full-corpus window sort)."""
+    from hbase_indexer_spark.pipeline.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=128)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components (large-star /
     small-star) over the Jaccard pair graph; every doc gets a canonical
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_estimate": q_vocab_estimate,
         "token_freq_spectrum": q_token_freq_spectrum,
         "training_corpus": q_training_corpus,
+        "pack_sequences": q_pack_sequences,
         "vocab_by_lang": q_vocab_by_lang,
         "ngram_containment": q_ngram_containment,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1753,6 +1764,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import span_dedup_sql
 
     out["span_dedup"] = span_dedup_sql(span=10)
+    from hbase_indexer_spark.pipeline.pack import pack_sequences_sql
+
+    out["pack_sequences"] = pack_sequences_sql(seq_len=128)
     from hbase_indexer_spark.pipeline.curation import (
         curated_corpus_sql,
         stratified_sample_sql,

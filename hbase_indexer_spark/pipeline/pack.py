@@ -1,0 +1,146 @@
+"""Sequence packing: map every document onto the fixed-length training
+sequences ("context windows") it would occupy when the corpus is
+concatenated in deterministic ``doc_id`` order and split every
+``seq_len`` tokens — the layout step between a curated corpus and a
+token-dataloader.
+
+The core is an exact global prefix sum over per-document token counts.
+A single ``Window.orderBy(doc_id)`` would compute it in one line but
+funnels the whole corpus through ONE reducer — the canonical
+scale-killer.  Instead the classic two-level scan:
+
+1. docs are grouped into order-preserving **blocks** (``doc_id div
+   block_size``); per-block token totals are a map-side-combinable
+   aggregation (one shuffle, B = #blocks rows out);
+2. block start offsets are a running sum over those B rows — the only
+   unpartitioned window in the plan, and its input is the *aggregate*,
+   bounded by ``max(doc_id) / block_size`` (auto-sized to ~4096),
+   independent of corpus bytes;
+3. each doc's global start = (broadcast) block offset + a within-block
+   running sum (``Window.partitionBy(block)`` — parallel across blocks).
+
+Every shuffle key is ``block`` or implicit in one aggregation; nothing
+all-pairs, nothing collected to the driver.  Determinism: the layout
+depends only on (doc_id, token count, seq_len), never on partitioning
+or cluster size, so re-runs and resumes see the same sequence ids.
+
+Reference analog: none — beyond-reference training-data operator, same
+registry surface as pipeline.curation / pipeline.dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.text import token_count
+
+DEFAULT_BLOCKS = 4096
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 128,
+                   block_size: int | None = None) -> DataFrame:
+    """Assign every document its token span in the packed corpus.
+
+    Returns one row per input doc::
+
+        (doc_id, n_tokens, start_token, first_seq, last_seq, n_seqs)
+
+    where ``start_token`` is the doc's 0-based offset in the
+    concatenated token stream and ``first_seq``/``last_seq`` are the
+    ids of the ``seq_len``-token training sequences it touches (NULL,
+    with ``n_seqs = 0``, for empty docs — they occupy no tokens).
+
+    ``block_size`` is auto-sized from ``max(doc_id)`` to ~``DEFAULT_BLOCKS``
+    blocks; pass it explicitly to pin the physical plan (the OUTPUT is
+    identical for any block_size >= 1 — pinned by
+    tests/test_pack.py::test_block_size_invariant).
+    """
+    counts = docs.select(
+        F.col("doc_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    if block_size is None:
+        # one cheap agg (answered from parquet footer stats where
+        # available); makes B ~ DEFAULT_BLOCKS regardless of id range
+        mx = counts.agg(F.max("doc_id")).first()[0] or 0
+        block_size = max(1, (int(mx) + DEFAULT_BLOCKS) // DEFAULT_BLOCKS)
+    counts = counts.withColumn(
+        "block", F.expr(f"doc_id div {block_size}"))
+
+    # (2) per-block totals -> running block offsets.  The window below is
+    # deliberately unpartitioned: its input is B aggregate rows, not docs.
+    block_off = (
+        counts.groupBy("block")
+        .agg(F.sum("n_tokens").alias("block_tokens"))
+        .withColumn(
+            "block_start",
+            F.coalesce(
+                F.sum("block_tokens").over(
+                    Window.orderBy("block")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .drop("block_tokens")
+    )
+
+    # (3) within-block prefix + broadcast block offset = global offset
+    w = (Window.partitionBy("block").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (
+        counts.join(F.broadcast(block_off), "block")
+        .withColumn(
+            "start_token",
+            F.col("block_start")
+            + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+    )
+
+    last_tok = F.col("start_token") + F.col("n_tokens") - 1
+    nonempty = F.col("n_tokens") > 0
+    first_seq = F.expr(f"start_token div {seq_len}")
+    last_seq = F.expr(f"(start_token + n_tokens - 1) div {seq_len}")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        F.when(nonempty, first_seq).alias("first_seq"),
+        F.when(nonempty, last_seq).alias("last_seq"),
+        F.when(nonempty, last_seq - first_seq + 1)
+        .otherwise(F.lit(0)).cast("long").alias("n_seqs"),
+    )
+
+
+def pack_sequences_sql(seq_len: int = 128) -> str:
+    """DuckDB oracle: the same layout via one global window cumsum
+    (exact at gate scale; the Spark path replaces it with the two-level
+    block scan)."""
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_token
+            FROM tk
+        )
+        SELECT doc_id, n_tokens, start_token,
+               CASE WHEN n_tokens > 0
+                    THEN start_token // {seq_len} END AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_token + n_tokens - 1) // {seq_len}
+                    END AS last_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_token + n_tokens - 1) // {seq_len}
+                         - start_token // {seq_len} + 1
+                    ELSE 0 END AS n_seqs
+        FROM c
+    """

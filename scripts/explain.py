@@ -231,6 +231,14 @@ CHECKS = {
     # a map-side-combinable min(struct) aggregation (partial_min) — a
     # Window row_number over the passage key would sort every occurrence
     # of a hot boilerplate passage on one reducer
+    # sequence packing: the global prefix sum must be the two-level block
+    # scan — per-block totals as a combinable partial_sum, never a
+    # SortMergeJoin (block offsets are broadcast) and never a Python stage
+    "pack_sequences": (
+        [r"partial_sum", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
     "span_dedup": (
         [r"partial_min"],
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",

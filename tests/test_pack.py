@@ -1,0 +1,72 @@
+"""Sequence packing (pack_sequences).
+
+Pins: exact global token offsets in doc_id order, sequence-id spans for
+docs inside / straddling / spanning windows, empty docs (NULL span,
+n_seqs 0), block-size invariance (the two-level prefix sum must produce
+the same layout for any block partitioning), and full-corpus totals.
+"""
+
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.pack import pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _out(spark, rows, **kw):
+    res = pack_sequences(_docs(spark, rows), **kw).collect()
+    return {r["doc_id"]: (r["n_tokens"], r["start_token"], r["first_seq"],
+                          r["last_seq"], r["n_seqs"]) for r in res}
+
+
+def test_offsets_and_spans(spark):
+    # seq_len=4: doc 1 fills seq 0 exactly; doc 2 straddles 1-2;
+    # doc 3 sits inside seq 2
+    out = _out(spark, [
+        (1, "a b c d"),
+        (2, "e f g h i j"),
+        (3, "k l"),
+    ], seq_len=4)
+    assert out[1] == (4, 0, 0, 0, 1)
+    assert out[2] == (6, 4, 1, 2, 2)
+    assert out[3] == (2, 10, 2, 2, 1)
+
+
+def test_doc_spanning_many_sequences(spark):
+    out = _out(spark, [(1, " ".join(["t"] * 10))], seq_len=3)
+    assert out[1] == (10, 0, 0, 3, 4)
+
+
+def test_empty_doc_occupies_nothing(spark):
+    out = _out(spark, [(1, "a b"), (2, ""), (3, "c")], seq_len=2)
+    assert out[2] == (0, 2, None, None, 0)
+    # doc 3 starts where doc 1 ended — the empty doc shifts nothing
+    assert out[3] == (1, 2, 1, 1, 1)
+
+
+def test_order_is_doc_id_not_input_order(spark):
+    out = _out(spark, [(5, "x y"), (1, "a b c")], seq_len=2)
+    assert out[1][1] == 0 and out[5][1] == 3
+
+
+def test_block_size_invariant(spark):
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(40)]
+    base = _out(spark, rows, seq_len=5, block_size=1)
+    for bs in (3, 17, 1000):
+        assert _out(spark, rows, seq_len=5, block_size=bs) == base
+
+
+def test_full_corpus_totals(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = pack_sequences(docs, seq_len=128)
+    assert res.count() == docs.count()
+    agg = res.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("start_token") + F.col("n_tokens")).alias("end"),
+        F.max("last_seq").alias("mx"),
+    ).first()
+    # offsets tile the token stream exactly: last end == total tokens
+    assert agg["end"] == agg["tot"]
+    assert agg["mx"] == (agg["tot"] - 1) // 128
