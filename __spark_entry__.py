@@ -1055,6 +1055,15 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_corpus(_docs(spark, sf_dir))
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture resampling (alpha=0.5): deterministically
+    downsample each language so the surviving mix is proportional to
+    sqrt(n_lang), smallest group kept whole."""
+    from hbase_indexer_spark.pipeline.curation import mixture_resample
+
+    return mixture_resample(_docs(spark, sf_dir), alpha=0.5)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: each document's token span and training-sequence
     ids when the corpus is concatenated in doc_id order and split every
@@ -1314,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_spectrum": q_token_freq_spectrum,
         "training_corpus": q_training_corpus,
         "pack_sequences": q_pack_sequences,
+        "mixture_resample": q_mixture_resample,
         "vocab_by_lang": q_vocab_by_lang,
         "ngram_containment": q_ngram_containment,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1767,6 +1777,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.pack import pack_sequences_sql
 
     out["pack_sequences"] = pack_sequences_sql(seq_len=128)
+    from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
+
+    out["mixture_resample"] = mixture_resample_sql(alpha=0.5)
     from hbase_indexer_spark.pipeline.curation import (
         curated_corpus_sql,
         stratified_sample_sql,

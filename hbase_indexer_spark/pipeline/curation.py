@@ -215,3 +215,82 @@ def training_corpus_sql(min_tokens: int = 10, min_quality: float = 0.5,
         WHERE ({_bucket_sql(salt, 'c.doc_id')}) >= {cut}
           AND x.doc_id IS NULL
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture resampling
+# ---------------------------------------------------------------------------
+
+def _keep_frac(n: Column, n_min: Column, alpha: float) -> Column:
+    # keep_frac_g = (n_min / n_g) ^ (1 - alpha): the largest-keeping
+    # rescale whose output mixture is proportional to n_g ^ alpha (the
+    # smallest group keeps 100%).  alpha = 0.5 routes through sqrt, which
+    # IEEE 754 rounds correctly in both the JVM and DuckDB, so the hash
+    # cutoffs match the oracle bit-for-bit; general pow() is not
+    # correctly rounded, so other alphas may flip a doc at an exact
+    # cutoff boundary between engines (fine in production, noted for t2).
+    if abs(alpha - 0.5) < 1e-12:
+        return F.sqrt(n_min) / F.sqrt(n)
+    return F.pow(n_min / n, F.lit(1.0 - alpha))
+
+
+def mixture_resample(docs: DataFrame, alpha: float = 0.5,
+                     group_col: str = "lang",
+                     salt: str = "mixture-v1") -> DataFrame:
+    """Rebalance the corpus mixture by temperature ``alpha``: downsample
+    each ``group_col`` value so the surviving mixture is proportional to
+    ``n_g ** alpha`` (multilingual-LM temperature sampling: alpha = 1
+    keeps the natural mix, alpha = 0 equalizes groups), keeping the
+    maximum possible data — the smallest group is never downsampled.
+
+    Selection is the same deterministic md5 bucket as the split/sample
+    operators (stable under re-runs, appends, and repartitioning).
+
+    Scale: one map-side-combinable count per group (G rows), the group
+    minimum as a window over that aggregate (G-row input, corpus-size
+    independent), then a broadcast join of the G cutoffs back onto the
+    corpus and a map-only bucket filter — one full scan, one tiny agg,
+    no driver materialization.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy(F.lit(1))
+    cuts = counts.select(
+        group_col,
+        F.floor(
+            _keep_frac(F.col("n"), F.min("n").over(w_all).cast("double"),
+                       alpha) * SPLIT_BUCKETS
+        ).alias("cutoff"),
+    )
+    b = _bucket(F.col("doc_id"), salt)
+    return (
+        docs.select("doc_id", group_col, b.alias("bucket"))
+        .join(F.broadcast(cuts), group_col)
+        .filter(F.col("bucket") < F.col("cutoff"))
+        .select("doc_id", group_col, "bucket", "cutoff")
+    )
+
+
+def mixture_resample_sql(alpha: float = 0.5, group_col: str = "lang",
+                         salt: str = "mixture-v1") -> str:
+    if abs(alpha - 0.5) < 1e-12:
+        frac = "sqrt(mn) / sqrt(CAST(n AS DOUBLE))"
+    else:
+        frac = f"power(mn / CAST(n AS DOUBLE), {1.0 - alpha!r})"
+    b = _bucket_sql(salt, "d.doc_id")
+    return f"""
+        WITH c AS (
+            SELECT {group_col}, count(*) AS n FROM documents
+            GROUP BY {group_col}
+        ),
+        r AS (
+            SELECT {group_col},
+                   CAST(floor({frac} * {SPLIT_BUCKETS}) AS BIGINT) AS cutoff
+            FROM (SELECT {group_col}, n,
+                         CAST(min(n) OVER () AS DOUBLE) AS mn FROM c)
+        )
+        SELECT d.doc_id, d.{group_col}, {b} AS bucket, r.cutoff
+        FROM documents d JOIN r USING ({group_col})
+        WHERE {b} < r.cutoff
+    """

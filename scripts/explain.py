@@ -231,6 +231,13 @@ CHECKS = {
     # a map-side-combinable min(struct) aggregation (partial_min) — a
     # Window row_number over the passage key would sort every occurrence
     # of a hot boilerplate passage on one reducer
+    # mixture resampling: G-row cutoff table must broadcast back onto the
+    # corpus; the per-group count must partial-aggregate map-side
+    "mixture_resample": (
+        [r"partial_count", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
     # sequence packing: the global prefix sum must be the two-level block
     # scan — per-block totals as a combinable partial_sum, never a
     # SortMergeJoin (block offsets are broadcast) and never a Python stage
