@@ -1055,6 +1055,22 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_corpus(_docs(spark, sf_dir))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keyterms per document, fixed-point (micro-unit)
+    scores so the distributed sums are integer-exact."""
+    from hbase_indexer_spark.pipeline.corpus_stats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM score: per-doc negative log-likelihood in
+    integer micro-nats under the corpus unigram distribution."""
+    from hbase_indexer_spark.pipeline.corpus_stats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture resampling (alpha=0.5): deterministically
     downsample each language so the surviving mix is proportional to
@@ -1324,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "pack_sequences": q_pack_sequences,
         "mixture_resample": q_mixture_resample,
+        "tfidf_topk": q_tfidf_topk,
+        "unigram_logprob": q_unigram_logprob,
         "vocab_by_lang": q_vocab_by_lang,
         "ngram_containment": q_ngram_containment,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1780,6 +1798,13 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        tfidf_topk_sql,
+        unigram_logprob_sql,
+    )
+
+    out["tfidf_topk"] = tfidf_topk_sql(k=5)
+    out["unigram_logprob"] = unigram_logprob_sql()
     from hbase_indexer_spark.pipeline.curation import (
         curated_corpus_sql,
         stratified_sample_sql,

@@ -231,6 +231,18 @@ CHECKS = {
     # a map-side-combinable min(struct) aggregation (partial_min) — a
     # Window row_number over the passage key would sort every occurrence
     # of a hot boilerplate passage on one reducer
+    # corpus-stat scorers: combinable tf aggregation; the per-doc top-k
+    # must compile to WindowGroupLimit (rank pushdown — never a full
+    # per-doc sort materialization); integer sums, no Python stage
+    "tfidf_topk": (
+        [r"partial_count", r"WindowGroupLimit"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    "unigram_logprob": (
+        [r"partial_count", r"partial_sum"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
     # mixture resampling: G-row cutoff table must broadcast back onto the
     # corpus; the per-group count must partial-aggregate map-side
     "mixture_resample": (

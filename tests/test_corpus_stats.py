@@ -1,0 +1,77 @@
+"""Corpus-statistics scorers (tfidf_topk, unigram_logprob).
+
+Pins: idf ordering (corpus-wide terms rank below rare ones), the k
+cutoff and its deterministic term tiebreak, fixed-point NLL values
+against a hand computation, empty-doc handling, and partitioning
+independence of the integer sums.
+"""
+
+import math
+
+from hbase_indexer_spark.pipeline.corpus_stats import (
+    MICRO,
+    tfidf_topk,
+    unigram_logprob,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = _docs(spark, [
+        (1, "the zebra"),
+        (2, "the cat"),
+        (3, "the dog"),
+    ])
+    out = tfidf_topk(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # equal tf: "the" occurs in every doc (df=3) -> lowest idf loses
+    assert top == {1: "zebra", 2: "cat", 3: "dog"}
+
+
+def test_tfidf_k_cutoff_and_tiebreak(spark):
+    docs = _docs(spark, [(1, "b a"), (2, "x")])
+    rows = [(r["rank"], r["term"]) for r in
+            tfidf_topk(docs, k=2).filter("doc_id = 1").collect()]
+    # a and b tie on (tf=1, df=1) -> term ASC breaks the tie
+    assert sorted(rows) == [(1, "a"), (2, "b")]
+
+
+def test_tfidf_score_formula(spark):
+    docs = _docs(spark, [(1, "q q w"), (2, "w")])
+    r = {x["term"]: x["score_micro"]
+         for x in tfidf_topk(docs, k=5).filter("doc_id = 1").collect()}
+    n = 2
+    w_q = math.floor(MICRO * (math.log((n + 1) / (1 + 1)) + 1))
+    w_w = math.floor(MICRO * (math.log((n + 1) / (2 + 1)) + 1))
+    assert r["q"] == 2 * w_q
+    assert r["w"] == 1 * w_w
+
+
+def test_nll_hand_computed(spark):
+    docs = _docs(spark, [(1, "a a b"), (2, "b")])
+    out = {r["doc_id"]: (r["n_tokens"], r["nll_micro_total"],
+                         r["nll_micro_per_token"])
+           for r in unigram_logprob(docs).collect()}
+    # C=4, c_a=2, c_b=2 -> w = floor(1e6 * ln(2)) for both terms
+    w = math.floor(MICRO * math.log(4 / 2))
+    assert out[1] == (3, 3 * w, (3 * w) // 3)
+    assert out[2] == (1, w, w)
+
+
+def test_nll_empty_doc(spark):
+    out = {r["doc_id"]: (r["n_tokens"], r["nll_micro_total"],
+                         r["nll_micro_per_token"])
+           for r in unigram_logprob(_docs(spark, [(1, ""), (2, "x y")]))
+           .collect()}
+    assert out[1] == (0, 0, None)
+
+
+def test_partitioning_independent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, unigram_logprob(docs).collect()))
+    b = sorted(map(tuple, unigram_logprob(docs.repartition(17)).collect()))
+    assert a == b
+    assert len(a) == docs.count()
