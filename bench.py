@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "curated_corpus",
     "train_test_split",
     "span_dedup",
+    "pack_sequences",
+    "mixture_resample",
+    "tfidf_topk",
+    "unigram_logprob",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
