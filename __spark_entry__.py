@@ -1071,6 +1071,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing manifest: doc count, token fill, and doc_id
+    span of every 128-token training sequence (inverse of
+    pack_sequences)."""
+    from hbase_indexer_spark.pipeline.pack import sequence_manifest
+
+    return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture resampling (alpha=0.5): deterministically
     downsample each language so the surviving mix is proportional to
@@ -1339,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_spectrum": q_token_freq_spectrum,
         "training_corpus": q_training_corpus,
         "pack_sequences": q_pack_sequences,
+        "sequence_manifest": q_sequence_manifest,
         "mixture_resample": q_mixture_resample,
         "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1795,6 +1805,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.pack import pack_sequences_sql
 
     out["pack_sequences"] = pack_sequences_sql(seq_len=128)
+    from hbase_indexer_spark.pipeline.pack import sequence_manifest_sql
+
+    out["sequence_manifest"] = sequence_manifest_sql(seq_len=128)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)

@@ -144,3 +144,59 @@ def pack_sequences_sql(seq_len: int = 128) -> str:
                     ELSE 0 END AS n_seqs
         FROM c
     """
+
+
+def sequence_manifest(docs: DataFrame, seq_len: int = 128,
+                      block_size: int | None = None) -> DataFrame:
+    """Per-sequence composition — the inverse view of
+    :func:`pack_sequences`: for every ``seq_len``-token training
+    sequence, how many documents contribute to it, how many tokens it
+    actually holds (== seq_len except the ragged tail), and its doc_id
+    span::
+
+        (seq_id, n_docs, n_tokens, first_doc, last_doc)
+
+    The dataloader-side manifest: which documents a given context window
+    mixes, e.g. to audit cross-doc attention contamination.
+
+    Scale: explodes each doc into its (bounded: ceil(doc_tokens /
+    seq_len) + 1) sequence ids and re-aggregates — one combinable
+    shuffle on seq_id on top of the pack_sequences plan.
+    """
+    packed = pack_sequences(docs, seq_len=seq_len, block_size=block_size) \
+        .filter(F.col("n_tokens") > 0)
+    end = F.col("start_token") + F.col("n_tokens")  # exclusive
+    per_seq = packed.select(
+        "doc_id", "start_token", "n_tokens",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    ).withColumn(
+        "toks_here",
+        F.least(end, (F.col("seq_id") + 1) * seq_len)
+        - F.greatest(F.col("start_token"), F.col("seq_id") * seq_len),
+    )
+    return per_seq.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks_here").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def sequence_manifest_sql(seq_len: int = 128) -> str:
+    pack = pack_sequences_sql(seq_len=seq_len)
+    return f"""
+        WITH packed AS ({pack}),
+        per_seq AS (
+            SELECT doc_id, start_token, n_tokens,
+                   unnest(range(CAST(first_seq AS BIGINT),
+                                CAST(last_seq + 1 AS BIGINT))) AS seq_id
+            FROM packed WHERE n_tokens > 0
+        )
+        SELECT seq_id,
+               count(*) AS n_docs,
+               sum(least(start_token + n_tokens, (seq_id + 1) * {seq_len})
+                   - greatest(start_token, seq_id * {seq_len})) AS n_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM per_seq GROUP BY seq_id
+    """

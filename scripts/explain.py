@@ -258,6 +258,11 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    "sequence_manifest": (
+        [r"partial_sum", r"BroadcastHashJoin", r"Generate"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
     "span_dedup": (
         [r"partial_min"],
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",

@@ -70,3 +70,31 @@ def test_full_corpus_totals(spark, sf_dir):
     # offsets tile the token stream exactly: last end == total tokens
     assert agg["end"] == agg["tot"]
     assert agg["mx"] == (agg["tot"] - 1) // 128
+
+
+def test_sequence_manifest_hand_check(spark):
+    from hbase_indexer_spark.pipeline.pack import sequence_manifest
+
+    # seq_len=4, stream: doc1 "a b c d" | doc2 "e f g h i j" | doc3 "k l"
+    # seq 0 = doc1[0:4]; seq 1 = doc2[0:4]; seq 2 = doc2[4:6] + doc3[0:2]
+    out = {r["seq_id"]: (r["n_docs"], r["n_tokens"], r["first_doc"],
+                         r["last_doc"])
+           for r in sequence_manifest(_docs(spark, [
+               (1, "a b c d"), (2, "e f g h i j"), (3, "k l")]),
+               seq_len=4).collect()}
+    assert out == {0: (1, 4, 1, 1), 1: (1, 4, 2, 2), 2: (2, 4, 2, 3)}
+
+
+def test_sequence_manifest_tiles_corpus(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.pack import sequence_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    man = sequence_manifest(docs, seq_len=128).cache()
+    agg = man.agg(F.sum("n_tokens").alias("tot"),
+                  F.max("seq_id").alias("mx"),
+                  F.count("*").alias("n")).first()
+    # sequences tile the stream: every seq full except possibly the last
+    assert agg["n"] == agg["mx"] + 1
+    short = man.filter((F.col("n_tokens") != 128)
+                       & (F.col("seq_id") != agg["mx"])).count()
+    assert short == 0
