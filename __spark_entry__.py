@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_packed_sequence_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing: the actual token content of every 128-token
+    training sequence, assembled across document boundaries."""
+    from hbase_indexer_spark.pipeline.pack import packed_sequence_text
+
+    return packed_sequence_text(_docs(spark, sf_dir), seq_len=128)
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture resampling (alpha=0.5): deterministically
     downsample each language so the surviving mix is proportional to
@@ -1349,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "pack_sequences": q_pack_sequences,
         "sequence_manifest": q_sequence_manifest,
+        "packed_sequence_text": q_packed_sequence_text,
         "mixture_resample": q_mixture_resample,
         "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1808,6 +1817,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.pack import sequence_manifest_sql
 
     out["sequence_manifest"] = sequence_manifest_sql(seq_len=128)
+    from hbase_indexer_spark.pipeline.pack import packed_sequence_text_sql
+
+    out["packed_sequence_text"] = packed_sequence_text_sql(seq_len=128)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)

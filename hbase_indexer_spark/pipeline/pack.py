@@ -200,3 +200,83 @@ def sequence_manifest_sql(seq_len: int = 128) -> str:
                max(doc_id) AS last_doc
         FROM per_seq GROUP BY seq_id
     """
+
+
+def packed_sequence_text(docs: DataFrame, seq_len: int = 128,
+                         block_size: int | None = None) -> DataFrame:
+    """Materialize the packed sequences themselves: ``(seq_id, n_tokens,
+    text)`` where ``text`` is the sequence's tokens (space-joined),
+    assembled across document boundaries — what a token-dataloader
+    would actually emit, minus the tokenizer.
+
+    Scale: the layout comes from :func:`pack_sequences` (text never
+    enters the prefix-sum shuffles); text joins back on doc_id once,
+    each doc contributes only the slice overlapping each sequence, and
+    the per-sequence rebuild is one combinable ``collect_list`` +
+    in-row sort keyed by start offset (a sequence holds <= seq_len
+    tokens, so rebuild state is bounded by seq_len regardless of corpus
+    size).
+    """
+    from hbase_indexer_spark.pipeline.text import tokens
+
+    packed = pack_sequences(docs, seq_len=seq_len, block_size=block_size) \
+        .filter(F.col("n_tokens") > 0)
+    with_text = packed.join(docs.select("doc_id", "text"), "doc_id")
+    per_seq = with_text.select(
+        "doc_id", "start_token", "n_tokens", "text",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    lo = F.greatest(F.lit(0), F.col("seq_id") * seq_len - F.col("start_token"))
+    hi = F.least(F.col("n_tokens"),
+                 (F.col("seq_id") + 1) * seq_len - F.col("start_token"))
+    pieces = per_seq.select(
+        "seq_id", "start_token",
+        F.slice(tokens(F.col("text")), lo + 1, hi - lo).alias("piece"),
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.flatten(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("start_token", "piece"))),
+                    lambda s: s["piece"],
+                )),
+                " ",
+            ).alias("text"),
+            F.sum(F.size("piece")).alias("n_tokens"),
+        )
+        .select("seq_id", "n_tokens", "text")
+    )
+
+
+def packed_sequence_text_sql(seq_len: int = 128) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    pack = pack_sequences_sql(seq_len=seq_len)
+    return f"""
+        WITH packed AS ({pack}),
+        per_seq AS (
+            SELECT p.doc_id, p.start_token, p.n_tokens, d.text,
+                   unnest(range(CAST(p.first_seq AS BIGINT),
+                                CAST(p.last_seq + 1 AS BIGINT))) AS seq_id
+            FROM packed p JOIN documents d USING (doc_id)
+            WHERE p.n_tokens > 0
+        ),
+        pieces AS (
+            SELECT seq_id, start_token,
+                   ({TOKS_SQL})[
+                       CAST(greatest(0, seq_id * {seq_len} - start_token)
+                            AS BIGINT) + 1 :
+                       CAST(least(n_tokens,
+                                  (seq_id + 1) * {seq_len} - start_token)
+                            AS BIGINT)
+                   ] AS piece
+            FROM per_seq
+        )
+        SELECT seq_id,
+               sum(len(piece)) AS n_tokens,
+               string_agg(array_to_string(piece, ' '), ' '
+                          ORDER BY start_token) AS text
+        FROM pieces GROUP BY seq_id
+    """

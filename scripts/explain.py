@@ -263,6 +263,12 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # text rides one doc_id join; rebuild is a combinable collect_list
+    # (bounded by seq_len per group), never a Cartesian or Python stage
+    "packed_sequence_text": (
+        [r"Generate", r"objHashAggregate|ObjectHashAggregate|partial_"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
     "span_dedup": (
         [r"partial_min"],
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",

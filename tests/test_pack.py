@@ -98,3 +98,29 @@ def test_sequence_manifest_tiles_corpus(spark, sf_dir):
     short = man.filter((F.col("n_tokens") != 128)
                        & (F.col("seq_id") != agg["mx"])).count()
     assert short == 0
+
+
+def test_packed_sequence_text_hand_check(spark):
+    from hbase_indexer_spark.pipeline.pack import packed_sequence_text
+
+    out = {r["seq_id"]: (r["n_tokens"], r["text"])
+           for r in packed_sequence_text(_docs(spark, [
+               (1, "a b c d"), (2, "e f g h i j"), (3, "k l")]),
+               seq_len=4).collect()}
+    assert out == {0: (4, "a b c d"), 1: (4, "e f g h"),
+                   2: (4, "i j k l")}
+
+
+def test_packed_sequence_text_reconstructs_stream(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.pack import packed_sequence_text
+
+    # filter, not limit: two actions on a limit may pick different rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id < 200")
+    seqs = packed_sequence_text(docs, seq_len=64).orderBy("seq_id").collect()
+    stream = " ".join(r["text"] for r in seqs).split()
+    expect = []
+    for r in docs.orderBy("doc_id").collect():
+        expect.extend(r["text"].split())
+    assert stream == expect
+    assert all(r["n_tokens"] == 64 for r in seqs[:-1])
