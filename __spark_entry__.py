@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) rule-based quality filter: per-rule
+    verdicts + overall keep for every doc; zero-shuffle Catalyst scan."""
+    from hbase_indexer_spark.pipeline.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_tokens=50)
+
+
 def q_packed_sequence_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packing: the actual token content of every 128-token
     training sequence, assembled across document boundaries."""
@@ -1358,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "sequence_manifest": q_sequence_manifest,
         "packed_sequence_text": q_packed_sequence_text,
+        "gopher_rules": q_gopher_rules,
         "mixture_resample": q_mixture_resample,
         "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1820,6 +1829,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.pack import packed_sequence_text_sql
 
     out["packed_sequence_text"] = packed_sequence_text_sql(seq_len=128)
+    from hbase_indexer_spark.pipeline.text import gopher_rules_sql
+
+    out["gopher_rules"] = gopher_rules_sql(min_tokens=50)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)

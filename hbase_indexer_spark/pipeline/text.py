@@ -469,3 +469,95 @@ def vocab_kmv_by_sql(group_col: str = "lang", k: int = 128,
             FROM mins WHERE rn <= {k} GROUP BY grp
         )
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+def gopher_rules(docs: DataFrame, min_tokens: int = 50,
+                 max_tokens: int = 100_000) -> DataFrame:
+    """Rule-based quality filter after the published Gopher heuristics
+    (Rae et al. 2021, table A1) — the word-level subset that applies to
+    this corpus (it has no line structure, so the line-based rules are
+    vacuous and omitted):
+
+    - ``r_len``:   token count in [min_tokens, max_tokens]
+    - ``r_mean``:  mean token length in [3, 10]
+    - ``r_sym``:   < 10% symbol-ish tokens ('#' or containing '...')
+    - ``r_alpha``: >= 80% of tokens contain a letter
+    - ``r_stop``:  >= 2 stopword hits
+
+    Emits every rule verdict plus the conjunction (``keep``) for each doc
+    — keep the columns, not just the filter, so rule-level pass rates are
+    one aggregation away.  Pure Catalyst scan: zero shuffle, all ratios
+    integer-division-by-count doubles (exactly rounded, cross-engine
+    reproducible).
+    """
+    t = tokens(F.col("text"))
+    n = F.size(t).cast("long")
+    char_sum = F.aggregate(
+        F.transform(t, F.length), F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+    sym = F.size(F.filter(
+        t, lambda x: (x == "#") | x.contains("...")))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    stop = stopword_hits(F.col("text"), STOPWORDS["en"])
+    nz = n > 0
+    d = n.cast("double")
+    # try_divide: & does not short-circuit, so a plain ANSI division
+    # would throw on empty docs; false & NULL = false keeps rules sound
+    mean = F.try_divide(char_sum.cast("double"), d)
+    r_len = (n >= min_tokens) & (n <= max_tokens)
+    r_mean = nz & (mean >= 3.0) & (mean <= 10.0)
+    r_sym = nz & (F.try_divide(sym.cast("double"), d) < 0.1)
+    r_alpha = nz & (F.try_divide(alpha.cast("double"), d) >= 0.8)
+    r_stop = stop >= 2
+    return docs.select(
+        "doc_id", n.alias("n_tokens"),
+        r_len.alias("r_len"), r_mean.alias("r_mean"),
+        r_sym.alias("r_sym"), r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_len & r_mean & r_sym & r_alpha & r_stop).alias("keep"),
+    )
+
+
+def gopher_rules_sql(min_tokens: int = 50, max_tokens: int = 100_000) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n,
+                   list_sum(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks,
+                                      x -> CAST(len(x) AS BIGINT)))) AS cs,
+                   len(list_filter(toks,
+                       x -> x = '#' OR contains(x, '...'))) AS sym,
+                   len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+                   len(list_filter(toks,
+                       x -> lower(x) IN ({words}))) AS stop
+            FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               (n >= {min_tokens} AND n <= {max_tokens}) AS r_len,
+               (n > 0 AND CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+                      AND CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0)
+                   AS r_mean,
+               (n > 0 AND CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) < 0.1)
+                   AS r_sym,
+               (n > 0 AND CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8)
+                   AS r_alpha,
+               (stop >= 2) AS r_stop,
+               ((n >= {min_tokens} AND n <= {max_tokens})
+                AND (n > 0 AND CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+                           AND CAST(cs AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0)
+                AND (n > 0 AND CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) < 0.1)
+                AND (n > 0 AND CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8)
+                AND (stop >= 2)) AS keep
+        FROM m
+    """

@@ -263,6 +263,13 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # rule filter must stay a codegen'd scan: no hash shuffle, no window
+    # (the only Exchange allowed is the fixture loader's round-robin)
+    "gopher_rules": (
+        [r"Scan parquet", r"Project"],
+        [r"hashpartitioning", r"Window", r"SortAggregate", r"HashAggregate",
+         *NO_PYTHON],
+    ),
     # text rides one doc_id join; rebuild is a combinable collect_list
     # (bounded by seq_len per group), never a Cartesian or Python stage
     "packed_sequence_text": (

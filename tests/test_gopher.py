@@ -1,0 +1,52 @@
+"""Gopher-style rule filter (gopher_rules): each rule triggered in
+isolation, the conjunction, and empty-doc handling."""
+
+from hbase_indexer_spark.pipeline.text import gopher_rules
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _out(spark, rows, **kw):
+    res = gopher_rules(_docs(spark, rows), **kw).collect()
+    return {r["doc_id"]: r.asDict() for r in res}
+
+
+GOOD = "the cat and the dog went to the market " * 8  # 72 tokens, all rules ok
+
+
+def test_good_doc_keeps(spark):
+    out = _out(spark, [(1, GOOD)])
+    r = out[1]
+    assert r["keep"] and all(
+        r[k] for k in ("r_len", "r_mean", "r_sym", "r_alpha", "r_stop"))
+
+
+def test_too_short_fails_len_only(spark):
+    out = _out(spark, [(1, "the cat and the dog")])
+    r = out[1]
+    assert not r["r_len"] and r["r_mean"] and r["r_stop"] and not r["keep"]
+
+
+def test_mean_length_bounds(spark):
+    # 60 single-char tokens -> mean 1 < 3
+    out = _out(spark, [(1, "a " * 30 + "the of " * 15)], min_tokens=10)
+    assert not out[1]["r_mean"]
+
+
+def test_symbol_and_alpha_rules(spark):
+    hashy = ("the of " * 20) + ("# " * 20)          # 20/60 symbolic
+    out = _out(spark, [(1, hashy)], min_tokens=10)
+    assert not out[1]["r_sym"] and not out[1]["r_alpha"]
+
+
+def test_stopword_rule(spark):
+    out = _out(spark, [(1, "zebra lion tiger puma " * 15)], min_tokens=10)
+    assert not out[1]["r_stop"] and not out[1]["keep"]
+
+
+def test_empty_doc_all_ratio_rules_false(spark):
+    r = _out(spark, [(1, "")])[1]
+    assert r["n_tokens"] == 0 and not r["keep"]
+    assert not (r["r_mean"] or r["r_sym"] or r["r_alpha"])
