@@ -1080,6 +1080,18 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup: odd doc_ids ("today's batch")
+    screened against even doc_ids ("accepted corpus") — exact md5 +
+    LSH-banded near-dup, new-vs-base pairs only."""
+    from hbase_indexer_spark.pipeline.dedup import dedup_against
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_against(base, new, threshold=0.7)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style (Rae et al. 2021) rule-based quality filter: per-rule
     verdicts + overall keep for every doc; zero-shuffle Catalyst scan."""
@@ -1367,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_manifest": q_sequence_manifest,
         "packed_sequence_text": q_packed_sequence_text,
         "gopher_rules": q_gopher_rules,
+        "dedup_against": q_dedup_against,
         "mixture_resample": q_mixture_resample,
         "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1832,6 +1845,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import gopher_rules_sql
 
     out["gopher_rules"] = gopher_rules_sql(min_tokens=50)
+    from hbase_indexer_spark.pipeline.dedup import dedup_against_sql
+
+    out["dedup_against"] = dedup_against_sql(threshold=0.7)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)

@@ -239,6 +239,37 @@ def minhash_signatures_sql(n: int = 3, k: int = N_SIGS) -> str:
     """
 
 
+def sigs_from_shingles(sh: DataFrame) -> DataFrame:
+    """48 MinHash signature mins in one map-side-combinable aggregation
+    over exploded shingles ``(doc_id, sh)``."""
+    return sh.withColumn(
+        "h", token_hash60(F.col("sh")) % P
+    ).groupBy("doc_id").agg(*[
+        F.min((F.col("h") * a + b) % P).alias(f"s{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ])
+
+
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """``(doc_id, band, bkey)`` — the 16 band keys explode out of ONE pass
+    over the signatures (a 16-way union of selects would recompute the
+    signature aggregation per band)."""
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(":", *[
+                F.col(f"s{band * ROWS_PER_BAND + j}")
+                for j in range(ROWS_PER_BAND)
+            ]).alias("bkey"),
+        )
+        for band in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"),
+             F.col("e.bkey").alias("bkey"))
+
+
 def lsh_candidate_pairs(sigs: DataFrame,
                         max_bucket_size: int | None = None) -> DataFrame:
     """Band k=48 sigs into 16 bands of 3 rows; docs sharing any band bucket
@@ -258,18 +289,7 @@ def lsh_candidate_pairs(sigs: DataFrame,
     reached transitively through the representative in
     connected-components.  Default None preserves exact all-pairs
     candidates."""
-    entries = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(":", *[
-                F.col(f"s{band * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)
-            ]).alias("bkey"),
-        )
-        for band in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
+    bands = band_keys(sigs)
     if max_bucket_size is None:
         a, b = bands.alias("a"), bands.alias("b")
         return (
@@ -311,10 +331,7 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.7,
     # one shingle explosion feeds signatures, sizes and the verify join —
     # cache it (its recompute is the whole tokenize+shingle pass)
     sh = exploded_shingles(docs, n).cache()
-    sigs = sh.withColumn("h", token_hash60(F.col("sh")) % P).groupBy("doc_id").agg(*[
-        F.min((F.col("h") * a + b) % P).alias(f"s{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ])
+    sigs = sigs_from_shingles(sh)
     cands = lsh_candidate_pairs(sigs, max_bucket_size=max_bucket_size)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.alias("sa")
@@ -885,4 +902,130 @@ def span_dedup_sql(span: int = 10) -> str:
                coalesce(r.n_spans, 0) AS n_spans,
                coalesce(r.n_removed, 0) AS n_removed
         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs an accepted base corpus
+# ---------------------------------------------------------------------------
+
+def dedup_against(base: DataFrame, new: DataFrame, threshold: float = 0.7,
+                  n: int = 3,
+                  max_bucket_size: int | None = None) -> DataFrame:
+    """Screen an incoming batch against an already-accepted corpus — the
+    daily-increment shape: ``base`` never re-checks itself, only
+    new-vs-base pairs are ever considered.
+
+    Per new doc: ``exact_dup`` (md5 present in base), ``near_dup``
+    (some base doc with shingle-Jaccard >= threshold), ``keep`` (neither).
+    New-vs-new duplicates are deliberately out of scope here — run the
+    in-batch operators first; this is the cross-snapshot gate.
+
+    Scale: the base side reduces to md5 hashes and band keys (no text
+    crosses the join); candidates come from an asymmetric equality join
+    of new band keys against base band keys — the candidate count is
+    bounded by band collisions, never |new| x |base|.  Verification
+    joins shingles for candidate pairs only.  ``max_bucket_size`` caps a
+    hot band bucket on the BASE side (a template bucket with k base
+    members emits k rows per colliding new doc): over the cap, the
+    bucket is dropped from candidates — at that size the batch operators
+    have already collapsed the template family inside the base, so its
+    representative remains reachable through smaller buckets.
+    """
+    new_ids = new.select("doc_id")
+    exact = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(base.select(F.md5("text").alias("h")).distinct(), "h",
+              "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    sh_new = exploded_shingles(new, n).cache()
+    sh_base = exploded_shingles(base, n).cache()
+    bn = band_keys(sigs_from_shingles(sh_new)) \
+        .withColumnRenamed("doc_id", "new_id")
+    bb = band_keys(sigs_from_shingles(sh_base)) \
+        .withColumnRenamed("doc_id", "base_id")
+    if max_bucket_size is not None:
+        hot = bb.groupBy("band", "bkey") \
+            .agg(F.count(F.lit(1)).alias("_n")) \
+            .filter(F.col("_n") > max_bucket_size) \
+            .select("band", "bkey")
+        bb = bb.join(hot, ["band", "bkey"], "left_anti")
+    cands = bn.join(bb, ["band", "bkey"]).select("new_id", "base_id") \
+        .distinct()
+    sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    sz_base = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_base"))
+    sa, sb = sh_new.alias("sa"), sh_base.alias("sb")
+    inter = (
+        cands.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(sb, (F.col("base_id") == F.col("sb.doc_id"))
+              & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    near = (
+        inter.join(sz_new, F.col("new_id") == F.col("doc_id")).drop("doc_id")
+        .join(sz_base, F.col("base_id") == F.col("doc_id")).drop("doc_id")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("n_new") + F.col("n_base") - F.col("n_inter"))
+            .cast("double") >= threshold)
+        .select(F.col("new_id").alias("doc_id")).distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        new_ids.join(exact, "doc_id", "left").join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            (~(F.coalesce("exact_dup", F.lit(False))
+               | F.coalesce("near_dup", F.lit(False)))).alias("keep"),
+        )
+    )
+
+
+def dedup_against_sql(threshold: float = 0.7, n: int = 3,
+                      base_pred: str = "doc_id % 2 = 0",
+                      new_pred: str = "doc_id % 2 = 1") -> str:
+    """DuckDB oracle over two predicate-defined splits of ``documents``
+    (exact inverted-index Jaccard; the Spark path's LSH bands have
+    recall ~1 at the gate's thresholds, same argument as
+    minhash_lsh_dedup_pairs)."""
+    return f"""
+        WITH tk AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+        shl AS (SELECT doc_id, unnest({shingles_sql(n)}) AS s FROM tk),
+        nb AS (SELECT doc_id FROM documents WHERE {new_pred}),
+        ex AS (
+            SELECT DISTINCT nw.doc_id
+            FROM documents nw JOIN documents b ON md5(nw.text) = md5(b.text)
+            WHERE ({new_pred.replace('doc_id', 'nw.doc_id')})
+              AND ({base_pred.replace('doc_id', 'b.doc_id')})
+        ),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM shl GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+                   count(*) AS n_inter
+            FROM shl a JOIN shl b ON a.s = b.s
+            WHERE ({new_pred.replace('doc_id', 'a.doc_id')})
+              AND ({base_pred.replace('doc_id', 'b.doc_id')})
+            GROUP BY 1, 2
+        ),
+        nr AS (
+            SELECT DISTINCT new_id AS doc_id
+            FROM inter
+            JOIN sz sx ON new_id = sx.doc_id
+            JOIN sz sy ON base_id = sy.doc_id
+            WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sx.n_sh + sy.n_sh - n_inter AS DOUBLE)
+                  >= {threshold}
+        )
+        SELECT nb.doc_id,
+               (ex.doc_id IS NOT NULL) AS exact_dup,
+               (nr.doc_id IS NOT NULL) AS near_dup,
+               (ex.doc_id IS NULL AND nr.doc_id IS NULL) AS keep
+        FROM nb
+        LEFT JOIN ex ON nb.doc_id = ex.doc_id
+        LEFT JOIN nr ON nb.doc_id = nr.doc_id
     """

@@ -263,6 +263,14 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # cross-snapshot dedup: candidates must come from band-key equality
+    # joins (hashpartitioning on band keys), never a nested-loop cross of
+    # new x base; no window, no Python
+    "dedup_against": (
+        [r"partial_min", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
     # rule filter must stay a codegen'd scan: no hash shuffle, no window
     # (the only Exchange allowed is the fixture loader's round-robin)
     "gopher_rules": (
