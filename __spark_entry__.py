@@ -1360,9 +1360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- 50-query gate window ends here -------------
         # r5 rotation plan: once sliding_event_rates / user_event_history /
         # nation_set_ops record green (this round), swap them out for the
-        # strongest r4 pipeline additions (training_corpus, decontaminate,
-        # vocab_estimate) so the driver gates the new surface too.  All
-        # r4 additions are locally sweep-verified at sf0.001/0.01/0.1
+        # strongest r4 additions (dedup_against, pack_sequences,
+        # packed_sequence_text, mixture_resample, tfidf_topk,
+        # unigram_logprob, gopher_rules, sequence_manifest — plus
+        # training_corpus / decontaminate / vocab_estimate from the r4
+        # backlog) so the driver gates the new surface too.  All r4
+        # additions are locally sweep-verified at sf0.001/0.01/0.1
         # (CHECK_LOCAL_r04*.txt).
         # rotated out of the window for r4's span_dedup (stable-green since
         # r3 and pinned by tests/test_curation.py + the local sweeps)

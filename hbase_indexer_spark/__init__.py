@@ -45,6 +45,15 @@ _EXPORTS = {
     "minhash_lsh_dedup_pairs": "hbase_indexer_spark.pipeline.dedup",
     "dedup_clusters": "hbase_indexer_spark.pipeline.dedup",
     "deduped_corpus": "hbase_indexer_spark.pipeline.dedup",
+    "span_dedup": "hbase_indexer_spark.pipeline.dedup",
+    "dedup_against": "hbase_indexer_spark.pipeline.dedup",
+    "pack_sequences": "hbase_indexer_spark.pipeline.pack",
+    "sequence_manifest": "hbase_indexer_spark.pipeline.pack",
+    "packed_sequence_text": "hbase_indexer_spark.pipeline.pack",
+    "mixture_resample": "hbase_indexer_spark.pipeline.curation",
+    "tfidf_topk": "hbase_indexer_spark.pipeline.corpus_stats",
+    "unigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",
+    "gopher_rules": "hbase_indexer_spark.pipeline.text",
     "brute_force_topk": "hbase_indexer_spark.pipeline.similarity",
     "quantize_embeddings": "hbase_indexer_spark.pipeline.similarity",
     "text_profile": "hbase_indexer_spark.pipeline.text",
