@@ -1080,6 +1080,15 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report per (source, lang): volume, exact-dup rate,
+    Gopher keep count, fixed-point mean quality — one scan, one combinable
+    aggregation."""
+    from hbase_indexer_spark.pipeline.curation import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir), min_tokens=50)
+
+
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-snapshot dedup: odd doc_ids ("today's batch")
     screened against even doc_ids ("accepted corpus") — exact md5 +
@@ -1383,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequence_text": q_packed_sequence_text,
         "gopher_rules": q_gopher_rules,
         "dedup_against": q_dedup_against,
+        "corpus_report": q_corpus_report,
         "mixture_resample": q_mixture_resample,
         "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1851,6 +1861,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import dedup_against_sql
 
     out["dedup_against"] = dedup_against_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.curation import corpus_report_sql
+
+    out["corpus_report"] = corpus_report_sql(min_tokens=50)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)

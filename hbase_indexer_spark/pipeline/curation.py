@@ -294,3 +294,90 @@ def mixture_resample_sql(alpha: float = 0.5, group_col: str = "lang",
         FROM documents d JOIN r USING ({group_col})
         WHERE {b} < r.cutoff
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report
+# ---------------------------------------------------------------------------
+
+def corpus_report(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
+    """Per (source, lang) corpus health: doc/token volume, exact-duplicate
+    rate, Gopher keep rate, and mean quality — the one-glance table a
+    curation run is judged by.
+
+    Columns: ``(source, lang, n_docs, n_tokens, uniq_texts, n_dup_docs,
+    n_keep, quality_micro_mean)``.  Quality is snapped to integer
+    micro-units per row before summing (float sums are
+    partitioning-dependent; integer sums are exact), and the mean is an
+    integer division.
+
+    Scale: one scan computing all per-doc signals, then a single
+    combinable aggregation on (source, lang); the distinct-text count
+    rides the same shuffle via the two-phase count-distinct expand.
+    """
+    from hbase_indexer_spark.pipeline.text import (
+        gopher_exprs,
+        quality_score,
+        token_count,
+    )
+
+    ex = gopher_exprs(min_tokens=min_tokens)
+    n = token_count(F.col("text")).cast("long")
+    per_doc = docs.select(
+        "source", "lang",
+        n.alias("n_tokens"),
+        F.md5("text").alias("h"),
+        F.when(n > 0,
+               F.floor(quality_score(F.col("text"), n) * 1_000_000))
+        .otherwise(F.lit(0)).alias("q_micro"),
+        ex["keep"].cast("long").alias("keep"),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("h").alias("uniq_texts"),
+            (F.count("*") - F.countDistinct("h")).alias("n_dup_docs"),
+            F.sum("keep").alias("n_keep"),
+            F.expr("sum(q_micro) div count(*)").alias("quality_micro_mean"),
+        )
+    )
+
+
+def corpus_report_sql(min_tokens: int = 50) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+    from hbase_indexer_spark.pipeline.text import gopher_rules_sql
+
+    return f"""
+        WITH g AS ({gopher_rules_sql(min_tokens)}),
+        t AS (
+            SELECT d.source, d.lang, d.text,
+                   {TOKS_SQL.replace('text', 'd.text')} AS toks,
+                   g.keep
+            FROM documents d JOIN g USING (doc_id)
+        ),
+        t2 AS (
+            SELECT source, lang, text, keep,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(floor((
+                           least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+                           + CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) * 0.3
+                           + CAST(len(list_filter(toks, x -> lower(x) IN
+                               ('the','a','of','and','to','is'))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) * 0.2
+                       ) * 1000000) AS BIGINT)
+                   ELSE 0 END AS q_micro
+            FROM t
+        )
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(n_tokens) AS n_tokens,
+               count(DISTINCT md5(text)) AS uniq_texts,
+               count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+               sum(CAST(keep AS BIGINT)) AS n_keep,
+               sum(q_micro) // count(*) AS quality_micro_mean
+        FROM t2 GROUP BY source, lang
+    """

@@ -494,6 +494,15 @@ def gopher_rules(docs: DataFrame, min_tokens: int = 50,
     integer-division-by-count doubles (exactly rounded, cross-engine
     reproducible).
     """
+    ex = gopher_exprs(min_tokens, max_tokens)
+    return docs.select("doc_id", *[c.alias(k) for k, c in ex.items()])
+
+
+def gopher_exprs(min_tokens: int = 50,
+                 max_tokens: int = 100_000) -> dict[str, Column]:
+    """The rule expressions behind :func:`gopher_rules` over a ``text``
+    column, by output name — inline-able into any one-scan plan (see
+    curation.corpus_report)."""
     t = tokens(F.col("text"))
     n = F.size(t).cast("long")
     char_sum = F.aggregate(
@@ -513,13 +522,12 @@ def gopher_rules(docs: DataFrame, min_tokens: int = 50,
     r_sym = nz & (F.try_divide(sym.cast("double"), d) < 0.1)
     r_alpha = nz & (F.try_divide(alpha.cast("double"), d) >= 0.8)
     r_stop = stop >= 2
-    return docs.select(
-        "doc_id", n.alias("n_tokens"),
-        r_len.alias("r_len"), r_mean.alias("r_mean"),
-        r_sym.alias("r_sym"), r_alpha.alias("r_alpha"),
-        r_stop.alias("r_stop"),
-        (r_len & r_mean & r_sym & r_alpha & r_stop).alias("keep"),
-    )
+    return {
+        "n_tokens": n,
+        "r_len": r_len, "r_mean": r_mean, "r_sym": r_sym,
+        "r_alpha": r_alpha, "r_stop": r_stop,
+        "keep": r_len & r_mean & r_sym & r_alpha & r_stop,
+    }
 
 
 def gopher_rules_sql(min_tokens: int = 50, max_tokens: int = 100_000) -> str:

@@ -263,6 +263,12 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # health report: ONE scan + one combinable agg (the count-distinct
+    # expand is the only extra exchange); no join, no window
+    "corpus_report": (
+        [r"partial_count\(distinct"],
+        [r"Join", r"Window", r"CartesianProduct", *NO_PYTHON],
+    ),
     # cross-snapshot dedup: candidates must come from band-key equality
     # joins (hashpartitioning on band keys), never a nested-loop cross of
     # new x base; no window, no Python

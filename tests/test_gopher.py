@@ -50,3 +50,21 @@ def test_empty_doc_all_ratio_rules_false(spark):
     r = _out(spark, [(1, "")])[1]
     assert r["n_tokens"] == 0 and not r["keep"]
     assert not (r["r_mean"] or r["r_sym"] or r["r_alpha"])
+
+
+def test_corpus_report_hand_check(spark):
+    from hbase_indexer_spark.pipeline.curation import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat", "en", "s1"),
+         (2, "the cat and the dog sat", "en", "s1"),   # exact dup
+         (3, "unique words here now", "en", "s1"),
+         (4, "der hund", "de", "s2")],
+        "doc_id long, text string, lang string, source string")
+    out = {(r["source"], r["lang"]): r.asDict()
+           for r in corpus_report(df, min_tokens=3).collect()}
+    s1 = out[("s1", "en")]
+    assert s1["n_docs"] == 3 and s1["uniq_texts"] == 2
+    assert s1["n_dup_docs"] == 1 and s1["n_tokens"] == 16
+    s2 = out[("s2", "de")]
+    assert s2["n_docs"] == 1 and s2["n_keep"] == 0   # too short + no stopwords
