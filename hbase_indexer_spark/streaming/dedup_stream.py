@@ -66,3 +66,27 @@ def batch_first_per_key(df: DataFrame, text_col: str = "text",
         .filter(F.col("_rn") == 1)
         .drop("_ck", "_rn")
     )
+
+
+def dedup_stream_against(events: DataFrame, base: DataFrame,
+                         text_col: str = "text",
+                         base_text_col: str = "text") -> DataFrame:
+    """Screen a stream against a static accepted corpus: drop records
+    whose normalized content key already exists in ``base`` — the
+    streaming arm of ``pipeline.dedup.dedup_against``'s exact path.
+
+    Stateless: the base reduces to a distinct-key DataFrame (broadcast
+    when it fits; Spark re-plans the static side per micro-batch, so a
+    base that grows between triggers is picked up on the next batch).
+    A stream-static LEFT ANTI join is append-mode-safe — no watermark,
+    no streaming state, runs forever.
+
+    Near-dup screening needs per-batch aggregation (MinHash signatures),
+    which streaming aggregation semantics don't allow statelessly — run
+    the full ``dedup_against`` inside ``foreachBatch`` for that (same
+    contract as the incremental indexer's merge).
+    """
+    keys = base.select(
+        content_key(F.col(base_text_col)).alias("_ck")).distinct()
+    keyed = events.withColumn("_ck", content_key(F.col(text_col)))
+    return keyed.join(F.broadcast(keys), "_ck", "left_anti").drop("_ck")

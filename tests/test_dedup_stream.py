@@ -112,3 +112,36 @@ def test_watermark_dedup_bounds_state(spark, tmp_path):
     assert texts.count("doc B") == 1
     assert texts.count("doc C") == 1
     assert texts.count("doc A") == 2  # once per horizon, not globally once
+
+
+def test_stream_against_static_base(spark, tmp_path):
+    from hbase_indexer_spark.streaming.dedup_stream import (
+        dedup_stream_against,
+    )
+
+    base = spark.createDataFrame(
+        [("hello  world",), ("seen before",)], "text string")
+    rows = [
+        ("Hello World", "2024-01-01 00:00:00"),   # normalized hit in base
+        ("seen before", "2024-01-01 00:01:00"),   # exact hit in base
+        ("brand new doc", "2024-01-01 00:02:00"),
+    ]
+    src = tmp_path / "src2"
+    src.mkdir()
+    stage = tmp_path / "stage2"
+    _write_file(spark, rows, str(stage))
+    _drop(str(stage), str(src), "b0")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        dedup_stream_against(stream, base)
+        .writeStream.format("memory").queryName("dedup_vs_base")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["text"] for r in spark.sql(
+        "SELECT * FROM dedup_vs_base").collect()}
+    assert got == {"brand new doc"}
