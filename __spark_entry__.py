@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM NLL per doc (p(w2|w1) MLE over the corpus), integer
+    micro-nats — the conditional companion to unigram_logprob."""
+    from hbase_indexer_spark.pipeline.corpus_stats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health report per (source, lang): volume, exact-dup rate,
     Gopher keep count, fixed-point mean quality — one scan, one combinable
@@ -1393,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dedup_against": q_dedup_against,
         "corpus_report": q_corpus_report,
+        "bigram_logprob": q_bigram_logprob,
         "mixture_resample": q_mixture_resample,
         "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
@@ -1864,6 +1873,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.curation import corpus_report_sql
 
     out["corpus_report"] = corpus_report_sql(min_tokens=50)
+    from hbase_indexer_spark.pipeline.corpus_stats import bigram_logprob_sql
+
+    out["bigram_logprob"] = bigram_logprob_sql()
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)

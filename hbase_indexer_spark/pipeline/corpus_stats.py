@@ -199,3 +199,109 @@ def unigram_logprob_sql() -> str:
                     END AS nll_micro_per_token
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
+
+
+def bigram_freqs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, w1, w2, tf)`` — adjacent-token bigrams, one combinable
+    aggregation.  Docs with < 2 tokens emit nothing (sequence() would
+    count DOWN for size < 2 — the guard is load-bearing)."""
+    t = tokens(F.col("text"))
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"),
+                 F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram LM negative log-likelihood per document in integer
+    micro-nats: ``sum over adjacent pairs of floor(1e6 * ln(c(w1,.) /
+    c(w1,w2)))`` — the conditional MLE ``p(w2|w1)`` with the corpus as
+    its own training set (every doc bigram has corpus support by
+    construction, so no smoothing is needed for finiteness).
+
+    Returns ``(doc_id, n_bigrams, nll_micro_total,
+    nll_micro_per_bigram)``; docs with < 2 tokens score 0 bigrams /
+    NULL per-bigram.  Same fixed-point discipline as
+    :func:`unigram_logprob` — one float ``ln`` per distinct corpus
+    bigram, integer sums everywhere after.
+    """
+    bf = bigram_freqs(docs)
+    c12 = bf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    cl = c12.groupBy("w1").agg(F.sum("c12").alias("cl"))
+    weights = c12.join(cl, "w1").select(
+        "w1", "w2",
+        F.floor(
+            MICRO * F.log(F.col("cl").cast("double")
+                          / F.col("c12").cast("double"))
+        ).alias("w_micro"),
+    )
+    per_doc = (
+        bf.join(weights, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("w_micro")).alias("nll_micro_total"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nll_micro_total", F.lit(0))
+            .alias("nll_micro_total"),
+            # pre-coalesce columns: NULL for short docs -> div
+            # null-propagates instead of ANSI-throwing
+            F.expr("nll_micro_total div n_bigrams")
+            .alias("nll_micro_per_bigram"),
+        )
+    )
+
+
+def bigram_logprob_sql() -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        bg AS (
+            SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, count(*) AS tf
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks))) AS i FROM tk)
+            GROUP BY doc_id, toks[i], toks[i+1]
+        ),
+        c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM bg GROUP BY w1, w2),
+        cl AS (SELECT w1, sum(c12) AS cl FROM c12 GROUP BY w1),
+        w AS (
+            SELECT c12.w1, c12.w2,
+                   CAST(floor({MICRO} * ln(CAST(cl.cl AS DOUBLE)
+                                           / CAST(c12.c12 AS DOUBLE)))
+                        AS BIGINT) AS w_micro
+            FROM c12 JOIN cl USING (w1)
+        ),
+        per_doc AS (
+            SELECT bg.doc_id, sum(bg.tf) AS n_bigrams,
+                   sum(bg.tf * w.w_micro) AS nll_micro_total
+            FROM bg JOIN w USING (w1, w2)
+            GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               coalesce(p.nll_micro_total, 0) AS nll_micro_total,
+               CASE WHEN p.n_bigrams > 0
+                    THEN p.nll_micro_total // p.n_bigrams
+                    END AS nll_micro_per_bigram
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """

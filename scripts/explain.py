@@ -243,6 +243,11 @@ CHECKS = {
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    "bigram_logprob": (
+        [r"partial_count", r"partial_sum"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
     # mixture resampling: G-row cutoff table must broadcast back onto the
     # corpus; the per-group count must partial-aggregate map-side
     "mixture_resample": (

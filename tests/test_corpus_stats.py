@@ -75,3 +75,30 @@ def test_partitioning_independent(spark, sf_dir):
     b = sorted(map(tuple, unigram_logprob(docs.repartition(17)).collect()))
     assert a == b
     assert len(a) == docs.count()
+
+
+def test_bigram_nll_hand_computed(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import bigram_logprob
+
+    # corpus bigrams: (a,b) x2 [doc1], (a,c) x1 [doc2] -> cl(a) = 3
+    docs = _docs(spark, [(1, "a b a b"), (2, "a c")])
+    out = {r["doc_id"]: (r["n_bigrams"], r["nll_micro_total"],
+                         r["nll_micro_per_bigram"])
+           for r in bigram_logprob(docs).collect()}
+    w_ab = math.floor(MICRO * math.log(3 / 2))
+    w_ba = math.floor(MICRO * math.log(1 / 1))
+    w_ac = math.floor(MICRO * math.log(3 / 1))
+    # doc1 bigrams: ab, ba, ab
+    assert out[1] == (3, 2 * w_ab + w_ba, (2 * w_ab + w_ba) // 3)
+    assert out[2] == (1, w_ac, w_ac)
+
+
+def test_bigram_short_docs(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import bigram_logprob
+
+    out = {r["doc_id"]: (r["n_bigrams"], r["nll_micro_per_bigram"])
+           for r in bigram_logprob(
+               _docs(spark, [(1, "solo"), (2, ""), (3, "x y")])).collect()}
+    assert out[1] == (0, None)
+    assert out[2] == (0, None)
+    assert out[3][0] == 1
