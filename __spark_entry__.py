@@ -1319,9 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_index_orders": q_column_index_orders,
         "column_index_orders_hex": q_column_index_orders_hex,
         "prefix_values": q_prefix_values,
-        "prefix_qualifiers": q_prefix_qualifiers,
         "dynamic_fields": q_dynamic_fields,
-        "positional_fields": q_positional_fields,
         "payload_extraction": q_payload_extraction,
         "typed_decode_matrix": q_typed_decode_matrix,
         "bigdecimal_decode": q_bigdecimal_decode,
@@ -1349,8 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_event_stats": q_udaf_event_stats,
         # --- LLM training-data pipeline (first-class, BASELINE north star) ---
         "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1374,6 +1370,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_event_rates": q_sliding_event_rates,
         "user_event_history": q_user_event_history,
         "nation_set_ops": q_nation_set_ops,
+        # r4 rotation (late-round additions): four new operators enter so
+        # the driver gates the round's new surface NOW instead of waiting
+        # for r5.  Swapped out, each stable green r2+r3+local sweeps and
+        # subsumed by an in-window sibling: prefix_qualifiers /
+        # positional_fields (variants of prefix_values / dynamic_fields),
+        # ngram_jaccard_dedup + minhash_signatures (baseline + ingredient
+        # of the gated minhash_lsh_dedup path).  Nothing red or new moves
+        # out — the window only ever sheds multi-round-green rows.
+        "dedup_against": q_dedup_against,
+        "corpus_report": q_corpus_report,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_topk": q_tfidf_topk,
         # ------------- 50-query gate window ends here -------------
         # r5 rotation plan: once sliding_event_rates / user_event_history /
         # nation_set_ops record green (this round), swap them out for the
@@ -1395,16 +1403,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_estimate": q_vocab_estimate,
         "token_freq_spectrum": q_token_freq_spectrum,
         "training_corpus": q_training_corpus,
-        "pack_sequences": q_pack_sequences,
         "sequence_manifest": q_sequence_manifest,
         "packed_sequence_text": q_packed_sequence_text,
         "gopher_rules": q_gopher_rules,
-        "dedup_against": q_dedup_against,
-        "corpus_report": q_corpus_report,
         "bigram_logprob": q_bigram_logprob,
         "mixture_resample": q_mixture_resample,
-        "tfidf_topk": q_tfidf_topk,
         "unigram_logprob": q_unigram_logprob,
+        # rotated out of the window by the r4 late-round rotation (see the
+        # in-window comment); still sweep-checked here every round
+        "prefix_qualifiers": q_prefix_qualifiers,
+        "positional_fields": q_positional_fields,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "minhash_signatures": q_minhash_signatures,
         "vocab_by_lang": q_vocab_by_lang,
         "ngram_containment": q_ngram_containment,
         "simhash_near_dups": q_simhash_near_dups,
