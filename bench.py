@@ -56,9 +56,15 @@ BENCH_QUERIES = [
     "train_test_split",
     "span_dedup",
     "pack_sequences",
+    "sequence_manifest",
+    "packed_sequence_text",
     "mixture_resample",
     "tfidf_topk",
     "unigram_logprob",
+    "bigram_logprob",
+    "gopher_rules",
+    "dedup_against",
+    "corpus_report",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
