@@ -1080,6 +1080,23 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowed k-gram fingerprints per doc (rightmost-min per
+    window) — map-only Catalyst array ops, no shuffle."""
+    from hbase_indexer_spark.pipeline.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-grade local overlap: doc pairs sharing >= 2 winnowed
+    fingerprints via an inverted-index equality join."""
+    from hbase_indexer_spark.pipeline.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_docs(spark, sf_dir), k=3, w=4,
+                                min_shared=2)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM NLL per doc (p(w2|w1) MLE over the corpus), integer
     micro-nats — the conditional companion to unigram_logprob."""
@@ -1407,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequence_text": q_packed_sequence_text,
         "gopher_rules": q_gopher_rules,
         "bigram_logprob": q_bigram_logprob,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
         "mixture_resample": q_mixture_resample,
         "unigram_logprob": q_unigram_logprob,
         # rotated out of the window by the r4 late-round rotation (see the
@@ -1886,6 +1905,13 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.corpus_stats import bigram_logprob_sql
 
     out["bigram_logprob"] = bigram_logprob_sql()
+    from hbase_indexer_spark.pipeline.dedup import (
+        winnow_fingerprints_sql,
+        winnow_overlap_pairs_sql,
+    )
+
+    out["winnow_fingerprints"] = winnow_fingerprints_sql(k=3, w=4)
+    out["winnow_overlap"] = winnow_overlap_pairs_sql(k=3, w=4, min_shared=2)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)

@@ -1029,3 +1029,134 @@ def dedup_against_sql(threshold: float = 0.7, n: int = 3,
         LEFT JOIN ex ON nb.doc_id = ex.doc_id
         LEFT JOIN nr ON nb.doc_id = nr.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS; Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowed k-gram fingerprints: ``(doc_id, pos, fp)`` — in every
+    window of ``w`` consecutive k-gram hashes, select the minimum (the
+    rightmost one on ties), then deduplicate selections.  Winnowing's
+    guarantee: any shared substring of >= ``w + k - 1`` tokens yields at
+    least one shared fingerprint, at ~``2/(w+1)`` the density of full
+    k-gram sets — the local-similarity primitive MinHash (a whole-doc
+    sketch) cannot provide.
+
+    Map-only: hashes, window minima, and the rightmost-tiebreak all run
+    as Catalyst array expressions inside one scan; cost per doc is
+    O(tokens * w) with no shuffle.  Token-hash is the cross-engine md5
+    primitive, so the DuckDB oracle reproduces fingerprints exactly.
+    """
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(k)])
+    hashes = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: token_hash60(gram(i))),
+    ).otherwise(F.array().cast("array<long>"))
+    m = F.size(hashes)
+    # rightmost argmin inside each w-window: reverse the window, take the
+    # FIRST position of the min, mirror the offset back
+    def pick(p):
+        win = F.slice(hashes, p, w)
+        mn = F.array_min(win)
+        off = F.size(win) - F.array_position(F.reverse(win), mn) + 1
+        return F.struct((p + off - 1).cast("long").alias("pos"),
+                        mn.alias("fp"))
+    sel = F.when(
+        m >= w,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), m - (w - 1)),
+                        lambda p: pick(p))),
+    ).otherwise(
+        # short docs: a single window over all hashes (standard boundary
+        # rule: never select nothing from a non-empty hash list)
+        F.when(m > 0, F.array(pick(F.lit(1))))
+        .otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+    )
+    return docs.select(
+        "doc_id", F.explode(sel).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+
+
+def winnow_overlap_pairs(docs: DataFrame, k: int = 3, w: int = 4,
+                         min_shared: int = 2) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` distinct winnowed
+    fingerprints — the plagiarism-grade local-overlap detector (catches a
+    shared paragraph inside otherwise-unrelated docs, which whole-doc
+    Jaccard dilutes away).  Inverted-index equality join on the
+    fingerprint value: pairs sharing none never materialize.
+    """
+    fp = winnow_fingerprints(docs, k=k, w=w) \
+        .select("doc_id", "fp").distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_sql_cte(k: int = 3, w: int = 4) -> str:
+    """CTE prefix producing wfp(doc_id, pos, fp) — the oracle's mirror of
+    winnow_fingerprints (same rightmost-argmin via reverse + first-pos)."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    h = ("CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)")
+    return f"""
+        tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        hs AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {k} THEN
+                       list_transform(
+                           list_transform(range(1, len(toks)-{k - 2}),
+                                          i -> {gram}),
+                           g -> {h})
+                   ELSE [] END AS hashes
+            FROM tk
+        ),
+        sel AS (
+            SELECT doc_id, hashes,
+                   CASE WHEN len(hashes) >= {w}
+                        THEN range(1, len(hashes)-{w - 2})
+                        WHEN len(hashes) > 0 THEN [CAST(1 AS BIGINT)]
+                        ELSE [] END AS starts
+            FROM hs
+        ),
+        win AS (
+            SELECT doc_id, p,
+                   hashes[p : least(p + {w} - 1, len(hashes))] AS wnd
+            FROM (SELECT doc_id, hashes, unnest(starts) AS p FROM sel)
+        ),
+        picked AS (
+            SELECT DISTINCT doc_id,
+                   CAST(p + (len(wnd) - list_position(list_reverse(wnd),
+                                                      list_min(wnd)) + 1)
+                        - 1 AS BIGINT) AS pos,
+                   list_min(wnd) AS fp
+            FROM win
+        ),
+        wfp AS (SELECT doc_id, pos, fp FROM picked)
+    """
+
+
+def winnow_fingerprints_sql(k: int = 3, w: int = 4) -> str:
+    return f"WITH {winnow_sql_cte(k, w)} SELECT doc_id, pos, fp FROM wfp"
+
+
+def winnow_overlap_pairs_sql(k: int = 3, w: int = 4,
+                             min_shared: int = 2) -> str:
+    return f"""
+        WITH {winnow_sql_cte(k, w)},
+        d AS (SELECT DISTINCT doc_id, fp FROM wfp)
+        SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_shared
+        FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """

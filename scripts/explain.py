@@ -243,6 +243,18 @@ CHECKS = {
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # winnowing: fingerprint selection is a pure map (array ops inside
+    # one scan); overlap pairs ride the fp equality join
+    "winnow_fingerprints": (
+        [r"Scan parquet", r"Generate"],
+        [r"hashpartitioning", r"Window", r"SortAggregate", r"HashAggregate",
+         *NO_PYTHON],
+    ),
+    "winnow_overlap": (
+        [r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
     "bigram_logprob": (
         [r"partial_count", r"partial_sum"],
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
