@@ -1046,28 +1046,49 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3,
     sketch) cannot provide.
 
     Map-only: hashes, window minima, and the rightmost-tiebreak all run
-    as Catalyst array expressions inside one scan; cost per doc is
-    O(tokens * w) with no shuffle.  Token-hash is the cross-engine md5
-    primitive, so the DuckDB oracle reproduces fingerprints exactly.
+    as Catalyst array expressions; cost per doc is O(tokens * w) with no
+    shuffle.  Token-hash is the cross-engine md5 primitive, so the
+    DuckDB oracle reproduces fingerprints exactly.
+
+    Plan note: the token and hash arrays are materialized as bound
+    attributes via single-element ``explode(array(...))`` Generate
+    stages.  Higher-order-function lambdas are interpreted (not
+    codegen'd) and re-evaluate every referenced expression TREE per
+    element — with ``tokens(text)`` inlined, each window read re-split
+    the whole document (measured ~5x wall on the bench corpus).
+    CollapseProject would re-inline a plain projection; a Generate is a
+    collapse barrier, still map-side, still shuffle-free.
     """
-    t = tokens(F.col("text"))
+    toked = docs.select(
+        "doc_id",
+        F.explode(F.array(tokens(F.col("text")))).alias("toks"),
+    )
+    t = F.col("toks")
     n = F.size(t)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + j) for j in range(k)])
-    hashes = F.when(
+    hashes_expr = F.when(
         n >= k,
         F.transform(F.sequence(F.lit(1), n - (k - 1)),
                     lambda i: token_hash60(gram(i))),
     ).otherwise(F.array().cast("array<long>"))
+    hashed = toked.select(
+        "doc_id", F.explode(F.array(hashes_expr)).alias("hs"))
+    hashes = F.col("hs")
     m = F.size(hashes)
-    # rightmost argmin inside each w-window: reverse the window, take the
-    # FIRST position of the min, mirror the offset back
+
+    # rightmost argmin inside each w-window, allocation-free: w scalar
+    # try_element_at reads (null past the end — least() skips nulls, the
+    # when-chain falls through), one least(), one rightmost-first when
+    # chain; no per-window array builds
     def pick(p):
-        win = F.slice(hashes, p, w)
-        mn = F.array_min(win)
-        off = F.size(win) - F.array_position(F.reverse(win), mn) + 1
-        return F.struct((p + off - 1).cast("long").alias("pos"),
-                        mn.alias("fp"))
+        cols = [F.try_element_at(hashes, p + j) for j in range(w)]
+        mn = F.least(*cols) if w > 1 else cols[0]
+        pos = F.lit(None).cast("long")
+        for j in range(w):  # leftmost checked LAST -> rightmost wins
+            pos = F.when(cols[j] == mn, (p + j).cast("long")).otherwise(pos)
+        return F.struct(pos.alias("pos"), mn.alias("fp"))
+
     sel = F.when(
         m >= w,
         F.array_distinct(
@@ -1079,21 +1100,34 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3,
         F.when(m > 0, F.array(pick(F.lit(1))))
         .otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
     )
-    return docs.select(
+    return hashed.select(
         "doc_id", F.explode(sel).alias("s")
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
 
 
 def winnow_overlap_pairs(docs: DataFrame, k: int = 3, w: int = 4,
-                         min_shared: int = 2) -> DataFrame:
+                         min_shared: int = 2,
+                         max_postings: int | None = 100) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` distinct winnowed
     fingerprints — the plagiarism-grade local-overlap detector (catches a
     shared paragraph inside otherwise-unrelated docs, which whole-doc
     Jaccard dilutes away).  Inverted-index equality join on the
     fingerprint value: pairs sharing none never materialize.
+
+    ``max_postings`` drops fingerprints present in more than that many
+    documents before the join — MOSS's own rule ("ignore matches in too
+    many documents"): a ubiquitous fingerprint is boilerplate, carries no
+    overlap signal, and a posting list of d docs emits d^2/2 join rows —
+    measured as a 100x blowup on a small-vocabulary corpus at sf0.1.
+    The filter is one combinable count on the fp key, mirrored exactly
+    in the oracle; None disables it.
     """
     fp = winnow_fingerprints(docs, k=k, w=w) \
         .select("doc_id", "fp").distinct()
+    if max_postings is not None:
+        hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")) \
+            .filter(F.col("_df") > max_postings).select("fp")
+        fp = fp.join(hot, "fp", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
@@ -1150,13 +1184,17 @@ def winnow_fingerprints_sql(k: int = 3, w: int = 4) -> str:
     return f"WITH {winnow_sql_cte(k, w)} SELECT doc_id, pos, fp FROM wfp"
 
 
-def winnow_overlap_pairs_sql(k: int = 3, w: int = 4,
-                             min_shared: int = 2) -> str:
+def winnow_overlap_pairs_sql(k: int = 3, w: int = 4, min_shared: int = 2,
+                             max_postings: int | None = 100) -> str:
+    cap = ("" if max_postings is None else
+           f"AND fp IN (SELECT fp FROM d GROUP BY fp"
+           f" HAVING count(*) <= {max_postings})")
     return f"""
         WITH {winnow_sql_cte(k, w)},
-        d AS (SELECT DISTINCT doc_id, fp FROM wfp)
+        d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        kept AS (SELECT doc_id, fp FROM d WHERE TRUE {cap})
         SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_shared
-        FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= {min_shared}
     """

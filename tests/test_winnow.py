@@ -68,3 +68,16 @@ def test_overlap_pairs_detects_shared_paragraph(spark):
         (3, "unrelated content entirely separate words"),
     ]), k=3, w=4, min_shared=2).collect()
     assert [(r["x"], r["y"]) for r in pairs] == [(1, 2)]
+
+
+def test_max_postings_drops_boilerplate_fp(spark):
+    para = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(i, f"header{i} filler{i} " + para) for i in range(1, 6)]
+    # para's fingerprints appear in all 5 docs; cap at 4 removes them
+    n_uncapped = winnow_overlap_pairs(
+        _docs(spark, docs), k=3, w=4, min_shared=2,
+        max_postings=None).count()
+    n_capped = winnow_overlap_pairs(
+        _docs(spark, docs), k=3, w=4, min_shared=2,
+        max_postings=4).count()
+    assert n_uncapped == 10 and n_capped == 0
