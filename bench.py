@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "dedup_against",
     "corpus_report",
+    "winnow_overlap",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
