@@ -205,7 +205,10 @@ def bigram_freqs(docs: DataFrame) -> DataFrame:
     """``(doc_id, w1, w2, tf)`` — adjacent-token bigrams, one combinable
     aggregation.  Docs with < 2 tokens emit nothing (sequence() would
     count DOWN for size < 2 — the guard is load-bearing)."""
-    t = tokens(F.col("text"))
+    toked = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("_toks"))
+    t = F.col("_toks")  # bound attribute: element_at in the lambda must
+    # not re-tokenize the text per bigram (interpreted HOF re-evaluation)
     pairs = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -217,7 +220,7 @@ def bigram_freqs(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     return (
-        docs.select("doc_id", F.explode(pairs).alias("p"))
+        toked.select("doc_id", F.explode(pairs).alias("p"))
         .groupBy("doc_id", F.col("p.w1").alias("w1"),
                  F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("tf"))

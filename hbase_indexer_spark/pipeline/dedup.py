@@ -44,10 +44,16 @@ ROWS_PER_BAND = 3
 PERMS = _perm_constants(N_SIGS)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-gram (word) shingles; docs shorter than n tokens get their
-    whole text as the single shingle."""
-    t = tokens(text)
+def shingles_of(t: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles over a token-array column; docs
+    shorter than n tokens get their whole text as the single shingle.
+
+    ``t`` should be a BOUND attribute (materialized column), not an
+    inline ``tokens(text)`` expression: higher-order-function lambdas
+    are interpreted and re-evaluate the referenced expression tree per
+    element, so an inlined tokenizer re-splits the document once per
+    gram — O(tokens^2) per doc (see exploded_shingles for the Generate
+    barrier that materializes it)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
@@ -55,6 +61,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Shingles over a raw text column (compat wrapper — prefer
+    shingles_of over a materialized token array in plans)."""
+    return shingles_of(tokens(text), n)
 
 
 TOKS_SQL = "list_filter(string_split_regex(text,'\\s+'), x -> x <> '')"
@@ -79,7 +91,14 @@ def shingle_cte_sql(n: int = 3) -> str:
 
 
 def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("sh"))
+    # two Generate stages: the first materializes the token array as a
+    # bound attribute (single-element explode — a CollapseProject barrier,
+    # map-side), so the gram lambda reads an array instead of re-splitting
+    # the text per gram
+    toked = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("_toks"))
+    return toked.select(
+        "doc_id", F.explode(shingles_of(F.col("_toks"), n)).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -800,7 +819,10 @@ def doc_spans(docs: DataFrame, span: int = 10) -> DataFrame:
     (shorter) length.  Mirrors the C4 preprocessing unit (three-sentence
     spans there; fixed token windows here — the corpus has no sentence
     boundaries)."""
-    t = tokens(F.col("text"))
+    toked = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("_toks"))
+    t = F.col("_toks")  # bound attribute: the slice lambda must not
+    # re-tokenize the text per span (interpreted HOF re-evaluation)
     n_spans = F.ceil(F.size(t) / F.lit(span)).cast("int")
     spans = F.when(
         F.size(t) > 0,
@@ -809,7 +831,7 @@ def doc_spans(docs: DataFrame, span: int = 10) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(t, i * span + 1, span)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+    return toked.select("doc_id", F.posexplode(spans).alias("pos", "span"))
 
 
 def span_dedup(docs: DataFrame, span: int = 10) -> DataFrame:
