@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch-algebra vocabulary Jaccard between every source pair —
+    O(k) state per source, deterministic (oracle-exact) estimates."""
+    from hbase_indexer_spark.pipeline.text import vocab_overlap
+
+    return vocab_overlap(_docs(spark, sf_dir), group_col="source", k=256)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowed k-gram fingerprints per doc (rightmost-min per
     window) — map-only Catalyst array ops, no shuffle."""
@@ -1425,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "bigram_logprob": q_bigram_logprob,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "vocab_overlap": q_vocab_overlap,
         "winnow_overlap": q_winnow_overlap,
         "mixture_resample": q_mixture_resample,
         "unigram_logprob": q_unigram_logprob,
@@ -1911,6 +1920,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["winnow_fingerprints"] = winnow_fingerprints_sql(k=3, w=4)
+    from hbase_indexer_spark.pipeline.text import vocab_overlap_sql
+
+    out["vocab_overlap"] = vocab_overlap_sql(group_col="source", k=256)
     out["winnow_overlap"] = winnow_overlap_pairs_sql(k=3, w=4, min_shared=2)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 

@@ -569,3 +569,97 @@ def gopher_rules_sql(min_tokens: int = 50, max_tokens: int = 100_000) -> str:
                 AND (stop >= 2)) AS keep
         FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch algebra: vocabulary overlap between corpus slices
+# ---------------------------------------------------------------------------
+
+def vocab_overlap(docs: DataFrame, group_col: str = "source",
+                  k: int = 256) -> DataFrame:
+    """Estimated vocabulary Jaccard between every pair of ``group_col``
+    values, by KMV sketch algebra (Beyer et al., SIGMOD 2007): with
+    bottom-k hash sets A, B per group and X = the k smallest of A ∪ B,
+    ``J ≈ |X ∩ A ∩ B| / |X|`` — "do these sources speak the same
+    vocabulary" for O(k) state per group, never a vocab x vocab join.
+
+    Deterministic (md5-derived hashes, no sampling), so the DuckDB
+    oracle reproduces every estimate bit-for-bit.  Returns
+    ``(src_a, src_b, n_x, n_common, jaccard_micro)`` for each unordered
+    pair.
+
+    Scale: the token stream collapses to distinct (group, hash) rows —
+    the only corpus-sized shuffle; per-group bottom-k is a
+    group-partitioned window over vocabulary-sized input (orders of
+    magnitude below the corpus).  The pair join runs over G sketch rows
+    (one per group, <= k longs each) — broadcast, G^2 pairs of O(k)
+    array intersections.
+    """
+    from pyspark.sql.window import Window
+
+    h = (
+        docs.select(F.col(group_col).alias("g"),
+                    F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("g", token_hash60(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
+    x = F.slice(F.array_sort(F.array_union(F.col("a.sk"), F.col("b.sk"))),
+                1, k)
+    common = F.array_intersect(F.array_intersect(x, F.col("a.sk")),
+                               F.col("b.sk"))
+    n_x = F.size(x).cast("long")
+    n_common = F.size(common).cast("long")
+    return pairs.select(
+        F.col("a.g").alias("src_a"),
+        F.col("b.g").alias("src_b"),
+        n_x.alias("n_x"),
+        n_common.alias("n_common"),
+        F.floor(F.lit(1_000_000.0) * n_common.cast("double")
+                / n_x.cast("double")).alias("jaccard_micro"),
+    )
+
+
+def vocab_overlap_sql(group_col: str = "source", k: int = 256) -> str:
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT {group_col} AS g,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM (
+                SELECT {group_col},
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            )
+        ),
+        topk AS (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM h
+            ) WHERE rn <= {k}
+        ),
+        sk AS (SELECT g, list(h ORDER BY h) AS sk FROM topk GROUP BY g),
+        pairs AS (
+            SELECT a.g AS src_a, b.g AS src_b, a.sk AS ska, b.sk AS skb,
+                   list_sort(list_distinct(a.sk || b.sk))[1:{k}] AS x
+            FROM sk a JOIN sk b ON a.g < b.g
+        )
+        SELECT src_a, src_b,
+               CAST(len(x) AS BIGINT) AS n_x,
+               CAST(len(list_intersect(list_intersect(x, ska), skb))
+                    AS BIGINT) AS n_common,
+               CAST(floor(1000000.0
+                    * CAST(len(list_intersect(list_intersect(x, ska), skb))
+                           AS DOUBLE)
+                    / CAST(len(x) AS DOUBLE)) AS BIGINT) AS jaccard_micro
+        FROM pairs
+    """

@@ -102,3 +102,26 @@ def test_bigram_short_docs(spark):
     assert out[1] == (0, None)
     assert out[2] == (0, None)
     assert out[3][0] == 1
+
+
+def test_vocab_overlap_estimates(spark):
+    from hbase_indexer_spark.pipeline.text import vocab_overlap
+
+    # sources share exactly half their vocabulary -> J = 1/3
+    shared = [f"s{i}" for i in range(100)]
+    only_a = [f"a{i}" for i in range(100)]
+    only_b = [f"b{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(shared + only_a), "A"),
+         (2, " ".join(shared + only_b), "B")],
+        "doc_id long, text string, source string")
+    r = vocab_overlap(docs, group_col="source", k=64).collect()[0]
+    assert (r["src_a"], r["src_b"]) == ("A", "B")
+    est = r["n_common"] / r["n_x"]
+    assert abs(est - 1 / 3) < 0.15          # k=64 sketch accuracy
+    # identical sources -> exactly 1
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(shared), "A"), (2, " ".join(shared), "B")],
+        "doc_id long, text string, source string")
+    r2 = vocab_overlap(docs2, group_col="source", k=64).collect()[0]
+    assert r2["jaccard_micro"] == 1_000_000

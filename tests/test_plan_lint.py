@@ -27,6 +27,11 @@ ALLOW_BNLJ = {
     # so the loop is K dot products per row — linear scan by design (the
     # scale path is ann_lsh_topk / ann_ivf_indexed).
     "ann_bruteforce_topk",
+    # KMV sketch pairing: both join sides are G-row per-group sketch
+    # aggregates (one row per source, <= k longs each); the `g1 < g2`
+    # theta-join over broadcast G rows is G^2 array intersections, not
+    # an all-pairs data join.
+    "vocab_overlap",
 }
 
 
