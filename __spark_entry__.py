@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (micro-nats/char,
+    fixed point) — the gibberish/compressibility quality signal."""
+    from hbase_indexer_spark.pipeline.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch-algebra vocabulary Jaccard between every source pair —
     O(k) state per source, deterministic (oracle-exact) estimates."""
@@ -1434,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "winnow_fingerprints": q_winnow_fingerprints,
         "vocab_overlap": q_vocab_overlap,
+        "char_entropy": q_char_entropy,
         "winnow_overlap": q_winnow_overlap,
         "mixture_resample": q_mixture_resample,
         "unigram_logprob": q_unigram_logprob,
@@ -1923,6 +1932,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import vocab_overlap_sql
 
     out["vocab_overlap"] = vocab_overlap_sql(group_col="source", k=256)
+    from hbase_indexer_spark.pipeline.text import char_entropy_sql
+
+    out["char_entropy"] = char_entropy_sql()
     out["winnow_overlap"] = winnow_overlap_pairs_sql(k=3, w=4, min_shared=2)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 

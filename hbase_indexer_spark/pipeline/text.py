@@ -663,3 +663,80 @@ def vocab_overlap_sql(group_col: str = "source", k: int = 256) -> str:
                     / CAST(len(x) AS DOUBLE)) AS BIGINT) AS jaccard_micro
         FROM pairs
     """
+
+
+# ---------------------------------------------------------------------------
+# Character entropy (gibberish / compressibility signal)
+# ---------------------------------------------------------------------------
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution, in
+    integer micro-nats per char: near-zero = repeated filler, ~3 =
+    natural language, >4 = random-ish (gibberish, base64 blobs) — the
+    cheap compressibility signal quality filters cut on.
+
+    ``entropy = (sum_c cnt_c * floor(1e6 * ln(N / cnt_c))) div N`` over
+    the doc's distinct characters — fixed-point inside one row, so the
+    value is exact and engine-independent.  Map-only scan; the char
+    array is materialized behind a Generate barrier before the
+    per-distinct-char count lambda reads it (interpreted-HOF
+    discipline, see SCALE.md).  Returns
+    ``(doc_id, n_chars, entropy_micro_per_char)`` (NULL for empty docs).
+    """
+    chard = docs.select(
+        "doc_id",
+        F.explode(F.array(
+            F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+        )).alias("_chars"),
+    )
+    chars = F.col("_chars")
+    n = F.size(chars).cast("long")
+    dist = F.array_distinct(chars)
+    cnt = lambda c: F.size(F.filter(chars, lambda x: x == c))  # noqa: E731
+    total = F.aggregate(
+        F.transform(
+            dist,
+            lambda c: cnt(c).cast("long") * F.floor(
+                F.lit(1_000_000.0)
+                * F.log(n.cast("double") / cnt(c).cast("double"))),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # integer div via named columns: a double division would round above
+    # 2^53 (total ~ n * 1e6 * ln(n) crosses that for GB-sized docs)
+    return chard.select(
+        "doc_id", n.alias("n_chars"), total.alias("_total")
+    ).select(
+        "doc_id", "n_chars",
+        F.when(F.col("n_chars") > 0,
+               F.expr("_total div n_chars"))
+        .alias("entropy_micro_per_char"),
+    )
+
+
+def char_entropy_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ''), x -> x <> '') AS cs
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(cs) AS BIGINT) AS n_chars,
+                   list_sum(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_distinct(cs), d ->
+                           CAST(len(list_filter(cs, x -> x = d)) AS BIGINT)
+                           * CAST(floor(1000000.0 * ln(
+                               CAST(len(cs) AS DOUBLE)
+                               / CAST(len(list_filter(cs, x -> x = d))
+                                      AS DOUBLE))) AS BIGINT)
+                       ))) AS total
+            FROM c
+        )
+        SELECT doc_id, n_chars,
+               CASE WHEN n_chars > 0 THEN total // n_chars
+                    END AS entropy_micro_per_char
+        FROM m
+    """

@@ -125,3 +125,15 @@ def test_vocab_overlap_estimates(spark):
         "doc_id long, text string, source string")
     r2 = vocab_overlap(docs2, group_col="source", k=64).collect()[0]
     assert r2["jaccard_micro"] == 1_000_000
+
+
+def test_char_entropy_values(spark):
+    from hbase_indexer_spark.pipeline.text import char_entropy
+
+    docs = _docs(spark, [(1, "aaaa"), (2, "abcd"), (3, "")])
+    out = {r["doc_id"]: (r["n_chars"], r["entropy_micro_per_char"])
+           for r in char_entropy(docs).collect()}
+    assert out[1] == (4, 0)                      # one symbol: H = 0
+    # uniform over 4 symbols: H = ln(4) per char
+    assert out[2] == (4, math.floor(MICRO * math.log(4)))
+    assert out[3] == (0, None)
