@@ -53,7 +53,13 @@ _EXPORTS = {
     "mixture_resample": "hbase_indexer_spark.pipeline.curation",
     "tfidf_topk": "hbase_indexer_spark.pipeline.corpus_stats",
     "unigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",
+    "bigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",
     "gopher_rules": "hbase_indexer_spark.pipeline.text",
+    "char_entropy": "hbase_indexer_spark.pipeline.text",
+    "vocab_overlap": "hbase_indexer_spark.pipeline.text",
+    "corpus_report": "hbase_indexer_spark.pipeline.curation",
+    "winnow_fingerprints": "hbase_indexer_spark.pipeline.dedup",
+    "winnow_overlap_pairs": "hbase_indexer_spark.pipeline.dedup",
     "brute_force_topk": "hbase_indexer_spark.pipeline.similarity",
     "quantize_embeddings": "hbase_indexer_spark.pipeline.similarity",
     "text_profile": "hbase_indexer_spark.pipeline.text",
