@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "dedup_against",
     "corpus_report",
     "winnow_overlap",
+    "vocab_overlap",
+    "char_entropy",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
