@@ -72,3 +72,62 @@ def test_span_dedup_matches_model(spark, corpus, span):
     got = {r["doc_id"]: (r["text"], r["n_spans"], r["n_removed"])
            for r in span_dedup(_df(spark, corpus), span=span).collect()}
     assert got == model_span_dedup(corpus, 1, span)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing / mixture / cross-snapshot dedup properties
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=st.lists(st.lists(st.sampled_from("abcdef"), min_size=0,
+                                max_size=12).map(" ".join),
+                       min_size=1, max_size=5))
+def test_winnow_guarantee_and_subset(spark, corpus):
+    """Every selected fingerprint is a real k-gram hash at its claimed
+    position, and every doc with >= w+k-1 tokens selects >= 1
+    fingerprint (the winnowing density guarantee's lower edge)."""
+    from hbase_indexer_spark.pipeline.dedup import winnow_fingerprints
+    from hbase_indexer_spark.pipeline.text import token_hash60  # noqa: F401
+
+    import hashlib
+
+    k, w = 2, 3
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    got = {}
+    for r in winnow_fingerprints(_df(spark, corpus), k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, text in enumerate(corpus):
+        toks = text.split()
+        grams = [" ".join(toks[p:p + k]) for p in range(len(toks) - k + 1)]
+        expect_all = {(p + 1, h60(g)) for p, g in enumerate(grams)}
+        sel = got.get(i, set())
+        assert sel <= expect_all
+        if len(toks) >= w + k - 1:
+            assert sel
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.integers(1, 40), min_size=2, max_size=4))
+def test_mixture_never_exceeds_group_size_and_keeps_smallest(spark, sizes):
+    from hbase_indexer_spark.pipeline.curation import mixture_resample
+
+    rows, i = [], 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((i, "t", f"g{g}"))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from pyspark.sql import functions as F
+
+    kept = {r["lang"]: r["n"] for r in
+            mixture_resample(docs).groupBy("lang")
+            .agg(F.count("*").alias("n")).collect()}
+    smallest = f"g{sizes.index(min(sizes))}"
+    assert kept.get(smallest) == min(sizes)
+    for g, n in enumerate(sizes):
+        assert kept.get(f"g{g}", 0) <= n
