@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle position per doc (rank of
+    salted md5) via the two-level block scan — no global sort."""
+    from hbase_indexer_spark.pipeline.pack import shuffle_order
+
+    return shuffle_order(_docs(spark, sf_dir))
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-distribution Shannon entropy (micro-nats/char,
     fixed point) — the gibberish/compressibility quality signal."""
@@ -1443,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "vocab_overlap": q_vocab_overlap,
         "char_entropy": q_char_entropy,
+        "shuffle_order": q_shuffle_order,
         "winnow_overlap": q_winnow_overlap,
         "mixture_resample": q_mixture_resample,
         "unigram_logprob": q_unigram_logprob,
@@ -1935,6 +1944,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import char_entropy_sql
 
     out["char_entropy"] = char_entropy_sql()
+    from hbase_indexer_spark.pipeline.pack import shuffle_order_sql
+
+    out["shuffle_order"] = shuffle_order_sql()
     out["winnow_overlap"] = winnow_overlap_pairs_sql(k=3, w=4, min_shared=2)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 

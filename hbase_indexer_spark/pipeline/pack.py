@@ -280,3 +280,67 @@ def packed_sequence_text_sql(seq_len: int = 128) -> str:
                           ORDER BY start_token) AS text
         FROM pieces GROUP BY seq_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle order
+# ---------------------------------------------------------------------------
+
+_HASH_BLOCKS = 4096
+
+
+def shuffle_order(docs: DataFrame, salt: str = "shuffle-v1") -> DataFrame:
+    """Assign every doc its position in a deterministic global shuffle:
+    ``pos`` = dense 0-based rank of ``md5(doc_id:salt)`` (ties broken by
+    doc_id) — the training-order shuffle that is reproducible across
+    runs, clusters, and engines, and re-dealt entirely by changing the
+    salt.
+
+    A global ``row_number() OVER (ORDER BY h)`` would single-reducer the
+    corpus; instead the same two-level scan as :func:`pack_sequences`,
+    except the blocks come from the HASH value (``h div (2^60/4096)``) —
+    uniform by construction, so no block-sizing action is needed: per-
+    block counts (combinable, 4096 rows out), a running offset over that
+    aggregate, broadcast back, and a block-partitioned row_number.
+    Returns ``(doc_id, pos)`` — a permutation of 0..N-1.
+    """
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    block_size = (1 << 60) // _HASH_BLOCKS
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    keyed = docs.select(
+        "doc_id", token_hash60(key).alias("h")
+    ).withColumn("block", F.expr(f"h div {block_size}"))
+    block_off = (
+        keyed.groupBy("block").agg(F.count("*").alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("block")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .drop("n")
+    )
+    w = Window.partitionBy("block").orderBy("h", "doc_id")
+    return (
+        keyed.join(F.broadcast(block_off), "block")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(w) - 1).alias("pos"),
+        )
+    )
+
+
+def shuffle_order_sql(salt: str = "shuffle-v1") -> str:
+    return f"""
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY CAST(('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 15))
+                       AS BIGINT), doc_id
+               ) - 1 AS pos
+        FROM documents
+    """

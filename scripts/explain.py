@@ -275,6 +275,15 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # shuffle rank: per-block row_number only (hash blocks) — a global
+    # unpartitioned Window over the corpus would be the single-reducer
+    # sort this exists to avoid; the only unpartitioned window input is
+    # the 4096-row block aggregate
+    "shuffle_order": (
+        [r"partial_count", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
     "sequence_manifest": (
         [r"partial_sum", r"BroadcastHashJoin", r"Generate"],
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",

@@ -124,3 +124,25 @@ def test_packed_sequence_text_reconstructs_stream(spark, sf_dir):
         expect.extend(r["text"].split())
     assert stream == expect
     assert all(r["n_tokens"] == 64 for r in seqs[:-1])
+
+
+def test_shuffle_order_is_permutation_and_deterministic(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.pack import shuffle_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = shuffle_order(docs).collect()
+    assert sorted(r["pos"] for r in out) == list(range(n))
+    again = {r["doc_id"]: r["pos"]
+             for r in shuffle_order(docs.repartition(7)).collect()}
+    assert {r["doc_id"]: r["pos"] for r in out} == again
+
+
+def test_shuffle_order_salt_redeals(spark):
+    from hbase_indexer_spark.pipeline.pack import shuffle_order
+
+    docs = _docs(spark, [(i, "x") for i in range(200)])
+    a = {r["doc_id"]: r["pos"] for r in shuffle_order(docs, "s1").collect()}
+    b = {r["doc_id"]: r["pos"] for r in shuffle_order(docs, "s2").collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values()) == list(range(200))
