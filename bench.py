@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "winnow_overlap",
     "vocab_overlap",
     "char_entropy",
+    "shuffle_order",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
