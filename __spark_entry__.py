@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training layout: deterministic corpus shuffle composed
+    with sequence packing over the shuffled stream."""
+    from hbase_indexer_spark.pipeline.pack import shuffled_pack
+
+    return shuffled_pack(_docs(spark, sf_dir), seq_len=128)
+
+
 def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-shuffle position per doc (rank of
     salted md5) via the two-level block scan — no global sort."""
@@ -1452,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "char_entropy": q_char_entropy,
         "shuffle_order": q_shuffle_order,
+        "shuffled_pack": q_shuffled_pack,
         "winnow_overlap": q_winnow_overlap,
         "mixture_resample": q_mixture_resample,
         "unigram_logprob": q_unigram_logprob,
@@ -1947,6 +1956,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.pack import shuffle_order_sql
 
     out["shuffle_order"] = shuffle_order_sql()
+    from hbase_indexer_spark.pipeline.pack import shuffled_pack_sql
+
+    out["shuffled_pack"] = shuffled_pack_sql(seq_len=128)
     out["winnow_overlap"] = winnow_overlap_pairs_sql(k=3, w=4, min_shared=2)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 

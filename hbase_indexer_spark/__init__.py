@@ -51,6 +51,7 @@ _EXPORTS = {
     "sequence_manifest": "hbase_indexer_spark.pipeline.pack",
     "packed_sequence_text": "hbase_indexer_spark.pipeline.pack",
     "shuffle_order": "hbase_indexer_spark.pipeline.pack",
+    "shuffled_pack": "hbase_indexer_spark.pipeline.pack",
     "mixture_resample": "hbase_indexer_spark.pipeline.curation",
     "tfidf_topk": "hbase_indexer_spark.pipeline.corpus_stats",
     "unigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",

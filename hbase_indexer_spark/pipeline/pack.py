@@ -59,14 +59,21 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128,
     counts = docs.select(
         F.col("doc_id"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
+    ).withColumn("_ord", F.col("doc_id"))
     if block_size is None:
         # one cheap agg (answered from parquet footer stats where
         # available); makes B ~ DEFAULT_BLOCKS regardless of id range
         mx = counts.agg(F.max("doc_id")).first()[0] or 0
         block_size = max(1, (int(mx) + DEFAULT_BLOCKS) // DEFAULT_BLOCKS)
-    counts = counts.withColumn(
-        "block", F.expr(f"doc_id div {block_size}"))
+    return _pack_by(counts, seq_len, block_size).drop("_ord")
+
+
+def _pack_by(counts: DataFrame, seq_len: int, block_size: int) -> DataFrame:
+    """The two-level prefix scan over ``(doc_id, n_tokens, _ord)``:
+    stream order is ascending ``_ord`` (blocks = ``_ord div block_size``,
+    order-preserving).  Shared by pack_sequences (_ord = doc_id) and
+    shuffled_pack (_ord = shuffle position)."""
+    counts = counts.withColumn("block", F.expr(f"_ord div {block_size}"))
 
     # (2) per-block totals -> running block offsets.  The window below is
     # deliberately unpartitioned: its input is B aggregate rows, not docs.
@@ -86,7 +93,7 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128,
     )
 
     # (3) within-block prefix + broadcast block offset = global offset
-    w = (Window.partitionBy("block").orderBy("doc_id")
+    w = (Window.partitionBy("block").orderBy("_ord")
          .rowsBetween(Window.unboundedPreceding, -1))
     packed = (
         counts.join(F.broadcast(block_off), "block")
@@ -97,12 +104,12 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128,
         )
     )
 
-    last_tok = F.col("start_token") + F.col("n_tokens") - 1
     nonempty = F.col("n_tokens") > 0
     first_seq = F.expr(f"start_token div {seq_len}")
     last_seq = F.expr(f"(start_token + n_tokens - 1) div {seq_len}")
     return packed.select(
         "doc_id",
+        "_ord",
         "n_tokens",
         "start_token",
         F.when(nonempty, first_seq).alias("first_seq"),
@@ -343,4 +350,72 @@ def shuffle_order_sql(salt: str = "shuffle-v1") -> str:
                        AS BIGINT), doc_id
                ) - 1 AS pos
         FROM documents
+    """
+
+
+def shuffled_pack(docs: DataFrame, seq_len: int = 128,
+                  salt: str = "shuffle-v1") -> DataFrame:
+    """The production training layout in one plan: shuffle the corpus
+    deterministically (:func:`shuffle_order`), then pack the shuffled
+    stream into ``seq_len``-token sequences (:func:`pack_sequences`'s
+    two-level scan ordered by shuffle position instead of doc_id).
+
+    Returns ``(doc_id, pos, n_tokens, start_token, first_seq, last_seq,
+    n_seqs)``.  Shuffle positions are dense 0..N-1 and uniform, so pack
+    blocks come from ``pos div ceil(N/4096)`` — one cheap count action,
+    everything else identical to the doc_id-ordered pack (same shuffle
+    budget: the rank plan + one extra doc_id join).
+    """
+    from hbase_indexer_spark.pipeline.text import token_count
+
+    order = shuffle_order(docs, salt=salt)
+    counts = (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .join(order, "doc_id")
+        .withColumn("_ord", F.col("pos"))
+    )
+    n = docs.count()
+    block_size = max(1, (int(n) + DEFAULT_BLOCKS - 1) // DEFAULT_BLOCKS)
+    return (
+        _pack_by(counts.select("doc_id", "n_tokens", "_ord"),
+                 seq_len, block_size)
+        .withColumnRenamed("_ord", "pos")
+        .select("doc_id", "pos", "n_tokens", "start_token",
+                "first_seq", "last_seq", "n_seqs")
+    )
+
+
+def shuffled_pack_sql(seq_len: int = 128, salt: str = "shuffle-v1") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH ord AS ({shuffle_order_sql(salt)}),
+        tk AS (
+            SELECT d.doc_id, o.pos,
+                   CAST(len({TOKS_SQL.replace('text', 'd.text')}) AS BIGINT)
+                       AS n_tokens
+            FROM documents d JOIN ord o USING (doc_id)
+        ),
+        c AS (
+            SELECT doc_id, pos, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_token
+            FROM tk
+        )
+        SELECT doc_id, pos, n_tokens, start_token,
+               CASE WHEN n_tokens > 0
+                    THEN start_token // {seq_len} END AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_token + n_tokens - 1) // {seq_len}
+                    END AS last_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_token + n_tokens - 1) // {seq_len}
+                         - start_token // {seq_len} + 1
+                    ELSE 0 END AS n_seqs
+        FROM c
     """

@@ -284,6 +284,10 @@ CHECKS = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    "shuffled_pack": (
+        [r"partial_count", r"partial_sum", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
     "sequence_manifest": (
         [r"partial_sum", r"BroadcastHashJoin", r"Generate"],
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",

@@ -146,3 +146,22 @@ def test_shuffle_order_salt_redeals(spark):
     b = {r["doc_id"]: r["pos"] for r in shuffle_order(docs, "s2").collect()}
     assert a != b
     assert sorted(a.values()) == sorted(b.values()) == list(range(200))
+
+
+def test_shuffled_pack_tiles_and_matches_order(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.pack import shuffle_order, shuffled_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = shuffled_pack(docs, seq_len=64).cache()
+    assert sp.count() == docs.count()
+    # offsets tile the shuffled stream exactly
+    agg = sp.agg(F.sum("n_tokens").alias("tot"),
+                 F.max(F.col("start_token") + F.col("n_tokens")).alias("end"))\
+        .first()
+    assert agg["end"] == agg["tot"]
+    # stream order == shuffle_order positions
+    pos = {r["doc_id"]: r["pos"] for r in shuffle_order(docs).collect()}
+    rows = sorted(sp.collect(), key=lambda r: r["start_token"])
+    nonzero = [r for r in rows]
+    assert [r["doc_id"] for r in nonzero] == \
+        [d for d, _ in sorted(pos.items(), key=lambda kv: kv[1])]
