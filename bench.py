@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "vocab_overlap",
     "char_entropy",
     "shuffle_order",
+    "shuffled_pack",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
