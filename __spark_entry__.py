@@ -1080,6 +1080,14 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_manifest(_docs(spark, sf_dir), seq_len=128)
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (casefold + whitespace collapse +
+    punctuation strip) with the cross-variant dedup md5 — map-only."""
+    from hbase_indexer_spark.pipeline.text import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
 def q_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training layout: deterministic corpus shuffle composed
     with sequence packing over the shuffled stream."""
@@ -1461,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "shuffle_order": q_shuffle_order,
         "shuffled_pack": q_shuffled_pack,
+        "normalize_text": q_normalize_text,
         "winnow_overlap": q_winnow_overlap,
         "mixture_resample": q_mixture_resample,
         "unigram_logprob": q_unigram_logprob,
@@ -1959,6 +1968,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.pack import shuffled_pack_sql
 
     out["shuffled_pack"] = shuffled_pack_sql(seq_len=128)
+    from hbase_indexer_spark.pipeline.text import normalize_text_sql
+
+    out["normalize_text"] = normalize_text_sql()
     out["winnow_overlap"] = winnow_overlap_pairs_sql(k=3, w=4, min_shared=2)
     from hbase_indexer_spark.pipeline.curation import mixture_resample_sql
 

@@ -58,6 +58,7 @@ _EXPORTS = {
     "bigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",
     "gopher_rules": "hbase_indexer_spark.pipeline.text",
     "char_entropy": "hbase_indexer_spark.pipeline.text",
+    "normalize_text": "hbase_indexer_spark.pipeline.text",
     "vocab_overlap": "hbase_indexer_spark.pipeline.text",
     "corpus_report": "hbase_indexer_spark.pipeline.curation",
     "winnow_fingerprints": "hbase_indexer_spark.pipeline.dedup",

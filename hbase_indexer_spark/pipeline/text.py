@@ -740,3 +740,35 @@ def char_entropy_sql() -> str:
                     END AS entropy_micro_per_char
         FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+def normalize_text(docs: DataFrame, strip_punct: bool = True) -> DataFrame:
+    """Canonical text normalization — the step before hashing/dedup so
+    that trivially-different copies collapse: casefold, collapse all
+    whitespace runs to single spaces, trim, and (optionally) drop
+    ASCII punctuation.  Emits the normalized text plus the md5 of it
+    (the cross-variant dedup key, the batch analog of the streaming
+    ``content_key``).  Pure map — one scan, zero shuffle.
+    """
+    t = F.lower(F.trim(F.col("text")))
+    if strip_punct:
+        t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.trim(t)
+    return docs.select(
+        "doc_id",
+        t.alias("norm_text"),
+        F.md5(t).alias("norm_md5"),
+    )
+
+
+def normalize_text_sql(strip_punct: bool = True) -> str:
+    t = "lower(trim(text))"
+    if strip_punct:
+        t = f"regexp_replace({t}, '[!-/:-@\\[-`{{-~]', '', 'g')"
+    t = f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {t} AS norm_text, md5({t}) AS norm_md5 FROM documents"

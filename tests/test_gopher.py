@@ -68,3 +68,15 @@ def test_corpus_report_hand_check(spark):
     assert s1["n_dup_docs"] == 1 and s1["n_tokens"] == 16
     s2 = out[("s2", "de")]
     assert s2["n_docs"] == 1 and s2["n_keep"] == 0   # too short + no stopwords
+
+
+def test_normalize_text_collapses_variants(spark):
+    from hbase_indexer_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "  HELLO\tWORLD. ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["norm_text"], r["norm_md5"])
+           for r in normalize_text(df).collect()}
+    assert out[1][0] == out[2][0] == out[3][0] == "hello world"
+    assert out[1][1] == out[2][1] == out[3][1]
