@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "shuffle_order",
     "shuffled_pack",
+    "normalize_text",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
