@@ -1219,6 +1219,67 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter exact dedup screen: odd doc_ids ("today's batch")
+    against even doc_ids ("accepted base") — the base collapses to a
+    <=64K-bit broadcast bit-set, only bloom-hit docs pay the exact hash
+    join.  Hand-rolled md5 double-hashing, so even the probabilistic
+    bloom_hit column is deterministic and oracle-checked."""
+    from hbase_indexer_spark.pipeline.dedup import bloom_screen
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return bloom_screen(base, new)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-canonical dedup: per near-dup cluster keep the member with
+    the most characters (tie -> smallest doc_id) instead of min-id — the
+    keep-the-best-variant policy; combinable max_by, no corpus window."""
+    from hbase_indexer_spark.pipeline.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24): the RAG /
+    long-doc-embedding chunker; map-only sequence+slice fan-out."""
+    from hbase_indexer_spark.pipeline.pack import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget sampling (2000 tokens/source): smallest
+    salted-hash prefix of each source reaching the budget; two-level
+    block scan keyed by source, no per-source global sort."""
+    from hbase_indexer_spark.pipeline.curation import token_budget_sample
+
+    return token_budget_sample(_docs(spark, sf_dir), budget=2000)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact fixed point (micro-unit
+    component sums + counts): the class-center audit; posexplode +
+    combinable (label, dim) aggregation."""
+    from hbase_indexer_spark.pipeline.similarity import label_centroids
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction for 10 query vectors (k=5,
+    exact cosine neighbors, deterministic tie-break) — the embedding-
+    quality probe."""
+    from hbase_indexer_spark.pipeline.similarity import knn_label_vote
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return knn_label_vote(load(spark, sf_dir, "embeddings"),
+                          ANN_QUERY_IDS, k=5)
+
+
 ANN_QUERY_IDS = list(range(10))
 
 
@@ -1473,6 +1534,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "mixture_resample": q_mixture_resample,
         "unigram_logprob": q_unigram_logprob,
+        # r4 continuation additions (sweep-checked now, r5 rotation pool):
+        # bloom-prefilter exact screen, quality-canonical keeper,
+        # RAG chunker, per-source token-budget mixture, embedding-space
+        # audits (centroids + kNN vote)
+        "bloom_screen": q_bloom_screen,
+        "dedup_keep_best": q_dedup_keep_best,
+        "chunk_documents": q_chunk_documents,
+        "token_budget_sample": q_token_budget_sample,
+        "label_centroids": q_label_centroids,
+        "knn_label_vote": q_knn_label_vote,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -1982,6 +2053,26 @@ def oracle_sql() -> dict[str, str]:
 
     out["tfidf_topk"] = tfidf_topk_sql(k=5)
     out["unigram_logprob"] = unigram_logprob_sql()
+    from hbase_indexer_spark.pipeline.dedup import (
+        bloom_screen_sql,
+        dedup_keep_best_sql,
+    )
+
+    out["bloom_screen"] = bloom_screen_sql()
+    out["dedup_keep_best"] = dedup_keep_best_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.pack import chunk_documents_sql
+
+    out["chunk_documents"] = chunk_documents_sql(size=32, stride=24)
+    from hbase_indexer_spark.pipeline.curation import token_budget_sample_sql
+
+    out["token_budget_sample"] = token_budget_sample_sql(budget=2000)
+    from hbase_indexer_spark.pipeline.similarity import (
+        knn_label_vote_sql,
+        label_centroids_sql,
+    )
+
+    out["label_centroids"] = label_centroids_sql()
+    out["knn_label_vote"] = knn_label_vote_sql(ANN_QUERY_IDS, k=5)
     from hbase_indexer_spark.pipeline.curation import (
         curated_corpus_sql,
         stratified_sample_sql,

@@ -99,6 +99,14 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "deduped_corpus",
     "incremental_column_index",
+    # r4 continuation: sketch-first exact screen, keeper policy, chunker,
+    # token-budget mixture, embedding audits
+    "bloom_screen",
+    "dedup_keep_best",
+    "chunk_documents",
+    "token_budget_sample",
+    "label_centroids",
+    "knn_label_vote",
 ]
 
 

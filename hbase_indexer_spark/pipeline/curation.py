@@ -21,7 +21,7 @@ as pipeline.dedup / pipeline.text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hbase_indexer_spark.pipeline.text import token_hash60
@@ -380,4 +380,95 @@ def corpus_report_sql(min_tokens: int = 50) -> str:
                sum(CAST(keep AS BIGINT)) AS n_keep,
                sum(q_micro) // count(*) AS quality_micro_mean
         FROM t2 GROUP BY source, lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget sampling (mixture building by token count)
+# ---------------------------------------------------------------------------
+
+_BUDGET_HASH_BLOCKS = 4096
+
+
+def token_budget_sample(docs: DataFrame, budget: int = 2000,
+                        salt: str = "budget-v1") -> DataFrame:
+    """Subsample every source down to a TOKEN budget (not a row count):
+    walk each source's docs in deterministic salted-hash order and keep
+    docs while the running token total is below ``budget`` — the doc
+    that crosses the line is included, so a source always contributes at
+    least one doc and its kept total is the smallest hash-prefix
+    reaching the budget.  This is how training mixtures are actually
+    specified ("20 B tokens of web, 5 B of code"), where row-count
+    sampling over variable-length docs misses the target.
+
+    Returns ``(doc_id, source, n_tokens, cum_before, kept)`` — a total
+    assignment, auditable before materializing.
+
+    Scale: the per-source running total never globally sorts a source.
+    Docs land in 4096 hash-range blocks (uniform by construction);
+    per-(source, block) token totals aggregate combinably, a window over
+    those ~4096*S aggregate rows produces per-source block offsets, and
+    the within-block cumsum is a block-partitioned window — the same
+    two-level scan as ``pack_sequences``, keyed by source."""
+    from hbase_indexer_spark.pipeline.text import token_count, token_hash60
+
+    block_size = (1 << 60) // _BUDGET_HASH_BLOCKS
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    keyed = docs.select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        token_hash60(key).alias("h"),
+    ).withColumn("block", F.expr(f"h div {block_size}"))
+    block_off = (
+        keyed.groupBy("source", "block")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("bt").over(
+                    Window.partitionBy("source").orderBy("block")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .drop("bt")
+    )
+    w = (Window.partitionBy("source", "block").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        keyed.join(F.broadcast(block_off), ["source", "block"])
+        .withColumn(
+            "cum_before",
+            F.col("boff") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .select(
+            "doc_id", "source", "n_tokens", "cum_before",
+            (F.col("cum_before") < F.lit(budget)).alias("kept"),
+        )
+    )
+
+
+def token_budget_sample_sql(budget: int = 2000,
+                            salt: str = "budget-v1") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    h = (f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'),"
+         f" 1, 15) AS BIGINT)")
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, source,
+                   CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   {h} AS h
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) < {budget} AS kept
+        FROM tk
     """

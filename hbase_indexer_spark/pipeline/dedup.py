@@ -1220,3 +1220,200 @@ def winnow_overlap_pairs_sql(k: int = 3, w: int = 4, min_shared: int = 2,
         GROUP BY 1, 2
         HAVING count(*) >= {min_shared}
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter exact membership screen (cross-snapshot, sketch-first)
+# ---------------------------------------------------------------------------
+#
+# The exact-dedup companion to `dedup_against`: screen an incoming batch
+# against an accepted base corpus by CONTENT HASH, but never join the raw
+# batch against the raw base.  The base collapses to a Bloom bit-set whose
+# size is bounded by `m_bits` REGARDLESS of base row count — at 100 TB the
+# base side of the join is at most `m_bits` integers (a few MB, broadcast),
+# while a direct anti-join would shuffle both full tables.  Docs the bloom
+# rejects are definitively new (no false negatives); only the tiny
+# bloom-positive fraction pays the exact verification join.
+#
+# The filter is hand-rolled from md5 double-hashing (pos_i = (h1 + i*h2)
+# mod m) rather than Spark's built-in BloomFilter so the DuckDB oracle can
+# replay the identical bit-set — every output column, including the
+# probabilistic `bloom_hit`, is deterministic and hash-checkable.
+
+BLOOM_K = 5  # hash functions; fpp ~= (1 - e^(-k*n/m))^k
+
+
+def _bloom_h1_h2(key: Column) -> tuple[Column, Column]:
+    """Two independent 30-bit hashes from one md5 (halves of the first 15
+    hex chars — the same cross-engine primitive as token_hash60)."""
+    h = F.md5(key)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 7), 16, 10).cast("long")
+    return h1, h2
+
+
+def _bloom_positions(key: Column, m_bits: int) -> Column:
+    """The k bit positions for a key: (h1 + i*h2 + i*i) % m (double
+    hashing with a quadratic term so h2 % m == 0 can't alias all k)."""
+    h1, h2 = _bloom_h1_h2(key)
+    return F.array(*[
+        (h1 + F.lit(i) * h2 + F.lit(i * i)) % F.lit(m_bits)
+        for i in range(BLOOM_K)
+    ])
+
+
+def bloom_bits(base: DataFrame, key: Column | None = None,
+               m_bits: int = 1 << 16) -> DataFrame:
+    """The base corpus's Bloom bit-set as a DataFrame of distinct set bit
+    positions — at most ``m_bits`` rows however large the base is.  One
+    map pass + one distinct on small integers (partial-agg combinable)."""
+    key = F.md5(F.col("text")) if key is None else key
+    return (
+        base.select(F.explode(_bloom_positions(key, m_bits)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_screen(base: DataFrame, new: DataFrame,
+                 m_bits: int = 1 << 16) -> DataFrame:
+    """Per new doc: ``bloom_hit`` (all k bits set — candidate duplicate),
+    ``exact_dup`` (content hash truly present in base; only bloom-hit
+    docs are checked), ``keep`` (= not exact_dup; EXACT despite the
+    probabilistic prefilter, because blooms have no false negatives).
+
+    Plan shape: base -> <= m_bits distinct ints (broadcast); new -> k-row
+    explode + broadcast semi-join + all-k count; survivors (the bloom-hit
+    fraction, ~fpp of the batch plus true dups) -> exact hash join
+    against base.  The full batch never shuffles on text.
+    """
+    bits = F.broadcast(bloom_bits(base, m_bits=m_bits))
+    probe = new.select(
+        "doc_id",
+        F.posexplode(_bloom_positions(F.md5(F.col("text")), m_bits))
+        .alias("i", "bit"),
+    )
+    hits = (
+        probe.join(bits, "bit", "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .select("doc_id").withColumn("bloom_hit", F.lit(True))
+    )
+    candidates = new.join(hits, "doc_id", "left_semi")
+    exact = (
+        candidates.select("doc_id", F.md5("text").alias("h"))
+        .join(base.select(F.md5("text").alias("h")).distinct(), "h",
+              "left_semi")
+        .select("doc_id").withColumn("exact_dup", F.lit(True))
+    )
+    return (
+        new.select("doc_id")
+        .join(hits, "doc_id", "left").join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            (~F.coalesce("exact_dup", F.lit(False))).alias("keep"),
+        )
+    )
+
+
+def bloom_screen_sql(m_bits: int = 1 << 16,
+                     base_pred: str = "doc_id % 2 = 0",
+                     new_pred: str = "doc_id % 2 = 1") -> str:
+    """DuckDB mirror over two predicate-defined splits of ``documents`` —
+    replays the identical bit-set, so even ``bloom_hit`` (false positives
+    and all) hash-matches."""
+    pos = ("list_transform(range(0, " + str(BLOOM_K) + "), i -> "
+           "(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) "
+           " + i * CAST('0x' || substr(md5(text), 9, 7) AS BIGINT)"
+           f" + i * i) % {m_bits})")
+    return f"""
+        WITH bits AS (
+            SELECT DISTINCT unnest({pos}) AS bit
+            FROM documents WHERE {base_pred}
+        ),
+        probe AS (
+            SELECT doc_id, unnest({pos}) AS bit
+            FROM documents WHERE {new_pred}
+        ),
+        hits AS (
+            SELECT doc_id FROM probe
+            WHERE bit IN (SELECT bit FROM bits)
+            GROUP BY doc_id HAVING count(*) = {BLOOM_K}
+        ),
+        ex AS (
+            SELECT DISTINCT nw.doc_id
+            FROM documents nw
+            JOIN documents b ON md5(nw.text) = md5(b.text)
+            WHERE ({new_pred.replace('doc_id', 'nw.doc_id')})
+              AND ({base_pred.replace('doc_id', 'b.doc_id')})
+              AND nw.doc_id IN (SELECT doc_id FROM hits)
+        )
+        SELECT d.doc_id,
+               (h.doc_id IS NOT NULL) AS bloom_hit,
+               (ex.doc_id IS NOT NULL) AS exact_dup,
+               (ex.doc_id IS NULL) AS keep
+        FROM documents d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        LEFT JOIN ex ON d.doc_id = ex.doc_id
+        WHERE {new_pred.replace('doc_id', 'd.doc_id')}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Quality-canonical cluster keeper (dedup policy beyond min-id)
+# ---------------------------------------------------------------------------
+
+def dedup_keep_best(docs: DataFrame, threshold: float = 0.7,
+                    n: int = 3, score_col: str = "n_chars") -> DataFrame:
+    """Canonical-document selection per near-dup cluster by QUALITY rather
+    than min-id: within each connected component the keeper is the member
+    with the highest ``score_col`` (ties -> smallest doc_id).  Real
+    pipelines keep the longest / highest-quality variant of a duplicated
+    page, not an arbitrary representative.
+
+    Output: (doc_id, component, keeper_id, is_canonical) — a total
+    assignment over the corpus.
+
+    Scale: clustering is the LSH + large-star/small-star path
+    (`dedup_clusters`); keeper selection is one combinable ``max_by``
+    aggregation over the (small) component table joined back by a
+    broadcast-able component -> keeper map — no window sort over the
+    corpus."""
+    assign = dedup_clusters(docs, threshold=threshold, n=n)
+    scored = assign.join(docs.select("doc_id", score_col), "doc_id")
+    keepers = (
+        scored.groupBy("component")
+        .agg(F.expr(f"max_by(doc_id, struct({score_col} as s,"
+                    f" -doc_id as t))").alias("keeper_id"))
+    )
+    return (
+        assign.join(keepers, "component")
+        .select(
+            "doc_id", "component", "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
+        )
+    )
+
+
+def dedup_keep_best_sql(threshold: float = 0.7, n: int = 3,
+                        score_col: str = "n_chars") -> str:
+    """DuckDB oracle: the recursive-closure cluster assignment plus a
+    window argmax per component (same ordering: score desc, doc_id asc)."""
+    return f"""
+        WITH assign AS ({dedup_clusters_sql(threshold, n)}),
+        keepers AS (
+            SELECT component, doc_id AS keeper_id
+            FROM (
+                SELECT a.component, d.doc_id,
+                       row_number() OVER (
+                           PARTITION BY a.component
+                           ORDER BY d.{score_col} DESC, d.doc_id ASC
+                       ) AS rn
+                FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+            ) WHERE rn = 1
+        )
+        SELECT a.doc_id, a.component, k.keeper_id,
+               (a.doc_id = k.keeper_id) AS is_canonical
+        FROM assign a JOIN keepers k ON a.component = k.component
+    """

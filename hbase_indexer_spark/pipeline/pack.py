@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbase_indexer_spark.pipeline.text import token_count
+from hbase_indexer_spark.pipeline.text import token_count, tokens
 
 DEFAULT_BLOCKS = 4096
 
@@ -418,4 +418,70 @@ def shuffled_pack_sql(seq_len: int = 128, salt: str = "shuffle-v1") -> str:
                          - start_token // {seq_len} + 1
                     ELSE 0 END AS n_seqs
         FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (retrieval / context-window prep)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, size: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """Split every document into overlapping ``size``-token windows that
+    start every ``stride`` tokens — the retrieval-corpus chunker (RAG
+    indexing, long-doc embedding prep).  A doc with ``n`` tokens emits
+    ``1 + ceil(max(0, n - size) / stride)`` chunks; the final chunk is
+    the only one allowed to be short, and empty docs emit nothing.
+
+    Returns ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    Scale: map-only — tokenize once, ``sequence`` + ``transform`` build
+    the windows in-row, one ``posexplode`` fans them out.  No shuffle;
+    the fan-out factor is ~n/stride per doc, and text bytes are sliced
+    (never duplicated whole-doc per chunk).
+    """
+    toked = docs.select(
+        "doc_id", F.array(tokens(F.col("text")))[0].alias("_toks"))
+    t = F.col("_toks")  # bound once — HOF lambdas must not re-tokenize
+    n = F.size(t)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(size), F.lit(0)) / F.lit(stride)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(t, i * stride + 1, size),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return toked.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        "doc_id", "chunk_id",
+        F.size("_c").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_c").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(size: int = 32, stride: int = 24) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+        ),
+        ck AS (
+            SELECT doc_id,
+                   unnest(range(0, 1 + CAST(ceil(
+                       greatest(len(toks) - {size}, 0) / {stride}.0
+                   ) AS INTEGER))) AS chunk_id,
+                   toks
+            FROM tk WHERE len(toks) > 0
+        )
+        SELECT doc_id, chunk_id,
+               len(toks[chunk_id * {stride} + 1 :
+                        chunk_id * {stride} + {size}]) AS n_chunk_tokens,
+               array_to_string(toks[chunk_id * {stride} + 1 :
+                                    chunk_id * {stride} + {size}],
+                               ' ') AS chunk_text
+        FROM ck
     """

@@ -704,3 +704,124 @@ def quantize_embeddings_sql(table: str = "embeddings",
                         i -> abs(ve[i] - codes[i] * scale))) AS max_err
         FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid statistics (embedding-space corpus audit)
+# ---------------------------------------------------------------------------
+
+def label_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label embedding centroids in exact fixed point: one row per
+    (label, dim) with the micro-unit component sum and member count —
+    the class-center audit used to spot label drift / collapsed classes
+    before training on an embedding corpus.  Emitting ``(sum_micro,
+    n_vecs)`` instead of the float mean keeps the result bit-exact and
+    order-independent (integer addition commutes; the consumer divides).
+
+    Scale: ``posexplode`` fans each vector into dim rows, but the
+    ``(label, dim)`` aggregation is map-side combinable, so the shuffle
+    carries at most ``n_labels x dim`` partial rows per task — the wide
+    result never materializes.  Components quantize via the module's
+    ``floor(x * 1e6 + 0.5)`` convention (cross-engine deterministic)."""
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .select(
+            "label", "dim",
+            F.floor(F.col("v").cast("double") * F.lit(1_000_000.0)
+                    + F.lit(0.5)).cast("long").alias("vm"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("vm").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+def label_centroids_sql(label_col: str = "label",
+                        vec_col: str = "embedding",
+                        table: str = "embeddings") -> str:
+    return f"""
+        SELECT {label_col} AS label, dim, sum(vm) AS sum_micro,
+               count(*) AS n_vecs
+        FROM (
+            SELECT {label_col},
+                   CAST(unnest(range(1, len({vec_col}) + 1)) AS INTEGER) - 1
+                       AS dim,
+                   CAST(floor(
+                       unnest(CAST({vec_col} AS DOUBLE[])) * 1000000.0 + 0.5
+                   ) AS BIGINT) AS vm
+            FROM {table}
+        )
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-vote label prediction (embedding-space classification)
+# ---------------------------------------------------------------------------
+
+def knn_label_vote(emb: DataFrame, query_ids: list[int],
+                   k: int = 5) -> DataFrame:
+    """Predict each query vector's label by majority vote over its k
+    exact nearest neighbors (cosine; the query's own row is excluded) —
+    the standard embedding-quality probe: high kNN label agreement means
+    the space separates the classes.  Ties break toward the
+    lexicographically smallest label, so the vote is deterministic.
+
+    Returns ``(query_id, true_label, predicted_label, n_votes)``.
+
+    Scale: neighbor search is :func:`brute_force_topk` (broadcast
+    queries, one corpus pass — the verifier path; swap in the LSH/IVF
+    top-k for bulk scoring); the vote itself is a combinable
+    ``max_by`` over k rows per query."""
+    nbrs = brute_force_topk(emb, query_ids, k=k)
+    labeled = nbrs.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("label").alias("nbr_label")),
+        "neighbor_id",
+    )
+    votes = (
+        labeled.groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .groupBy("query_id")
+        .agg(
+            F.expr("min_by(nbr_label, struct(-n_votes as n,"
+                   " nbr_label as t))").alias("predicted_label"),
+            F.max("n_votes").alias("n_votes"),
+        )
+    )
+    truth = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return truth.join(votes, "query_id").select(
+        "query_id", "true_label", "predicted_label", "n_votes")
+
+
+def knn_label_vote_sql(query_ids: list[int], k: int = 5) -> str:
+    """DuckDB mirror: the brute top-k CTE + a window argmax vote with the
+    same (votes desc, label asc) ordering."""
+    return f"""
+        WITH nbrs AS ({brute_force_topk_sql(query_ids, k)}),
+        votes AS (
+            SELECT n.query_id, e.label AS nbr_label,
+                   count(*) AS n_votes
+            FROM nbrs n JOIN embeddings e ON n.neighbor_id = e.vec_id
+            GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT query_id, nbr_label, n_votes,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY n_votes DESC, nbr_label ASC
+                   ) AS rn
+            FROM votes
+        )
+        SELECT w.query_id, e.label AS true_label,
+               w.nbr_label AS predicted_label, w.n_votes
+        FROM win w JOIN embeddings e ON w.query_id = e.vec_id
+        WHERE w.rn = 1
+    """

@@ -1,0 +1,198 @@
+"""Round-4 continuation operators: bloom_screen, dedup_keep_best,
+chunk_documents, token_budget_sample, label_centroids, knn_label_vote.
+
+Pins: bloom no-false-negatives + exact output despite the probabilistic
+prefilter; quality-canonical keeper policy; chunk boundary arithmetic
+(overlap, short tail, empty doc); token-budget crossing-doc rule and
+block-size invariance; fixed-point centroid sums; kNN vote tie-break.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_indexer_spark.pipeline.curation import token_budget_sample
+from hbase_indexer_spark.pipeline.dedup import (
+    BLOOM_K,
+    bloom_bits,
+    bloom_screen,
+    dedup_keep_best,
+)
+from hbase_indexer_spark.pipeline.pack import chunk_documents
+from hbase_indexer_spark.pipeline.similarity import (
+    knn_label_vote,
+    label_centroids,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+LONG_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+LONG_B = "one two three four five six seven eight nine ten"
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_screen_exact_despite_prefilter(spark):
+    base = _docs(spark, [(0, LONG_A), (2, LONG_B)])
+    new = _docs(spark, [(1, LONG_A), (3, "fresh unseen words here")])
+    out = {r["doc_id"]: r for r in bloom_screen(base, new).collect()}
+    # a true duplicate must always bloom-hit (no false negatives) and be
+    # flagged exact
+    assert out[1]["bloom_hit"] and out[1]["exact_dup"] and not out[1]["keep"]
+    # a non-duplicate keeps regardless of any bloom false positive
+    assert not out[3]["exact_dup"] and out[3]["keep"]
+
+
+def test_bloom_bits_bounded_by_m(spark):
+    # 200 distinct base docs at a tiny m: the bit-set can never exceed m
+    base = _docs(spark, [(i, f"doc number {i} text") for i in range(200)])
+    n_bits = bloom_bits(base, m_bits=64).count()
+    assert n_bits <= 64
+
+
+def test_bloom_small_m_all_hit_still_exact(spark):
+    # m = 8 bits with 50 base docs -> essentially every probe hits; the
+    # exact verify join must still produce the true answer
+    base = _docs(spark, [(2 * i, f"base doc {i}") for i in range(50)])
+    new = _docs(spark, [(1, "base doc 7"), (3, "never seen")])
+    out = {r["doc_id"]: r for r in
+           bloom_screen(base, new, m_bits=8).collect()}
+    assert out[1]["exact_dup"] and not out[1]["keep"]
+    assert not out[3]["exact_dup"] and out[3]["keep"]
+    assert out[3]["bloom_hit"]  # saturated filter: FP expected at m=8
+
+
+# ------------------------------------------------------------ keep-best
+
+def test_keep_best_prefers_longer_member(spark):
+    longer = LONG_A + " extra trailing tokens beyond"
+    docs = spark.createDataFrame(
+        [(1, LONG_A, len(LONG_A)), (2, longer, len(longer)),
+         (9, LONG_B, len(LONG_B))],
+        "doc_id long, text string, n_chars int")
+    out = {r["doc_id"]: r for r in
+           dedup_keep_best(docs, threshold=0.5).collect()}
+    # 1 and 2 cluster (near-dups); keeper is the LONGER doc 2, not min-id
+    assert out[1]["component"] == out[2]["component"]
+    assert out[1]["keeper_id"] == 2 and out[2]["keeper_id"] == 2
+    assert out[2]["is_canonical"] and not out[1]["is_canonical"]
+    # singleton keeps itself
+    assert out[9]["keeper_id"] == 9 and out[9]["is_canonical"]
+
+
+def test_keep_best_tie_breaks_min_id(spark):
+    docs = spark.createDataFrame(
+        [(5, LONG_A, 100), (3, LONG_A, 100)],
+        "doc_id long, text string, n_chars int")
+    out = {r["doc_id"]: r for r in
+           dedup_keep_best(docs, threshold=0.5).collect()}
+    assert out[3]["keeper_id"] == 3 and out[5]["keeper_id"] == 3
+
+
+# -------------------------------------------------------------- chunker
+
+def test_chunk_boundaries_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    out = sorted(
+        chunk_documents(_docs(spark, [(1, text)]), size=4, stride=3)
+        .collect(), key=lambda r: r["chunk_id"])
+    # n=10, size=4, stride=3 -> 1 + ceil(6/3) = 3 chunks
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"      # 1-token overlap
+    assert out[2]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(r["n_chunk_tokens"] == 4 for r in out)
+
+
+def test_chunk_short_tail_and_empty(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a b c d e"), (2, "   ")]), size=4, stride=4
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 5 tokens -> full chunk + 1-token tail
+    tail = sorted(by_doc[1], key=lambda r: r["chunk_id"])[-1]
+    assert tail["chunk_text"] == "e" and tail["n_chunk_tokens"] == 1
+    # empty doc emits nothing
+    assert 2 not in by_doc
+
+
+def test_chunk_doc_shorter_than_window(spark):
+    out = chunk_documents(_docs(spark, [(1, "only three tokens")]),
+                          size=32, stride=24).collect()
+    assert len(out) == 1 and out[0]["chunk_text"] == "only three tokens"
+
+
+# ------------------------------------------------------- token budget
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_budget_crossing_doc_included(spark):
+    docs = _src_docs(spark, [
+        (i, "s", " ".join(["w"] * 10)) for i in range(10)])  # 10 tokens each
+    out = token_budget_sample(docs, budget=25).collect()
+    kept = sorted(r["doc_id"] for r in out if r["kept"])
+    # 25-token budget over 10-token docs: cum_before 0,10,20 < 25 -> 3 kept
+    assert len(kept) == 3
+    total = sum(r["n_tokens"] for r in out if r["kept"])
+    assert total == 30  # smallest prefix reaching the budget
+
+
+def test_budget_per_source_and_min_one_doc(spark):
+    docs = _src_docs(spark, [
+        (1, "big", " ".join(["w"] * 500)),   # one doc far over budget
+        (2, "small", "a b"),
+        (3, "small", "c d"),
+    ])
+    out = {r["doc_id"]: r for r in
+           token_budget_sample(docs, budget=100).collect()}
+    assert out[1]["kept"]  # crossing doc included: source never empty
+    assert out[2]["kept"] and out[3]["kept"]  # under budget: all kept
+
+
+def test_budget_assignment_is_total_and_deterministic(spark):
+    docs = _src_docs(spark, [
+        (i, f"s{i % 3}", " ".join(["w"] * (i % 7 + 1))) for i in range(60)])
+    a = sorted(token_budget_sample(docs, budget=30).collect(),
+               key=lambda r: r["doc_id"])
+    b = sorted(token_budget_sample(docs.repartition(7), budget=30).collect(),
+               key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 60
+
+
+# ------------------------------------------------------------ centroids
+
+def test_label_centroid_sums_exact(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5], "x"), (1, [0.25, 0.25], "x"), (2, [2.0, 0.0], "y")],
+        "vec_id long, embedding array<float>, label string")
+    out = {(r["label"], r["dim"]): r for r in label_centroids(emb).collect()}
+    assert out[("x", 0)]["sum_micro"] == 1_250_000
+    assert out[("x", 1)]["sum_micro"] == -250_000
+    assert out[("x", 0)]["n_vecs"] == 2
+    assert out[("y", 0)]["sum_micro"] == 2_000_000 and out[("y", 0)]["n_vecs"] == 1
+
+
+# ------------------------------------------------------------- knn vote
+
+def test_knn_vote_majority_and_tiebreak(spark):
+    # query 0 at origin-ish; 2 'a' neighbors + 2 'b' neighbors equally
+    # near -> tie at k=4 breaks to 'a' (lexicographically smallest)
+    rows = [
+        (0, [1.0, 0.0], "q"),
+        (1, [0.9, 0.1], "a"), (2, [0.9, -0.1], "a"),
+        (3, [0.8, 0.2], "b"), (4, [0.8, -0.2], "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    out = knn_label_vote(emb, [0], k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["true_label"] == "q"
+    assert r["predicted_label"] == "a" and r["n_votes"] == 2
