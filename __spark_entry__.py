@@ -1219,6 +1219,43 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (k smallest salted
+    hashes per language) — the eval-set constructor; WindowGroupLimit
+    keeps the shuffle at k rows per stratum per task."""
+    from hbase_indexer_spark.pipeline.curation import fixed_k_sample
+
+    return fixed_k_sample(_docs(spark, sf_dir), k=5, strat_col="lang")
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup overlap matrix: LSH-verified pair counts per
+    (source_a, source_b) — which crawls mirror each other."""
+    from hbase_indexer_spark.pipeline.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE training, first iteration: top-20 adjacent
+    character-pair merge candidates weighted by word frequency; pair
+    counting runs over the vocab, never the corpus twice."""
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_merge_candidates
+
+    return bpe_merge_candidates(_docs(spark, sf_dir), k=20)
+
+
+def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized two-stage ANN: int8 code dot-product coarse rank (scale-
+    free, pure integer math) -> exact cosine re-rank of 3k candidates.
+    Unlike LSH, every stage is bit-exact oracle-checkable."""
+    from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return int8_rerank_topk(load(spark, sf_dir, "embeddings"),
+                            ANN_QUERY_IDS, k=5)
+
+
 def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter exact dedup screen: odd doc_ids ("today's batch")
     against even doc_ids ("accepted base") — the base collapses to a
@@ -1544,6 +1581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "label_centroids": q_label_centroids,
         "knn_label_vote": q_knn_label_vote,
+        "fixed_k_sample": q_fixed_k_sample,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "ann_int8_rerank": q_ann_int8_rerank,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2073,6 +2114,20 @@ def oracle_sql() -> dict[str, str]:
 
     out["label_centroids"] = label_centroids_sql()
     out["knn_label_vote"] = knn_label_vote_sql(ANN_QUERY_IDS, k=5)
+    from hbase_indexer_spark.pipeline.curation import fixed_k_sample_sql
+
+    out["fixed_k_sample"] = fixed_k_sample_sql(k=5, strat_col="lang")
+    from hbase_indexer_spark.pipeline.dedup import source_overlap_matrix_sql
+
+    out["source_overlap_matrix"] = source_overlap_matrix_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        bpe_merge_candidates_sql,
+    )
+
+    out["bpe_merge_candidates"] = bpe_merge_candidates_sql(k=20)
+    from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
+
+    out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)
     from hbase_indexer_spark.pipeline.curation import (
         curated_corpus_sql,
         stratified_sample_sql,

@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "token_budget_sample",
     "label_centroids",
     "knn_label_vote",
+    "fixed_k_sample",
+    "source_overlap_matrix",
+    "bpe_merge_candidates",
+    "ann_int8_rerank",
 ]
 
 

@@ -308,3 +308,84 @@ def bigram_logprob_sql() -> str:
                     END AS nll_micro_per_bigram
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate statistics (tokenizer training, first iteration)
+# ---------------------------------------------------------------------------
+
+def bpe_merge_candidates(docs: DataFrame, k: int = 20) -> DataFrame:
+    """The first iteration of corpus-scale BPE tokenizer training: count
+    every adjacent character pair weighted by word frequency and rank
+    the top-``k`` merge candidates.  (Full BPE iterates this with the
+    winning pair merged; each round is this same plan over re-segmented
+    words — the per-round cost, the part that must scale, is what's
+    exercised and oracle-checked here.)
+
+    Returns ``(left, right, n_occ, rank)``, rank by (count desc, left
+    asc, right asc) so ties are deterministic.
+
+    Scale: token explode -> distinct-word counts (combinable; the word
+    table is vocab-sized, orders of magnitude smaller than the corpus),
+    then in-row character pairing over the VOCAB — pair counting never
+    touches corpus-length strings twice.  The final top-k sorts only
+    (pair, count) aggregates."""
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "wf",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.col("w").substr(i, F.lit(1)).alias("left"),
+                    F.col("w").substr(i + 1, F.lit(1)).alias("right"),
+                ),
+            )).alias("p"),
+        )
+        .select(F.col("p.left").alias("left"),
+                F.col("p.right").alias("right"), "wf")
+        .groupBy("left", "right")
+        .agg(F.sum("wf").alias("n_occ"))
+    )
+    # TakeOrderedAndProject (per-partition top-k + merge) narrows the
+    # global sort to k rows BEFORE the rank window sees anything — the
+    # unpartitioned window below is over k rows, not the pair table
+    top = pairs.orderBy(F.desc("n_occ"), F.asc("left"),
+                        F.asc("right")).limit(k)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("left"), F.asc("right"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def bpe_merge_candidates_sql(k: int = 20) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH words AS (
+            SELECT w, count(*) AS wf
+            FROM (SELECT unnest({TOKS_SQL}) AS w FROM documents)
+            GROUP BY w
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, len(w)),
+                       i -> struct_pack(l := w[i], r := w[i + 1])
+                   )) AS p,
+                   wf
+            FROM words WHERE len(w) >= 2
+        ),
+        agg AS (
+            SELECT p.l AS "left", p.r AS "right", sum(wf) AS n_occ
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT "left", "right", n_occ, rank FROM (
+            SELECT "left", "right", n_occ,
+                   row_number() OVER (
+                       ORDER BY n_occ DESC, "left" ASC, "right" ASC
+                   ) AS rank
+            FROM agg
+        ) WHERE rank <= {k}
+    """

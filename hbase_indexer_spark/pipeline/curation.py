@@ -472,3 +472,45 @@ def token_budget_sample_sql(budget: int = 2000,
                ), 0) < {budget} AS kept
         FROM tk
     """
+
+
+def fixed_k_sample(docs: DataFrame, k: int = 5,
+                   strat_col: str = "lang",
+                   salt: str = "fixedk-v1") -> DataFrame:
+    """Exactly ``min(k, n)`` documents per stratum, chosen as the k
+    smallest salted hashes — the eval-set constructor (Bernoulli
+    sampling can't promise "exactly 200 eval docs per language";
+    this does, deterministically and append-stably: a doc's hash never
+    changes, so adding corpus can only displace the current winners).
+
+    Returns ``(doc_id, {strat_col}, rk)`` with ``rk`` in 1..k.
+
+    Scale: per-stratum top-k by hash — Spark's WindowGroupLimit pushes
+    the rank filter into a partial top-k per task (each task keeps k
+    rows per stratum), so the shuffle carries at most
+    ``k x n_strata x n_tasks`` rows, never the corpus."""
+    h = token_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt)))
+    return (
+        docs.select("doc_id", strat_col, h.alias("_h"))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy(strat_col).orderBy(F.col("_h").asc(),
+                                                  F.col("doc_id").asc())))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", strat_col, "rk")
+    )
+
+
+def fixed_k_sample_sql(k: int = 5, strat_col: str = "lang",
+                       salt: str = "fixedk-v1") -> str:
+    h = (f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'),"
+         f" 1, 15) AS BIGINT)")
+    return f"""
+        SELECT doc_id, {strat_col}, rk FROM (
+            SELECT doc_id, {strat_col},
+                   row_number() OVER (
+                       PARTITION BY {strat_col} ORDER BY {h}, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {k}
+    """

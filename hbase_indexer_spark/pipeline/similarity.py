@@ -825,3 +825,132 @@ def knn_label_vote_sql(query_ids: list[int], k: int = 5) -> str:
         FROM win w JOIN embeddings e ON w.query_id = e.vec_id
         WHERE w.rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Quantized coarse-rank + exact re-rank (int8 ANN, fully oracle-able)
+# ---------------------------------------------------------------------------
+
+def int8_rerank_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                     m: int | None = None) -> DataFrame:
+    """Two-stage ANN over the int8-quantized corpus: coarse-rank every
+    candidate by INTEGER code dot product (the cheap pass that reads 1/4
+    the bytes), keep the top ``m`` (default 3k) per query, then re-rank
+    those by exact float cosine for the final top-``k``.
+
+    The coarse score is scale-free: cos(reconstruct(q), reconstruct(c))
+    = intdot / sqrt(ssq_q * ssq_c) because the two per-vector scales
+    cancel — so the whole coarse stage is integer arithmetic plus one
+    deterministic division, and unlike hyperplane-LSH the ENTIRE
+    operator (both stages, all ranks) has a bit-exact DuckDB oracle.
+
+    Returns ``(query_id, neighbor_id, rank)``.
+
+    Scale: codes come from :func:`quantize_codes` (map-only); the coarse
+    pass is a broadcast of q's codes against the code corpus — 4x less
+    scan than the float brute force, integer multiply-adds instead of
+    FP; only k*3 candidates per query touch full floats.  Pair it with
+    the IVF cell layout to also prune the scan."""
+    m = 3 * k if m is None else m
+    codes = quantize_codes(emb)
+    ssq = F.aggregate(
+        F.transform(F.col("codes"), lambda c: c.cast("long") * c.cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    coded = codes.select("vec_id", "codes", ssq.alias("ssq"))
+    q = coded.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("qc"),
+        F.col("ssq").alias("qssq"))
+    intdot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("codes"),
+                   lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    coarse = (
+        coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            (intdot.cast("double")
+             / F.sqrt((F.col("qssq") * F.col("ssq")).cast("double")))
+            .alias("qcos"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"),
+                                                F.asc("neighbor_id"))
+    cands = (coarse.withColumn("crank", F.row_number().over(wq))
+             .filter(F.col("crank") <= m)
+             .select("query_id", "neighbor_id"))
+    qv = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    exact = (
+        cands.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                              "embedding"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("embedding")).alias("sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def int8_rerank_topk_sql(query_ids: list[int], k: int = 5,
+                         m: int | None = None) -> str:
+    """Bit-exact DuckDB mirror: same quantization (floor(x/scale + 0.5)),
+    same integer dot, same scale-free coarse score, same re-rank."""
+    m = 3 * k if m is None else m
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, ve,
+                   list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ),
+        c AS (
+            SELECT vec_id, ve,
+                   CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                        ELSE list_transform(ve,
+                             x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                   END AS codes
+            FROM s
+        ),
+        coded AS (
+            SELECT vec_id, ve, codes,
+                   list_sum(list_transform(codes, x -> x * x)) AS ssq
+            FROM c
+        ),
+        coarse AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       range(1, len(q.codes) + 1),
+                       i -> q.codes[i] * e.codes[i])) AS DOUBLE)
+                   / sqrt(CAST(q.ssq * e.ssq AS DOUBLE)) AS qcos
+            FROM coded e, coded q
+            WHERE q.vec_id IN ({ids}) AND e.vec_id <> q.vec_id
+        ),
+        cands AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY qcos DESC, neighbor_id)
+                           AS crank
+                FROM coarse
+            ) WHERE crank <= {m}
+        ),
+        exact AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   list_cosine_similarity(q.ve, e.ve) AS sim
+            FROM cands cd
+            JOIN v e ON cd.neighbor_id = e.vec_id
+            JOIN v q ON cd.query_id = q.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM exact
+        ) WHERE rank <= {k}
+    """

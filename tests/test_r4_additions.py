@@ -196,3 +196,113 @@ def test_knn_vote_majority_and_tiebreak(spark):
     r = out[0]
     assert r["true_label"] == "q"
     assert r["predicted_label"] == "a" and r["n_votes"] == 2
+
+
+# ------------------------------------------------------- fixed-k sample
+
+def test_fixed_k_exact_count_per_stratum(spark):
+    from hbase_indexer_spark.pipeline.curation import fixed_k_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 20 else "b", "t") for i in range(23)],
+        "doc_id long, lang string, text string")
+    out = fixed_k_sample(docs, k=5, strat_col="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["rk"])
+    assert sorted(by["a"]) == [1, 2, 3, 4, 5]
+    assert sorted(by["b"]) == [1, 2, 3]  # only 3 docs -> min(k, n)
+
+
+def test_fixed_k_append_stable(spark):
+    from hbase_indexer_spark.pipeline.curation import fixed_k_sample
+
+    base = [(i, "a", "t") for i in range(30)]
+    d1 = spark.createDataFrame(base, "doc_id long, lang string, text string")
+    d2 = spark.createDataFrame(base + [(99, "a", "t")],
+                               "doc_id long, lang string, text string")
+    s1 = {r["doc_id"] for r in fixed_k_sample(d1, k=5).collect()}
+    s2 = {r["doc_id"] for r in fixed_k_sample(d2, k=5).collect()}
+    # appending one doc can displace at most one winner
+    assert len(s1 - s2) <= 1 and len(s1) == len(s2) == 5
+
+
+# ------------------------------------------------- source overlap matrix
+
+def test_source_overlap_counts(spark):
+    from hbase_indexer_spark.pipeline.dedup import source_overlap_matrix
+
+    near = LONG_A.replace("kappa", "lambda")
+    docs = spark.createDataFrame(
+        [(1, LONG_A, "web"), (2, near, "books"), (3, LONG_B, "web"),
+         (4, LONG_B, "web")],
+        "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in source_overlap_matrix(docs, threshold=0.5).collect()}
+    assert out[("books", "web")] == 1   # cross-source near-dup
+    assert out[("web", "web")] == 1     # exact dup on the diagonal
+
+
+# --------------------------------------------------------- bpe pairs
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_merge_candidates
+
+    docs = _docs(spark, [(1, "aab aab ab"), (2, "aab")])
+    out = {(r["left"], r["right"]): (r["n_occ"], r["rank"])
+           for r in bpe_merge_candidates(docs, k=10).collect()}
+    # 'aab' x3 contributes (a,a)x3 and (a,b)x3; 'ab' x1 contributes (a,b)
+    assert out[("a", "b")][0] == 4
+    assert out[("a", "a")][0] == 3
+    assert out[("a", "b")][1] == 1  # top merge candidate
+
+
+def test_bpe_single_char_words_ignored(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_merge_candidates
+
+    out = bpe_merge_candidates(_docs(spark, [(1, "a b c")]), k=5).collect()
+    assert out == []
+
+
+# --------------------------------------------------------- int8 rerank
+
+def test_int8_rerank_matches_bruteforce_at_full_m(spark):
+    from hbase_indexer_spark.pipeline.similarity import (
+        brute_force_topk,
+        int8_rerank_topk,
+    )
+
+    import random
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], "x")
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label string")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, [0, 1], k=3).collect()}
+    # m = corpus size -> the coarse stage prunes nothing; re-rank must
+    # reproduce brute force exactly
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in int8_rerank_topk(emb, [0, 1], k=3, m=40).collect()}
+    assert got == exact
+
+
+def test_int8_rerank_recall_at_default_m(spark):
+    from hbase_indexer_spark.pipeline.similarity import (
+        brute_force_topk,
+        int8_rerank_topk,
+    )
+
+    import random
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)], "x")
+         for i in range(200)],
+        "vec_id long, embedding array<float>, label string")
+    qs = list(range(5))
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, qs, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in int8_rerank_topk(emb, qs, k=5).collect()}
+    # int8 coarse ranking is a faithful cosine proxy: high recall
+    assert len(got & exact) / len(exact) >= 0.9
