@@ -1219,6 +1219,24 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs (threshold 0.3, df cap 50): the
+    bag-of-words similarity family — topical overlap Jaccard and dense
+    embeddings both miss.  Integer dot products; inverted-index join."""
+    from hbase_indexer_spark.pipeline.corpus_stats import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.3, max_df=50)
+
+
+def q_nll_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language NLL z-test outlier flags (z=2) in exact integer
+    arithmetic (DECIMAL intermediates) — the quality-signal outlier
+    screen; group moments broadcast back."""
+    from hbase_indexer_spark.pipeline.corpus_stats import nll_outliers
+
+    return nll_outliers(_docs(spark, sf_dir), z=2, group_col="lang")
+
+
 def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample (k smallest salted
     hashes per language) — the eval-set constructor; WindowGroupLimit
@@ -1585,6 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": q_source_overlap_matrix,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "ann_int8_rerank": q_ann_int8_rerank,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "nll_outliers": q_nll_outliers,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2125,6 +2145,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["bpe_merge_candidates"] = bpe_merge_candidates_sql(k=20)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        nll_outliers_sql,
+        tfidf_cosine_pairs_sql,
+    )
+
+    out["tfidf_cosine_pairs"] = tfidf_cosine_pairs_sql(threshold=0.3,
+                                                       max_df=50)
+    out["nll_outliers"] = nll_outliers_sql(z=2, group_col="lang")
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

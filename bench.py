@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "bpe_merge_candidates",
     "ann_int8_rerank",
+    "tfidf_cosine_pairs",
+    "nll_outliers",
 ]
 
 

@@ -389,3 +389,194 @@ def bpe_merge_candidates_sql(k: int = 20) -> str:
             FROM agg
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity pairs (the third near-dup family)
+# ---------------------------------------------------------------------------
+
+def tfidf_cosine_pairs(docs: DataFrame, threshold: float = 0.3,
+                       max_df: int | None = None) -> DataFrame:
+    """Document pairs whose TF-IDF-weighted sparse cosine similarity is
+    >= ``threshold`` — the bag-of-words similarity family: shingle
+    Jaccard catches near-verbatim copies, dense-embedding cosine
+    catches semantic paraphrase, and this catches topical/vocabulary
+    overlap (same words, any order) that both miss.
+
+    Weights are the module's integer micro-unit TF-IDF
+    (``tf * floor(1e6*(ln((N+1)/(df+1))+1))``), so the pair dot product
+    is an ORDER-INDEPENDENT integer sum and the only float ops are one
+    sqrt/divide per pair — bit-exact cross-engine.
+
+    Returns ``(x, y, n_shared, cos_sim)`` with x < y.
+
+    Scale: candidates come from the term inverted index — cost is
+    sum_t df_t^2 over SHARED terms only.  ``max_df`` caps the hot-term
+    quadratic bomb: terms in more than ``max_df`` docs are dropped from
+    the index (a ubiquitous term has idf ~ ln(1+eps) ~ 0 weight — it
+    contributes nothing to the score but dominates the join), bounding
+    per-term fan-out; the standard df-cut from the IR literature."""
+    n_docs = docs.count()
+    tf = term_freqs(docs)
+    idf = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.floor(
+            MICRO
+            * (F.log(F.lit(float(n_docs + 1))
+                     / (F.count("*") + F.lit(1)).cast("double"))
+               + F.lit(1.0))
+        ).alias("w_micro"),
+    )
+    wt = (
+        tf.join(idf, "term")
+        .select("doc_id", "term", (F.col("tf") * F.col("w_micro")).alias("wt"),
+                "df")
+    )
+    # decimal(38,0) sums: wt ~ tf * 1e7 squares to ~1e17 per element —
+    # a long sum overflows right where the operator gets interesting
+    # (DuckDB's integer SUM is already 128-bit)
+    ssq = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt")).alias("ssq"))
+    indexed = wt if max_df is None else wt.filter(F.col("df") <= max_df)
+    a, b = indexed.alias("a"), indexed.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_shared"),
+             F.sum(F.col("a.wt").cast("decimal(38,0)")
+                   * F.col("b.wt")).alias("intdot"))
+    )
+    sx = ssq.select(F.col("doc_id").alias("x"), F.col("ssq").alias("ssx"))
+    sy = ssq.select(F.col("doc_id").alias("y"), F.col("ssq").alias("ssy"))
+    return (
+        dots.join(sx, "x").join(sy, "y")
+        .select(
+            "x", "y", "n_shared",
+            (F.col("intdot").cast("double")
+             / F.sqrt(F.col("ssx").cast("double")
+                      * F.col("ssy").cast("double"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_sql(threshold: float = 0.3,
+                           max_df: int | None = None) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    df_cut = "" if max_df is None else f"WHERE df <= {max_df}"
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, t.term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term
+                  FROM documents) t
+            GROUP BY doc_id, t.term
+        ),
+        idf AS (
+            SELECT term, count(*) AS df,
+                   CAST(floor({MICRO} * (
+                       ln(((SELECT count(*) FROM documents) + 1.0)
+                          / CAST(count(*) + 1 AS DOUBLE)) + 1.0
+                   )) AS BIGINT) AS w_micro
+            FROM tf GROUP BY term
+        ),
+        wt AS (
+            SELECT tf.doc_id, tf.term, tf.tf * idf.w_micro AS wt, idf.df
+            FROM tf JOIN idf USING (term)
+        ),
+        ssq AS (
+            SELECT doc_id, sum(wt * wt) AS ssq FROM wt GROUP BY doc_id
+        ),
+        indexed AS (SELECT * FROM wt {df_cut}),
+        dots AS (
+            SELECT a.doc_id AS x, b.doc_id AS y,
+                   count(*) AS n_shared, sum(a.wt * b.wt) AS intdot
+            FROM indexed a
+            JOIN indexed b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d.x, d.y, d.n_shared,
+               CAST(d.intdot AS DOUBLE)
+               / sqrt(CAST(sx.ssq AS DOUBLE) * CAST(sy.ssq AS DOUBLE))
+                   AS cos_sim
+        FROM dots d
+        JOIN ssq sx ON d.x = sx.doc_id
+        JOIN ssq sy ON d.y = sy.doc_id
+        WHERE CAST(d.intdot AS DOUBLE)
+              / sqrt(CAST(sx.ssq AS DOUBLE) * CAST(sy.ssq AS DOUBLE))
+              >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# NLL quality outliers (per-group z-test, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+def nll_outliers(docs: DataFrame, z: int = 2,
+                 group_col: str = "lang") -> DataFrame:
+    """Flag documents whose unigram-NLL-per-token deviates more than
+    ``z`` standard deviations from their group's mean — the outlier
+    screen over the CCNet-style quality signal (gibberish scores high,
+    boilerplate near zero; both tails are suspect).
+
+    The z-test runs entirely in exact integer arithmetic on the
+    micro-nat scores: ``|x - mean| > z*sigma`` rearranges to
+    ``n*(n*x - s)^2 > z^2 * n * (n*q - s^2)`` with s = sum, q = sum of
+    squares — no float mean/stddev, so the verdict is bit-exact
+    cross-engine (DECIMAL(38) intermediates; micro-nat scores ~1e7
+    squared times n^2 overflow BIGINT by design).
+
+    Returns ``(doc_id, {group_col}, nll_micro_per_token, is_outlier)``
+    (empty docs: NULL score, not outliers).
+
+    Scale: the expensive input is :func:`unigram_logprob` (two
+    combinable aggs); the group moments are G rows broadcast back."""
+    nll = unigram_logprob(docs).join(
+        docs.select("doc_id", group_col), "doc_id")
+    x = F.col("nll_micro_per_token").cast("decimal(38,0)")
+    moments = (
+        nll.filter(F.col("n_tokens") > 0)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("gn"),
+            F.sum(x).alias("gs"),
+            F.sum(x * x).alias("gq"),
+        )
+    )
+    joined = nll.join(F.broadcast(moments), group_col, "left")
+    n, s, q = F.col("gn"), F.col("gs"), F.col("gq")
+    dev = n * x - s
+    lhs = n * (dev * dev)
+    rhs = F.lit(z * z).cast("decimal(38,0)") * n * (n * q - s * s)
+    return joined.select(
+        "doc_id", group_col, "nll_micro_per_token",
+        F.when(F.col("n_tokens") > 0, lhs > rhs)
+        .otherwise(F.lit(False)).alias("is_outlier"),
+    )
+
+
+def nll_outliers_sql(z: int = 2, group_col: str = "lang") -> str:
+    return f"""
+        WITH nll AS ({unigram_logprob_sql()}),
+        g AS (
+            SELECT d.{group_col} AS grp,
+                   CAST(count(*) AS HUGEINT) AS gn,
+                   CAST(sum(n.nll_micro_per_token) AS HUGEINT) AS gs,
+                   CAST(sum(CAST(n.nll_micro_per_token AS HUGEINT)
+                            * n.nll_micro_per_token) AS HUGEINT) AS gq
+            FROM nll n JOIN documents d USING (doc_id)
+            WHERE n.n_tokens > 0
+            GROUP BY 1
+        )
+        SELECT n.doc_id, d.{group_col} AS {group_col},
+               n.nll_micro_per_token,
+               CASE WHEN n.n_tokens > 0 THEN
+                   g.gn * (g.gn * n.nll_micro_per_token - g.gs)
+                        * (g.gn * n.nll_micro_per_token - g.gs)
+                   > {z * z} * g.gn * (g.gn * g.gq - g.gs * g.gs)
+               ELSE FALSE END AS is_outlier
+        FROM nll n
+        JOIN documents d USING (doc_id)
+        LEFT JOIN g ON d.{group_col} = g.grp
+    """

@@ -306,3 +306,59 @@ def test_int8_rerank_recall_at_default_m(spark):
            for r in int8_rerank_topk(emb, qs, k=5).collect()}
     # int8 coarse ranking is a faithful cosine proxy: high recall
     assert len(got & exact) / len(exact) >= 0.9
+
+
+# ------------------------------------------------- tfidf cosine pairs
+
+def test_tfidf_cosine_topical_overlap(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import tfidf_cosine_pairs
+
+    docs = _docs(spark, [
+        (1, "quantum physics entanglement qubit decoherence"),
+        (2, "decoherence qubit entanglement physics quantum"),  # reordered
+        (3, "gardening soil compost tomato seedling"),
+    ])
+    out = {(r["x"], r["y"]): r for r in
+           tfidf_cosine_pairs(docs, threshold=0.5).collect()}
+    # same vocabulary, different order -> cosine 1.0; Jaccard shingles
+    # would see ~0 overlap
+    assert (1, 2) in out and abs(out[(1, 2)]["cos_sim"] - 1.0) < 1e-9
+    assert not any(3 in p for p in out)
+
+
+def test_tfidf_cosine_max_df_drops_hot_terms(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import tfidf_cosine_pairs
+
+    # 'the' appears in every doc; with max_df=2 it can't generate
+    # candidates, and the remaining vocab is disjoint -> no pairs
+    docs = _docs(spark, [
+        (1, "the alpha"), (2, "the beta"), (3, "the gamma")])
+    assert tfidf_cosine_pairs(docs, threshold=0.01,
+                              max_df=2).collect() == []
+
+
+# --------------------------------------------------------- nll outliers
+
+def test_nll_outlier_flags_rare_vocab_doc(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import nll_outliers
+
+    common = "alpha beta gamma delta"
+    rows = [(i, common, "en") for i in range(20)]
+    rows.append((99, "zyx wvu tsr qpo", "en"))  # all-rare vocabulary
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["is_outlier"]
+           for r in nll_outliers(docs, z=2).collect()}
+    assert out[99] is True
+    assert sum(out.values()) == 1  # only the rare-vocab doc
+
+
+def test_nll_outlier_empty_doc_not_flagged(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import nll_outliers
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "", "en")],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nll_outliers(docs, z=2).collect()}
+    assert out[2]["is_outlier"] is False
+    assert out[2]["nll_micro_per_token"] is None
