@@ -1219,6 +1219,35 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+EPOCH_TARGETS = {"en": 12000, "de": 3000}
+
+
+def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-target oversampling: repeat each targeted language for full
+    epochs plus a deterministic remainder prefix (the up-sampling half
+    of mixture building; untargeted groups pass through once)."""
+    from hbase_indexer_spark.pipeline.curation import epoch_expand
+
+    return epoch_expand(_docs(spark, sf_dir), EPOCH_TARGETS,
+                        group_col="lang")
+
+
+def q_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level language consistency: lang-id every 32-token
+    segment independently; flag docs whose segments disagree."""
+    from hbase_indexer_spark.pipeline.text import mixed_language
+
+    return mixed_language(_docs(spark, sf_dir), size=32)
+
+
+def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure forensic: exact-dup group count per
+    multiplicity; two combinable aggs."""
+    from hbase_indexer_spark.pipeline.dedup import dup_size_histogram
+
+    return dup_size_histogram(_docs(spark, sf_dir))
+
+
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine pairs (threshold 0.3, df cap 50): the
     bag-of-words similarity family — topical overlap Jaccard and dense
@@ -1605,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_rerank": q_ann_int8_rerank,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "nll_outliers": q_nll_outliers,
+        "epoch_expand": q_epoch_expand,
+        "mixed_language": q_mixed_language,
+        "dup_size_histogram": q_dup_size_histogram,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2153,6 +2185,15 @@ def oracle_sql() -> dict[str, str]:
     out["tfidf_cosine_pairs"] = tfidf_cosine_pairs_sql(threshold=0.3,
                                                        max_df=50)
     out["nll_outliers"] = nll_outliers_sql(z=2, group_col="lang")
+    from hbase_indexer_spark.pipeline.curation import epoch_expand_sql
+
+    out["epoch_expand"] = epoch_expand_sql(EPOCH_TARGETS, group_col="lang")
+    from hbase_indexer_spark.pipeline.text import mixed_language_sql
+
+    out["mixed_language"] = mixed_language_sql(size=32)
+    from hbase_indexer_spark.pipeline.dedup import dup_size_histogram_sql
+
+    out["dup_size_histogram"] = dup_size_histogram_sql()
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "ann_int8_rerank",
     "tfidf_cosine_pairs",
     "nll_outliers",
+    "epoch_expand",
+    "mixed_language",
+    "dup_size_histogram",
 ]
 
 

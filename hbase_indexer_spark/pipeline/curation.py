@@ -410,41 +410,52 @@ def token_budget_sample(docs: DataFrame, budget: int = 2000,
     those ~4096*S aggregate rows produces per-source block offsets, and
     the within-block cumsum is a block-partitioned window — the same
     two-level scan as ``pack_sequences``, keyed by source."""
+    cum = group_cum_tokens(docs, group_col="source", salt=salt)
+    return cum.select(
+        "doc_id", "source", "n_tokens", "cum_before",
+        (F.col("cum_before") < F.lit(budget)).alias("kept"),
+    )
+
+
+def group_cum_tokens(docs: DataFrame, group_col: str = "source",
+                     salt: str = "budget-v1") -> DataFrame:
+    """Per-group running token totals in deterministic salted-hash order:
+    ``(doc_id, {group_col}, n_tokens, cum_before)`` via the two-level
+    block scan (per-(group, block) combinable totals -> window over
+    ~4096*G aggregate rows -> block-partitioned within-block cumsum) —
+    shared by :func:`token_budget_sample` and :func:`epoch_expand`."""
     from hbase_indexer_spark.pipeline.text import token_count, token_hash60
 
     block_size = (1 << 60) // _BUDGET_HASH_BLOCKS
     key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
     keyed = docs.select(
-        "doc_id", "source",
+        "doc_id", group_col,
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         token_hash60(key).alias("h"),
     ).withColumn("block", F.expr(f"h div {block_size}"))
     block_off = (
-        keyed.groupBy("source", "block")
+        keyed.groupBy(group_col, "block")
         .agg(F.sum("n_tokens").alias("bt"))
         .withColumn(
             "boff",
             F.coalesce(
                 F.sum("bt").over(
-                    Window.partitionBy("source").orderBy("block")
+                    Window.partitionBy(group_col).orderBy("block")
                     .rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             ),
         )
         .drop("bt")
     )
-    w = (Window.partitionBy("source", "block").orderBy("h", "doc_id")
+    w = (Window.partitionBy(group_col, "block").orderBy("h", "doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     return (
-        keyed.join(F.broadcast(block_off), ["source", "block"])
+        keyed.join(F.broadcast(block_off), [group_col, "block"])
         .withColumn(
             "cum_before",
             F.col("boff") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
         )
-        .select(
-            "doc_id", "source", "n_tokens", "cum_before",
-            (F.col("cum_before") < F.lit(budget)).alias("kept"),
-        )
+        .select("doc_id", group_col, "n_tokens", "cum_before")
     )
 
 
@@ -513,4 +524,111 @@ def fixed_k_sample_sql(k: int = 5, strat_col: str = "lang",
                    ) AS rk
             FROM documents
         ) WHERE rk <= {k}
+    """
+
+
+def epoch_expand(docs: DataFrame, targets: dict[str, int],
+                 group_col: str = "lang",
+                 salt: str = "budget-v1") -> DataFrame:
+    """Oversampling by token target: expand each group to ~``targets[g]``
+    tokens by repeating the whole group ``target div available`` times
+    (full epochs) plus the deterministic hash-prefix of the group that
+    covers the remainder — the up-sampling half of mixture building
+    (small high-quality sources are repeated for multiple epochs, e.g.
+    Wikipedia x5 in GPT-3's mix), where ``mixture_resample`` /
+    ``token_budget_sample`` only go down.
+
+    Returns ``(doc_id, {group_col}, n_tokens, epoch)`` — one row per
+    (doc, epoch), ``epoch`` 0-based; groups absent from ``targets`` get
+    exactly their epoch-0 rows.  The remainder epoch includes the doc
+    that crosses the remainder line iff its ``cum_before`` is under it
+    (same crossing rule as ``token_budget_sample``), so every group
+    with a nonzero remainder contributes at least one extra doc.
+
+    Scale: per-group totals are one combinable agg (G rows, broadcast);
+    the remainder cut reuses :func:`group_cum_tokens` (two-level block
+    scan, no per-group sort); the explode emits exactly the training
+    multiset, so downstream shuffles see the expanded stream only
+    once."""
+    cum = group_cum_tokens(docs, group_col=group_col, salt=salt)
+    totals = cum.groupBy(group_col).agg(
+        F.sum("n_tokens").alias("avail"))
+    target_expr = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv])
+    planned = (
+        cum.join(F.broadcast(totals), group_col)
+        .withColumn("_target", target_expr[F.col(group_col)])
+        .withColumn(
+            "_full",
+            F.when(F.col("_target").isNull() | (F.col("avail") == 0),
+                   F.lit(1))
+            .otherwise(F.expr("_target div avail")))
+        .withColumn(
+            "_rem",
+            F.when(F.col("_target").isNull() | (F.col("avail") == 0),
+                   F.lit(0))
+            .otherwise(F.col("_target") % F.col("avail")))
+        .withColumn(
+            "_epochs",
+            F.greatest(
+                F.col("_full")
+                + F.when(F.col("cum_before") < F.col("_rem"), 1)
+                .otherwise(0),
+                # a group targeted below one epoch still emits epoch 0
+                # for its remainder-prefix docs; everything else drops
+                F.lit(0)),
+        )
+    )
+    return (
+        planned.filter(F.col("_epochs") > 0)
+        .select(
+            "doc_id", group_col, "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("_epochs") - 1))
+            .alias("epoch"),
+        )
+    )
+
+
+def epoch_expand_sql(targets: dict[str, int], group_col: str = "lang",
+                     salt: str = "budget-v1") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    h = (f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'),"
+         f" 1, 15) AS BIGINT)")
+    tgt = " ".join(f"WHEN '{g}' THEN {t}" for g, t in targets.items())
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, {group_col},
+                   CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   {h} AS hh
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, {group_col}, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY {group_col} ORDER BY hh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before,
+                   sum(n_tokens) OVER (PARTITION BY {group_col}) AS avail
+            FROM tk
+        ),
+        planned AS (
+            SELECT doc_id, {group_col}, n_tokens, cum_before, avail,
+                   CASE {group_col} {tgt} ELSE NULL END AS tgt
+            FROM cum
+        ),
+        epochs AS (
+            SELECT doc_id, {group_col}, n_tokens,
+                   greatest(
+                       CASE WHEN tgt IS NULL OR avail = 0 THEN 1
+                            ELSE tgt // avail END
+                       + CASE WHEN tgt IS NOT NULL AND avail > 0
+                                   AND cum_before < tgt % avail
+                              THEN 1 ELSE 0 END,
+                       0) AS n_epochs
+            FROM planned
+        )
+        SELECT doc_id, {group_col}, n_tokens,
+               unnest(range(0, CAST(n_epochs AS INTEGER))) AS epoch
+        FROM epochs WHERE n_epochs > 0
     """

@@ -1468,3 +1468,37 @@ def source_overlap_matrix_sql(threshold: float = 0.7, n: int = 3,
         JOIN documents db ON p.y = db.doc_id
         GROUP BY 1, 2
     """
+
+
+def dup_size_histogram(docs: DataFrame) -> DataFrame:
+    """Duplication-structure summary: how many exact-duplicate groups
+    exist at each multiplicity — ``(group_size, n_groups, n_docs)``.
+    The one-line forensic that says "0.1% of pages account for 40% of
+    the corpus" before any dedup work is scheduled.
+
+    Scale: two combinable aggregations (hash -> size, size -> count);
+    the histogram is at most max-multiplicity rows."""
+    sizes = (
+        docs.select(F.md5("text").alias("h"))
+        .groupBy("h").agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "group_size", "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_docs"),
+        )
+    )
+
+
+def dup_size_histogram_sql() -> str:
+    return """
+        SELECT group_size, count(*) AS n_groups,
+               group_size * count(*) AS n_docs
+        FROM (
+            SELECT md5(text) AS h, count(*) AS group_size
+            FROM documents GROUP BY md5(text)
+        )
+        GROUP BY group_size
+    """

@@ -772,3 +772,87 @@ def normalize_text_sql(strip_punct: bool = True) -> str:
         t = f"regexp_replace({t}, '[!-/:-@\\[-`{{-~]', '', 'g')"
     t = f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
     return f"SELECT doc_id, {t} AS norm_text, md5({t}) AS norm_md5 FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Segment-level language consistency (mixed-language document detection)
+# ---------------------------------------------------------------------------
+
+def mixed_language(docs: DataFrame, size: int = 32) -> DataFrame:
+    """Detect documents that switch language mid-text: split each doc
+    into non-overlapping ``size``-token segments, language-id each
+    segment independently, and report the per-doc disagreement —
+    whole-doc lang-id happily labels a half-en/half-de page "en", and
+    those pages poison both monolingual corpora.
+
+    Returns ``(doc_id, n_segments, n_langs, majority_lang, is_mixed)``
+    (empty docs: 0 segments, NULL majority, not mixed).
+
+    Scale: segmenting is the map-only chunker; the verdict is two
+    combinable aggregations ((doc, lang) counts -> per-doc vote) — no
+    window, no sort; the text never shuffles (segments are counted,
+    not carried)."""
+    from hbase_indexer_spark.pipeline.pack import chunk_documents
+
+    segs = chunk_documents(docs, size=size, stride=size)
+    seg_langs = segs.select(
+        "doc_id", lang_id(F.col("chunk_text")).alias("seg_lang"))
+    votes = (
+        seg_langs.groupBy("doc_id", "seg_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.expr("min_by(seg_lang, struct(-cnt as n, seg_lang as t))")
+            .alias("majority_lang"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(votes, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
+            "majority_lang",
+            F.coalesce(F.col("n_langs") > 1, F.lit(False)).alias("is_mixed"),
+        )
+    )
+
+
+def mixed_language_sql(size: int = 32) -> str:
+    from hbase_indexer_spark.pipeline.pack import chunk_documents_sql
+
+    return f"""
+        WITH segs AS ({chunk_documents_sql(size=size, stride=size)}),
+        seg_langs AS (
+            SELECT doc_id, {lang_id_sql("chunk_text")} AS seg_lang
+            FROM segs
+        ),
+        counts AS (
+            SELECT doc_id, seg_lang, count(*) AS cnt
+            FROM seg_langs GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id, seg_lang, cnt,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, seg_lang ASC
+                   ) AS rn
+            FROM counts
+        ),
+        votes AS (
+            SELECT c.doc_id, sum(c.cnt) AS n_segments,
+                   count(*) AS n_langs,
+                   max(CASE WHEN r.rn = 1 THEN r.seg_lang END)
+                       AS majority_lang
+            FROM counts c
+            JOIN ranked r ON c.doc_id = r.doc_id AND c.seg_lang = r.seg_lang
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(v.n_segments, 0) AS n_segments,
+               coalesce(v.n_langs, 0) AS n_langs,
+               v.majority_lang,
+               coalesce(v.n_langs > 1, FALSE) AS is_mixed
+        FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+    """

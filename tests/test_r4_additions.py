@@ -362,3 +362,68 @@ def test_nll_outlier_empty_doc_not_flagged(spark):
     out = {r["doc_id"]: r for r in nll_outliers(docs, z=2).collect()}
     assert out[2]["is_outlier"] is False
     assert out[2]["nll_micro_per_token"] is None
+
+
+# -------------------------------------------------------- epoch expand
+
+def test_epoch_expand_full_epochs_plus_remainder(spark):
+    from hbase_indexer_spark.pipeline.curation import epoch_expand
+
+    # group 'en': two docs x 10 tokens = 20 avail; target 50 -> 2 full
+    # epochs + 10-token remainder prefix (exactly one doc)
+    docs = spark.createDataFrame(
+        [(1, "en", " ".join(["w"] * 10)), (2, "en", " ".join(["w"] * 10)),
+         (3, "de", "a b c")],
+        "doc_id long, lang string, text string")
+    out = epoch_expand(docs, {"en": 50}, group_col="lang").collect()
+    en = [r for r in out if r["lang"] == "en"]
+    de = [r for r in out if r["lang"] == "de"]
+    assert len(en) == 5  # 2 docs x 2 epochs + 1 remainder row
+    tokens_emitted = sum(r["n_tokens"] for r in en)
+    assert tokens_emitted == 50
+    # untargeted group passes through exactly once
+    assert [(r["doc_id"], r["epoch"]) for r in de] == [(3, 0)]
+
+
+def test_epoch_expand_target_below_one_epoch_downsamples(spark):
+    from hbase_indexer_spark.pipeline.curation import epoch_expand
+
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * 10)) for i in range(10)],
+        "doc_id long, lang string, text string")
+    out = epoch_expand(docs, {"en": 35}, group_col="lang").collect()
+    # 100 avail, target 35 -> 0 full epochs, remainder prefix of 4 docs
+    # (cum_before 0,10,20,30 < 35)
+    assert len(out) == 4 and all(r["epoch"] == 0 for r in out)
+
+
+# ------------------------------------------------------ mixed language
+
+def test_mixed_language_flags_code_switch(spark):
+    from hbase_indexer_spark.pipeline.text import mixed_language
+
+    en_seg = "the cat is of the house and the dog is the best"
+    de_seg = "der hund ist ein tier und die katze ist das beste"
+    docs = _docs(spark, [
+        (1, " ".join([en_seg] * 3)),              # pure en
+        (2, " ".join([en_seg] * 2 + [de_seg] * 2)),  # switches mid-doc
+        (3, ""),
+    ])
+    out = {r["doc_id"]: r for r in
+           mixed_language(docs, size=12).collect()}
+    assert not out[1]["is_mixed"] and out[1]["majority_lang"] == "en"
+    assert out[2]["is_mixed"] and out[2]["n_langs"] >= 2
+    assert out[3]["n_segments"] == 0 and not out[3]["is_mixed"]
+    assert out[3]["majority_lang"] is None
+
+
+# --------------------------------------------------- dup size histogram
+
+def test_dup_size_histogram_counts(spark):
+    from hbase_indexer_spark.pipeline.dedup import dup_size_histogram
+
+    docs = _docs(spark, [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c")])
+    out = {r["group_size"]: (r["n_groups"], r["n_docs"])
+           for r in dup_size_histogram(docs).collect()}
+    assert out[3] == (1, 3)  # one group of 3 copies
+    assert out[1] == (2, 2)  # two unique docs
