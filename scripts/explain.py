@@ -325,6 +325,75 @@ CHECKS = {
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # r4 continuation batch — the plan property each was designed around:
+    # bloom screen: bits ride a broadcast LEFT SEMI (never a sort-merge of
+    # the full batch against the base); the all-k vote is combinable
+    "bloom_screen": (
+        [r"BroadcastHashJoin", r"LeftSemi", r"partial_count"],
+        [r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # chunker: map-only — Generate (the posexplode), NO shuffle of any kind
+    "chunk_documents": (
+        [r"Generate"],
+        [r"hashpartitioning", r"rangepartitioning", r"Window",
+         r"SortAggregate", r"HashAggregate", *NO_PYTHON],
+    ),
+    # budget walk: combinable per-(source, block) partials; the only sorts
+    # run inside block partitions, never a global rangepartitioning
+    "token_budget_sample": (
+        [r"partial_sum"],
+        [r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # centroids: posexplode + ONE combinable (label, dim) aggregation
+    "label_centroids": (
+        [r"Generate", r"partial_sum", r"partial_count"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # eval-set sampler: rank must compile to WindowGroupLimit (partial
+    # per-task top-k), not a full per-stratum sort materialization
+    "fixed_k_sample": (
+        [r"WindowGroupLimit"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
+    # BPE pairs: vocab-sized combinable counts + bounded TakeOrdered
+    "bpe_merge_candidates": (
+        [r"partial_count", r"partial_sum", r"TakeOrderedAndProject"],
+        [r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # int8 ANN: every stage (quantize folds, integer dots, re-rank) stays
+    # JVM-side; candidates are broadcast equi-joins, never a sort-merge
+    "ann_int8_rerank": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
+    # sparse cosine: inverted-index equality join + combinable integer
+    # dots — never a nested-loop all-pairs pass, no Python
+    "tfidf_cosine_pairs": (
+        [r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
+    # z-test: group moments are combinable DECIMAL partials broadcast back
+    "nll_outliers": (
+        [r"partial_sum", r"BroadcastHashJoin"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin", *NO_PYTHON],
+    ),
+    # mixed-language vote: two combinable aggs over segment labels; the
+    # text itself never shuffles (only (doc, lang) counts do)
+    "mixed_language": (
+        [r"Generate", r"partial_count"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin", *NO_PYTHON],
+    ),
+    "dup_size_histogram": (
+        [r"partial_count"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # epoch expansion: G-row totals broadcast; the remainder cut is the
+    # block scan (no global rangepartitioning), emit is a Generate
+    "epoch_expand": (
+        [r"Generate", r"partial_sum", r"BroadcastHashJoin"],
+        [r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 
