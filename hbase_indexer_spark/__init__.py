@@ -71,6 +71,22 @@ _EXPORTS = {
     "decontaminate": "hbase_indexer_spark.pipeline.decontam",
     "ngram_topk": "hbase_indexer_spark.pipeline.decontam",
     "scrub": "hbase_indexer_spark.pipeline.scrub",
+    # r4-continuation surface
+    "bloom_screen": "hbase_indexer_spark.pipeline.dedup",
+    "dedup_keep_best": "hbase_indexer_spark.pipeline.dedup",
+    "source_overlap_matrix": "hbase_indexer_spark.pipeline.dedup",
+    "dup_size_histogram": "hbase_indexer_spark.pipeline.dedup",
+    "chunk_documents": "hbase_indexer_spark.pipeline.pack",
+    "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
+    "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",
+    "epoch_expand": "hbase_indexer_spark.pipeline.curation",
+    "label_centroids": "hbase_indexer_spark.pipeline.similarity",
+    "knn_label_vote": "hbase_indexer_spark.pipeline.similarity",
+    "int8_rerank_topk": "hbase_indexer_spark.pipeline.similarity",
+    "bpe_merge_candidates": "hbase_indexer_spark.pipeline.corpus_stats",
+    "tfidf_cosine_pairs": "hbase_indexer_spark.pipeline.corpus_stats",
+    "nll_outliers": "hbase_indexer_spark.pipeline.corpus_stats",
+    "mixed_language": "hbase_indexer_spark.pipeline.text",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
