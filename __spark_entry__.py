@@ -1219,6 +1219,15 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quality deciles via broadcast exact-quantile
+    boundaries + a map-only bin compare — never a per-group ntile sort."""
+    from hbase_indexer_spark.pipeline.curation import quality_deciles
+
+    return quality_deciles(_docs(spark, sf_dir), n_bins=10,
+                           group_col="source")
+
+
 EPOCH_TARGETS = {"en": 12000, "de": 3000}
 
 
@@ -1637,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_expand": q_epoch_expand,
         "mixed_language": q_mixed_language,
         "dup_size_histogram": q_dup_size_histogram,
+        "quality_deciles": q_quality_deciles,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2194,6 +2204,10 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import dup_size_histogram_sql
 
     out["dup_size_histogram"] = dup_size_histogram_sql()
+    from hbase_indexer_spark.pipeline.curation import quality_deciles_sql
+
+    out["quality_deciles"] = quality_deciles_sql(n_bins=10,
+                                                 group_col="source")
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "epoch_expand",
     "mixed_language",
     "dup_size_histogram",
+    "quality_deciles",
 ]
 
 

@@ -87,6 +87,7 @@ _EXPORTS = {
     "tfidf_cosine_pairs": "hbase_indexer_spark.pipeline.corpus_stats",
     "nll_outliers": "hbase_indexer_spark.pipeline.corpus_stats",
     "mixed_language": "hbase_indexer_spark.pipeline.text",
+    "quality_deciles": "hbase_indexer_spark.pipeline.curation",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -632,3 +632,75 @@ def epoch_expand_sql(targets: dict[str, int], group_col: str = "lang",
                unnest(range(0, CAST(n_epochs AS INTEGER))) AS epoch
         FROM epochs WHERE n_epochs > 0
     """
+
+
+def quality_deciles(docs: DataFrame, n_bins: int = 10,
+                    group_col: str = "source") -> DataFrame:
+    """Assign every document its quality decile WITHIN its group — the
+    "train on the top 30% of each source" selector.  Uses the corpus-
+    statistics quality proxy (token-count-normalized character entropy
+    would also fit); bin b means the doc's score is above the
+    ``b/n_bins`` group quantile.
+
+    Two passes, neither sorting the corpus: (1) per-group exact
+    interpolated quantile boundaries via ``percentile`` — a combinable
+    aggregate producing G rows, broadcast; (2) a map-only comparison of
+    each doc's score against its group's boundary array.  A window
+    ``ntile`` would per-group-sort every doc instead.
+
+    Ties sit in the highest bin whose lower boundary they meet, so
+    equal scores always share a bin (ntile would split them
+    arbitrarily).  Returns ``(doc_id, {group_col}, score_micro,
+    decile)`` with decile in 1..n_bins; empty docs score 0.
+    """
+    from hbase_indexer_spark.pipeline.text import quality_score, token_count
+
+    n_tok = token_count(F.col("text"))
+    score = F.when(n_tok > 0, quality_score(F.col("text"), n_tok)) \
+        .otherwise(F.lit(0.0))
+    scored = docs.select(
+        "doc_id", group_col,
+        F.floor(score * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long").alias("score_micro"),
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = scored.groupBy(group_col).agg(
+        F.percentile(F.col("score_micro"), F.array(*[F.lit(q) for q in qs]))
+        .alias("bounds"))
+    joined = scored.join(F.broadcast(bounds), group_col)
+    decile = F.lit(1) + F.size(F.filter(
+        F.col("bounds"),
+        lambda b: F.col("score_micro").cast("double") > b))
+    return joined.select(
+        "doc_id", group_col, "score_micro", decile.alias("decile"))
+
+
+def quality_deciles_sql(n_bins: int = 10,
+                        group_col: str = "source") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+    from hbase_indexer_spark.pipeline.text import QUALITY_SQL
+
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, {group_col}, {TOKS_SQL} AS toks,
+                   len({TOKS_SQL}) AS n_tokens
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, {group_col},
+                   CAST(floor(CASE WHEN n_tokens > 0
+                        THEN ({QUALITY_SQL}) ELSE 0.0 END * 1000000.0 + 0.5)
+                        AS BIGINT) AS score_micro
+            FROM tk
+        ),
+        bounds AS (
+            SELECT {group_col},
+                   quantile_cont(score_micro, [{qs}]) AS bs
+            FROM scored GROUP BY {group_col}
+        )
+        SELECT s.doc_id, s.{group_col}, s.score_micro,
+               1 + len(list_filter(b.bs,
+                       x -> CAST(s.score_micro AS DOUBLE) > x)) AS decile
+        FROM scored s JOIN bounds b USING ({group_col})
+    """

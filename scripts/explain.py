@@ -394,6 +394,12 @@ CHECKS = {
         [r"Generate", r"partial_sum", r"BroadcastHashJoin"],
         [r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
     ),
+    # decile binning: boundaries are a combinable percentile agg broadcast
+    # back; the per-doc bin is a map — an ntile would per-group sort
+    "quality_deciles": (
+        [r"partial_percentile", r"BroadcastHashJoin"],
+        [r"Window", r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

@@ -427,3 +427,25 @@ def test_dup_size_histogram_counts(spark):
            for r in dup_size_histogram(docs).collect()}
     assert out[3] == (1, 3)  # one group of 3 copies
     assert out[1] == (2, 2)  # two unique docs
+
+
+# ------------------------------------------------------ quality deciles
+
+def test_quality_deciles_monotone_and_tied_scores_share_bin(spark):
+    from hbase_indexer_spark.pipeline.curation import quality_deciles
+
+    rows = [(i, "s", " ".join(["tok%d" % j for j in range(i + 1)]))
+            for i in range(20)]          # increasing quality with length
+    rows += [(100, "s", rows[5][2]), (101, "s", rows[5][2])]  # exact ties
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in
+           quality_deciles(docs, n_bins=4, group_col="source").collect()}
+    # ranks respect score order
+    scores = [(out[i]["score_micro"], out[i]["decile"]) for i in range(20)]
+    for (s1, d1), (s2, d2) in zip(scores, scores[1:]):
+        if s1 < s2:
+            assert d1 <= d2
+    assert 1 <= min(d for _, d in scores) and max(d for _, d in scores) == 4
+    # identical scores land in the identical bin
+    assert out[100]["decile"] == out[101]["decile"] == out[5]["decile"]
