@@ -32,6 +32,15 @@ ALLOW_BNLJ = {
     # theta-join over broadcast G rows is G^2 array intersections, not
     # an all-pairs data join.
     "vocab_overlap",
+    # kNN vote rides brute_force_topk by construction (the verifier
+    # path — same O(K)-broadcast linear scan as ann_bruteforce_topk;
+    # bulk scoring swaps in the LSH/IVF top-k, see the docstring).
+    "knn_label_vote",
+    # int8 coarse pass: the deliberate 1/4-byte linear scan against K
+    # broadcast query-code rows (`vec_id != query_id` is non-equi, so
+    # Spark plans BNLJ over the O(K) side); scan pruning comes from
+    # composing with the IVF cell layout, not from this operator.
+    "ann_int8_rerank",
 }
 
 
