@@ -1219,6 +1219,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of distinct 3-grams first seen in this
+    doc (combinable min per gram — no window); integer pct."""
+    from hbase_indexer_spark.pipeline.dedup import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable publish manifest: per MD5-routed shard, doc
+    count + token total + order-independent bit_xor checksum."""
+    from hbase_indexer_spark.sinks.sharding import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), key="doc_id", n_shards=8)
+
+
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-source quality deciles via broadcast exact-quantile
     boundaries + a map-only bin compare — never a per-group ntile sort."""
@@ -1647,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_language": q_mixed_language,
         "dup_size_histogram": q_dup_size_histogram,
         "quality_deciles": q_quality_deciles,
+        "ngram_novelty": q_ngram_novelty,
+        "shard_manifest": q_shard_manifest,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2208,6 +2226,12 @@ def oracle_sql() -> dict[str, str]:
 
     out["quality_deciles"] = quality_deciles_sql(n_bins=10,
                                                  group_col="source")
+    from hbase_indexer_spark.pipeline.dedup import ngram_novelty_sql
+
+    out["ngram_novelty"] = ngram_novelty_sql(n=3)
+    from hbase_indexer_spark.sinks.sharding import shard_manifest_sql
+
+    out["shard_manifest"] = shard_manifest_sql(key="doc_id", n_shards=8)
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "mixed_language",
     "dup_size_histogram",
     "quality_deciles",
+    "ngram_novelty",
+    "shard_manifest",
 ]
 
 

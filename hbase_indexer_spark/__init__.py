@@ -88,6 +88,8 @@ _EXPORTS = {
     "nll_outliers": "hbase_indexer_spark.pipeline.corpus_stats",
     "mixed_language": "hbase_indexer_spark.pipeline.text",
     "quality_deciles": "hbase_indexer_spark.pipeline.curation",
+    "ngram_novelty": "hbase_indexer_spark.pipeline.dedup",
+    "shard_manifest": "hbase_indexer_spark.sinks.sharding",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

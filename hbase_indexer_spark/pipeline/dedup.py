@@ -1502,3 +1502,66 @@ def dup_size_histogram_sql() -> str:
         )
         GROUP BY group_size
     """
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct n-grams
+    whose FIRST corpus occurrence (smallest doc_id) is this doc — the
+    scalar that separates content originators from aggregators/quoters
+    and trends to zero as a crawl starts re-crawling itself.
+
+    Returns ``(doc_id, n_grams, n_novel, novelty_pct)`` with
+    ``novelty_pct`` an integer 0..100 (fixed point, hash-stable);
+    docs with no n-grams report 0 grams and NULL pct.
+
+    Scale: first-occurrence is a combinable ``min`` per gram hash (the
+    same no-window trick as span_dedup's keeper), re-joined to the
+    per-doc distinct gram stream; both shuffles carry (hash, id) pairs,
+    never text."""
+    sh = exploded_shingles(docs, n).select("doc_id", "sh").distinct()
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            # per_doc's pre-coalesce columns are NULL for gramless docs,
+            # so the div null-propagates instead of ANSI-throwing on 0
+            F.expr("(100 * n_novel) div n_grams").alias("novelty_pct"),
+        )
+    )
+
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    return f"""
+        WITH tk AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+        shl AS (
+            SELECT DISTINCT doc_id, unnest({shingles_sql(n)}) AS s FROM tk
+        ),
+        first AS (
+            SELECT s, min(doc_id) AS first_doc FROM shl GROUP BY s
+        ),
+        per_doc AS (
+            SELECT shl.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = shl.doc_id
+                            THEN 1 ELSE 0 END) AS n_novel
+            FROM shl JOIN first f ON shl.s = f.s
+            GROUP BY shl.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_novel, 0) AS n_novel,
+               CASE WHEN p.n_grams > 0
+                    THEN (100 * p.n_novel) // p.n_grams END AS novelty_pct
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """

@@ -52,3 +52,51 @@ def write_sharded(docs: DataFrame, path: str, key: str, n_shards: int) -> None:
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def shard_manifest(docs: DataFrame, key: str = "doc_id",
+                   n_shards: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """Content-addressable integrity manifest for a sharded corpus
+    publish: per shard (same MD5 routing as :func:`write_sharded`) the
+    doc count, token total, and an order-independent content checksum —
+    what a consumer verifies BEFORE training on a delivered corpus, and
+    what makes two independently-produced publishes comparable without
+    reading either.
+
+    ``checksum`` is ``bit_xor`` over each doc's 60-bit content hash:
+    commutative/associative, so it map-side-combines and is invariant
+    to partition layout — no per-shard sort or collect_list of hashes
+    (a million-doc shard would otherwise buffer 32 MB per group).
+
+    Returns ``(shard, n_docs, n_tokens, checksum)``."""
+    from hbase_indexer_spark.pipeline.text import token_count, token_hash60
+
+    return (
+        docs.select(
+            md5_shard(F.col(key), n_shards).alias("shard"),
+            token_count(F.col(text_col)).cast("long").alias("nt"),
+            token_hash60(F.col(text_col)).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+    )
+
+
+def shard_manifest_sql(key: str = "doc_id", n_shards: int = 8,
+                       table: str = "documents") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        SELECT {md5_shard_sql(f"CAST({key} AS VARCHAR)", n_shards)} AS shard,
+               count(*) AS n_docs,
+               sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS n_tokens,
+               bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+                   AS checksum
+        FROM {table}
+        GROUP BY 1
+    """

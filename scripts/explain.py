@@ -400,6 +400,20 @@ CHECKS = {
         [r"partial_percentile", r"BroadcastHashJoin"],
         [r"Window", r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
     ),
+    # novelty: first-occurrence is a combinable min per gram (the
+    # span_dedup trick) — a Window over gram occurrences would sort hot
+    # boilerplate grams onto one reducer
+    "ngram_novelty": (
+        [r"partial_min", r"partial_count"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
+    # manifest: ONE combinable aggregation; bit_xor partials make the
+    # checksum partition-layout-invariant with no sort/collect
+    "shard_manifest": (
+        [r"partial_count", r"partial_sum", r"partial_bit_xor"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

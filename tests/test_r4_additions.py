@@ -449,3 +449,47 @@ def test_quality_deciles_monotone_and_tied_scores_share_bin(spark):
     assert 1 <= min(d for _, d in scores) and max(d for _, d in scores) == 4
     # identical scores land in the identical bin
     assert out[100]["decile"] == out[101]["decile"] == out[5]["decile"]
+
+
+# -------------------------------------------------------- ngram novelty
+
+def test_ngram_novelty_originator_vs_copier(spark):
+    from hbase_indexer_spark.pipeline.dedup import ngram_novelty
+
+    docs = _docs(spark, [
+        (1, LONG_A),            # originator: all grams first here
+        (2, LONG_A),            # verbatim copy: zero novel
+        (3, LONG_B),            # disjoint content: fully novel
+        (4, ""),  # empty: the whole-text-as-shingle convention
+    ])
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1]["novelty_pct"] == 100
+    assert out[2]["novelty_pct"] == 0 and out[2]["n_grams"] > 0
+    assert out[3]["novelty_pct"] == 100
+    # shingle convention (shingles_of): sub-n docs emit their whole text
+    # as the single shingle, so the empty doc owns one (novel) gram
+    assert out[4]["n_grams"] == 1 and out[4]["novelty_pct"] == 100
+
+
+# ------------------------------------------------------- shard manifest
+
+def test_shard_manifest_detects_any_content_change(spark):
+    from hbase_indexer_spark.sinks.sharding import shard_manifest
+
+    rows = [(i, f"doc number {i} body") for i in range(40)]
+    a = shard_manifest(_docs(spark, rows), n_shards=4).collect()
+    # identical corpus, different partitioning -> identical manifest
+    b = shard_manifest(_docs(spark, rows).repartition(13),
+                       n_shards=4).collect()
+    key = lambda r: (r["shard"], r["n_docs"], r["n_tokens"], r["checksum"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert sum(r["n_docs"] for r in a) == 40
+    # flip one character in one doc -> exactly that shard's checksum moves
+    rows2 = list(rows)
+    rows2[7] = (7, rows[7][1] + "!")
+    c = {r["shard"]: r for r in
+         shard_manifest(_docs(spark, rows2), n_shards=4).collect()}
+    a_by = {r["shard"]: r for r in a}
+    diffs = [s for s in a_by
+             if a_by[s]["checksum"] != c[s]["checksum"]]
+    assert len(diffs) == 1
