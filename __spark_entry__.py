@@ -1219,6 +1219,16 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quality tier ascending, hash-shuffled
+    within tier; dense 0..N-1 positions from the block-rank plan (no
+    global sort)."""
+    from hbase_indexer_spark.pipeline.curation import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir), n_bins=4,
+                            group_col="source")
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty: fraction of distinct 3-grams first seen in this
     doc (combinable min per gram — no window); integer pct."""
@@ -1665,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "ngram_novelty": q_ngram_novelty,
         "shard_manifest": q_shard_manifest,
+        "curriculum_order": q_curriculum_order,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2232,6 +2243,10 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.sinks.sharding import shard_manifest_sql
 
     out["shard_manifest"] = shard_manifest_sql(key="doc_id", n_shards=8)
+    from hbase_indexer_spark.pipeline.curation import curriculum_order_sql
+
+    out["curriculum_order"] = curriculum_order_sql(n_bins=4,
+                                                   group_col="source")
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

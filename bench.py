@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "quality_deciles",
     "ngram_novelty",
     "shard_manifest",
+    "curriculum_order",
 ]
 
 

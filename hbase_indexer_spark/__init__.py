@@ -90,6 +90,7 @@ _EXPORTS = {
     "quality_deciles": "hbase_indexer_spark.pipeline.curation",
     "ngram_novelty": "hbase_indexer_spark.pipeline.dedup",
     "shard_manifest": "hbase_indexer_spark.sinks.sharding",
+    "curriculum_order": "hbase_indexer_spark.pipeline.curation",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

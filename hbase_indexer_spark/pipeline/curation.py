@@ -704,3 +704,74 @@ def quality_deciles_sql(n_bins: int = 10,
                        x -> CAST(s.score_micro AS DOUBLE) > x)) AS decile
         FROM scored s JOIN bounds b USING ({group_col})
     """
+
+
+def curriculum_order(docs: DataFrame, n_bins: int = 4,
+                     group_col: str = "source",
+                     salt: str = "curriculum-v1",
+                     easy_first: bool = True) -> DataFrame:
+    """Deterministic curriculum training order: documents sorted by
+    quality tier (within-group deciles from :func:`quality_deciles`),
+    shuffled hash-uniformly INSIDE each tier — curriculum learning's
+    "easy/clean first" schedule, with ``easy_first=False`` flipping to
+    anti-curriculum.  Returns ``(doc_id, tier, pos)`` where ``pos`` is
+    a dense permutation of 0..N-1.
+
+    Scale: no global sort.  Tier offsets are one T-row aggregate
+    (broadcast); within a tier the rank comes from the same hash-block
+    two-level scan as ``shuffle_order`` (per-(tier, block) counts →
+    window over T*4096 aggregate rows → block-partitioned
+    row_number)."""
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    tiers = quality_deciles(docs, n_bins=n_bins, group_col=group_col) \
+        .select("doc_id", F.col("decile").alias("tier"))
+    tier_key = (F.col("tier") if easy_first
+                else (F.lit(n_bins + 1) - F.col("tier")))
+    blocks = 4096
+    block_size = (1 << 60) // blocks
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    keyed = tiers.select(
+        "doc_id", tier_key.alias("_tk"), "tier",
+        token_hash60(key).alias("h"),
+    ).withColumn("block", F.expr(f"h div {block_size}"))
+    block_off = (
+        keyed.groupBy("_tk", "block").agg(F.count("*").alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("_tk", "block")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .drop("n")
+    )
+    w = Window.partitionBy("_tk", "block").orderBy("h", "doc_id")
+    return (
+        keyed.join(F.broadcast(block_off), ["_tk", "block"])
+        .select(
+            "doc_id", "tier",
+            (F.col("off") + F.row_number().over(w) - 1).alias("pos"),
+        )
+    )
+
+
+def curriculum_order_sql(n_bins: int = 4, group_col: str = "source",
+                         salt: str = "curriculum-v1",
+                         easy_first: bool = True) -> str:
+    h = (f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'),"
+         f" 1, 15)) AS BIGINT)")
+    direction = "ASC" if easy_first else "DESC"
+    return f"""
+        WITH tiers AS (
+            SELECT doc_id, decile AS tier
+            FROM ({quality_deciles_sql(n_bins, group_col)})
+        )
+        SELECT doc_id, tier,
+               row_number() OVER (
+                   ORDER BY tier {direction}, {h}, doc_id
+               ) - 1 AS pos
+        FROM tiers
+    """

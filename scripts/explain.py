@@ -414,6 +414,12 @@ CHECKS = {
         [r"partial_count", r"partial_sum", r"partial_bit_xor"],
         [r"Window", r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
     ),
+    # curriculum: tier boundaries broadcast; rank windows are (tier,
+    # block)-partitioned — never a global rangepartitioning sort
+    "curriculum_order": (
+        [r"partial_percentile", r"BroadcastHashJoin"],
+        [r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

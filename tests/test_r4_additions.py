@@ -493,3 +493,36 @@ def test_shard_manifest_detects_any_content_change(spark):
     diffs = [s for s in a_by
              if a_by[s]["checksum"] != c[s]["checksum"]]
     assert len(diffs) == 1
+
+
+# ----------------------------------------------------- curriculum order
+
+def test_curriculum_order_is_tiered_dense_permutation(spark):
+    from hbase_indexer_spark.pipeline.curation import curriculum_order
+
+    rows = [(i, "s", " ".join("tok%d" % j for j in range(i % 15 + 1)))
+            for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    out = curriculum_order(docs, n_bins=4).collect()
+    assert sorted(r["pos"] for r in out) == list(range(40))
+    # positions respect tier blocks: every tier-1 doc precedes tier-2 etc.
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    tiers = [r["tier"] for r in by_pos]
+    assert tiers == sorted(tiers)
+    # anti-curriculum flips the tier order, keeps a dense permutation
+    anti = curriculum_order(docs, n_bins=4, easy_first=False).collect()
+    anti_tiers = [r["tier"] for r in sorted(anti, key=lambda r: r["pos"])]
+    assert anti_tiers == sorted(anti_tiers, reverse=True)
+
+
+def test_curriculum_partition_invariant(spark):
+    from hbase_indexer_spark.pipeline.curation import curriculum_order
+
+    rows = [(i, "s%d" % (i % 2), "w " * (i % 9 + 1))
+            for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, curriculum_order(docs).collect()))
+    b = sorted(map(tuple, curriculum_order(docs.repartition(7)).collect()))
+    assert a == b
