@@ -1219,6 +1219,15 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust passage dedup over content-defined chunks (expected
+    8-token chunks): repeated chunks removed everywhere but their first
+    (doc_id, pos); same combinable-keeper shape as span_dedup."""
+    from hbase_indexer_spark.pipeline.dedup import cdc_dedup
+
+    return cdc_dedup(_docs(spark, sf_dir), avg_mod=8)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order: quality tier ascending, hash-shuffled
     within tier; dense 0..N-1 positions from the block-rank plan (no
@@ -1676,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "shard_manifest": q_shard_manifest,
         "curriculum_order": q_curriculum_order,
+        "cdc_dedup": q_cdc_dedup,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2247,6 +2257,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["curriculum_order"] = curriculum_order_sql(n_bins=4,
                                                    group_col="source")
+    from hbase_indexer_spark.pipeline.dedup import cdc_dedup_sql
+
+    out["cdc_dedup"] = cdc_dedup_sql(avg_mod=8)
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

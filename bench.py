@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "shard_manifest",
     "curriculum_order",
+    "cdc_dedup",
 ]
 
 

@@ -91,6 +91,7 @@ _EXPORTS = {
     "ngram_novelty": "hbase_indexer_spark.pipeline.dedup",
     "shard_manifest": "hbase_indexer_spark.sinks.sharding",
     "curriculum_order": "hbase_indexer_spark.pipeline.curation",
+    "cdc_dedup": "hbase_indexer_spark.pipeline.dedup",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -1565,3 +1565,172 @@ def ngram_novelty_sql(n: int = 3) -> str:
                     THEN (100 * p.n_novel) // p.n_grams END AS novelty_pct
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) and shift-robust span dedup
+# ---------------------------------------------------------------------------
+
+def cdc_spans(docs: DataFrame, avg_mod: int = 8) -> DataFrame:
+    """Content-defined chunking over the token stream: a chunk ENDS at
+    every token whose 60-bit hash is ``== 0 (mod avg_mod)`` (expected
+    chunk length = avg_mod tokens), plus the document end.  Because
+    boundaries depend only on local content, inserting a sentence at
+    the top of a page re-chunks ONLY the affected neighborhood — the
+    fixed windows of ``doc_spans`` shift every downstream passage by
+    the insertion length and lose all matches after the edit point.
+
+    Returns ``(doc_id, pos, span)``; empty docs emit nothing.
+
+    Scale: map-only — the boundary list, starts, and slices are in-row
+    array ops over a bound token array; one posexplode fans out chunks.
+    """
+    toked = docs.select(
+        "doc_id", F.array(tokens(F.col("text")))[0].alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    raw = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: token_hash60(F.element_at(t, i)) % avg_mod == 0,
+    )
+    ends = F.when(
+        (F.size(raw) == 0) | (F.try_element_at(raw, F.lit(-1)) != n),
+        F.concat(raw, F.array(n)),
+    ).otherwise(raw)
+    # n = 0: sequence(1, 0) counts DOWN in Spark — guard empties outright
+    bound = toked.select(
+        "doc_id",
+        F.explode(F.array(F.struct(
+            t.alias("t"),
+            F.when(n > 0, ends).otherwise(
+                F.array().cast("array<int>")).alias("e"),
+        ))).alias("_b"),
+    )
+    tb, eb = F.col("_b.t"), F.col("_b.e")
+    chunks = F.when(
+        F.size(eb) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(eb)),
+            lambda k: F.concat_ws(
+                " ",
+                F.slice(
+                    tb,
+                    F.when(k == 1, F.lit(1))
+                    .otherwise(F.element_at(eb, (k - 1).cast("int")) + 1),
+                    F.element_at(eb, k.cast("int"))
+                    - (F.when(k == 1, F.lit(1))
+                       .otherwise(F.element_at(eb, (k - 1).cast("int")) + 1))
+                    + 1,
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return bound.select("doc_id", F.posexplode(chunks).alias("pos", "span"))
+
+
+def cdc_dedup(docs: DataFrame, avg_mod: int = 8) -> DataFrame:
+    """Shift-robust global passage dedup: :func:`span_dedup` semantics
+    (first ``(doc_id, pos)`` occurrence of every repeated passage wins,
+    documents rebuilt from survivors) over CONTENT-DEFINED chunks, so
+    boilerplate is still caught when it appears at different offsets in
+    different pages — the case fixed windows structurally miss.
+
+    Returns ``(doc_id, text, n_spans, n_removed)``.
+
+    Scale: identical shape to span_dedup — combinable min(struct)
+    keeper per chunk hash, one equi-join back, one regroup; no windows,
+    no all-pairs."""
+    sp = cdc_spans(docs, avg_mod=avg_mod).withColumn("h", F.md5(F.col("span")))
+    keepers = sp.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep"))
+    kept = (
+        sp.join(keepers, "h")
+        .withColumn("is_keep", F.struct("doc_id", "pos") == F.col("keep"))
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("is_keep"), F.struct("pos", "span")))),
+                    lambda s: s["span"],
+                ), " ").alias("text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((~F.col("is_keep")).cast("long")).alias("n_removed"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def _cdc_spans_cte(avg_mod: int = 8) -> str:
+    h = "CAST(('0x' || substr(md5(toks[i]), 1, 15)) AS BIGINT)"
+    return f"""
+        tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+        e0 AS (
+            SELECT doc_id, toks,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> {h} % {avg_mod} = 0) AS raw
+            FROM tk
+        ),
+        e1 AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) = 0 THEN []
+                        WHEN len(raw) = 0 OR raw[-1] <> len(toks)
+                        THEN list_append(raw, len(toks))
+                        ELSE raw END AS ends
+            FROM e0
+        ),
+        cdc AS (
+            SELECT doc_id, u.pos AS pos, u.span AS span FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ends) + 1),
+                           k -> struct_pack(
+                               pos := k - 1,
+                               span := array_to_string(
+                                   toks[(CASE WHEN k = 1 THEN 1
+                                        ELSE ends[k - 1] + 1 END)
+                                        : ends[k]], ' ')))) AS u
+                FROM e1 WHERE len(ends) > 0
+            )
+        )
+    """
+
+
+def cdc_spans_sql(avg_mod: int = 8) -> str:
+    return (f"WITH {_cdc_spans_cte(avg_mod)} "
+            f"SELECT doc_id, pos, span FROM cdc")
+
+
+def cdc_dedup_sql(avg_mod: int = 8) -> str:
+    return f"""
+        WITH {_cdc_spans_cte(avg_mod)},
+        k AS (
+            SELECT doc_id, pos, span,
+                   row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id, pos) AS rn
+            FROM cdc
+        ),
+        r AS (
+            SELECT doc_id,
+                   coalesce(string_agg(span, ' ' ORDER BY pos)
+                            FILTER (WHERE rn = 1), '') AS text,
+                   count(*) AS n_spans,
+                   count(*) FILTER (WHERE rn > 1) AS n_removed
+            FROM k GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(r.text, '') AS text,
+               coalesce(r.n_spans, 0) AS n_spans,
+               coalesce(r.n_removed, 0) AS n_removed
+        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+    """

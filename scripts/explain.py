@@ -420,6 +420,14 @@ CHECKS = {
         [r"partial_percentile", r"BroadcastHashJoin"],
         [r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
     ),
+    # CDC dedup: same combinable-keeper contract as span_dedup — a
+    # Window over chunk occurrences would reduce hot boilerplate chunks
+    # on one reducer
+    "cdc_dedup": (
+        [r"partial_min"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
 }
 
 

@@ -526,3 +526,43 @@ def test_curriculum_partition_invariant(spark):
     a = sorted(map(tuple, curriculum_order(docs).collect()))
     b = sorted(map(tuple, curriculum_order(docs.repartition(7)).collect()))
     assert a == b
+
+
+# ----------------------------------------------------------- cdc dedup
+
+def test_cdc_spans_partition_token_stream(spark):
+    from hbase_indexer_spark.pipeline.dedup import cdc_spans
+
+    docs = _docs(spark, [(1, LONG_A), (2, "")])
+    rows = sorted(cdc_spans(docs, avg_mod=4).collect(),
+                  key=lambda r: (r["doc_id"], r["pos"]))
+    got = " ".join(r["span"] for r in rows if r["doc_id"] == 1)
+    assert got.split() == LONG_A.split()   # chunks tile the stream
+    assert not [r for r in rows if r["doc_id"] == 2]
+
+
+def test_cdc_dedup_is_shift_robust(spark):
+    from hbase_indexer_spark.pipeline.dedup import cdc_dedup, span_dedup
+
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    shifted = "brand new preamble sentence here " + body
+    docs = _docs(spark, [(1, body), (2, shifted)])
+    cdc = {r["doc_id"]: r for r in cdc_dedup(docs, avg_mod=4).collect()}
+    # the shared body re-chunks identically after the insertion, so the
+    # copy loses most of its spans...
+    assert cdc[2]["n_removed"] > 0
+    # ...while fixed windows are fully shifted: span_dedup sees nothing
+    fixed = {r["doc_id"]: r for r in span_dedup(docs, span=4).collect()}
+    assert fixed[2]["n_removed"] == 0
+    # first occurrence untouched in both
+    assert cdc[1]["n_removed"] == 0 and cdc[1]["text"].split() == body.split()
+
+
+def test_cdc_dedup_identical_docs_collapse(spark):
+    from hbase_indexer_spark.pipeline.dedup import cdc_dedup
+
+    docs = _docs(spark, [(1, LONG_A), (2, LONG_A)])
+    out = {r["doc_id"]: r for r in cdc_dedup(docs, avg_mod=4).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == out[2]["n_spans"] and out[2]["text"] == ""
