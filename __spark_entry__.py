@@ -1219,6 +1219,18 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the OR-amplified LSH index vs exact brute force, per
+    query, as data — both sides deterministic, so even the recall
+    numbers themselves hash-check against DuckDB."""
+    from hbase_indexer_spark.pipeline.similarity import ann_recall_report
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return ann_recall_report(load(spark, sf_dir, "embeddings"),
+                             ANN_QUERY_IDS, k=5, n_bits=8,
+                             probe_bits=2, n_tables=2)
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shift-robust passage dedup over content-defined chunks (expected
     8-token chunks): repeated chunks removed everywhere but their first
@@ -1686,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "curriculum_order": q_curriculum_order,
         "cdc_dedup": q_cdc_dedup,
+        "ann_recall_report": q_ann_recall_report,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2260,6 +2273,10 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import cdc_dedup_sql
 
     out["cdc_dedup"] = cdc_dedup_sql(avg_mod=8)
+    from hbase_indexer_spark.pipeline.similarity import ann_recall_report_sql
+
+    out["ann_recall_report"] = ann_recall_report_sql(
+        ANN_QUERY_IDS, k=5, n_bits=8, probe_bits=2, n_tables=2)
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

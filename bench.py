@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "curriculum_order",
     "cdc_dedup",
+    "ann_recall_report",
 ]
 
 

@@ -92,6 +92,7 @@ _EXPORTS = {
     "shard_manifest": "hbase_indexer_spark.sinks.sharding",
     "curriculum_order": "hbase_indexer_spark.pipeline.curation",
     "cdc_dedup": "hbase_indexer_spark.pipeline.dedup",
+    "ann_recall_report": "hbase_indexer_spark.pipeline.similarity",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -954,3 +954,67 @@ def int8_rerank_topk_sql(query_ids: list[int], k: int = 5,
             FROM exact
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report (index quality as a queryable, oracle-able surface)
+# ---------------------------------------------------------------------------
+
+def ann_recall_report(emb: DataFrame, query_ids: list[int], k: int = 5,
+                      n_bits: int = 8, probe_bits: int = 2,
+                      n_tables: int = 2) -> DataFrame:
+    """Recall@k of the LSH index against the exact brute-force answer,
+    PER QUERY, as a DataFrame — index health as data, not a buried test
+    assertion: run it after every index (re)build, alert on the mean,
+    bisect bad queries.  Both sides are deterministic, so the report
+    itself is oracle-checkable end-to-end.
+
+    Returns ``(query_id, n_hits, recall_pct)`` (integer percent).
+
+    Scale: the two top-k's are the operators' own plans; the comparison
+    joins two k-row-per-query results — negligible next to either."""
+    exact = brute_force_topk(emb, query_ids, k=k) \
+        .select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, query_ids, k=k, n_bits=n_bits,
+                      probe_bits=probe_bits, n_tables=n_tables) \
+        .select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr("(100 * coalesce(n_hits, 0)) div n_exact")
+            .alias("recall_pct"),
+        )
+    )
+
+
+def ann_recall_report_sql(query_ids: list[int], k: int = 5,
+                          n_bits: int = 8, probe_bits: int = 2,
+                          n_tables: int = 2) -> str:
+    return f"""
+        WITH exact_nn AS ({brute_force_topk_sql(query_ids, k)}),
+        approx_nn AS ({lsh_topk_sql(query_ids, k=k, n_bits=n_bits,
+                                    probe_bits=probe_bits,
+                                    n_tables=n_tables)}),
+        hits AS (
+            SELECT e.query_id, count(*) AS n_hits
+            FROM exact_nn e
+            JOIN approx_nn a ON e.query_id = a.query_id
+                            AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.query_id
+        ),
+        base AS (
+            SELECT query_id, count(*) AS n_exact
+            FROM exact_nn GROUP BY query_id
+        )
+        SELECT b.query_id,
+               coalesce(h.n_hits, 0) AS n_hits,
+               (100 * coalesce(h.n_hits, 0)) // b.n_exact AS recall_pct
+        FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+    """

@@ -566,3 +566,22 @@ def test_cdc_dedup_identical_docs_collapse(spark):
     out = {r["doc_id"]: r for r in cdc_dedup(docs, avg_mod=4).collect()}
     assert out[1]["n_removed"] == 0
     assert out[2]["n_removed"] == out[2]["n_spans"] and out[2]["text"] == ""
+
+
+# -------------------------------------------------------- recall report
+
+def test_ann_recall_report_full_probe_is_100(spark):
+    from hbase_indexer_spark.pipeline.similarity import ann_recall_report
+
+    import random
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], "x")
+         for i in range(60)],
+        "vec_id long, embedding array<float>, label string")
+    # probe_bits == n_bits probes every bucket -> LSH degenerates to
+    # exact -> recall must be exactly 100 for every query
+    out = ann_recall_report(emb, [0, 1, 2], k=3, n_bits=3,
+                            probe_bits=3, n_tables=1).collect()
+    assert len(out) == 3
+    assert all(r["recall_pct"] == 100 and r["n_hits"] == 3 for r in out)
