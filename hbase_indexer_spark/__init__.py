@@ -93,6 +93,7 @@ _EXPORTS = {
     "curriculum_order": "hbase_indexer_spark.pipeline.curation",
     "cdc_dedup": "hbase_indexer_spark.pipeline.dedup",
     "ann_recall_report": "hbase_indexer_spark.pipeline.similarity",
+    "DedupIndexStore": "hbase_indexer_spark.pipeline.dedup_store",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

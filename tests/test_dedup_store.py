@@ -1,0 +1,76 @@
+"""DedupIndexStore: persistent cross-snapshot dedup state.
+
+Pins: empty-state screen keeps everything; accept -> re-screen flags
+exact dups; near-dups caught via signature estimate without base text;
+state survives a fresh store handle (restart); versioned publish
+retains the previous state readable; accept is idempotent.
+"""
+
+from hbase_indexer_spark.pipeline.dedup_store import (
+    DedupIndexStore,
+    doc_sketches,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+LONG_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+LONG_B = "one two three four five six seven eight nine ten"
+
+
+def _verdicts(df):
+    return {r["doc_id"]: (r["exact_dup"], r["near_dup"], r["keep"])
+            for r in df.collect()}
+
+
+def test_empty_state_keeps_everything(spark, tmp_path):
+    store = DedupIndexStore(str(tmp_path / "dd"))
+    out = _verdicts(store.screen(spark, _df(spark, [(1, LONG_A)])))
+    assert out[1] == (False, False, True)
+
+
+def test_accept_then_screen_flags_duplicates(spark, tmp_path):
+    store = DedupIndexStore(str(tmp_path / "dd"), threshold=0.7)
+    store.accept(spark, _df(spark, [(0, LONG_A), (2, LONG_B)]))
+    near = LONG_A.replace("kappa", "lambda")  # 1-token edit
+    out = _verdicts(store.screen(spark, _df(
+        spark, [(1, LONG_A), (3, near), (5, "totally unrelated words")])))
+    assert out[1][0] is True and out[1][2] is False     # exact
+    assert out[3][1] is True and out[3][2] is False     # near via sigs
+    assert out[5] == (False, False, True)
+
+
+def test_state_survives_restart(spark, tmp_path):
+    path = str(tmp_path / "dd")
+    DedupIndexStore(path).accept(spark, _df(spark, [(0, LONG_A)]))
+    fresh = DedupIndexStore(path)  # new handle, same disk state
+    out = _verdicts(fresh.screen(spark, _df(spark, [(1, LONG_A)])))
+    assert out[1][0] is True
+
+
+def test_incremental_accept_accumulates(spark, tmp_path):
+    store = DedupIndexStore(str(tmp_path / "dd"))
+    store.accept(spark, _df(spark, [(0, LONG_A)]))
+    store.accept(spark, _df(spark, [(2, LONG_B)]))
+    out = _verdicts(store.screen(spark, _df(
+        spark, [(1, LONG_A), (3, LONG_B)])))
+    assert out[1][0] is True and out[3][0] is True
+
+
+def test_accept_idempotent_and_versioned(spark, tmp_path):
+    store = DedupIndexStore(str(tmp_path / "dd"))
+    batch = _df(spark, [(0, LONG_A)])
+    store.accept(spark, batch)
+    v1 = store.store.current_version()
+    store.accept(spark, batch)  # same doc again
+    assert store.store.current_version() == v1 + 1  # new publish...
+    assert store.sketches(spark).count() == 1       # ...same state
+    assert v1 in store.store.versions()             # previous retained
+
+
+def test_sketch_size_is_text_independent(spark):
+    big = " ".join(f"w{i}" for i in range(500))
+    sk = doc_sketches(_df(spark, [(1, big)])).collect()[0]
+    assert len(sk["sig"]) == 48  # fixed-size sketch however long the doc
