@@ -94,6 +94,7 @@ _EXPORTS = {
     "cdc_dedup": "hbase_indexer_spark.pipeline.dedup",
     "ann_recall_report": "hbase_indexer_spark.pipeline.similarity",
     "DedupIndexStore": "hbase_indexer_spark.pipeline.dedup_store",
+    "curation_stream": "hbase_indexer_spark.streaming.dedup_stream",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

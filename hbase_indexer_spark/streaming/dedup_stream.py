@@ -90,3 +90,52 @@ def dedup_stream_against(events: DataFrame, base: DataFrame,
         content_key(F.col(base_text_col)).alias("_ck")).distinct()
     keyed = events.withColumn("_ck", content_key(F.col(text_col)))
     return keyed.join(F.broadcast(keys), "_ck", "left_anti").drop("_ck")
+
+
+def curation_stream(stream_docs: DataFrame, store, corpus_store,
+                    checkpoint: str, min_tokens: int = 5):
+    """The continuous-curation loop: per micro-batch, screen arriving
+    documents against the persistent dedup state (`DedupIndexStore`),
+    apply the quality gate, append survivors to the corpus store, and
+    fold their sketches back into the dedup state — so a duplicate
+    arriving in batch N+1 of a page accepted in batch N is dropped,
+    across restarts.
+
+    Exactly-once composition mirrors the index path (T1): the stream is
+    checkpointed, both stores publish via keyed idempotent MERGE, and a
+    redelivered batch re-screens to the same verdicts (its docs are now
+    in the state, so they fall out as exact dups — redelivery converges
+    instead of double-appending).
+
+    Returns the started ``StreamingQuery``.
+
+    Scale: per batch, screening cost is the sketch joins (band-bounded);
+    the corpus append is O(keeps); accepted text is never re-read."""
+    from hbase_indexer_spark.pipeline.text import quality_score, token_count
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        batch = batch.cache()
+        try:
+            verdicts = store.screen(spark, batch)
+            keeps = (
+                batch.join(verdicts.filter(F.col("keep")).select("doc_id"),
+                           "doc_id", "left_semi")
+                .filter(token_count(F.col("text")) >= min_tokens)
+            ).cache()
+            try:
+                # corpus first, then state: a crash between the two means
+                # the next redelivery re-appends the same keyed docs into
+                # the corpus MERGE (idempotent) and then lands the state
+                corpus_store.merge(spark, adds=keeps)
+                store.accept(spark, keeps)
+            finally:
+                keeps.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream_docs.writeStream.foreachBatch(_process) \
+        .option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -145,3 +145,56 @@ def test_stream_against_static_base(spark, tmp_path):
     got = {r["text"] for r in spark.sql(
         "SELECT * FROM dedup_vs_base").collect()}
     assert got == {"brand new doc"}
+
+
+def test_curation_stream_end_to_end(spark, tmp_path):
+    """Continuous curation: batch 2 re-delivers a batch-1 page plus new
+    content; the corpus ends with exactly the unique, quality-passing
+    docs and the dedup state holds their sketches."""
+    from hbase_indexer_spark.pipeline.dedup_store import DedupIndexStore
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.dedup_stream import curation_stream
+
+    doc_schema = "doc_id long, text string"
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_b = "one two three four five six seven eight nine ten"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(rows, name):
+        df = spark.createDataFrame(rows, doc_schema)
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        import shutil
+
+        for f in stage.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    store = DedupIndexStore(str(tmp_path / "dd"), threshold=0.7)
+    corpus = IndexStore(str(tmp_path / "corpus"), key="doc_id")
+
+    def run_available():
+        stream = spark.readStream.schema(doc_schema).option(
+            "maxFilesPerTrigger", "1").parquet(str(src))
+        q = curation_stream(stream, store, corpus,
+                            checkpoint=str(tmp_path / "ckpt"),
+                            min_tokens=5)
+        q.processAllAvailable()
+        q.stop()
+
+    drop([(1, long_a), (2, "too short")], "b0")
+    run_available()
+    got1 = {r["doc_id"] for r in corpus.read(spark).collect()}
+    assert got1 == {1}  # quality gate dropped doc 2
+
+    # batch 2: exact re-crawl of doc 1 (new id), a near-dup, fresh content
+    near = long_a.replace("kappa", "lambda")
+    drop([(10, long_a), (11, near), (12, long_b)], "b1")
+    run_available()
+    got2 = {r["doc_id"] for r in corpus.read(spark).collect()}
+    assert got2 == {1, 12}  # 10 exact-dropped, 11 near-dropped, 12 kept
+
+    # the state now screens against everything accepted so far
+    verd = {r["doc_id"]: r["keep"] for r in store.screen(
+        spark, spark.createDataFrame([(20, long_b)], doc_schema)).collect()}
+    assert verd[20] is False
