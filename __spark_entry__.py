@@ -1219,6 +1219,16 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack in one oracle-checked plan: pinned-
+    IVF cell pruning -> int8 integer coarse rank -> exact re-rank."""
+    from hbase_indexer_spark.pipeline.similarity import ivf_int8_topk
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return ivf_int8_topk(load(spark, sf_dir, "embeddings"),
+                         ANN_QUERY_IDS, k=5, n_cells=16, n_probe=4)
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the OR-amplified LSH index vs exact brute force, per
     query, as data — both sides deterministic, so even the recall
@@ -1699,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "cdc_dedup": q_cdc_dedup,
         "ann_recall_report": q_ann_recall_report,
+        "ann_ivf_int8": q_ann_ivf_int8,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2277,6 +2288,10 @@ def oracle_sql() -> dict[str, str]:
 
     out["ann_recall_report"] = ann_recall_report_sql(
         ANN_QUERY_IDS, k=5, n_bits=8, probe_bits=2, n_tables=2)
+    from hbase_indexer_spark.pipeline.similarity import ivf_int8_topk_sql
+
+    out["ann_ivf_int8"] = ivf_int8_topk_sql(ANN_QUERY_IDS, k=5,
+                                            n_cells=16, n_probe=4)
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

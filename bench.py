@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "curriculum_order",
     "cdc_dedup",
     "ann_recall_report",
+    "ann_ivf_int8",
 ]
 
 

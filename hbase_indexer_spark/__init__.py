@@ -95,6 +95,7 @@ _EXPORTS = {
     "ann_recall_report": "hbase_indexer_spark.pipeline.similarity",
     "DedupIndexStore": "hbase_indexer_spark.pipeline.dedup_store",
     "curation_stream": "hbase_indexer_spark.streaming.dedup_stream",
+    "ivf_int8_topk": "hbase_indexer_spark.pipeline.similarity",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

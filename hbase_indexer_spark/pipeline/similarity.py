@@ -1018,3 +1018,179 @@ def ann_recall_report_sql(query_ids: list[int], k: int = 5,
                (100 * coalesce(h.n_hits, 0)) // b.n_exact AS recall_pct
         FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Full production ANN stack, oracle-checked: IVF pruning + int8 coarse +
+# exact re-rank
+# ---------------------------------------------------------------------------
+
+def ivf_int8_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                  dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+                  m: int | None = None) -> DataFrame:
+    """The three-stage ANN stack as deployed at scale, in one plan:
+
+    1. **IVF pruning** — corpus partitioned by nearest (pinned) coarse
+       cell; each query scans only its ``n_probe`` cells
+       (:func:`ivf_topk_pinned` mechanics);
+    2. **int8 coarse rank** — candidates in probed cells ranked by the
+       scale-free integer code dot product (1/4 the bytes, integer MACs
+       — :func:`int8_rerank_topk` mechanics), keeping top ``m``;
+    3. **exact re-rank** — float cosine for the final ``k``.
+
+    Every stage is deterministic (pinned centroids, md5-free integer
+    quantization), so the ENTIRE stack — pruning decisions, coarse
+    ranks, final ranks — hash-checks against the SQL oracle; the
+    trained-quantizer production variant swaps stage 1's centroids and
+    keeps stages 2-3 unchanged.
+
+    Returns ``(query_id, neighbor_id, rank)``.
+    """
+    m = 3 * k if m is None else m
+    cents = _pinned_centroids(dim, n_cells)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in cents
+    ])
+
+    def cell_ranking(v: Column) -> Column:
+        return F.array_sort(F.transform(
+            cents_lit,
+            lambda c, i: F.struct((-dot(v, c)).alias("nd"),
+                                  i.cast("int").alias("cell")),
+        ))
+
+    codes = quantize_codes(emb)
+    ssq = F.aggregate(
+        F.transform(F.col("codes"), lambda c: c.cast("long") * c.cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    corpus = (
+        emb.join(codes.select("vec_id", "codes"), "vec_id")
+        .select(
+            "vec_id", "embedding", "codes", ssq.alias("ssq"),
+            F.element_at(cell_ranking(F.col("embedding")), 1)["cell"]
+            .alias("cell"),
+        )
+    )
+    q = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .join(codes.select("vec_id", F.col("codes").alias("qc")), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"), "qc",
+            F.aggregate(
+                F.transform(F.col("qc"),
+                            lambda c: c.cast("long") * c.cast("long")),
+                F.lit(0).cast("long"), lambda a, v: a + v).alias("qssq"),
+            F.explode(F.transform(
+                F.slice(cell_ranking(F.col("embedding")), 1, n_probe),
+                lambda s: s["cell"])).alias("cell"),
+        )
+    )
+    intdot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("codes"),
+                   lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    coarse = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "qv",
+            "embedding",
+            (intdot.cast("double")
+             / F.sqrt((F.col("qssq") * F.col("ssq")).cast("double")))
+            .alias("qcos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"),
+                                                F.asc("neighbor_id"))
+    cands = (coarse.withColumn("crank", F.row_number().over(wq))
+             .filter(F.col("crank") <= m))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("embedding")).alias("sim"))
+        # a probed duplicate can't exist (top-1 cell is unique per
+        # corpus row), so no distinct needed before the final rank
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_int8_topk_sql(query_ids: list[int], k: int = 5, dim: int = 64,
+                      n_cells: int = 16, n_probe: int = 4,
+                      m: int | None = None) -> str:
+    m = 3 * k if m is None else m
+    ids = ", ".join(str(i) for i in query_ids)
+    cents = _pinned_centroids(dim, n_cells)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, cv) AS (VALUES {values}),
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id, ve,
+                   list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ),
+        cz AS (
+            SELECT vec_id, ve,
+                   CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                        ELSE list_transform(ve,
+                             x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                   END AS codes
+            FROM qz
+        ),
+        coded AS (
+            SELECT vec_id, ve, codes,
+                   list_sum(list_transform(codes, x -> x * x)) AS ssq
+            FROM cz
+        ),
+        sims AS (
+            SELECT d.vec_id, d.ve, d.codes, d.ssq, c.cell,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY list_dot_product(d.ve, c.cv)
+                                          DESC, c.cell) AS rn
+            FROM coded d CROSS JOIN cents c
+        ),
+        corpus AS (
+            SELECT vec_id, ve, codes, ssq, cell FROM sims WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, ve AS qv, codes AS qc,
+                   ssq AS qssq, cell
+            FROM sims WHERE rn <= {n_probe} AND vec_id IN ({ids})
+        ),
+        coarse AS (
+            SELECT p.query_id, s.vec_id AS neighbor_id, p.qv, s.ve,
+                   CAST(list_sum(list_transform(
+                       range(1, len(p.qc) + 1),
+                       i -> p.qc[i] * s.codes[i])) AS DOUBLE)
+                   / sqrt(CAST(p.qssq * s.ssq AS DOUBLE)) AS qcos
+            FROM corpus s JOIN probes p USING (cell)
+            WHERE s.vec_id <> p.query_id
+        ),
+        cands AS (
+            SELECT query_id, neighbor_id, qv, ve FROM (
+                SELECT query_id, neighbor_id, qv, ve,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY qcos DESC, neighbor_id)
+                           AS crank
+                FROM coarse
+            ) WHERE crank <= {m}
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qv, ve) DESC,
+                                neighbor_id) AS rank
+            FROM cands
+        ) WHERE rank <= {k}
+    """

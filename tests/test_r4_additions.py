@@ -585,3 +585,27 @@ def test_ann_recall_report_full_probe_is_100(spark):
                             probe_bits=3, n_tables=1).collect()
     assert len(out) == 3
     assert all(r["recall_pct"] == 100 and r["n_hits"] == 3 for r in out)
+
+
+# ------------------------------------------------------ ivf+int8 stack
+
+def test_ivf_int8_full_probe_full_m_equals_bruteforce(spark):
+    from hbase_indexer_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_int8_topk,
+    )
+
+    import random
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], "x")
+         for i in range(50)],
+        "vec_id long, embedding array<float>, label string")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, [0, 1], k=3).collect()}
+    # probe every cell AND keep every candidate: both approximations off
+    # -> the stack must reproduce brute force exactly
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_int8_topk(emb, [0, 1], k=3, dim=8, n_cells=4,
+                                  n_probe=4, m=50).collect()}
+    assert got == exact
