@@ -1219,6 +1219,15 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_dedup_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH pair retrieval vs the exact Jaccard pair set, as one
+    summary row (recall/precision) — dedup index health as data; the
+    oracle replays the banding itself, not the exact-set shortcut."""
+    from hbase_indexer_spark.pipeline.dedup import dedup_pair_quality
+
+    return dedup_pair_quality(_docs(spark, sf_dir), threshold=0.7)
+
+
 def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN stack in one oracle-checked plan: pinned-
     IVF cell pruning -> int8 integer coarse rank -> exact re-rank."""
@@ -1710,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "ann_recall_report": q_ann_recall_report,
         "ann_ivf_int8": q_ann_ivf_int8,
+        "dedup_pair_quality": q_dedup_pair_quality,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2292,6 +2302,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["ann_ivf_int8"] = ivf_int8_topk_sql(ANN_QUERY_IDS, k=5,
                                             n_cells=16, n_probe=4)
+    from hbase_indexer_spark.pipeline.dedup import dedup_pair_quality_sql
+
+    out["dedup_pair_quality"] = dedup_pair_quality_sql(threshold=0.7)
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

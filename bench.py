@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "cdc_dedup",
     "ann_recall_report",
     "ann_ivf_int8",
+    "dedup_pair_quality",
 ]
 
 

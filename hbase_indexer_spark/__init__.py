@@ -96,6 +96,7 @@ _EXPORTS = {
     "DedupIndexStore": "hbase_indexer_spark.pipeline.dedup_store",
     "curation_stream": "hbase_indexer_spark.streaming.dedup_stream",
     "ivf_int8_topk": "hbase_indexer_spark.pipeline.similarity",
+    "dedup_pair_quality": "hbase_indexer_spark.pipeline.dedup",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

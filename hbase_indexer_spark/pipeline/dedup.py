@@ -1734,3 +1734,114 @@ def cdc_dedup_sql(avg_mod: int = 8) -> str:
                coalesce(r.n_removed, 0) AS n_removed
         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
     """
+
+
+def dedup_pair_quality(docs: DataFrame, threshold: float = 0.7,
+                       n: int = 3) -> DataFrame:
+    """Retrieval quality of the banded-LSH pair path against the exact
+    inverted-index Jaccard pair set, as one summary row:
+    ``(n_exact, n_lsh, n_hit, recall_pct, precision_pct)`` — the dedup
+    analog of ``ann_recall_report``: banding quality becomes a
+    queryable, alertable number instead of a test-only assertion.
+
+    Both pair generators are deterministic, so the quality numbers
+    themselves are oracle-checkable.  (With candidate-exact
+    verification the LSH path has precision 100 by construction;
+    emitting it keeps the invariant observable.)
+
+    Scale: the two pair sets are the operators' own bounded plans; the
+    comparison joins pair keys only."""
+    exact = ngram_jaccard_pairs(docs, threshold=threshold, n=n) \
+        .select("x", "y")
+    lsh = minhash_lsh_dedup_pairs(docs, threshold=threshold, n=n) \
+        .select("x", "y")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hit = exact.join(lsh, ["x", "y"], "left_semi").count()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_hit,
+          (100 * n_hit) // n_exact if n_exact else None,
+          (100 * n_hit) // n_lsh if n_lsh else None)],
+        "n_exact long, n_lsh long, n_hit long, recall_pct long, "
+        "precision_pct long")
+
+
+def dedup_pair_quality_sql(threshold: float = 0.7, n: int = 3) -> str:
+    return f"""
+        WITH exact_pairs AS ({ngram_jaccard_sql(threshold, n)}),
+        lsh_pairs AS ({minhash_lsh_pairs_sql(threshold, n)}),
+        hit AS (
+            SELECT e.x, e.y FROM exact_pairs e
+            JOIN lsh_pairs l ON e.x = l.x AND e.y = l.y
+        )
+        SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+               (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+               (SELECT count(*) FROM hit) AS n_hit,
+               CASE WHEN (SELECT count(*) FROM exact_pairs) > 0
+                    THEN (100 * (SELECT count(*) FROM hit))
+                         // (SELECT count(*) FROM exact_pairs) END
+                   AS recall_pct,
+               CASE WHEN (SELECT count(*) FROM lsh_pairs) > 0
+                    THEN (100 * (SELECT count(*) FROM hit))
+                         // (SELECT count(*) FROM lsh_pairs) END
+                   AS precision_pct
+    """
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.7, n: int = 3) -> str:
+    """Full ANSI-SQL mirror of :func:`minhash_lsh_dedup_pairs` — the
+    banded path itself (48 minhash aggregates with the same LCG
+    constants, 16 band keys, candidate equality join, exact-Jaccard
+    verification of candidates only), NOT the exact-set shortcut, so
+    banding-mechanics regressions are visible to the oracle."""
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS s{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {b}, bkey := {key})".format(
+            b=band,
+            key=" || ':' || ".join(
+                f"CAST(s{band * ROWS_PER_BAND + j} AS VARCHAR)"
+                for j in range(ROWS_PER_BAND)),
+        )
+        for band in range(N_BANDS)
+    )
+    return f"""
+        WITH {shingle_cte_sql(n)},
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P}
+                       AS h
+            FROM sh
+        ),
+        sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, u.band AS band, u.bkey AS bkey FROM (
+                SELECT doc_id, unnest([{band_structs}]) AS u FROM sigs
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.x, c.y, count(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.x
+            JOIN sh b ON b.doc_id = c.y AND a.s = b.s
+            GROUP BY c.x, c.y
+        )
+        SELECT x, y,
+               CAST(n_inter AS DOUBLE)
+               / CAST(sx.n_sh + sy.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sx ON x = sx.doc_id
+        JOIN sz sy ON y = sy.doc_id
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(sx.n_sh + sy.n_sh - n_inter AS DOUBLE) >= {threshold}
+    """

@@ -609,3 +609,27 @@ def test_ivf_int8_full_probe_full_m_equals_bruteforce(spark):
            for r in ivf_int8_topk(emb, [0, 1], k=3, dim=8, n_cells=4,
                                   n_probe=4, m=50).collect()}
     assert got == exact
+
+
+# --------------------------------------------------- dedup pair quality
+
+def test_dedup_pair_quality_perfect_on_clean_dups(spark):
+    from hbase_indexer_spark.pipeline.dedup import dedup_pair_quality
+
+    near = LONG_A.replace("kappa", "lambda")
+    docs = _docs(spark, [(1, LONG_A), (2, LONG_A), (3, near), (4, LONG_B)])
+    row = dedup_pair_quality(docs, threshold=0.5).collect()[0]
+    assert row["n_exact"] > 0
+    # candidate-exact verification => precision 100; banding recall on
+    # J>=0.5 verbatim-ish dups => recall 100 here
+    assert row["precision_pct"] == 100
+    assert row["recall_pct"] == 100
+    assert row["n_hit"] == row["n_exact"] == row["n_lsh"]
+
+
+def test_dedup_pair_quality_empty_corpus_nulls(spark):
+    from hbase_indexer_spark.pipeline.dedup import dedup_pair_quality
+
+    docs = _docs(spark, [(1, LONG_A), (2, LONG_B)])  # nothing similar
+    row = dedup_pair_quality(docs, threshold=0.9).collect()[0]
+    assert row["n_exact"] == 0 and row["recall_pct"] is None
