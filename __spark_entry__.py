@@ -2167,9 +2167,14 @@ def oracle_sql() -> dict[str, str]:
     out["deduped_corpus"] = deduped_corpus_sql(threshold=0.7)
     out["ngram_jaccard_dedup"] = ngram_jaccard_sql(threshold=0.7)
     out["minhash_signatures"] = minhash_signatures_sql()
-    # LSH output is exact-verified; with 16x3 banding recall at the data's
-    # J>=0.9 dup structure is ~1-8e-10, so the exact-Jaccard set IS the oracle
-    out["minhash_lsh_dedup"] = ngram_jaccard_sql(threshold=0.7)
+    # r4: the oracle now replays the BANDING itself (48 LCG minhash
+    # aggregates -> 16 band keys -> candidate join -> exact verify), so a
+    # banding-mechanics regression hash-mismatches — strictly stronger
+    # than the previous exact-Jaccard-set shortcut (which assumed the
+    # ~1-8e-10 recall and would mask a broken band join)
+    from hbase_indexer_spark.pipeline.dedup import minhash_lsh_pairs_sql
+
+    out["minhash_lsh_dedup"] = minhash_lsh_pairs_sql(threshold=0.7)
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)
