@@ -1219,6 +1219,28 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel over the event stream (one
+    combinable conditional-min pass per user)."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.events import event_funnel
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_funnel(e, FUNNEL_STEPS)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid (first-seen week x activity offset)."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.events import retention_cohorts
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(e)
+
+
 def q_dedup_pair_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH pair retrieval vs the exact Jaccard pair set, as one
     summary row (recall/precision) — dedup index health as data; the
@@ -1720,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         "ann_ivf_int8": q_ann_ivf_int8,
         "dedup_pair_quality": q_dedup_pair_quality,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2310,6 +2334,13 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import dedup_pair_quality_sql
 
     out["dedup_pair_quality"] = dedup_pair_quality_sql(threshold=0.7)
+    from hbase_indexer_spark.plans.events import (
+        event_funnel_sql,
+        retention_cohorts_sql,
+    )
+
+    out["event_funnel"] = event_funnel_sql(FUNNEL_STEPS)
+    out["retention_cohorts"] = retention_cohorts_sql()
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "ann_recall_report",
     "ann_ivf_int8",
     "dedup_pair_quality",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 

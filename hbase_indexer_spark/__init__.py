@@ -97,6 +97,8 @@ _EXPORTS = {
     "curation_stream": "hbase_indexer_spark.streaming.dedup_stream",
     "ivf_int8_topk": "hbase_indexer_spark.pipeline.similarity",
     "dedup_pair_quality": "hbase_indexer_spark.pipeline.dedup",
+    "event_funnel": "hbase_indexer_spark.plans.events",
+    "retention_cohorts": "hbase_indexer_spark.plans.events",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -1,0 +1,157 @@
+"""Event-product analytics: funnels and retention cohorts.
+
+The batch-scan surface (`plans/analytics.py`) covers the TPC-H-shaped
+warehouse queries; this module adds the event-stream product analytics
+every change-capture consumer ends up writing: ordered-step conversion
+funnels and cohort retention grids.  Timestamps go through
+``functions/timeutil`` (dtype-aware micros) so the DuckDB oracles are
+bit-exact on the TIMESTAMP_NTZ parquet (see timeutil module docstring).
+
+Scale notes: both operators reduce the event table to per-user
+aggregates in ONE combinable pass (conditional min / min per user), so
+the only full-width shuffle is keyed by user_id; the funnel/cohort
+grids themselves are tiny (steps, weeks²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def event_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered-step conversion funnel: a user reaches step ``k`` when
+    every step ``1..k`` occurred and each step's FIRST occurrence is
+    strictly after the previous step's first occurrence (the standard
+    strictly-ordered funnel — re-ordered events don't count).
+
+    Returns one row per step: ``(step_idx, step, n_users, pct_of_first)``
+    with ``pct_of_first`` an integer percent of step-1 reachers.
+
+    Scale: one conditional-min aggregation per user (combinable), then
+    per-user depth arithmetic (map) and a steps-sized count — the event
+    table is scanned once and shuffled once (by user)."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+
+    us = ts_micros(events)
+    mins = events.groupBy("user_id").agg(*[
+        F.min(F.when(F.col("event_type") == s, us)).alias(f"t{i}")
+        for i, s in enumerate(steps)
+    ])
+    # depth = largest k with t0 < t1 < ... < t(k-1) all present; the WHEN
+    # chain is built deepest-first so the deepest satisfied level wins
+    conds = [F.col("t0").isNotNull()]
+    for i in range(1, len(steps)):
+        conds.append(conds[-1] & F.col(f"t{i}").isNotNull()
+                     & (F.col(f"t{i}") > F.col(f"t{i - 1}")))
+    # wrap ascending: the LAST wrap (deepest step) becomes the outermost
+    # WHEN, so the deepest satisfied level wins
+    d = F.lit(0)
+    for i in range(len(steps)):
+        d = F.when(conds[i], F.lit(i + 1)).otherwise(d)
+    depths = mins.select(d.alias("depth"))
+    counts = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("n"))
+    # users at depth >= k reach step k: suffix-sum the tiny depth table
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx int, step string")
+    reached = (
+        steps_df.join(counts, counts.depth >= steps_df.step_idx, "left")
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users"))
+    )
+    first = reached.filter(F.col("step_idx") == 1) \
+        .select(F.col("n_users").alias("n_first"))
+    return (
+        reached.crossJoin(F.broadcast(first))
+        .select(
+            "step_idx", "step", "n_users",
+            F.when(F.col("n_first") > 0,
+                   F.expr("(100 * n_users) div n_first"))
+            .alias("pct_of_first"),
+        )
+    )
+
+
+def event_funnel_sql(steps: list[str]) -> str:
+    us = "epoch_us(ts)"
+    mins = ", ".join(
+        f"min(CASE WHEN event_type = '{s}' THEN {us} END) AS t{i}"
+        for i, s in enumerate(steps))
+    conds = ["t0 IS NOT NULL"]
+    for i in range(1, len(steps)):
+        conds.append(conds[-1] + f" AND t{i} IS NOT NULL"
+                     f" AND t{i} > t{i - 1}")
+    whens = " ".join(
+        f"WHEN {conds[i]} THEN {i + 1}"
+        for i in reversed(range(len(steps))))
+    steps_values = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(steps))
+    return f"""
+        WITH mins AS (
+            SELECT user_id, {mins} FROM events GROUP BY user_id
+        ),
+        depths AS (
+            SELECT CASE {whens} ELSE 0 END AS depth FROM mins
+        ),
+        counts AS (SELECT depth, count(*) AS n FROM depths GROUP BY depth),
+        steps(step_idx, step) AS (VALUES {steps_values}),
+        reached AS (
+            SELECT s.step_idx, s.step,
+                   coalesce(sum(c.n), 0) AS n_users
+            FROM steps s LEFT JOIN counts c ON c.depth >= s.step_idx
+            GROUP BY s.step_idx, s.step
+        )
+        SELECT r.step_idx, r.step, r.n_users,
+               CASE WHEN f.n_first > 0
+                    THEN (100 * r.n_users) // f.n_first END
+                   AS pct_of_first
+        FROM reached r
+        CROSS JOIN (SELECT n_users AS n_first FROM reached
+                    WHERE step_idx = 1) f
+    """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention grid: users grouped by first-seen week; for each
+    later week offset, how many of that cohort were active.  The table
+    behind every retention curve.
+
+    Returns ``(cohort_week, week_offset, n_users)``.
+
+    Scale: first-seen is one combinable min per user; activity is a
+    per-(user, week) distinct (combinable); the grid join is keyed by
+    user_id — the grid itself is weeks² rows."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+
+    us = ts_micros(events)
+    week = F.expr(f"_us div {WEEK_US}")
+    weeks = events.select("user_id", us.alias("_us")) \
+        .select("user_id", week.alias("week")).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_cohorts_sql() -> str:
+    us = "epoch_us(ts)"
+    return f"""
+        WITH weeks AS (
+            SELECT DISTINCT user_id, ({us}) // {WEEK_US} AS week
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, min(week) AS cohort_week
+            FROM weeks GROUP BY user_id
+        )
+        SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM weeks w JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """

@@ -633,3 +633,58 @@ def test_dedup_pair_quality_empty_corpus_nulls(spark):
     docs = _docs(spark, [(1, LONG_A), (2, LONG_B)])  # nothing similar
     row = dedup_pair_quality(docs, threshold=0.9).collect()[0]
     assert row["n_exact"] == 0 and row["recall_pct"] is None
+
+
+# ------------------------------------------------------ event analytics
+
+def _ev(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, d, h), u, t, 1.0, None)
+         for i, (d, h, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string")
+
+
+def test_event_funnel_strict_ordering(spark):
+    from hbase_indexer_spark.plans.events import event_funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 1, "signup"), (1, 2, 1, "view"), (1, 3, 1, "click"),
+        (1, 4, 1, "purchase"),
+        # user 2: purchase arrives BEFORE the click -> stops at click
+        (2, 1, 2, "signup"), (2, 2, 2, "view"), (2, 4, 2, "click"),
+        (2, 3, 2, "purchase"),
+        # user 3: signup only
+        (3, 1, 3, "signup"),
+        # user 4: never signed up -> depth 0
+        (3, 2, 4, "view"),
+    ]
+    out = {r["step_idx"]: r for r in event_funnel(
+        _ev(spark, rows), ["signup", "view", "click", "purchase"]).collect()}
+    assert out[1]["n_users"] == 3          # users 1,2,3
+    assert out[2]["n_users"] == 2          # users 1,2
+    assert out[3]["n_users"] == 2          # users 1,2 (click still ordered)
+    assert out[4]["n_users"] == 1          # user 2's purchase pre-dates click
+    assert out[2]["pct_of_first"] == 66    # 2/3 integer pct
+
+
+def test_retention_cohorts_grid(spark):
+    from hbase_indexer_spark.plans.events import retention_cohorts
+
+    rows = [
+        (1, 1, 1, "view"),    # user 1 first week 0
+        (9, 1, 1, "view"),    # active again week 1
+        (16, 1, 1, "view"),   # and week 2
+        (9, 1, 2, "view"),    # user 2 first week 1
+        (16, 2, 2, "view"),   # active week 2 (offset 1)
+    ]
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(_ev(spark, rows)).collect()}
+    # weeks are absolute (epoch div), so normalize by the min cohort
+    base = min(c for c, _ in out)
+    norm = {(c - base, o): n for (c, o), n in out.items()}
+    assert norm[(0, 0)] == 1 and norm[(0, 1)] == 1 and norm[(0, 2)] == 1
+    assert norm[(1, 0)] == 1 and norm[(1, 1)] == 1
