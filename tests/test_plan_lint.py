@@ -41,6 +41,13 @@ ALLOW_BNLJ = {
     # Spark plans BNLJ over the O(K) side); scan pruning comes from
     # composing with the IVF cell layout, not from this operator.
     "ann_int8_rerank",
+    # recall report: runs brute_force_topk as the ground-truth side by
+    # definition — same O(K)-broadcast verifier scan as above.
+    "ann_recall_report",
+    # funnel: the `depth >= step_idx` suffix-sum theta-join and the
+    # 1-row first-step crossJoin both operate on AGGREGATE tables
+    # (<= n_steps+1 rows each) — constant-size loops, not data joins.
+    "event_funnel",
 }
 
 
