@@ -1752,19 +1752,28 @@ def dedup_pair_quality(docs: DataFrame, threshold: float = 0.7,
     Scale: the two pair sets are the operators' own bounded plans; the
     comparison joins pair keys only."""
     exact = ngram_jaccard_pairs(docs, threshold=threshold, n=n) \
-        .select("x", "y")
+        .select("x", "y", F.lit(1).alias("in_exact"))
     lsh = minhash_lsh_dedup_pairs(docs, threshold=threshold, n=n) \
-        .select("x", "y")
-    n_exact = exact.count()
-    n_lsh = lsh.count()
-    n_hit = exact.join(lsh, ["x", "y"], "left_semi").count()
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        [(n_exact, n_lsh, n_hit,
-          (100 * n_hit) // n_exact if n_exact else None,
-          (100 * n_hit) // n_lsh if n_lsh else None)],
-        "n_exact long, n_lsh long, n_hit long, recall_pct long, "
-        "precision_pct long")
+        .select("x", "y", F.lit(1).alias("in_lsh"))
+    # ONE action: full-outer the two pair sets and aggregate flags —
+    # three separate counts would re-execute the shingle explode per
+    # count (measured 3x the wall time at sf0.1)
+    return (
+        exact.join(lsh, ["x", "y"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("in_exact"), F.lit(0)).alias("n_exact"),
+            F.coalesce(F.sum("in_lsh"), F.lit(0)).alias("n_lsh"),
+            F.coalesce(F.sum(F.col("in_exact") * F.col("in_lsh")),
+                       F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "n_exact", "n_lsh", "n_hit",
+            F.when(F.col("n_exact") > 0,
+                   F.expr("(100 * n_hit) div n_exact")).alias("recall_pct"),
+            F.when(F.col("n_lsh") > 0,
+                   F.expr("(100 * n_hit) div n_lsh")).alias("precision_pct"),
+        )
+    )
 
 
 def dedup_pair_quality_sql(threshold: float = 0.7, n: int = 3) -> str:
