@@ -428,6 +428,29 @@ CHECKS = {
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # funnel: ONE combinable conditional-min pass per user; depth math is
+    # a map — no per-user window sort anywhere
+    "event_funnel": (
+        [r"partial_min"],
+        [r"Window", r"CartesianProduct", *NO_PYTHON],
+    ),
+    "retention_cohorts": (
+        [r"partial_min", r"partial_count"],
+        [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
+    # pair-quality: single-action full-outer flag aggregation; both pair
+    # generators keep their banded (never all-pairs) shapes
+    "dedup_pair_quality": (
+        [r"partial_sum", r"FullOuter"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # composed ANN stack: array_sort cell ranking (no shuffle), broadcast
+    # candidate equi-join, JVM-side integer coarse — no Python anywhere
+    "ann_ivf_int8": (
+        [r"BroadcastHashJoin", r"array_sort"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 
