@@ -1219,6 +1219,16 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation provenance: the first stage that dropped each
+    doc (short | low_quality | exact_dup | near_dup | NULL=survivor) —
+    same cost shape as curated_corpus itself."""
+    from hbase_indexer_spark.pipeline.curation import curation_lineage
+
+    return curation_lineage(_docs(spark, sf_dir), min_tokens=10,
+                            min_quality=0.5, dedup_threshold=0.7)
+
+
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -1744,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pair_quality": q_dedup_pair_quality,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "curation_lineage": q_curation_lineage,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2341,6 +2352,10 @@ def oracle_sql() -> dict[str, str]:
 
     out["event_funnel"] = event_funnel_sql(FUNNEL_STEPS)
     out["retention_cohorts"] = retention_cohorts_sql()
+    from hbase_indexer_spark.pipeline.curation import curation_lineage_sql
+
+    out["curation_lineage"] = curation_lineage_sql(
+        min_tokens=10, min_quality=0.5, dedup_threshold=0.7)
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "dedup_pair_quality",
     "event_funnel",
     "retention_cohorts",
+    "curation_lineage",
 ]
 
 

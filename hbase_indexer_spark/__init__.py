@@ -99,6 +99,7 @@ _EXPORTS = {
     "dedup_pair_quality": "hbase_indexer_spark.pipeline.dedup",
     "event_funnel": "hbase_indexer_spark.plans.events",
     "retention_cohorts": "hbase_indexer_spark.plans.events",
+    "curation_lineage": "hbase_indexer_spark.pipeline.curation",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -775,3 +775,88 @@ def curriculum_order_sql(n_bins: int = 4, group_col: str = "source",
                ) - 1 AS pos
         FROM tiers
     """
+
+
+def curation_lineage(docs: DataFrame, min_tokens: int = 10,
+                     min_quality: float = 0.5,
+                     dedup_threshold: float = 0.7) -> DataFrame:
+    """Per-document provenance for :func:`curated_corpus`: which stage
+    dropped each doc — the "why did my page disappear?" audit every
+    curation pipeline owes its users.  ``dropped_by`` is the FIRST
+    failing stage in pipeline order (``short`` | ``low_quality`` |
+    ``exact_dup`` | ``near_dup`` | NULL for survivors), plus the raw
+    per-stage verdicts so downstream dashboards can cross-tabulate.
+
+    Drop-stage attribution matches curated_corpus exactly: a doc passes
+    iff dropped_by IS NULL.
+
+    Scale: identical cost shape to curated_corpus itself — one text
+    scan for the profile+hash, one hash window, the banded pair set;
+    the extra columns are free."""
+    from pyspark.sql import Window as W
+
+    from hbase_indexer_spark.pipeline.dedup import minhash_lsh_dedup_pairs
+    from hbase_indexer_spark.pipeline.text import quality_score, tokens
+
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    profiled = (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            quality_score(F.col("text"), n).alias("quality"),
+            F.md5(F.col("text")).alias("h"),
+        )
+        .withColumn(
+            "exact_keep",
+            F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h")))
+        .drop("h")
+    )
+    losers = (
+        minhash_lsh_dedup_pairs(docs, threshold=dedup_threshold)
+        .select(F.col("y").alias("doc_id")).distinct()
+        .withColumn("near_loser", F.lit(True))
+    )
+    j = profiled.join(losers, "doc_id", "left")
+    return j.select(
+        "doc_id", "n_tokens",
+        "exact_keep",
+        F.coalesce("near_loser", F.lit(False)).alias("near_loser"),
+        F.when(F.col("n_tokens") < min_tokens, "short")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .when(~F.col("exact_keep"), "exact_dup")
+        .when(F.coalesce("near_loser", F.lit(False)), "near_dup")
+        .alias("dropped_by"),
+    )
+
+
+def curation_lineage_sql(min_tokens: int = 10, min_quality: float = 0.5,
+                         dedup_threshold: float = 0.7) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL, ngram_jaccard_sql
+    from hbase_indexer_spark.pipeline.text import QUALITY_SQL
+
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, text, {TOKS_SQL} AS toks,
+                   len({TOKS_SQL}) AS n_tokens
+            FROM documents
+        ),
+        prof AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens > 0 THEN ({QUALITY_SQL})
+                        ELSE 0.0 END AS quality,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                       AS exact_keep
+            FROM tk
+        ),
+        pairs AS ({ngram_jaccard_sql(dedup_threshold)}),
+        losers AS (SELECT DISTINCT y AS doc_id FROM pairs)
+        SELECT p.doc_id, p.n_tokens, p.exact_keep,
+               (l.doc_id IS NOT NULL) AS near_loser,
+               CASE WHEN p.n_tokens < {min_tokens} THEN 'short'
+                    WHEN p.quality < {min_quality} THEN 'low_quality'
+                    WHEN NOT p.exact_keep THEN 'exact_dup'
+                    WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+               END AS dropped_by
+        FROM prof p LEFT JOIN losers l ON p.doc_id = l.doc_id
+    """

@@ -106,3 +106,22 @@ def test_dedup_store_screen_matches_stateless_exact(spark, tmp_path):
                  for r in dedup_against(base, new,
                                         threshold=0.7).collect()}
     assert stateful == stateless
+
+
+def test_curation_lineage_consistent_with_curated_corpus(spark):
+    """dropped_by IS NULL <=> the doc survives curated_corpus."""
+    from hbase_indexer_spark.pipeline.curation import (
+        curated_corpus,
+        curation_lineage,
+    )
+
+    docs = _corpus(spark).withColumn("lang", F.lit("en"))
+    survivors = {r["doc_id"] for r in
+                 curated_corpus(docs, min_tokens=5, min_quality=0.1,
+                                dedup_threshold=0.7).collect()}
+    lineage = {r["doc_id"]: r["dropped_by"] for r in
+               curation_lineage(docs, min_tokens=5, min_quality=0.1,
+                                dedup_threshold=0.7).collect()}
+    assert {d for d, why in lineage.items() if why is None} == survivors
+    # the seeded exact copy is attributed to the exact stage
+    assert lineage[100] == "exact_dup"
