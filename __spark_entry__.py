@@ -1219,6 +1219,33 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold curve: near-dup pair counts at every 5% threshold
+    step from one exact pair pass — threshold selection as data."""
+    from hbase_indexer_spark.pipeline.dedup import jaccard_threshold_curve
+
+    return jaccard_threshold_curve(_docs(spark, sf_dir), floor=0.5)
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two snapshot halves (even/odd
+    vec_ids) — exact fixed-point centroid cosine."""
+    from hbase_indexer_spark.pipeline.similarity import embedding_drift
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
+                           emb.filter(F.col("vec_id") % 2 == 1))
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per source (chars per token, integer
+    totals); one combinable aggregation."""
+    from hbase_indexer_spark.pipeline.text import token_fertility
+
+    return token_fertility(_docs(spark, sf_dir), group_col="source")
+
+
 def q_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc curation provenance: the first stage that dropped each
     doc (short | low_quality | exact_dup | near_dup | NULL=survivor) —
@@ -1755,6 +1782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "curation_lineage": q_curation_lineage,
+        "jaccard_threshold_curve": q_jaccard_threshold_curve,
+        "embedding_drift": q_embedding_drift,
+        "token_fertility": q_token_fertility,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2356,6 +2386,17 @@ def oracle_sql() -> dict[str, str]:
 
     out["curation_lineage"] = curation_lineage_sql(
         min_tokens=10, min_quality=0.5, dedup_threshold=0.7)
+    from hbase_indexer_spark.pipeline.dedup import (
+        jaccard_threshold_curve_sql,
+    )
+
+    out["jaccard_threshold_curve"] = jaccard_threshold_curve_sql(floor=0.5)
+    from hbase_indexer_spark.pipeline.similarity import embedding_drift_sql
+
+    out["embedding_drift"] = embedding_drift_sql()
+    from hbase_indexer_spark.pipeline.text import token_fertility_sql
+
+    out["token_fertility"] = token_fertility_sql(group_col="source")
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "event_funnel",
     "retention_cohorts",
     "curation_lineage",
+    "jaccard_threshold_curve",
+    "embedding_drift",
+    "token_fertility",
 ]
 
 

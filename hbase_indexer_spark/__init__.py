@@ -100,6 +100,9 @@ _EXPORTS = {
     "event_funnel": "hbase_indexer_spark.plans.events",
     "retention_cohorts": "hbase_indexer_spark.plans.events",
     "curation_lineage": "hbase_indexer_spark.pipeline.curation",
+    "jaccard_threshold_curve": "hbase_indexer_spark.pipeline.dedup",
+    "embedding_drift": "hbase_indexer_spark.pipeline.similarity",
+    "token_fertility": "hbase_indexer_spark.pipeline.text",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

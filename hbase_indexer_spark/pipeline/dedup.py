@@ -1854,3 +1854,61 @@ def minhash_lsh_pairs_sql(threshold: float = 0.7, n: int = 3) -> str:
         WHERE CAST(n_inter AS DOUBLE)
               / CAST(sx.n_sh + sy.n_sh - n_inter AS DOUBLE) >= {threshold}
     """
+
+
+def jaccard_threshold_curve(docs: DataFrame, n: int = 3,
+                            floor: float = 0.5) -> DataFrame:
+    """The dedup threshold curve: how many near-dup pairs exist at each
+    candidate threshold — computed from ONE pass over the LSH-verified
+    pair set, so picking a threshold stops being guesswork ("0.7 drops
+    2x the pairs 0.8 does" becomes a queryable fact before committing a
+    corpus rebuild).
+
+    Returns ``(threshold_pct, n_pairs)`` where ``n_pairs`` counts pairs
+    with exact Jaccard >= threshold, for thresholds ``floor, floor+0.05
+    ... 0.95, 1.0``.
+
+    Pair generation is the EXACT inverted-index path: at a 0.5 floor
+    the 16x3 banding's per-pair recall is only ~0.88, which would bias
+    the low end of the curve exactly where it informs the decision —
+    an audit operator must not inherit the approximation it is sizing.
+    Scale: the inverted-index join is bounded by co-shingle pairs (cap
+    hot shingles upstream if needed); the curve itself is a bucket
+    count + suffix sum over ~10 aggregate rows."""
+    pairs = ngram_jaccard_pairs(docs, threshold=floor, n=n)
+    # bucket each pair at its highest passed 5%-step, then suffix-sum
+    steps = [round(floor + 0.05 * i, 2)
+             for i in range(int(round((1.0 - floor) / 0.05)) + 1)]
+    bucket = F.floor(F.col("jaccard") * 20 + 1e-9) * 5  # pct, 5%-steps
+    per_bucket = (
+        pairs.select(bucket.cast("int").alias("bpct"))
+        .groupBy("bpct").agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(int(round(s * 100)),) for s in steps], "threshold_pct int")
+    return (
+        grid.join(per_bucket, per_bucket.bpct >= grid.threshold_pct,
+                  "left")
+        .groupBy("threshold_pct")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_pairs"))
+    )
+
+
+def jaccard_threshold_curve_sql(n: int = 3, floor: float = 0.5) -> str:
+    steps = [round(floor + 0.05 * i, 2)
+             for i in range(int(round((1.0 - floor) / 0.05)) + 1)]
+    grid = ", ".join(f"({int(round(s * 100))})" for s in steps)
+    return f"""
+        WITH pairs AS ({ngram_jaccard_sql(floor, n)}),
+        buckets AS (
+            SELECT CAST(floor(jaccard * 20 + 1e-9) * 5 AS INTEGER)
+                       AS bpct,
+                   count(*) AS n
+            FROM pairs GROUP BY 1
+        ),
+        grid(threshold_pct) AS (VALUES {grid})
+        SELECT g.threshold_pct,
+               coalesce(sum(b.n), 0) AS n_pairs
+        FROM grid g LEFT JOIN buckets b ON b.bpct >= g.threshold_pct
+        GROUP BY g.threshold_pct
+    """

@@ -1194,3 +1194,85 @@ def ivf_int8_topk_sql(query_ids: list[int], k: int = 5, dim: int = 64,
             FROM cands
         ) WHERE rank <= {k}
     """
+
+
+def embedding_drift(emb_a: DataFrame, emb_b: DataFrame,
+                    label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots: the
+    cosine similarity of each label's centroid in A vs B — the "did the
+    embedding space move under me" audit run before mixing snapshots
+    produced by different encoder versions into one ANN index.
+
+    Built on :func:`label_centroids`' exact fixed-point sums, so the
+    drift numbers are deterministic: cosine is computed from the
+    micro-unit integer component sums (scale factors cancel).
+
+    Returns ``(label, n_a, n_b, centroid_cos)`` for labels present in
+    both (cosine NULL if either centroid is the zero vector).
+
+    Scale: two combinable (label, dim) aggregations; the drift join is
+    over ``labels x dim`` aggregate rows."""
+    a = label_centroids(emb_a, label_col, vec_col) \
+        .select("label", "dim", F.col("sum_micro").alias("sa"),
+                F.col("n_vecs").alias("n_a"))
+    b = label_centroids(emb_b, label_col, vec_col) \
+        .select("label", "dim", F.col("sum_micro").alias("sb"),
+                F.col("n_vecs").alias("n_b"))
+    j = a.join(b, ["label", "dim"])
+    agg = j.groupBy("label").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sa")).alias("ssa"),
+        F.sum(F.col("sb").cast("decimal(38,0)") * F.col("sb")).alias("ssb"),
+    )
+    return agg.select(
+        "label", "n_a", "n_b",
+        F.when(
+            (F.col("ssa") > 0) & (F.col("ssb") > 0),
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("ssa").cast("double")
+                     * F.col("ssb").cast("double")),
+        ).alias("centroid_cos"),
+    )
+
+
+def embedding_drift_sql(pred_a: str = "vec_id % 2 = 0",
+                        pred_b: str = "vec_id % 2 = 1",
+                        label_col: str = "label",
+                        table: str = "embeddings") -> str:
+    def side(pred, alias):
+        return f"""
+            SELECT {label_col} AS label, dim, sum(vm) AS s{alias},
+                   count(*) AS n_{alias}
+            FROM (
+                SELECT {label_col},
+                       CAST(unnest(range(1, len(embedding) + 1))
+                            AS INTEGER) - 1 AS dim,
+                       CAST(floor(unnest(CAST(embedding AS DOUBLE[]))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS vm
+                FROM {table} WHERE {pred}
+            )
+            GROUP BY 1, 2
+        """
+    return f"""
+        WITH a AS ({side(pred_a, 'a')}), b AS ({side(pred_b, 'b')}),
+        j AS (
+            SELECT a.label, a.sa, b.sb, a.n_a, b.n_b
+            FROM a JOIN b USING (label, dim)
+        ),
+        agg AS (
+            SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+                   sum(CAST(sa AS HUGEINT) * sb) AS dot,
+                   sum(CAST(sa AS HUGEINT) * sa) AS ssa,
+                   sum(CAST(sb AS HUGEINT) * sb) AS ssb
+            FROM j GROUP BY label
+        )
+        SELECT label, n_a, n_b,
+               CASE WHEN ssa > 0 AND ssb > 0
+                    THEN CAST(dot AS DOUBLE)
+                         / sqrt(CAST(ssa AS DOUBLE) * CAST(ssb AS DOUBLE))
+               END AS centroid_cos
+        FROM agg
+    """

@@ -856,3 +856,47 @@ def mixed_language_sql(size: int = 32) -> str:
                coalesce(v.n_langs > 1, FALSE) AS is_mixed
         FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
     """
+
+
+def token_fertility(docs: DataFrame,
+                    group_col: str = "source") -> DataFrame:
+    """Tokenizer-fertility audit per group: chars-per-token tells you
+    which sources will blow the token budget (a source averaging 3
+    chars/token costs ~2x the sequences of one averaging 6 for the same
+    bytes).  Emitted as exact integer totals so the ratio is derivable
+    and the row hash-stable: ``(group, n_docs, n_tokens, n_chars,
+    chars_per_token_x100)``.
+
+    Scale: one combinable aggregation over a map-only profile."""
+    t = tokens(F.col("text"))
+    return (
+        docs.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(t)).cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_docs", "n_tokens", "n_chars",
+            # guarded: an all-empty-doc group would ANSI-throw on div 0
+            F.when(F.col("n_tokens") > 0,
+                   F.expr("(100 * n_chars) div n_tokens"))
+            .alias("chars_per_token_x100"),
+        )
+    )
+
+
+def token_fertility_sql(group_col: str = "source") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        SELECT {group_col}, count(*) AS n_docs,
+               sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS n_tokens,
+               sum(CAST(len(text) AS BIGINT)) AS n_chars,
+               CASE WHEN sum(len({TOKS_SQL})) > 0
+                    THEN (100 * sum(CAST(len(text) AS BIGINT)))
+                         // sum(CAST(len({TOKS_SQL}) AS BIGINT)) END
+                   AS chars_per_token_x100
+        FROM documents
+        GROUP BY {group_col}
+    """

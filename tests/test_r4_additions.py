@@ -688,3 +688,58 @@ def test_retention_cohorts_grid(spark):
     norm = {(c - base, o): n for (c, o), n in out.items()}
     assert norm[(0, 0)] == 1 and norm[(0, 1)] == 1 and norm[(0, 2)] == 1
     assert norm[(1, 0)] == 1 and norm[(1, 1)] == 1
+
+
+# --------------------------------------------------- threshold curve
+
+def test_threshold_curve_monotone_and_counts(spark):
+    from hbase_indexer_spark.pipeline.dedup import jaccard_threshold_curve
+
+    near = LONG_A.replace("kappa", "lambda")      # J ~ 0.78 (7/9)
+    docs = _docs(spark, [(1, LONG_A), (2, LONG_A), (3, near), (4, LONG_B)])
+    out = {r["threshold_pct"]: r["n_pairs"] for r in
+           jaccard_threshold_curve(docs, floor=0.5).collect()}
+    # monotone non-increasing with threshold
+    ts = sorted(out)
+    assert all(out[a] >= out[b] for a, b in zip(ts, ts[1:]))
+    assert out[100] == 1      # only the exact pair survives J >= 1.0
+    assert out[50] >= 3       # 1-2, 1-3, 2-3 all above 0.5
+
+
+# ------------------------------------------------------ embedding drift
+
+def test_embedding_drift_identical_and_rotated(spark):
+    from hbase_indexer_spark.pipeline.similarity import embedding_drift
+
+    schema = "vec_id long, embedding array<float>, label string"
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [0.9, 0.1], "x"),
+         (3, [0.0, 1.0], "y")], schema)
+    same = spark.createDataFrame(
+        [(11, [1.0, 0.0], "x"), (12, [0.9, 0.1], "x"),
+         (13, [0.0, 1.0], "y")], schema)
+    flipped = spark.createDataFrame(
+        [(21, [0.0, 1.0], "x"), (23, [0.0, 1.0], "y")], schema)
+    out = {r["label"]: r["centroid_cos"]
+           for r in embedding_drift(a, same).collect()}
+    assert abs(out["x"] - 1.0) < 1e-9 and abs(out["y"] - 1.0) < 1e-9
+    out2 = {r["label"]: r["centroid_cos"]
+            for r in embedding_drift(a, flipped).collect()}
+    assert out2["x"] < 0.2    # x centroid rotated ~90 degrees
+    assert abs(out2["y"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------------ token fertility
+
+def test_token_fertility_totals(spark):
+    from hbase_indexer_spark.pipeline.text import token_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "ab cd"), (2, "s1", "efg"), (3, "s2", "")],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in
+           token_fertility(docs, group_col="source").collect()}
+    assert out["s1"]["n_tokens"] == 3 and out["s1"]["n_chars"] == 8
+    assert out["s1"]["chars_per_token_x100"] == 266   # 800 div 3
+    assert out["s2"]["n_tokens"] == 0
+    assert out["s2"]["chars_per_token_x100"] is None
