@@ -1219,6 +1219,31 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (even vs odd doc_ids) per source: docs
+    added/removed/unchanged by content hash — the publish release-notes
+    table; text never crosses the shuffle."""
+    from hbase_indexer_spark.pipeline.curation import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    return snapshot_diff(docs.filter(F.col("doc_id") % 2 == 0),
+                         docs.filter(F.col("doc_id") % 2 == 1))
+
+
+def q_pack_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pack continuation: the odd-id half packed AFTER the
+    even-id half's token total (start_offset) — accepted data never
+    re-packs; equality with whole-corpus packing pinned in tests."""
+    from hbase_indexer_spark.pipeline.pack import pack_sequences
+    from hbase_indexer_spark.pipeline.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    off = base.select(F.sum(token_count(F.col("text")))).first()[0] or 0
+    return pack_sequences(new, seq_len=128, start_offset=int(off))
+
+
 def q_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold curve: near-dup pair counts at every 5% threshold
     step from one exact pair pass — threshold selection as data."""
@@ -1785,6 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_threshold_curve": q_jaccard_threshold_curve,
         "embedding_drift": q_embedding_drift,
         "token_fertility": q_token_fertility,
+        "snapshot_diff": q_snapshot_diff,
+        "pack_append": q_pack_append,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2391,6 +2418,41 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["jaccard_threshold_curve"] = jaccard_threshold_curve_sql(floor=0.5)
+    from hbase_indexer_spark.pipeline.curation import snapshot_diff_sql
+
+    out["snapshot_diff"] = snapshot_diff_sql()
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL as _TOKS
+
+    out["pack_append"] = f"""
+        WITH off AS (
+            SELECT coalesce(sum(CAST(len({_TOKS}) AS BIGINT)), 0) AS o
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        tk AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   (SELECT o FROM off)
+                   + coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_token
+            FROM tk
+        )
+        SELECT doc_id, n_tokens, start_token,
+               CASE WHEN n_tokens > 0
+                    THEN start_token // 128 END AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_token + n_tokens - 1) // 128
+                    END AS last_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_token + n_tokens - 1) // 128
+                         - start_token // 128 + 1
+                    ELSE 0 END AS n_seqs
+        FROM c
+    """
     from hbase_indexer_spark.pipeline.similarity import embedding_drift_sql
 
     out["embedding_drift"] = embedding_drift_sql()

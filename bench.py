@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "jaccard_threshold_curve",
     "embedding_drift",
     "token_fertility",
+    "snapshot_diff",
+    "pack_append",
 ]
 
 

@@ -103,6 +103,7 @@ _EXPORTS = {
     "jaccard_threshold_curve": "hbase_indexer_spark.pipeline.dedup",
     "embedding_drift": "hbase_indexer_spark.pipeline.similarity",
     "token_fertility": "hbase_indexer_spark.pipeline.text",
+    "snapshot_diff": "hbase_indexer_spark.pipeline.curation",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

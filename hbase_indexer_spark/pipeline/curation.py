@@ -860,3 +860,64 @@ def curation_lineage_sql(min_tokens: int = 10, min_quality: float = 0.5,
                END AS dropped_by
         FROM prof p LEFT JOIN losers l ON p.doc_id = l.doc_id
     """
+
+
+def snapshot_diff(base: DataFrame, new: DataFrame,
+                  group_col: str = "source") -> DataFrame:
+    """Corpus snapshot diff by content hash, per group: how many docs
+    each source added, removed, or carried over between two snapshots —
+    the release-notes table for a corpus publish ("web refreshed 40%,
+    books unchanged").
+
+    Returns ``({group_col}, n_added, n_removed, n_unchanged)``.
+    A doc counts as unchanged when its exact content hash appears in
+    both snapshots (doc_id may differ — re-crawls renumber).
+
+    Scale: both snapshots reduce to (group, hash) — one map pass each —
+    and the verdict is a full-outer join on the hash pairs; text never
+    crosses the shuffle."""
+    a = base.select(F.col(group_col).alias("grp"),
+                    F.md5("text").alias("h")).distinct() \
+        .withColumn("in_a", F.lit(1))
+    b = new.select(F.col(group_col).alias("grp"),
+                   F.md5("text").alias("h")).distinct() \
+        .withColumn("in_b", F.lit(1))
+    return (
+        a.join(b, ["grp", "h"], "full_outer")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum(F.when(F.col("in_a").isNull(), 1).otherwise(0))
+            .alias("n_added"),
+            F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0))
+            .alias("n_removed"),
+            F.sum(F.when(F.col("in_a").isNotNull()
+                         & F.col("in_b").isNotNull(), 1).otherwise(0))
+            .alias("n_unchanged"),
+        )
+    )
+
+
+def snapshot_diff_sql(base_pred: str = "doc_id % 2 = 0",
+                      new_pred: str = "doc_id % 2 = 1",
+                      group_col: str = "source") -> str:
+    return f"""
+        WITH a AS (
+            SELECT DISTINCT {group_col} AS grp, md5(text) AS h
+            FROM documents WHERE {base_pred}
+        ),
+        b AS (
+            SELECT DISTINCT {group_col} AS grp, md5(text) AS h
+            FROM documents WHERE {new_pred}
+        ),
+        j AS (
+            SELECT coalesce(a.grp, b.grp) AS grp,
+                   (a.h IS NOT NULL) AS in_a, (b.h IS NOT NULL) AS in_b
+            FROM a FULL OUTER JOIN b ON a.grp = b.grp AND a.h = b.h
+        )
+        SELECT grp AS {group_col},
+               sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_added,
+               sum(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS n_removed,
+               sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                   AS n_unchanged
+        FROM j GROUP BY grp
+    """

@@ -39,7 +39,8 @@ DEFAULT_BLOCKS = 4096
 
 
 def pack_sequences(docs: DataFrame, seq_len: int = 128,
-                   block_size: int | None = None) -> DataFrame:
+                   block_size: int | None = None,
+                   start_offset: int = 0) -> DataFrame:
     """Assign every document its token span in the packed corpus.
 
     Returns one row per input doc::
@@ -55,6 +56,12 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128,
     blocks; pass it explicitly to pin the physical plan (the OUTPUT is
     identical for any block_size >= 1 — pinned by
     tests/test_pack.py::test_block_size_invariant).
+
+    ``start_offset`` continues an EXISTING packed corpus: pass the
+    previous snapshot's total token count and the new batch's spans
+    append after it without re-packing a byte of accepted data —
+    ``pack(all) == pack(part1) ++ pack(part2, start_offset=
+    sum(part1))`` (pinned by test_pack_append_continuation).
     """
     counts = docs.select(
         F.col("doc_id"),
@@ -65,10 +72,12 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128,
         # available); makes B ~ DEFAULT_BLOCKS regardless of id range
         mx = counts.agg(F.max("doc_id")).first()[0] or 0
         block_size = max(1, (int(mx) + DEFAULT_BLOCKS) // DEFAULT_BLOCKS)
-    return _pack_by(counts, seq_len, block_size).drop("_ord")
+    return _pack_by(counts, seq_len, block_size,
+                    start_offset=start_offset).drop("_ord")
 
 
-def _pack_by(counts: DataFrame, seq_len: int, block_size: int) -> DataFrame:
+def _pack_by(counts: DataFrame, seq_len: int, block_size: int,
+             start_offset: int = 0) -> DataFrame:
     """The two-level prefix scan over ``(doc_id, n_tokens, _ord)``:
     stream order is ascending ``_ord`` (blocks = ``_ord div block_size``,
     order-preserving).  Shared by pack_sequences (_ord = doc_id) and
@@ -99,7 +108,8 @@ def _pack_by(counts: DataFrame, seq_len: int, block_size: int) -> DataFrame:
         counts.join(F.broadcast(block_off), "block")
         .withColumn(
             "start_token",
-            F.col("block_start")
+            F.lit(start_offset).cast("long")
+            + F.col("block_start")
             + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
         )
     )

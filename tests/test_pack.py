@@ -165,3 +165,27 @@ def test_shuffled_pack_tiles_and_matches_order(spark, sf_dir):
     nonzero = [r for r in rows]
     assert [r["doc_id"] for r in nonzero] == \
         [d for d, _ in sorted(pos.items(), key=lambda kv: kv[1])]
+
+
+def test_pack_append_continuation(spark):
+    """pack(all) == pack(first half) ++ pack(second half, start_offset=
+    tokens(first half)) — the incremental-append contract: accepted
+    data never re-packs."""
+    from pyspark.sql import functions as F
+
+    from hbase_indexer_spark.pipeline.pack import pack_sequences
+    from hbase_indexer_spark.pipeline.text import token_count
+
+    rows = [(i, " ".join(["w"] * (i % 9 + 1))) for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r["doc_id"]: tuple(r)
+            for r in pack_sequences(docs, seq_len=7).collect()}
+    p1 = docs.filter(F.col("doc_id") < 12)
+    p2 = docs.filter(F.col("doc_id") >= 12)
+    off = p1.select(F.sum(token_count(F.col("text")))).first()[0]
+    part = {r["doc_id"]: tuple(r)
+            for r in pack_sequences(p1, seq_len=7).collect()}
+    part.update({r["doc_id"]: tuple(r)
+                 for r in pack_sequences(p2, seq_len=7,
+                                         start_offset=int(off)).collect()})
+    assert part == full

@@ -743,3 +743,23 @@ def test_token_fertility_totals(spark):
     assert out["s1"]["chars_per_token_x100"] == 266   # 800 div 3
     assert out["s2"]["n_tokens"] == 0
     assert out["s2"]["chars_per_token_x100"] is None
+
+
+# -------------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_counts(spark):
+    from hbase_indexer_spark.pipeline.curation import snapshot_diff
+
+    sch = "doc_id long, source string, text string"
+    base = spark.createDataFrame(
+        [(1, "web", "kept page"), (2, "web", "dropped page"),
+         (3, "books", "stable book")], sch)
+    new = spark.createDataFrame(
+        [(10, "web", "kept page"), (11, "web", "fresh page"),
+         (13, "books", "stable book")], sch)
+    out = {r["source"]: r for r in snapshot_diff(base, new).collect()}
+    assert out["web"]["n_added"] == 1      # fresh page
+    assert out["web"]["n_removed"] == 1    # dropped page
+    assert out["web"]["n_unchanged"] == 1  # kept page (id changed)
+    assert out["books"]["n_unchanged"] == 1
+    assert out["books"]["n_added"] == 0 and out["books"]["n_removed"] == 0
