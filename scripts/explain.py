@@ -451,6 +451,23 @@ CHECKS = {
         [r"BroadcastHashJoin", r"array_sort"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # audits: combinable partials only; no windows over data tables
+    "token_fertility": (
+        [r"partial_count", r"partial_sum"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    "snapshot_diff": (
+        [r"partial_sum", r"FullOuter"],
+        [r"Window", r"CartesianProduct", *NO_PYTHON],
+    ),
+    "embedding_drift": (
+        [r"Generate", r"partial_sum"],
+        [r"Window", r"CartesianProduct", r"SortMergeJoin", *NO_PYTHON],
+    ),
+    "jaccard_threshold_curve": (
+        [r"partial_count"],
+        [r"Window", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

@@ -198,3 +198,45 @@ def test_curation_stream_end_to_end(spark, tmp_path):
     verd = {r["doc_id"]: r["keep"] for r in store.screen(
         spark, spark.createDataFrame([(20, long_b)], doc_schema)).collect()}
     assert verd[20] is False
+
+
+def test_curation_stream_survives_restart(spark, tmp_path):
+    """Stop after batch 1, start a FRESH query on the same checkpoint +
+    stores: batch 2's duplicates of batch-1 content still drop — the
+    pause/resume contract (T4) holds for the pipeline side too."""
+    from hbase_indexer_spark.pipeline.dedup_store import DedupIndexStore
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.dedup_stream import curation_stream
+
+    doc_schema = "doc_id long, text string"
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(rows, name):
+        import shutil
+
+        df = spark.createDataFrame(rows, doc_schema)
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        for f in stage.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    store = DedupIndexStore(str(tmp_path / "dd"))
+    corpus = IndexStore(str(tmp_path / "corpus"), key="doc_id")
+
+    def run_once():
+        stream = spark.readStream.schema(doc_schema).parquet(str(src))
+        q = curation_stream(stream, store, corpus,
+                            checkpoint=str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+
+    drop([(1, long_a)], "b0")
+    run_once()  # first query lifetime ends here (simulated crash/stop)
+
+    drop([(10, long_a), (11, "genuinely new content here today")], "b1")
+    run_once()  # fresh query object, same checkpoint + stores
+
+    got = {r["doc_id"] for r in corpus.read(spark).collect()}
+    assert got == {1, 11}  # 10 dropped against state built pre-restart
