@@ -1219,6 +1219,17 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free exact media dedup by payload bytes (the first dedup a
+    multimodal corpus gets — before any decoder runs)."""
+    from hbase_indexer_spark.pipeline.multimodal import (
+        media_dedup,
+        media_fixture,
+    )
+
+    return media_dedup(media_fixture(spark, sf_dir))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (even vs odd doc_ids) per source: docs
     added/removed/unchanged by content hash — the publish release-notes
@@ -1812,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": q_token_fertility,
         "snapshot_diff": q_snapshot_diff,
         "pack_append": q_pack_append,
+        "media_dedup": q_media_dedup,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2421,6 +2433,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.curation import snapshot_diff_sql
 
     out["snapshot_diff"] = snapshot_diff_sql()
+    from hbase_indexer_spark.pipeline.multimodal import media_dedup_sql
+
+    out["media_dedup"] = media_dedup_sql()
     from hbase_indexer_spark.pipeline.dedup import TOKS_SQL as _TOKS
 
     out["pack_append"] = f"""

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "token_fertility",
     "snapshot_diff",
     "pack_append",
+    "media_dedup",
 ]
 
 

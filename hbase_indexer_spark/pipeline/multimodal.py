@@ -143,3 +143,55 @@ MEDIA_FEATURES_SQL = """
            CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
     FROM documents
 """
+
+
+def media_dedup(df: DataFrame) -> DataFrame:
+    """Exact media deduplication by PAYLOAD BYTES — no codec required,
+    which is precisely why it's the first dedup any multimodal corpus
+    gets: identical files dedup before a single decoder runs.  Keeper =
+    lowest doc_id per (media_type, md5(payload), byte length); the
+    length rides along so a (vanishingly unlikely) md5 collision across
+    different sizes can't merge.
+
+    Returns ``(doc_id, media_type, keeper_id, is_canonical)``.
+
+    Scale: one map pass hashes payloads (bytes never shuffle — only the
+    32-hex digest does) + one combinable min per hash group."""
+    hashed = df.select(
+        "doc_id", "media_type",
+        F.md5(F.col("payload")).alias("h"),
+        F.length(F.col("payload")).alias("blen"),
+    )
+    keepers = hashed.groupBy("media_type", "h", "blen").agg(
+        F.min("doc_id").alias("keeper_id"))
+    return (
+        hashed.join(keepers, ["media_type", "h", "blen"])
+        .select(
+            "doc_id", "media_type", "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
+        )
+    )
+
+
+def media_dedup_sql() -> str:
+    """DuckDB mirror over the deterministic media fixture (payload =
+    utf-8 text bytes; same routing expression as media_fixture)."""
+    return """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   md5(text) AS h,  -- md5 hashes utf-8 bytes: same
+                                    -- digest as Spark's md5(payload)
+                   octet_length(encode(text)) AS blen
+            FROM documents
+        ),
+        k AS (
+            SELECT media_type, h, blen, min(doc_id) AS keeper_id
+            FROM m GROUP BY 1, 2, 3
+        )
+        SELECT m.doc_id, m.media_type, k.keeper_id,
+               (m.doc_id = k.keeper_id) AS is_canonical
+        FROM m JOIN k USING (media_type, h, blen)
+    """

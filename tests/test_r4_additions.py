@@ -763,3 +763,25 @@ def test_snapshot_diff_counts(spark):
     assert out["web"]["n_unchanged"] == 1  # kept page (id changed)
     assert out["books"]["n_unchanged"] == 1
     assert out["books"]["n_added"] == 0 and out["books"]["n_removed"] == 0
+
+
+# ---------------------------------------------------------- media dedup
+
+def test_media_dedup_codec_free(spark):
+    from hbase_indexer_spark.pipeline.multimodal import media_dedup
+
+    rows = [
+        (1, "image", bytearray(b"\x00\x01\x02"), 1, 1, 0),
+        (2, "image", bytearray(b"\x00\x01\x02"), 9, 9, 0),  # same bytes
+        (3, "audio", bytearray(b"\x00\x01\x02"), 0, 0, 1),  # other modality
+        (4, "image", bytearray(b"\xff"), 1, 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary, "
+              "width int, height int, sample_rate int")
+    out = {r["doc_id"]: r for r in media_dedup(df).collect()}
+    assert out[1]["is_canonical"] and out[2]["keeper_id"] == 1
+    assert not out[2]["is_canonical"]
+    # identical bytes in a different modality dedup independently
+    assert out[3]["is_canonical"] and out[3]["keeper_id"] == 3
+    assert out[4]["is_canonical"]
