@@ -48,6 +48,9 @@ ALLOW_BNLJ = {
     # 1-row first-step crossJoin both operate on AGGREGATE tables
     # (<= n_steps+1 rows each) — constant-size loops, not data joins.
     "event_funnel",
+    # threshold curve: the same suffix-sum theta-join over ~10 grid
+    # rows x ~10 Jaccard-bucket aggregate rows.
+    "jaccard_threshold_curve",
 }
 
 
