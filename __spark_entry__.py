@@ -1219,6 +1219,14 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir), span=10)
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus executive summary (volumes, breadth, dup rate);
+    single combinable-aggregate scan."""
+    from hbase_indexer_spark.pipeline.curation import corpus_summary
+
+    return corpus_summary(_docs(spark, sf_dir))
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free exact media dedup by payload bytes (the first dedup a
     multimodal corpus gets — before any decoder runs)."""
@@ -1824,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "pack_append": q_pack_append,
         "media_dedup": q_media_dedup,
+        "corpus_summary": q_corpus_summary,
         # rotated out of the window by the r4 late-round rotation (see the
         # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
@@ -2436,6 +2445,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.multimodal import media_dedup_sql
 
     out["media_dedup"] = media_dedup_sql()
+    from hbase_indexer_spark.pipeline.curation import corpus_summary_sql
+
+    out["corpus_summary"] = corpus_summary_sql()
     from hbase_indexer_spark.pipeline.dedup import TOKS_SQL as _TOKS
 
     out["pack_append"] = f"""

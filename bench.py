@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "pack_append",
     "media_dedup",
+    "corpus_summary",
 ]
 
 

@@ -104,6 +104,7 @@ _EXPORTS = {
     "embedding_drift": "hbase_indexer_spark.pipeline.similarity",
     "token_fertility": "hbase_indexer_spark.pipeline.text",
     "snapshot_diff": "hbase_indexer_spark.pipeline.curation",
+    "corpus_summary": "hbase_indexer_spark.pipeline.curation",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

@@ -921,3 +921,57 @@ def snapshot_diff_sql(base_pred: str = "doc_id % 2 = 0",
                    AS n_unchanged
         FROM j GROUP BY grp
     """
+
+
+def corpus_summary(docs: DataFrame) -> DataFrame:
+    """One-row executive summary of a corpus snapshot: volumes, source/
+    language breadth, and the exact-duplicate rate — the number that
+    opens every corpus review.  ``dup_pct`` is an integer percent of
+    docs that are NOT the first copy of their content.
+
+    Scale: one scan with combinable aggregates; the distinct-hash count
+    rides the same pass (two-phase count distinct)."""
+    return (
+        docs.select(
+            "doc_id", "source", "lang",
+            F.md5("text").alias("h"),
+            token_count_col(),
+            F.length("text").alias("_chars"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_chars").alias("n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+        .select(
+            "n_docs", "n_tokens", "n_chars", "n_sources", "n_langs",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dup_docs"),
+            F.expr("(100 * (n_docs - n_distinct)) div n_docs")
+            .alias("dup_pct"),
+        )
+    )
+
+
+def token_count_col():
+    from hbase_indexer_spark.pipeline.text import token_count
+
+    return token_count(F.col("text")).cast("long").alias("_tok")
+
+
+def corpus_summary_sql() -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        SELECT count(*) AS n_docs,
+               sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS n_tokens,
+               sum(CAST(len(text) AS BIGINT)) AS n_chars,
+               count(DISTINCT source) AS n_sources,
+               count(DISTINCT lang) AS n_langs,
+               count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+               (100 * (count(*) - count(DISTINCT md5(text)))) // count(*)
+                   AS dup_pct
+        FROM documents
+    """

@@ -74,3 +74,48 @@ def test_sketch_size_is_text_independent(spark):
     big = " ".join(f"w{i}" for i in range(500))
     sk = doc_sketches(_df(spark, [(1, big)])).collect()[0]
     assert len(sk["sig"]) == 48  # fixed-size sketch however long the doc
+
+
+def test_signature_estimate_tracks_exact_jaccard(spark):
+    """The store's near verdict rests on the MinHash estimate (matching
+    sigs / 48).  Construct pairs across the Jaccard range from
+    controlled shingle overlap and assert the estimator brackets the
+    exact value within 3 sigma (sqrt(J(1-J)/48))."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbase_indexer_spark.pipeline.dedup import (
+        N_SIGS,
+        exploded_shingles,
+        sigs_from_shingles,
+    )
+
+    # doc pairs sharing k of 20 trigram-shingles: J = k / (40 - k)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for pi, k in enumerate([4, 10, 16, 19]):
+        base = pi * 50
+        shared = [" ".join(vocab[base + 3 * j: base + 3 * j + 3])
+                  for j in range(20)]
+        a = shared[:20]
+        extra = [" ".join([f"x{pi}_{j}a", f"x{pi}_{j}b", f"x{pi}_{j}c"])
+                 for j in range(20 - k)]
+        b = shared[:k] + extra
+        rows.append((2 * pi, " ".join(a)))
+        rows.append((2 * pi + 1, " ".join(b)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = exploded_shingles(docs, 3)
+    sigs = sigs_from_shingles(sh).collect()
+    by_id = {r["doc_id"]: [r[f"s{i}"] for i in range(N_SIGS)] for r in sigs}
+    sh_sets = {}
+    for r in sh.collect():
+        sh_sets.setdefault(r["doc_id"], set()).add(r["sh"])
+    for pi in range(4):
+        x, y = 2 * pi, 2 * pi + 1
+        inter = len(sh_sets[x] & sh_sets[y])
+        union = len(sh_sets[x] | sh_sets[y])
+        exact = inter / union
+        est = sum(1 for a, b in zip(by_id[x], by_id[y]) if a == b) / N_SIGS
+        sigma = math.sqrt(exact * (1 - exact) / N_SIGS)
+        assert abs(est - exact) <= 3 * sigma + 1e-9, (pi, exact, est)
