@@ -1689,11 +1689,115 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries.  Reference-parity gates (SURVEY §2 rows) come first, then
-    # the LLM-training-pipeline operators; TPC-H-shaped analytics and
-    # §2.7 extension surfaces (stable green since r1) follow at 51+.
+    # entries.
+    #
+    # r5 rotation (VERDICT r4 "Next round" #2): every one of the 48
+    # multi-round-green rows moved below the line, and the window now
+    # holds the two r4 reds (corpus_report / pack_sequences — both were
+    # value-correct; the bug was the DuckDB oracle returning HUGEINT for
+    # uncast sum()/'//', fixed this round by CASTing every aggregate
+    # output to BIGINT, pinned repo-wide by tests/test_oracle_types.py)
+    # plus 48 queries the driver has NEVER checked (r1–r4 gated 74
+    # distinct queries; the other 76 rested on the local sweep only).
+    # The remaining 28 never-checked rows sit immediately after the
+    # window, first in line for the r6 rotation: 13 pipeline/analysis
+    # rows (dup_size_histogram, vocab_by_lang, ngram_containment,
+    # simhash_near_dups, ngram_topk, pii_scrub, event_grouping,
+    # media_features, ann_ivf_topk, stratified_sample,
+    # embedding_quantize, token_freq_spectrum, normalize_text) and the
+    # 15 TPC-H analytics never gated (their 12 siblings were r1+r2
+    # driver-green, same DECIMAL-intermediate recipe).
     return {name: _pinned(fn) for name, fn in {
-        # --- reference-parity core (SURVEY §2 S/K/P/F/J/A/T/U rows) ---
+        # ------------- 50-query driver gate window -------------
+        # the two r4 reds, fixed — must stay in-window until recorded green
+        "corpus_report": q_corpus_report,
+        "pack_sequences": q_pack_sequences,
+        # never-driver-checked: curation / corpus health
+        "corpus_summary": q_corpus_summary,
+        "training_corpus": q_training_corpus,
+        "decontaminate": q_decontaminate,
+        "quality_deciles": q_quality_deciles,
+        "curation_lineage": q_curation_lineage,
+        "mixture_resample": q_mixture_resample,
+        "token_budget_sample": q_token_budget_sample,
+        "fixed_k_sample": q_fixed_k_sample,
+        "curriculum_order": q_curriculum_order,
+        "epoch_expand": q_epoch_expand,
+        "snapshot_diff": q_snapshot_diff,
+        # never-driver-checked: dedup family
+        "bloom_screen": q_bloom_screen,
+        "dedup_keep_best": q_dedup_keep_best,
+        "cdc_dedup": q_cdc_dedup,
+        "media_dedup": q_media_dedup,
+        "dedup_pair_quality": q_dedup_pair_quality,
+        "jaccard_threshold_curve": q_jaccard_threshold_curve,
+        "ngram_novelty": q_ngram_novelty,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
+        # never-driver-checked: packing / layout
+        "sequence_manifest": q_sequence_manifest,
+        "packed_sequence_text": q_packed_sequence_text,
+        "shuffle_order": q_shuffle_order,
+        "shuffled_pack": q_shuffled_pack,
+        "pack_append": q_pack_append,
+        "chunk_documents": q_chunk_documents,
+        "shard_manifest": q_shard_manifest,
+        # never-driver-checked: text / corpus statistics
+        "language_histogram": q_language_histogram,
+        "vocab_estimate": q_vocab_estimate,
+        "vocab_overlap": q_vocab_overlap,
+        "gopher_rules": q_gopher_rules,
+        "char_entropy": q_char_entropy,
+        "mixed_language": q_mixed_language,
+        "token_fertility": q_token_fertility,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "nll_outliers": q_nll_outliers,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        # never-driver-checked: embedding space / ANN
+        "label_centroids": q_label_centroids,
+        "knn_label_vote": q_knn_label_vote,
+        "embedding_drift": q_embedding_drift,
+        "ann_int8_rerank": q_ann_int8_rerank,
+        "ann_ivf_int8": q_ann_ivf_int8,
+        "ann_recall_report": q_ann_recall_report,
+        # never-driver-checked: event analytics
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        # ------------- 50-query gate window ends here -------------
+        # r6 rotation pool: the 28 still-never-driver-checked rows, in
+        # line order — swap these in once the window above records green.
+        "dup_size_histogram": q_dup_size_histogram,
+        "vocab_by_lang": q_vocab_by_lang,
+        "ngram_containment": q_ngram_containment,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_topk": q_ngram_topk,
+        "pii_scrub": q_pii_scrub,
+        "event_grouping": q_event_grouping,
+        "media_features": q_media_features,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "stratified_sample": q_stratified_sample,
+        "embedding_quantize": q_embedding_quantize,
+        "token_freq_spectrum": q_token_freq_spectrum,
+        "normalize_text": q_normalize_text,
+        "top_revenue_supplier": _analytics("top_revenue_supplier"),
+        "pricing_summary": _analytics("pricing_summary"),
+        "top_customers_per_nation": _analytics("top_customers_per_nation"),
+        "revenue_rollup": _analytics("revenue_rollup"),
+        "revenue_forecast": _analytics("revenue_forecast"),
+        "top_unshipped_orders": _analytics("top_unshipped_orders"),
+        "regional_revenue": _analytics("regional_revenue"),
+        "promo_part_revenue": _analytics("promo_part_revenue"),
+        "supplier_nation_balance": _analytics("supplier_nation_balance"),
+        "order_priority_check": _analytics("order_priority_check"),
+        "customer_order_distribution": _analytics("customer_order_distribution"),
+        "large_orders": _analytics("large_orders"),
+        "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
+        "priority_shipping_stats": _analytics("priority_shipping_stats"),
+        "part_supplier_variety": _analytics("part_supplier_variety"),
+        # --- reference-parity core (SURVEY §2), driver-green r1–r4 ---
         "row_index_customer": q_row_index_customer,
         "xml_conf_index": q_xml_conf_index,
         "column_index_orders": q_column_index_orders,
@@ -1725,7 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "skew_salted_user_stats": q_skew_salted_user_stats,
         "udaf_event_stats": q_udaf_event_stats,
-        # --- LLM training-data pipeline (first-class, BASELINE north star) ---
+        # --- LLM pipeline rows, driver-green in an earlier round ---
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash": q_simhash,
@@ -1738,121 +1842,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_verified": q_ann_lsh_verified,
         "ann_ivf_verified": q_ann_ivf_verified,
         "media_frame_sample": q_media_frame_sample,
-        # r4 rotation: sliding_event_rates and user_event_history were the
-        # only queries whose last recorded gate status was FAIL (r2 ts bug,
-        # fixed in r3 but never re-gated) — they MUST sit inside the checked
-        # prefix until recorded green.  nation_set_ops re-enters for the
-        # same reason (last gated r2).  Swapped out: the no-oracle approx-ANN
-        # rows (ann_lsh_verified / ann_ivf_verified now gate those paths
-        # exactly) and three stable-green pure-Catalyst trivials
-        # (text_profile, token_stats, repetition_filter — green r2+r3,
-        # unchanged since).
         "sliding_event_rates": q_sliding_event_rates,
         "user_event_history": q_user_event_history,
         "nation_set_ops": q_nation_set_ops,
-        # r4 rotation (late-round additions): four new operators enter so
-        # the driver gates the round's new surface NOW instead of waiting
-        # for r5.  Swapped out, each stable green r2+r3+local sweeps and
-        # subsumed by an in-window sibling: prefix_qualifiers /
-        # positional_fields (variants of prefix_values / dynamic_fields),
-        # ngram_jaccard_dedup + minhash_signatures (baseline + ingredient
-        # of the gated minhash_lsh_dedup path).  Nothing red or new moves
-        # out — the window only ever sheds multi-round-green rows.
         "dedup_against": q_dedup_against,
-        "corpus_report": q_corpus_report,
-        "pack_sequences": q_pack_sequences,
         "tfidf_topk": q_tfidf_topk,
-        # ------------- 50-query gate window ends here -------------
-        # r5 rotation plan: once sliding_event_rates / user_event_history /
-        # nation_set_ops record green (this round), swap them out for the
-        # strongest r4 additions (dedup_against, pack_sequences,
-        # packed_sequence_text, mixture_resample, tfidf_topk,
-        # unigram_logprob, gopher_rules, sequence_manifest — plus
-        # training_corpus / decontaminate / vocab_estimate from the r4
-        # backlog) so the driver gates the new surface too.  All r4
-        # additions are locally sweep-verified at sf0.001/0.01/0.1
-        # (CHECK_LOCAL_r04*.txt).
-        # rotated out of the window for r4's span_dedup (stable-green since
-        # r3 and pinned by tests/test_curation.py + the local sweeps)
         "train_test_split": q_train_test_split,
         "text_profile": q_text_profile,
         "token_stats": q_token_stats,
         "repetition_filter": q_repetition_filter,
-        "language_histogram": q_language_histogram,
-        "embedding_quantize": q_embedding_quantize,
-        "vocab_estimate": q_vocab_estimate,
-        "token_freq_spectrum": q_token_freq_spectrum,
-        "training_corpus": q_training_corpus,
-        "sequence_manifest": q_sequence_manifest,
-        "packed_sequence_text": q_packed_sequence_text,
-        "gopher_rules": q_gopher_rules,
-        "bigram_logprob": q_bigram_logprob,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "vocab_overlap": q_vocab_overlap,
-        "char_entropy": q_char_entropy,
-        "shuffle_order": q_shuffle_order,
-        "shuffled_pack": q_shuffled_pack,
-        "normalize_text": q_normalize_text,
-        "winnow_overlap": q_winnow_overlap,
-        "mixture_resample": q_mixture_resample,
-        "unigram_logprob": q_unigram_logprob,
-        # r4 continuation additions (sweep-checked now, r5 rotation pool):
-        # bloom-prefilter exact screen, quality-canonical keeper,
-        # RAG chunker, per-source token-budget mixture, embedding-space
-        # audits (centroids + kNN vote)
-        "bloom_screen": q_bloom_screen,
-        "dedup_keep_best": q_dedup_keep_best,
-        "chunk_documents": q_chunk_documents,
-        "token_budget_sample": q_token_budget_sample,
-        "label_centroids": q_label_centroids,
-        "knn_label_vote": q_knn_label_vote,
-        "fixed_k_sample": q_fixed_k_sample,
-        "source_overlap_matrix": q_source_overlap_matrix,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "ann_int8_rerank": q_ann_int8_rerank,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "nll_outliers": q_nll_outliers,
-        "epoch_expand": q_epoch_expand,
-        "mixed_language": q_mixed_language,
-        "dup_size_histogram": q_dup_size_histogram,
-        "quality_deciles": q_quality_deciles,
-        "ngram_novelty": q_ngram_novelty,
-        "shard_manifest": q_shard_manifest,
-        "curriculum_order": q_curriculum_order,
-        "cdc_dedup": q_cdc_dedup,
-        "ann_recall_report": q_ann_recall_report,
-        "ann_ivf_int8": q_ann_ivf_int8,
-        "dedup_pair_quality": q_dedup_pair_quality,
-        "event_funnel": q_event_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "curation_lineage": q_curation_lineage,
-        "jaccard_threshold_curve": q_jaccard_threshold_curve,
-        "embedding_drift": q_embedding_drift,
-        "token_fertility": q_token_fertility,
-        "snapshot_diff": q_snapshot_diff,
-        "pack_append": q_pack_append,
-        "media_dedup": q_media_dedup,
-        "corpus_summary": q_corpus_summary,
-        # rotated out of the window by the r4 late-round rotation (see the
-        # in-window comment); still sweep-checked here every round
         "prefix_qualifiers": q_prefix_qualifiers,
         "positional_fields": q_positional_fields,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_signatures": q_minhash_signatures,
-        "vocab_by_lang": q_vocab_by_lang,
-        "ngram_containment": q_ngram_containment,
-        "simhash_near_dups": q_simhash_near_dups,
-        "decontaminate": q_decontaminate,
-        "ngram_topk": q_ngram_topk,
-        "pii_scrub": q_pii_scrub,
-        "event_grouping": q_event_grouping,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "media_features": q_media_features,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "stratified_sample": q_stratified_sample,
         "event_value_percentiles": q_event_value_percentiles,
         "event_value_bands": q_event_value_bands,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "order_priority_cube": _analytics("order_priority_cube"),
         "order_status_pivot": _analytics("order_status_pivot"),
         "nation_trade_volume": _analytics("nation_trade_volume"),
@@ -1865,21 +1871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": _analytics("waiting_suppliers"),
         "min_cost_supplier": _analytics("min_cost_supplier"),
         "disjunctive_promo_revenue": _analytics("disjunctive_promo_revenue"),
-        "top_revenue_supplier": _analytics("top_revenue_supplier"),
-        "pricing_summary": _analytics("pricing_summary"),
-        "top_customers_per_nation": _analytics("top_customers_per_nation"),
-        "revenue_rollup": _analytics("revenue_rollup"),
-        "revenue_forecast": _analytics("revenue_forecast"),
-        "top_unshipped_orders": _analytics("top_unshipped_orders"),
-        "regional_revenue": _analytics("regional_revenue"),
-        "promo_part_revenue": _analytics("promo_part_revenue"),
-        "supplier_nation_balance": _analytics("supplier_nation_balance"),
-        "order_priority_check": _analytics("order_priority_check"),
-        "customer_order_distribution": _analytics("customer_order_distribution"),
-        "large_orders": _analytics("large_orders"),
-        "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
-        "priority_shipping_stats": _analytics("priority_shipping_stats"),
-        "part_supplier_variety": _analytics("part_supplier_variety"),
     }.items()}
 
 
@@ -2461,23 +2452,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         c AS (
             SELECT doc_id, n_tokens,
-                   (SELECT o FROM off)
+                   CAST((SELECT o FROM off)
                    + coalesce(sum(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS start_token
+                   ), 0) AS BIGINT) AS start_token
             FROM tk
         )
         SELECT doc_id, n_tokens, start_token,
-               CASE WHEN n_tokens > 0
-                    THEN start_token // 128 END AS first_seq,
-               CASE WHEN n_tokens > 0
+               CAST(CASE WHEN n_tokens > 0
+                    THEN start_token // 128 END AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tokens > 0
                     THEN (start_token + n_tokens - 1) // 128
-                    END AS last_seq,
-               CASE WHEN n_tokens > 0
+                    END AS BIGINT) AS last_seq,
+               CAST(CASE WHEN n_tokens > 0
                     THEN (start_token + n_tokens - 1) // 128
                          - start_token // 128 + 1
-                    ELSE 0 END AS n_seqs
+                    ELSE 0 END AS BIGINT) AS n_seqs
         FROM c
     """
     from hbase_indexer_spark.pipeline.similarity import embedding_drift_sql

@@ -192,11 +192,12 @@ def unigram_logprob_sql() -> str:
             GROUP BY tf.doc_id
         )
         SELECT d.doc_id,
-               coalesce(p.n_tokens, 0) AS n_tokens,
-               coalesce(p.nll_micro_total, 0) AS nll_micro_total,
-               CASE WHEN p.n_tokens > 0
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.nll_micro_total, 0) AS BIGINT)
+                   AS nll_micro_total,
+               CAST(CASE WHEN p.n_tokens > 0
                     THEN p.nll_micro_total // p.n_tokens
-                    END AS nll_micro_per_token
+                    END AS BIGINT) AS nll_micro_per_token
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
 
@@ -301,11 +302,12 @@ def bigram_logprob_sql() -> str:
             GROUP BY bg.doc_id
         )
         SELECT d.doc_id,
-               coalesce(p.n_bigrams, 0) AS n_bigrams,
-               coalesce(p.nll_micro_total, 0) AS nll_micro_total,
-               CASE WHEN p.n_bigrams > 0
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(p.nll_micro_total, 0) AS BIGINT)
+                   AS nll_micro_total,
+               CAST(CASE WHEN p.n_bigrams > 0
                     THEN p.nll_micro_total // p.n_bigrams
-                    END AS nll_micro_per_bigram
+                    END AS BIGINT) AS nll_micro_per_bigram
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
 
@@ -378,7 +380,8 @@ def bpe_merge_candidates_sql(k: int = 20) -> str:
             FROM words WHERE len(w) >= 2
         ),
         agg AS (
-            SELECT p.l AS "left", p.r AS "right", sum(wf) AS n_occ
+            SELECT p.l AS "left", p.r AS "right",
+                   CAST(sum(wf) AS BIGINT) AS n_occ
             FROM pairs GROUP BY 1, 2
         )
         SELECT "left", "right", n_occ, rank FROM (

@@ -328,7 +328,7 @@ def corpus_report(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
         n.alias("n_tokens"),
         F.md5("text").alias("h"),
         F.when(n > 0,
-               F.floor(quality_score(F.col("text"), n) * 1_000_000))
+               F.floor(quality_score(F.col("text"), n) * 1_000_000 + F.lit(0.5)))
         .otherwise(F.lit(0)).alias("q_micro"),
         ex["keep"].cast("long").alias("keep"),
     )
@@ -368,17 +368,17 @@ def corpus_report_sql(min_tokens: int = 50) -> str:
                            + CAST(len(list_filter(toks, x -> lower(x) IN
                                ('the','a','of','and','to','is'))) AS DOUBLE)
                              / CAST(len(toks) AS DOUBLE) * 0.2
-                       ) * 1000000) AS BIGINT)
+                       ) * 1000000 + 0.5) AS BIGINT)
                    ELSE 0 END AS q_micro
             FROM t
         )
         SELECT source, lang,
                count(*) AS n_docs,
-               sum(n_tokens) AS n_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                count(DISTINCT md5(text)) AS uniq_texts,
                count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
-               sum(CAST(keep AS BIGINT)) AS n_keep,
-               sum(q_micro) // count(*) AS quality_micro_mean
+               CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_keep,
+               CAST(sum(q_micro) // count(*) AS BIGINT) AS quality_micro_mean
         FROM t2 GROUP BY source, lang
     """
 
@@ -473,10 +473,10 @@ def token_budget_sample_sql(budget: int = 2000,
             FROM documents
         )
         SELECT doc_id, source, n_tokens,
-               coalesce(sum(n_tokens) OVER (
+               CAST(coalesce(sum(n_tokens) OVER (
                    PARTITION BY source ORDER BY h, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS cum_before,
+               ), 0) AS BIGINT) AS cum_before,
                coalesce(sum(n_tokens) OVER (
                    PARTITION BY source ORDER BY h, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -915,9 +915,11 @@ def snapshot_diff_sql(base_pred: str = "doc_id % 2 = 0",
             FROM a FULL OUTER JOIN b ON a.grp = b.grp AND a.h = b.h
         )
         SELECT grp AS {group_col},
-               sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_added,
-               sum(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS n_removed,
-               sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_added,
+               CAST(sum(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_unchanged
         FROM j GROUP BY grp
     """
@@ -966,12 +968,12 @@ def corpus_summary_sql() -> str:
 
     return f"""
         SELECT count(*) AS n_docs,
-               sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS n_tokens,
-               sum(CAST(len(text) AS BIGINT)) AS n_chars,
+               CAST(sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(len(text) AS BIGINT)) AS BIGINT) AS n_chars,
                count(DISTINCT source) AS n_sources,
                count(DISTINCT lang) AS n_langs,
                count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
-               (100 * (count(*) - count(DISTINCT md5(text)))) // count(*)
-                   AS dup_pct
+               CAST((100 * (count(*) - count(DISTINCT md5(text)))) // count(*)
+                   AS BIGINT) AS dup_pct
         FROM documents
     """

@@ -1266,8 +1266,13 @@ def bloom_bits(base: DataFrame, key: Column | None = None,
                m_bits: int = 1 << 16) -> DataFrame:
     """The base corpus's Bloom bit-set as a DataFrame of distinct set bit
     positions — at most ``m_bits`` rows however large the base is.  One
-    map pass + one distinct on small integers (partial-agg combinable)."""
-    key = F.md5(F.col("text")) if key is None else key
+    map pass + one distinct on small integers (partial-agg combinable).
+
+    ``key`` is the RAW content column — ``_bloom_h1_h2`` applies the one
+    and only md5, matching the oracle's ``md5(text)`` derivation exactly
+    (a double md5 here would build a different bit-set and diverge on
+    bloom false positives)."""
+    key = F.col("text") if key is None else key
     return (
         base.select(F.explode(_bloom_positions(key, m_bits)).alias("bit"))
         .distinct()
@@ -1289,7 +1294,7 @@ def bloom_screen(base: DataFrame, new: DataFrame,
     bits = F.broadcast(bloom_bits(base, m_bits=m_bits))
     probe = new.select(
         "doc_id",
-        F.posexplode(_bloom_positions(F.md5(F.col("text")), m_bits))
+        F.posexplode(_bloom_positions(F.col("text"), m_bits))
         .alias("i", "bit"),
     )
     hits = (
@@ -1560,9 +1565,10 @@ def ngram_novelty_sql(n: int = 3) -> str:
         )
         SELECT d.doc_id,
                coalesce(p.n_grams, 0) AS n_grams,
-               coalesce(p.n_novel, 0) AS n_novel,
-               CASE WHEN p.n_grams > 0
-                    THEN (100 * p.n_novel) // p.n_grams END AS novelty_pct
+               CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(CASE WHEN p.n_grams > 0
+                    THEN (100 * p.n_novel) // p.n_grams END AS BIGINT)
+                   AS novelty_pct
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
 
@@ -1908,7 +1914,7 @@ def jaccard_threshold_curve_sql(n: int = 3, floor: float = 0.5) -> str:
         ),
         grid(threshold_pct) AS (VALUES {grid})
         SELECT g.threshold_pct,
-               coalesce(sum(b.n), 0) AS n_pairs
+               CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_pairs
         FROM grid g LEFT JOIN buckets b ON b.bpct >= g.threshold_pct
         GROUP BY g.threshold_pct
     """

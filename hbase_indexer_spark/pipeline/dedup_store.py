@@ -34,6 +34,8 @@ writes, O(1) state reads per batch beyond the joined partitions.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,7 +102,9 @@ class DedupIndexStore:
                         "left_semi")
             .select("doc_id").withColumn("exact_dup", F.lit(True))
         )
-        min_match = int(self.threshold * N_SIGS)
+        # ceil: near_dup fires at estimated Jaccard >= threshold exactly
+        # (int() would floor — at 0.7 * 48 that fires from 33/48 = 0.6875)
+        min_match = math.ceil(self.threshold * N_SIGS)
         bn = self._bands(new_sk).withColumnRenamed("doc_id", "new_id")
         bb = self._bands(state).withColumnRenamed("doc_id", "base_id")
         cands = bn.join(bb, ["band", "bkey"]) \

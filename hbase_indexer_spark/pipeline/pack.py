@@ -143,22 +143,22 @@ def pack_sequences_sql(seq_len: int = 128) -> str:
         ),
         c AS (
             SELECT doc_id, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
+                   CAST(coalesce(sum(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS start_token
+                   ), 0) AS BIGINT) AS start_token
             FROM tk
         )
         SELECT doc_id, n_tokens, start_token,
-               CASE WHEN n_tokens > 0
-                    THEN start_token // {seq_len} END AS first_seq,
-               CASE WHEN n_tokens > 0
+               CAST(CASE WHEN n_tokens > 0
+                    THEN start_token // {seq_len} END AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tokens > 0
                     THEN (start_token + n_tokens - 1) // {seq_len}
-                    END AS last_seq,
-               CASE WHEN n_tokens > 0
+                    END AS BIGINT) AS last_seq,
+               CAST(CASE WHEN n_tokens > 0
                     THEN (start_token + n_tokens - 1) // {seq_len}
                          - start_token // {seq_len} + 1
-                    ELSE 0 END AS n_seqs
+                    ELSE 0 END AS BIGINT) AS n_seqs
         FROM c
     """
 
@@ -211,8 +211,9 @@ def sequence_manifest_sql(seq_len: int = 128) -> str:
         )
         SELECT seq_id,
                count(*) AS n_docs,
-               sum(least(start_token + n_tokens, (seq_id + 1) * {seq_len})
-                   - greatest(start_token, seq_id * {seq_len})) AS n_tokens,
+               CAST(sum(least(start_token + n_tokens, (seq_id + 1) * {seq_len})
+                   - greatest(start_token, seq_id * {seq_len})) AS BIGINT)
+                   AS n_tokens,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM per_seq GROUP BY seq_id
@@ -292,7 +293,7 @@ def packed_sequence_text_sql(seq_len: int = 128) -> str:
             FROM per_seq
         )
         SELECT seq_id,
-               sum(len(piece)) AS n_tokens,
+               CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
                string_agg(array_to_string(piece, ' '), ' '
                           ORDER BY start_token) AS text
         FROM pieces GROUP BY seq_id
@@ -411,22 +412,22 @@ def shuffled_pack_sql(seq_len: int = 128, salt: str = "shuffle-v1") -> str:
         ),
         c AS (
             SELECT doc_id, pos, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
+                   CAST(coalesce(sum(n_tokens) OVER (
                        ORDER BY pos
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS start_token
+                   ), 0) AS BIGINT) AS start_token
             FROM tk
         )
         SELECT doc_id, pos, n_tokens, start_token,
-               CASE WHEN n_tokens > 0
-                    THEN start_token // {seq_len} END AS first_seq,
-               CASE WHEN n_tokens > 0
+               CAST(CASE WHEN n_tokens > 0
+                    THEN start_token // {seq_len} END AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tokens > 0
                     THEN (start_token + n_tokens - 1) // {seq_len}
-                    END AS last_seq,
-               CASE WHEN n_tokens > 0
+                    END AS BIGINT) AS last_seq,
+               CAST(CASE WHEN n_tokens > 0
                     THEN (start_token + n_tokens - 1) // {seq_len}
                          - start_token // {seq_len} + 1
-                    ELSE 0 END AS n_seqs
+                    ELSE 0 END AS BIGINT) AS n_seqs
         FROM c
     """
 

@@ -746,7 +746,7 @@ def label_centroids_sql(label_col: str = "label",
                         vec_col: str = "embedding",
                         table: str = "embeddings") -> str:
     return f"""
-        SELECT {label_col} AS label, dim, sum(vm) AS sum_micro,
+        SELECT {label_col} AS label, dim, CAST(sum(vm) AS BIGINT) AS sum_micro,
                count(*) AS n_vecs
         FROM (
             SELECT {label_col},

@@ -736,8 +736,8 @@ def char_entropy_sql() -> str:
             FROM c
         )
         SELECT doc_id, n_chars,
-               CASE WHEN n_chars > 0 THEN total // n_chars
-                    END AS entropy_micro_per_char
+               CAST(CASE WHEN n_chars > 0 THEN total // n_chars
+                    END AS BIGINT) AS entropy_micro_per_char
         FROM m
     """
 
@@ -850,7 +850,7 @@ def mixed_language_sql(size: int = 32) -> str:
             GROUP BY c.doc_id
         )
         SELECT d.doc_id,
-               coalesce(v.n_segments, 0) AS n_segments,
+               CAST(coalesce(v.n_segments, 0) AS BIGINT) AS n_segments,
                coalesce(v.n_langs, 0) AS n_langs,
                v.majority_lang,
                coalesce(v.n_langs > 1, FALSE) AS is_mixed
@@ -891,12 +891,13 @@ def token_fertility_sql(group_col: str = "source") -> str:
 
     return f"""
         SELECT {group_col}, count(*) AS n_docs,
-               sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS n_tokens,
-               sum(CAST(len(text) AS BIGINT)) AS n_chars,
-               CASE WHEN sum(len({TOKS_SQL})) > 0
+               CAST(sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS BIGINT)
+                   AS n_tokens,
+               CAST(sum(CAST(len(text) AS BIGINT)) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN sum(len({TOKS_SQL})) > 0
                     THEN (100 * sum(CAST(len(text) AS BIGINT)))
                          // sum(CAST(len({TOKS_SQL}) AS BIGINT)) END
-                   AS chars_per_token_x100
+                   AS BIGINT) AS chars_per_token_x100
         FROM documents
         GROUP BY {group_col}
     """

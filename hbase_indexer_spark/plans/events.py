@@ -100,14 +100,14 @@ def event_funnel_sql(steps: list[str]) -> str:
         steps(step_idx, step) AS (VALUES {steps_values}),
         reached AS (
             SELECT s.step_idx, s.step,
-                   coalesce(sum(c.n), 0) AS n_users
+                   CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_users
             FROM steps s LEFT JOIN counts c ON c.depth >= s.step_idx
             GROUP BY s.step_idx, s.step
         )
         SELECT r.step_idx, r.step, r.n_users,
-               CASE WHEN f.n_first > 0
+               CAST(CASE WHEN f.n_first > 0
                     THEN (100 * r.n_users) // f.n_first END
-                   AS pct_of_first
+                   AS BIGINT) AS pct_of_first
         FROM reached r
         CROSS JOIN (SELECT n_users AS n_first FROM reached
                     WHERE step_idx = 1) f
@@ -127,7 +127,13 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     from hbase_indexer_spark.functions.timeutil import ts_micros
 
     us = ts_micros(events)
-    week = F.expr(f"_us div {WEEK_US}")
+    # floor division (matches DuckDB //), not truncation: for pre-1970
+    # events _us is negative and `div` would round toward zero, shifting
+    # the week bucket up by one vs the oracle.
+    week = F.expr(
+        f"(_us div {WEEK_US})"
+        f" - (CASE WHEN _us < 0 AND _us % {WEEK_US} != 0"
+        f"     THEN 1 ELSE 0 END)")
     weeks = events.select("user_id", us.alias("_us")) \
         .select("user_id", week.alias("week")).distinct()
     first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))

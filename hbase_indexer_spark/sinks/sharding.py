@@ -94,7 +94,7 @@ def shard_manifest_sql(key: str = "doc_id", n_shards: int = 8,
     return f"""
         SELECT {md5_shard_sql(f"CAST({key} AS VARCHAR)", n_shards)} AS shard,
                count(*) AS n_docs,
-               sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS n_tokens,
+               CAST(sum(CAST(len({TOKS_SQL}) AS BIGINT)) AS BIGINT) AS n_tokens,
                bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
                    AS checksum
         FROM {table}

@@ -93,10 +93,12 @@ def dedup_stream_against(events: DataFrame, base: DataFrame,
 
 
 def curation_stream(stream_docs: DataFrame, store, corpus_store,
-                    checkpoint: str, min_tokens: int = 5):
+                    checkpoint: str, min_tokens: int = 5,
+                    min_quality: float = 0.0):
     """The continuous-curation loop: per micro-batch, screen arriving
     documents against the persistent dedup state (`DedupIndexStore`),
-    apply the quality gate, append survivors to the corpus store, and
+    apply the quality gate (token length + ``quality_score``, matching
+    ``curated_corpus``), append survivors to the corpus store, and
     fold their sketches back into the dedup state — so a duplicate
     arriving in batch N+1 of a page accepted in batch N is dropped,
     across restarts.
@@ -120,10 +122,14 @@ def curation_stream(stream_docs: DataFrame, store, corpus_store,
         batch = batch.cache()
         try:
             verdicts = store.screen(spark, batch)
+            n_tok = token_count(F.col("text"))
             keeps = (
                 batch.join(verdicts.filter(F.col("keep")).select("doc_id"),
                            "doc_id", "left_semi")
-                .filter(token_count(F.col("text")) >= min_tokens)
+                .filter((n_tok >= min_tokens)
+                        & (F.when(n_tok > 0,
+                                  quality_score(F.col("text"), n_tok))
+                           .otherwise(F.lit(0.0)) >= min_quality))
             ).cache()
             try:
                 # corpus first, then state: a crash between the two means

@@ -468,6 +468,69 @@ CHECKS = {
         [r"partial_count"],
         [r"Window", r"CartesianProduct", *NO_PYTHON],
     ),
+    # one-row summary: one scan, combinable partials + the count-distinct
+    # expand; no join, no window, no sort anywhere
+    "corpus_summary": (
+        [r"partial_count", r"partial_sum"],
+        [r"Join", r"Window", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # lineage: composed stage funnel — every inter-stage join keyed and
+    # broadcast where one side is stage-count-sized; survivor sets are
+    # combinable min/count partials (the one SMJ is doc-keyed left outer)
+    "curation_lineage": (
+        [r"BroadcastHashJoin", r"partial_min", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # keeper-by-quality: canonical member is ONE combinable max_by per
+    # component on top of the CC pair graph — no per-component sort
+    "dedup_keep_best": (
+        [r"partial_max_by", r"partial_min"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # byte-digest dedup: digest-only shuffle, combinable min keeper, the
+    # metadata join back is broadcast
+    "media_dedup": (
+        [r"partial_min", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"Window", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # append continuation: same two-level block scan as pack_sequences
+    # (the only Window inputs are the block aggregate + broadcast offset)
+    "pack_append": (
+        [r"partial_sum", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         *NO_PYTHON],
+    ),
+    # KMV sketch pairs: per-group top-k via WindowGroupLimit (partial
+    # top-k per task), then a G^2-row sketch theta-join — aggregate-sized
+    # BNLJ is the allowlisted design, the corpus never cross-joins
+    "vocab_overlap": (
+        [r"WindowGroupLimit", r"partial_collect_list"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
+    # per-doc entropy: map-only in-row array math — no join, no window,
+    # no aggregation exchange at all
+    "char_entropy": (
+        [r"Generate"],
+        [r"Join", r"Window", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # pairwise source containment: sketch joins are broadcast (G-row
+    # sides), survivor counts combinable — never an SMJ over documents
+    "source_overlap_matrix": (
+        [r"BroadcastHashJoin", r"partial_count"],
+        [r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # kNN vote: brute-force neighbor search is the declared broadcast
+    # baseline; vote is ONE combinable min_by/max over k rows per query
+    "knn_label_vote": (
+        [r"WindowGroupLimit", r"partial_min_by"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
+    # recall audit: exact + approx top-k both WindowGroupLimit-pruned;
+    # the per-query compare joins on query_id only
+    "ann_recall_report": (
+        [r"WindowGroupLimit", r"partial_count"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

@@ -64,6 +64,35 @@ def test_bloom_small_m_all_hit_still_exact(spark):
     assert out[3]["bloom_hit"]  # saturated filter: FP expected at m=8
 
 
+def test_bloom_hit_parity_with_oracle_under_false_positives(spark):
+    # The gate corpus is sparse enough that (pre-fix) a double-md5 Spark
+    # bit-set vs the oracle's single-md5 bit-set never actually diverged.
+    # Force the issue: m=256 with 100 base docs x 5 hashes saturates the
+    # filter to ~86% fill (~47% fpp), so dozens of probes are false
+    # positives — bloom_hit must STILL match the oracle row for row.
+    import duckdb
+
+    from hbase_indexer_spark.pipeline.dedup import bloom_screen_sql
+
+    rows = [(i, f"document number {i} with words {(i * 7) % 13}")
+            for i in range(200)]
+    base = _docs(spark, [r for r in rows if r[0] % 2 == 0])
+    new = _docs(spark, [r for r in rows if r[0] % 2 == 1])
+    m = 256
+    got = {r["doc_id"]: (r["bloom_hit"], r["exact_dup"], r["keep"])
+           for r in bloom_screen(base, new, m_bits=m).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(bloom_screen_sql(m_bits=m)).fetchall()}
+    assert got == want
+    # the test only bites if false positives actually occurred
+    fps = [d for d, (hit, dup, _) in got.items() if hit and not dup]
+    assert len(fps) > 5
+
+
 # ------------------------------------------------------------ keep-best
 
 def test_keep_best_prefers_longer_member(spark):
