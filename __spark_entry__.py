@@ -874,6 +874,19 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs_blocked(emb, threshold=0.4)
 
 
+def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the 100 TB default: hyperplane-LSH
+    candidates (OR-amplified over 4 tables) + exact-cosine verification of
+    candidates only — never an n^2 matmul.  The deterministic LCG planes
+    make the approximate pipeline exactly oracle-checkable."""
+    from hbase_indexer_spark.pipeline.dedup import embedding_cosine_pairs_lsh
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_lsh(emb, threshold=0.4, n_bits=6,
+                                      n_tables=8)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_indexer_spark.sources.fixtures import load
 
@@ -1699,14 +1712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # output to BIGINT, pinned repo-wide by tests/test_oracle_types.py)
     # plus 48 queries the driver has NEVER checked (r1–r4 gated 74
     # distinct queries; the other 76 rested on the local sweep only).
-    # The remaining 28 never-checked rows sit immediately after the
-    # window, first in line for the r6 rotation: 13 pipeline/analysis
-    # rows (dup_size_histogram, vocab_by_lang, ngram_containment,
-    # simhash_near_dups, ngram_topk, pii_scrub, event_grouping,
-    # media_features, ann_ivf_topk, stratified_sample,
+    # The remaining 29 never-checked rows sit immediately after the
+    # window, first in line for the r6 rotation: 14 pipeline/analysis
+    # rows (winnow_overlap, dup_size_histogram, vocab_by_lang,
+    # ngram_containment, simhash_near_dups, ngram_topk, pii_scrub,
+    # event_grouping, media_features, ann_ivf_topk, stratified_sample,
     # embedding_quantize, token_freq_spectrum, normalize_text) and the
     # 15 TPC-H analytics never gated (their 12 siblings were r1+r2
-    # driver-green, same DECIMAL-intermediate recipe).
+    # driver-green, same DECIMAL-intermediate recipe).  The new
+    # embedding_cosine_lsh (VERDICT r4 #3: gate the scalable embedding
+    # near-dup path) took winnow_overlap's slot.
     return {name: _pinned(fn) for name, fn in {
         # ------------- 50-query driver gate window -------------
         # the two r4 reds, fixed — must stay in-window until recorded green
@@ -1733,7 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_threshold_curve": q_jaccard_threshold_curve,
         "ngram_novelty": q_ngram_novelty,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_overlap": q_winnow_overlap,
+        "embedding_cosine_lsh": q_embedding_cosine_lsh,
         # never-driver-checked: packing / layout
         "sequence_manifest": q_sequence_manifest,
         "packed_sequence_text": q_packed_sequence_text,
@@ -1769,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- 50-query gate window ends here -------------
         # r6 rotation pool: the 28 still-never-driver-checked rows, in
         # line order — swap these in once the window above records green.
+        "winnow_overlap": q_winnow_overlap,
         "dup_size_histogram": q_dup_size_histogram,
         "vocab_by_lang": q_vocab_by_lang,
         "ngram_containment": q_ngram_containment,
@@ -2233,6 +2249,12 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import embedding_cosine_pairs_sql
 
     out["embedding_cosine_dedup"] = embedding_cosine_pairs_sql(threshold=0.4)
+    from hbase_indexer_spark.pipeline.dedup import (
+        embedding_cosine_pairs_lsh_sql,
+    )
+
+    out["embedding_cosine_lsh"] = embedding_cosine_pairs_lsh_sql(
+        threshold=0.4, n_bits=6, n_tables=8)
     out["exact_dedup"] = EXACT_DEDUP_SQL
     from hbase_indexer_spark.pipeline.dedup import deduped_corpus_sql
     from hbase_indexer_spark.pipeline.text import TOKEN_STATS_SQL

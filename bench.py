@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
+    "embedding_cosine_lsh",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_verified",

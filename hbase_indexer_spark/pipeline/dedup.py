@@ -612,13 +612,18 @@ def embedding_cosine_pairs_sql(threshold: float = 0.4) -> str:
 def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
                                dim: int = 64, n_bits: int = 8,
                                n_tables: int = 8) -> DataFrame:
-    """Approximate near-dup pairs: candidates = pairs colliding in any of
-    ``n_tables`` independent b-bit hyperplane sketches (OR-amplification),
-    verified with exact cosine.  Output is always a subset of the exact
-    pairs; per-table collision probability for similarity s is
-    (1 - acos(s)/pi)^n_bits, so recall = 1 - (1 - p)^n_tables — size
-    n_tables to the target similarity band.  Cost is O(docs x tables +
-    candidate pairs): never a cross join."""
+    """Approximate near-dup pairs — THE default embedding-dedup path at
+    scale: candidates = pairs colliding in any of ``n_tables`` independent
+    b-bit hyperplane sketches (OR-amplification), verified with exact
+    cosine.  Output is always a subset of the exact pairs; per-table
+    collision probability for similarity s is (1 - acos(s)/pi)^n_bits, so
+    recall = 1 - (1 - p)^n_tables — size n_tables to the target similarity
+    band.  Cost is O(docs x tables + candidate pairs): never a cross join,
+    never a corpus matmul (``embedding_cosine_pairs`` /
+    ``embedding_cosine_pairs_blocked`` are the declared exact baselines —
+    O(n^2) flops — for verification and small corpora).  Deterministic
+    end-to-end (LCG hyperplanes), so the whole approximate pipeline has an
+    exact SQL oracle: :func:`embedding_cosine_pairs_lsh_sql`."""
     from hbase_indexer_spark.pipeline.similarity import cosine, hyperplane_sketch
 
     tables = None
@@ -646,6 +651,50 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
         .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
         .select("x", "y")
     )
+
+
+def embedding_cosine_pairs_lsh_sql(threshold: float = 0.4, dim: int = 64,
+                                   n_bits: int = 8,
+                                   n_tables: int = 8) -> str:
+    """DuckDB mirror of :func:`embedding_cosine_pairs_lsh` — the LCG
+    hyperplanes inline as literals (same recipe as ``lsh_topk_sql``), so
+    the candidate generation, dedup, and exact-cosine verification all
+    hash-match the approximate Spark plan exactly."""
+    from hbase_indexer_spark.pipeline.similarity import _hyperplane
+
+    def sketch_expr(off: int) -> str:
+        terms = []
+        for b in range(n_bits):
+            plane = ", ".join(repr(c) for c in _hyperplane(dim, off + b))
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"[{plane}]) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    ctes, selects = [], []
+    for t in range(n_tables):
+        ctes.append(f"""
+        sk{t} AS (
+            SELECT vec_id, CAST({sketch_expr(t * n_bits)} AS BIGINT) AS bkt
+            FROM embeddings
+        )""")
+        selects.append(
+            f"SELECT a.vec_id AS x, b.vec_id AS y FROM sk{t} a "
+            f"JOIN sk{t} b ON a.bkt = b.bkt AND a.vec_id < b.vec_id"
+        )
+    cands = " UNION ALL ".join(selects)
+    return f"""
+        WITH {", ".join(ctes)},
+        cands AS (SELECT DISTINCT x, y FROM ({cands}))
+        SELECT c.x, c.y
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.x
+        JOIN embeddings eb ON eb.vec_id = c.y
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------

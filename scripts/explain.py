@@ -531,6 +531,12 @@ CHECKS = {
         [r"WindowGroupLimit", r"partial_count"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # embedding near-dup default: band-equality candidate joins + exact
+    # cosine on candidates only — never a cross join, never a Python stage
+    "embedding_cosine_lsh": (
+        [r"SortMergeJoin Inner|BroadcastHashJoin Inner"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
 }
 
 
