@@ -1508,6 +1508,22 @@ def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_screen(base, new)
 
 
+def q_dedup_store_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent-state screen path (DedupIndexStore — the engine
+    behind curation_stream) driven through 3 sequential batches: each
+    batch is screened against the sketch state folded in from earlier
+    batches' keeps, so a duplicate arriving one batch after its
+    original is dropped.  Every verdict — exact, MinHash-estimated
+    near-dup among band candidates, keep — is deterministic and
+    replayed by the oracle's unrolled per-batch CTEs."""
+    from hbase_indexer_spark.pipeline.dedup_store import screen_batches
+
+    tmp = tempfile.mkdtemp(prefix="hbis_dstore_")
+    return screen_batches(
+        spark, _docs(spark, sf_dir), os.path.join(tmp, "state"),
+        threshold=0.7, n_batches=3)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-canonical dedup: per near-dup cluster keep the member with
     the most characters (tie -> smallest doc_id) instead of min-id — the
@@ -1745,7 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "media_dedup": q_media_dedup,
         "dedup_pair_quality": q_dedup_pair_quality,
-        "jaccard_threshold_curve": q_jaccard_threshold_curve,
+        "dedup_store_screen": q_dedup_store_screen,
         "ngram_novelty": q_ngram_novelty,
         "winnow_fingerprints": q_winnow_fingerprints,
         "embedding_cosine_lsh": q_embedding_cosine_lsh,
@@ -1782,8 +1798,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         # ------------- 50-query gate window ends here -------------
-        # r6 rotation pool: the 28 still-never-driver-checked rows, in
+        # r6 rotation pool: the still-never-driver-checked rows, in
         # line order — swap these in once the window above records green.
+        # jaccard_threshold_curve gave its r5 slot to the new
+        # dedup_store_screen (VERDICT r4 #7: gate the persistent-state
+        # screen path) — it audits the same minhash machinery the
+        # driver-green minhash_lsh_dedup already exercises.
+        "jaccard_threshold_curve": q_jaccard_threshold_curve,
         "winnow_overlap": q_winnow_overlap,
         "dup_size_histogram": q_dup_size_histogram,
         "vocab_by_lang": q_vocab_by_lang,
@@ -2367,6 +2388,12 @@ def oracle_sql() -> dict[str, str]:
 
     out["bloom_screen"] = bloom_screen_sql()
     out["dedup_keep_best"] = dedup_keep_best_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.dedup_store import (
+        dedup_store_screen_sql,
+    )
+
+    out["dedup_store_screen"] = dedup_store_screen_sql(
+        threshold=0.7, n_batches=3)
     from hbase_indexer_spark.pipeline.pack import chunk_documents_sql
 
     out["chunk_documents"] = chunk_documents_sql(size=32, stride=24)

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # r4 continuation: sketch-first exact screen, keeper policy, chunker,
     # token-budget mixture, embedding audits
     "bloom_screen",
+    "dedup_store_screen",
     "dedup_keep_best",
     "chunk_documents",
     "token_budget_sample",

@@ -143,3 +143,123 @@ class DedupIndexStore:
             *[F.element_at(F.col("sig"), i + 1).alias(f"s{i}")
               for i in range(N_SIGS)])
         return band_keys(sigs)
+
+
+def screen_batches(spark: SparkSession, docs: DataFrame, state_path: str,
+                   threshold: float = 0.7, n: int = 3,
+                   n_batches: int = 3) -> DataFrame:
+    """The continuous-curation loop driven end-to-end through a
+    ``DedupIndexStore`` as an oracle-able query: split ``docs`` into
+    ``n_batches`` deterministic batches (``doc_id % n_batches``), then
+    sequentially screen each batch against the state accumulated from
+    the KEPT docs of all earlier batches and fold the keeps back in.
+
+    Returns one verdict row per doc: ``(doc_id, batch, exact_dup,
+    near_dup, keep)`` — the exact-replayable transcript of the stateful
+    screen (batch 0 all-keeps against the empty state; a dup arriving
+    in batch N+1 of a doc kept in batch N is dropped).  Mirrored
+    term-for-term by :func:`dedup_store_screen_sql` (the MinHash
+    estimator, the ceil'd match floor, and the band-candidate
+    constraint are all deterministic).
+
+    Each batch's verdicts are eagerly ``localCheckpoint``-ed: the store
+    retains a bounded number of versions (go-live semantics), so a lazy
+    plan re-run after later accepts would read a vacuumed version dir.
+
+    Scale: per batch this is the store's own screen/accept contract —
+    band-bounded joins against sketch state ~10^4x smaller than text;
+    the batch loop adds nothing beyond it."""
+    store = DedupIndexStore(state_path, threshold=threshold, n=n)
+    outs = []
+    for b in range(n_batches):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches))
+                            == F.lit(b))
+        verdicts = store.screen(spark, batch).localCheckpoint(eager=True)
+        keeps = batch.join(
+            verdicts.filter(F.col("keep")).select("doc_id"),
+            "doc_id", "left_semi")
+        store.accept(spark, keeps)
+        outs.append(verdicts.withColumn("batch", F.lit(b).cast("long")))
+    out = outs[0]
+    for v in outs[1:]:
+        out = out.unionByName(v)
+    return out.select("doc_id", "batch", "exact_dup", "near_dup", "keep")
+
+
+def dedup_store_screen_sql(threshold: float = 0.7, n: int = 3,
+                           n_batches: int = 3) -> str:
+    """DuckDB mirror of :func:`screen_batches` — the sequential
+    stateful screen unrolled into per-batch CTEs (kept_{b} = kept_{b-1}
+    plus batch b's keeps).  Near-dup replays the store's estimator
+    exactly: a band collision (any of the 16 sig-triples equal) AND
+    >= ceil(threshold * 48) matching signature positions."""
+    from hbase_indexer_spark.pipeline.dedup import (
+        N_BANDS,
+        P,
+        PERMS,
+        ROWS_PER_BAND,
+        shingle_cte_sql,
+    )
+
+    min_match = math.ceil(threshold * N_SIGS)
+    mins = ", ".join(f"min((h * {a} + {b}) % {P}) AS s{i}"
+                     for i, (a, b) in enumerate(PERMS))
+    band_or = " OR ".join(
+        "(" + " AND ".join(
+            f"nw.s{band * ROWS_PER_BAND + j} = st.s{band * ROWS_PER_BAND + j}"
+            for j in range(ROWS_PER_BAND)) + ")"
+        for band in range(N_BANDS))
+    n_match = " + ".join(
+        f"(CASE WHEN nw.s{i} = st.s{i} THEN 1 ELSE 0 END)"
+        for i in range(N_SIGS))
+    sig_cols = ", ".join(f"s{i}" for i in range(N_SIGS))
+    ctes = [f"""{shingle_cte_sql(n)},
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P} AS h
+            FROM sh
+        ),
+        sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+        sk AS (
+            SELECT d.doc_id, d.doc_id % {n_batches} AS batch,
+                   md5(d.text) AS ch, {sig_cols}
+            FROM documents d LEFT JOIN sigs USING (doc_id)
+        ),
+        kept0 AS (SELECT * FROM sk WHERE batch = 0),
+        v0 AS (
+            SELECT doc_id, CAST(0 AS BIGINT) AS batch,
+                   FALSE AS exact_dup, FALSE AS near_dup, TRUE AS keep
+            FROM sk WHERE batch = 0
+        )"""]
+    for b in range(1, n_batches):
+        prev = f"kept{b - 1}"
+        ctes.append(f"""
+        ex{b} AS (
+            SELECT DISTINCT nw.doc_id
+            FROM sk nw JOIN {prev} st ON nw.ch = st.ch
+            WHERE nw.batch = {b}
+        ),
+        nr{b} AS (
+            SELECT DISTINCT nw.doc_id
+            FROM sk nw JOIN {prev} st ON ({band_or})
+            WHERE nw.batch = {b} AND ({n_match}) >= {min_match}
+        ),
+        v{b} AS (
+            SELECT nw.doc_id, CAST({b} AS BIGINT) AS batch,
+                   (e.doc_id IS NOT NULL) AS exact_dup,
+                   (r.doc_id IS NOT NULL) AS near_dup,
+                   (e.doc_id IS NULL AND r.doc_id IS NULL) AS keep
+            FROM sk nw
+            LEFT JOIN ex{b} e ON nw.doc_id = e.doc_id
+            LEFT JOIN nr{b} r ON nw.doc_id = r.doc_id
+            WHERE nw.batch = {b}
+        ),
+        kept{b} AS (
+            SELECT * FROM {prev}
+            UNION ALL
+            SELECT s.* FROM sk s JOIN v{b} v
+              ON s.doc_id = v.doc_id AND v.keep
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM v{b}" for b in range(n_batches))
+    return f"WITH {','.join(ctes)} {union}"

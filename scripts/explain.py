@@ -537,6 +537,16 @@ CHECKS = {
         [r"SortMergeJoin Inner|BroadcastHashJoin Inner"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # stateful screen transcript: the returned frame is a pure union of the
+    # eagerly-checkpointed per-batch verdicts — all screen work (band
+    # joins, estimator) ran at checkpoint time against a pinned store
+    # version; re-collection must never re-run a join or Python stage.
+    # The LIVE screen plan's shape (band-equality joins, no cartesian) is
+    # pinned by tests/test_dedup_store.py::test_screen_plan_shape.
+    "dedup_store_screen": (
+        [r"Union", r"ExistingRDD"],
+        [r"Join", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

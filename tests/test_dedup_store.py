@@ -76,6 +76,46 @@ def test_sketch_size_is_text_independent(spark):
     assert len(sk["sig"]) == 48  # fixed-size sketch however long the doc
 
 
+def test_screen_batches_sequential_semantics(spark, tmp_path):
+    """The gated transcript query: a duplicate arriving one batch after
+    its original is dropped; the batch-0 original keeps; batch
+    assignment is doc_id % n_batches."""
+    from hbase_indexer_spark.pipeline.dedup_store import screen_batches
+
+    # doc 0 -> batch 0 (kept), doc 1 -> batch 1 (exact dup of 0),
+    # doc 5 -> batch 2 (near dup of 0), doc 4 -> batch 1 (fresh)
+    near = LONG_A.replace("kappa", "lambda")
+    docs = _df(spark, [(0, LONG_A), (1, LONG_A), (5, near), (4, LONG_B)])
+    out = screen_batches(spark, docs, str(tmp_path / "dd"),
+                         threshold=0.7, n_batches=3)
+    v = {r["doc_id"]: r for r in out.collect()}
+    assert v[0]["batch"] == 0 and v[0]["keep"]
+    assert v[1]["batch"] == 1 and v[1]["exact_dup"] and not v[1]["keep"]
+    assert v[5]["batch"] == 2 and v[5]["near_dup"] and not v[5]["keep"]
+    assert v[4]["batch"] == 1 and v[4]["keep"]
+
+
+def test_screen_plan_shape(spark, tmp_path):
+    """The LIVE screen plan (referenced by scripts/explain.py's
+    dedup_store_screen pin): candidates come from band-equality joins —
+    never a cartesian/nested-loop of new x state, never a Python stage."""
+    import contextlib
+    import io
+    import re
+
+    store = DedupIndexStore(str(tmp_path / "dd"), threshold=0.7)
+    store.accept(spark, _df(spark, [(0, LONG_A), (2, LONG_B)]))
+    plan_df = store.screen(spark, _df(spark, [(1, LONG_A)]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+    assert re.search(r"partial_min", plan)  # combinable sig aggregation
+
+
 def test_signature_estimate_tracks_exact_jaccard(spark):
     """The store's near verdict rests on the MinHash estimate (matching
     sigs / 48).  Construct pairs across the Jaccard range from
