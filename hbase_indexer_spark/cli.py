@@ -175,6 +175,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dry-run", action="store_true",
                    help="print the first docs instead of writing "
                         "(IndexerDryRun)")
+    p.add_argument("--hbase-start-time", default=None,
+                   help="scan time-range lower bound (epoch ms, or a "
+                        "string per --hbase-timestamp-format)")
+    p.add_argument("--hbase-end-time", default=None,
+                   help="scan time-range upper bound (exclusive)")
+    p.add_argument("--hbase-timestamp-format", default=None,
+                   help="SimpleDateFormat-style pattern for the time "
+                        "bounds, e.g. 'yyyy/MM/dd HH:mm:ss' "
+                        "(HBaseIndexingOptions --hbase-timestamp-format)")
 
     sub.add_parser("version", help="print version")
     return ap
@@ -310,7 +319,13 @@ def _batch_indexer(args, out) -> int:
     from hbase_indexer_spark.plans.batch import build_index
     from hbase_indexer_spark.session import get_spark
     spark = get_spark("batch-indexer")
-    docs = build_index(spark.read.parquet(args.input), conf)
+    cells = spark.read.parquet(args.input)
+    if args.hbase_start_time is not None or args.hbase_end_time is not None:
+        from hbase_indexer_spark.sources.cells import scan_time_range
+        cells = scan_time_range(cells, args.hbase_start_time,
+                                args.hbase_end_time,
+                                ts_format=args.hbase_timestamp_format)
+    docs = build_index(cells, conf)
 
     if args.dry_run:
         from hbase_indexer_spark.streaming.stream import dry_run

@@ -72,3 +72,110 @@ def ts_timestamp(df: DataFrame, col: str = "ts") -> Column:
     """The column as a session-tz TIMESTAMP (micros) — mirrors the oracle
     returning ``ts`` directly (the driver's canonicalizer strips tzinfo)."""
     return F.timestamp_micros(ts_micros(df, col))
+
+
+# ---------------------------------------------------------------------------
+# Scan time-range bound parsing (--hbase-timestamp-format)
+# ---------------------------------------------------------------------------
+
+# Java SimpleDateFormat pattern letters -> strptime, keyed by (letter, max
+# run length handled).  The reference accepts any SimpleDateFormat pattern
+# (HBaseIndexingOptions.java:533-537); we support the date/time subset a
+# scan bound can meaningfully use and reject the rest exactly where
+# SimpleDateFormat's constructor would (unknown pattern letter).
+_SDF_MAP = {
+    "y": {4: "%Y", 2: "%y"},
+    "M": {3: "%b", 2: "%m", 1: "%m"},
+    "d": {2: "%d", 1: "%d"},
+    "H": {2: "%H", 1: "%H"},
+    "h": {2: "%I", 1: "%I"},
+    "m": {2: "%M", 1: "%M"},
+    "s": {2: "%S", 1: "%S"},
+    "S": {3: "%f", 2: "%f", 1: "%f"},
+    "a": {1: "%p"},
+    "E": {4: "%A", 3: "%a"},
+    "Z": {1: "%z"},
+    "X": {1: "%z"},
+}
+
+
+def _sdf_to_strptime(fmt: str) -> str:
+    """Translate a SimpleDateFormat pattern to strptime, raising
+    ValueError on pattern letters outside the supported subset (the
+    analog of SimpleDateFormat's IllegalArgumentException)."""
+    out, i = [], 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "'":  # quoted literal, '' = literal quote
+            j = fmt.find("'", i + 1)
+            if j == i + 1:
+                out.append("'")
+                i += 2
+                continue
+            if j < 0:
+                raise ValueError(f"Invalid timestamp format: {fmt!r} "
+                                 f"(unterminated quote)")
+            out.append(fmt[i + 1:j].replace("%", "%%"))
+            i = j + 1
+            continue
+        if c.isalpha():
+            run = 1
+            while i + run < len(fmt) and fmt[i + run] == c:
+                run += 1
+            table = _SDF_MAP.get(c)
+            directive = None
+            if table:
+                for n in sorted(table, reverse=True):
+                    if run >= n:
+                        directive = table[n]
+                        break
+                if directive is None:
+                    directive = table[min(table)]
+            if directive is None:
+                raise ValueError(
+                    f"Invalid timestamp format: illegal pattern "
+                    f"character {c!r} in {fmt!r}")
+            out.append(directive)
+            i += run
+            continue
+        out.append(c.replace("%", "%%"))
+        i += 1
+    return "".join(out)
+
+
+def evaluate_timestamp(ts: str | int | None,
+                       fmt: str | None = None) -> int | None:
+    """Scan time-range bound -> epoch millis, mirroring the reference's
+    ``HBaseIndexingOptions.evaluateTimestamp`` (HBaseIndexingOptions.java:
+    522-545; cases pinned against HBaseIndexingOptionsTest.java:633-666):
+
+    - ``None`` -> ``None`` (no bound)
+    - no format -> the string must BE an epoch long, else ValueError
+    - format given -> parse with the SimpleDateFormat-style pattern and
+      return epoch millis, ValueError on a bad format or unparseable
+      value (the IllegalStateException analog)
+
+    One deliberate divergence: SimpleDateFormat parses zoneless strings
+    in the JVM's default timezone; we pin UTC so a scan bound means the
+    same instant on every driver (the repo-wide determinism rule)."""
+    import datetime as _dt
+
+    if ts is None:
+        return None
+    if isinstance(ts, int):
+        return ts
+    if fmt is None:
+        try:
+            return int(ts)
+        except ValueError:
+            raise ValueError(f"Invalid timestamp value: {ts}") from None
+    pat = _sdf_to_strptime(fmt)
+    try:
+        parsed = _dt.datetime.strptime(ts, pat)
+    except ValueError as e:
+        raise ValueError(f"Can't parse timestamp string {ts!r}: {e}") from None
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    # exact integral millis (float .timestamp()*1000 can round at µs)
+    return (parsed - epoch) // _dt.timedelta(milliseconds=1)

@@ -33,10 +33,20 @@ def scan_range(cells: DataFrame, start_row: str | None = None,
     return cells
 
 
-def scan_time_range(cells: DataFrame, start_ts: int | None = None,
-                    end_ts: int | None = None) -> DataFrame:
+def scan_time_range(cells: DataFrame, start_ts: int | str | None = None,
+                    end_ts: int | str | None = None,
+                    ts_format: str | None = None) -> DataFrame:
     """S6 — cell-timestamp range [start, end) (Scan.setTimeRange,
-    HBaseIndexingOptions.java:232-252)."""
+    HBaseIndexingOptions.java:232-252).
+
+    Bounds may be epoch ints, or strings parsed per ``ts_format`` — the
+    ``--hbase-start-time/--hbase-end-time/--hbase-timestamp-format``
+    surface (HBaseIndexingOptions.java:320-360 evaluateTimestamp; with no
+    format, a string bound must itself be an epoch long)."""
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+
+    start_ts = evaluate_timestamp(start_ts, ts_format)
+    end_ts = evaluate_timestamp(end_ts, ts_format)
     if start_ts is not None:
         cells = cells.filter(F.col("ts") >= start_ts)
     if end_ts is not None:

@@ -236,6 +236,27 @@ def test_batch_indexer_tool(spark, tmp_path, conf_file):
     assert rc == 1 and "--output-dir" in out
 
 
+def test_batch_indexer_time_range_with_format(spark, tmp_path, conf_file):
+    """--hbase-start-time/--hbase-end-time with --hbase-timestamp-format
+    (HBaseIndexingOptions.java:232-252,522-545): the scan bound strings
+    parse through the SimpleDateFormat pattern before the ts pushdown."""
+    cells = spark.createDataFrame(
+        [("t", f"r{i}", "info", "name", 1382229540000 + i * 60000, "put",
+          f"user{i}".encode()) for i in range(5)],
+        "table string, row string, family string, qualifier string, "
+        "ts long, op string, value binary",
+    )
+    snap = str(tmp_path / "snap_ts")
+    cells.write.parquet(snap)
+    rc, out = run(tmp_path / "m", "batch-indexer",
+                  "--hbase-indexer-file", conf_file, "--input", snap,
+                  "--hbase-start-time", "2013/10/20 00:40:00",
+                  "--hbase-end-time", "2013/10/20 00:42:00",
+                  "--hbase-timestamp-format", "yyyy/MM/dd HH:mm:ss",
+                  "--dry-run")
+    assert rc == 0 and len(out.strip().splitlines()) == 2  # rows 1,2 only
+
+
 def test_server_once(spark, tmp_path, conf_file):
     """server --once: one reconcile pass consumes pending events and
     publishes, sharing the test session via getOrCreate."""

@@ -55,3 +55,69 @@ def test_non_utc_session_raises(ts_df, spark):
             ts_micros(ts_df, "ts")
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# evaluateTimestamp parity (HBaseIndexingOptionsTest.java:633-666)
+# ---------------------------------------------------------------------------
+
+def test_evaluate_timestamp_no_format_is_epoch_long():
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+    assert evaluate_timestamp("12345", None) == 12345
+
+
+def test_evaluate_timestamp_no_format_non_parseable_long_raises():
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+    with pytest.raises(ValueError, match="Invalid timestamp value"):
+        evaluate_timestamp("abc", None)
+
+
+def test_evaluate_timestamp_custom_format():
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+    # joda parseMillis("2013/10/20 00:39:00") in the reference test,
+    # pinned UTC here (documented divergence: JVM-default tz -> UTC)
+    assert evaluate_timestamp("2013/10/20 00:39:00",
+                              "yyyy/MM/dd HH:mm:ss") == 1382229540000
+
+
+def test_evaluate_timestamp_invalid_format_raises():
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+    with pytest.raises(ValueError, match="Invalid timestamp format"):
+        evaluate_timestamp("2013/10/20 00:39", "not a timestamp format")
+
+
+def test_evaluate_timestamp_value_not_matching_format_raises():
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+    with pytest.raises(ValueError, match="Can't parse timestamp string"):
+        evaluate_timestamp("invalid timestamp data", "yyyy/MM/dd HH:mm")
+
+
+def test_evaluate_timestamp_null_is_null():
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+    assert evaluate_timestamp(None, None) is None
+    assert evaluate_timestamp(None, "yyyy/MM/dd") is None
+
+
+def test_evaluate_timestamp_millis_and_quoted_literals():
+    from hbase_indexer_spark.functions.timeutil import evaluate_timestamp
+    assert evaluate_timestamp("2013-10-20T00:39:00.123",
+                              "yyyy-MM-dd'T'HH:mm:ss.SSS") == 1382229540123
+
+
+def test_scan_time_range_fmt(spark):
+    """S6 with --hbase-timestamp-format: string bounds parse through the
+    SimpleDateFormat pattern; [start, end) on epoch-ms cell ts."""
+    from hbase_indexer_spark.sources.cells import scan_time_range
+
+    cells = spark.createDataFrame(
+        [("t", "r1", "f", "q", 1382229540000, "put", None),
+         ("t", "r2", "f", "q", 1382229600000, "put", None),
+         ("t", "r3", "f", "q", 1382229660000, "put", None)],
+        "table string, row string, family string, qualifier string, "
+        "ts long, op string, value binary")
+    out = scan_time_range(cells, "2013/10/20 00:39:00",
+                          "2013/10/20 00:41:00",
+                          ts_format="yyyy/MM/dd HH:mm:ss")
+    assert sorted(r["row"] for r in out.collect()) == ["r1", "r2"]
+    # int bounds still work unchanged
+    assert scan_time_range(cells, 1382229600000, None).count() == 2
