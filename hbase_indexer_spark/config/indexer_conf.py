@@ -114,11 +114,11 @@ class IndexerConf:
                     raise ValueError("source=qualifier requires a wildcard qualifier")
                 if not known_type(ftype) and not callable(ftype):
                     raise ValueError(f"unknown field type {ftype!r}")
+                # positional outputFields are valid for single-cell columns
+                # too — the extractor then feeds at most one value, so only
+                # the first name can be filled (ExtractHBaseCellsBuilder
+                # .java:128-133 validation, :208-221 apply loop)
                 output_fields = tuple(fd.get("output_fields", ()))
-                if output_fields and not wildcard:
-                    # reference: outputFields only applies to multi-valued
-                    # (wildcard) extraction (ExtractHBaseCellsBuilder.java:210)
-                    raise ValueError("output_fields requires a wildcard qualifier")
                 name = fd.get("name", "")
                 if not name and not output_fields:
                     raise ValueError("field needs a name or output_fields")

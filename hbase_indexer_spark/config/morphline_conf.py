@@ -1,0 +1,377 @@
+"""Kite morphlines.conf ingestion: compile a reference-format morphline
+pipeline straight into this engine's indexer conf.
+
+The reference mounts a Kite-Morphlines command chain per indexer
+(LocalMorphlineResultToSolrMapper.java:109-166): ``extractHBaseCells``
+maps cells to record fields, then arbitrary record commands transform
+the record.  A user migrating from the reference can hand their
+``morphlines.conf`` to :func:`morphline_to_conf` and get back the dict
+this engine's ``IndexerConf.from_dict`` consumes — ``extractHBaseCells``
+mappings become FieldDefs, and each known Kite command becomes its
+registered transform stage (MORPHLINES.md is the compat table).
+
+The config language is HOCON; :func:`parse_hocon` implements the subset
+morphline files actually use (objects, arrays, bare/quoted scalars,
+``#``/``//`` comments, ``${VAR}`` substitutions — left as ``${VAR}``
+strings so the engine's own morphlineVariable templating resolves them,
+LocalMorphlineResultToSolrMapper.java:114-127).
+
+Unknown commands fail loudly with the ``register_stage`` escape hatch
+(U4) rather than silently dropping a pipeline step.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# HOCON-subset parser
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>[ \t\r]+)
+  | (?P<comment>(\#|//)[^\n]*)
+  | (?P<nl>\n)
+  | (?P<punct>[{}\[\],:=])
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<subst>\$\{[^}]*\})
+  | (?P<bare>[^\s{}\[\],:=\#"]+)
+    """,
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN.match(text, i)
+        if not m:
+            raise ValueError(f"bad HOCON at offset {i}: {text[i:i+40]!r}")
+        kind = m.lastgroup
+        if kind not in ("ws", "comment"):
+            out.append((kind, m.group()))
+        i = m.end()
+    return out
+
+
+def _coerce(tok: str):
+    if tok == "true":
+        return True
+    if tok == "false":
+        return False
+    if tok == "null":
+        return None
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return tok
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def _peek(self, skip_nl: bool = True):
+        j = self.i
+        while j < len(self.toks) and skip_nl and self.toks[j][0] == "nl":
+            j += 1
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def _next(self, skip_nl: bool = True):
+        while self.i < len(self.toks) and skip_nl \
+                and self.toks[self.i][0] == "nl":
+            self.i += 1
+        if self.i >= len(self.toks):
+            return (None, None)
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse_value(self):
+        kind, tok = self._next()
+        if tok == "{":
+            return self.parse_object()
+        if tok == "[":
+            return self.parse_array()
+        if kind == "string":
+            return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        if kind == "subst":
+            return tok  # left literal for downstream ${var} templating
+        if kind == "bare":
+            # bare scalars may span tokens up to the next separator
+            # (e.g. an unquoted `yyyy/MM/dd HH:mm` — rare; morphline
+            # files quote those), single token is the common case
+            return _coerce(tok)
+        raise ValueError(f"unexpected token {tok!r}")
+
+    def parse_object(self) -> dict:
+        out = {}
+        while True:
+            kind, tok = self._next()
+            if tok == "}" or tok is None:
+                return out
+            if tok == ",":
+                continue
+            if kind == "string":
+                key = tok[1:-1]
+            elif kind == "bare":
+                key = tok
+            else:
+                raise ValueError(f"bad object key {tok!r}")
+            nk, nt = self._peek()
+            if nt in (":", "="):
+                self._next()
+                out[key] = self.parse_value()
+            elif nt == "{":
+                self._next()
+                out[key] = self.parse_object()
+            else:
+                raise ValueError(f"expected ':' or '{{' after key {key!r}")
+
+    def parse_array(self) -> list:
+        out = []
+        while True:
+            kind, tok = self._peek()
+            if tok == "]" or tok is None:
+                self._next()
+                return out
+            if tok == ",":
+                self._next()
+                continue
+            out.append(self.parse_value())
+
+
+def parse_hocon(text: str) -> dict:
+    """Parse the morphline-file HOCON subset into plain dict/list/scalars.
+    Top level is an implicit object (``morphlines : [...]``)."""
+    p = _Parser(_tokenize(text))
+    # implicit top-level braces
+    p.toks = [("punct", "{")] + p.toks + [("punct", "}")]
+    p.i = 1
+    return p.parse_object()
+
+
+# ---------------------------------------------------------------------------
+# Kite command -> engine stage translation
+# ---------------------------------------------------------------------------
+
+def _xlate_log(name):
+    def fn(params: dict) -> list[dict]:
+        # per-record driver logging doesn't exist on a cluster; the analog
+        # is a named observe counter (operators/transform.py log_debug)
+        return [{"stage": "log_debug", "name": name}]
+    return fn
+
+
+def _xlate_set_values(params: dict) -> list[dict]:
+    return [{"stage": "set_field", "field": k, "value": v}
+            for k, v in params.items()]
+
+
+def _xlate_to_lower(params: dict) -> list[dict]:
+    return [{"stage": "lowercase_field", "field": params["field"]}]
+
+
+def _xlate_split(params: dict) -> list[dict]:
+    return [{
+        "stage": "split_field",
+        "field": params["inputField"],
+        "into": params.get("outputField", params["inputField"]),
+        "pattern": re.escape(params.get("separator", ",")),
+    }]
+
+
+def _xlate_convert_timestamp(params: dict) -> list[dict]:
+    out = {"stage": "convert_timestamp", "field": params["field"]}
+    if "inputFormats" in params:
+        out["input_formats"] = params["inputFormats"]
+    if "outputFormat" in params:
+        out["output_format"] = params["outputFormat"]
+    return [out]
+
+
+def _xlate_grok(params: dict) -> list[dict]:
+    # Kite grok: expressions maps record field -> pattern with named groups
+    exprs = params.get("expressions", {})
+    if params.get("dictionaryFiles") or params.get("dictionaryString"):
+        raise ValueError(
+            "grok pattern dictionaries are not supported — inline the "
+            "named groups in the expression, or register_stage a custom "
+            "'grok' stage (U4)")
+    return [{"stage": "regex_extract", "field": f, "pattern": p,
+             "drop_unmatched": True}
+            for f, p in exprs.items()]
+
+
+def _xlate_extract_json(params: dict) -> list[dict]:
+    return [{"stage": "extract_json_paths",
+             "field": params.get("field", "_attachment_body"),
+             "paths": params["paths"]}]
+
+
+def _xlate_read_avro(params: dict) -> list[dict]:
+    return [{"stage": "read_avro_container",
+             "field": params.get("field", "_attachment_body")}]
+
+
+def _xlate_extract_avro(params: dict) -> list[dict]:
+    return [{"stage": "extract_avro_paths", "paths": {
+        out: (p if isinstance(p, str) else str(p))
+        for out, p in params["paths"].items()}}]
+
+
+def _xlate_sanitize(params: dict) -> list[dict]:
+    if "keep" not in params:
+        raise ValueError(
+            "sanitizeUnknownSolrFields reads the schema from Solr in the "
+            "reference; here pass keep: [field, ...] listing the declared "
+            "schema explicitly")
+    return [{"stage": "sanitize_unknown_fields", "keep": params["keep"]}]
+
+
+def _xlate_drop_record(params: dict) -> list[dict]:
+    return [{"stage": "filter_rows", "predicate": "false"}]
+
+
+def _xlate_if(params: dict) -> list[dict]:
+    cond = params.get("conditions")
+    if not isinstance(cond, str):
+        raise ValueError(
+            "Kite 'if' conditions are command chains; this engine's "
+            "set-oriented branch takes a SQL boolean — write "
+            "conditions : \"<sql expr>\" (see if_then_else in "
+            "operators/transform.py)")
+    return [{"stage": "if_then_else", "condition": cond,
+             "then": _commands_to_stages(params.get("then", [])),
+             "else": _commands_to_stages(params.get("else", []))}]
+
+
+_COMMAND_XLATE = {
+    "logDebug": _xlate_log("logDebug"),
+    "logTrace": _xlate_log("logTrace"),
+    "logInfo": _xlate_log("logInfo"),
+    "logWarn": _xlate_log("logWarn"),
+    "setValues": _xlate_set_values,
+    "addValues": _xlate_set_values,
+    "toLowerCase": _xlate_to_lower,
+    "split": _xlate_split,
+    "convertTimestamp": _xlate_convert_timestamp,
+    "grok": _xlate_grok,
+    "extractJsonPaths": _xlate_extract_json,
+    "readAvroContainer": _xlate_read_avro,
+    "extractAvroPaths": _xlate_extract_avro,
+    "sanitizeUnknownSolrFields": _xlate_sanitize,
+    "dropRecord": _xlate_drop_record,
+    "if": _xlate_if,
+}
+
+# byte[] passthrough maps to the engine's identity decode
+_TYPE_MAP = {"byte[]": "bytes"}
+
+
+def _mapping_to_field(m: dict) -> dict:
+    """One extractHBaseCells mapping -> a fields[] dict
+    (ExtractHBaseCellsBuilder.java:120-240 surface)."""
+    out: dict = {"value": m["inputColumn"]}
+    if "outputField" in m:
+        out["name"] = m["outputField"]
+    if "outputFields" in m:
+        out["output_fields"] = list(m["outputFields"])
+    if "type" in m:
+        t = m["type"]
+        out["type"] = _TYPE_MAP.get(t, t)
+    if "source" in m:
+        out["source"] = m["source"]
+    return out
+
+
+def _commands_to_stages(commands: list) -> list[dict]:
+    from hbase_indexer_spark.operators.transform import STAGE_REGISTRY
+
+    stages: list[dict] = []
+    for cmd in commands:
+        if not (isinstance(cmd, dict) and len(cmd) == 1):
+            raise ValueError(f"malformed command: {cmd!r}")
+        (name, params), = cmd.items()
+        params = params if isinstance(params, dict) else {}
+        if name == "extractHBaseCells":
+            raise ValueError("extractHBaseCells must be the first command")
+        if name in _COMMAND_XLATE:
+            stages.extend(_COMMAND_XLATE[name](params))
+        elif name in STAGE_REGISTRY:
+            # engine-native stage names pass straight through — the
+            # register_stage escape hatch for commands with no Kite analog
+            stages.append({"stage": name, **params})
+        else:
+            raise ValueError(
+                f"no analog for Kite command {name!r}; register one with "
+                f"hbase_indexer_spark.operators.transform.register_stage"
+                f"({name!r}) and reference it by that name (MORPHLINES.md "
+                f"has the supported-command table)")
+    return stages
+
+
+def select_morphline(conf: dict, morphline_id: str | None = None) -> dict:
+    """Pick the morphline by id (morphlineId param of the reference
+    mapper), defaulting to the first — Kite's own behavior."""
+    morphlines = conf.get("morphlines", [])
+    if not morphlines:
+        raise ValueError("no morphlines in config")
+    if morphline_id is None:
+        return morphlines[0]
+    for m in morphlines:
+        if m.get("id") == morphline_id:
+            return m
+    raise ValueError(f"no morphline with id {morphline_id!r}")
+
+
+def _substitute(node, variables: dict):
+    if isinstance(node, str):
+        return re.sub(r"\$\{([^}]+)\}",
+                      lambda mm: str(variables.get(mm.group(1),
+                                                   mm.group(0))),
+                      node)
+    if isinstance(node, list):
+        return [_substitute(v, variables) for v in node]
+    if isinstance(node, dict):
+        return {k: _substitute(v, variables) for k, v in node.items()}
+    return node
+
+
+def morphline_to_conf(text: str, table: str,
+                      morphline_id: str | None = None,
+                      variables: dict | None = None,
+                      **conf_overrides) -> dict:
+    """Compile a morphlines.conf into this engine's indexer-conf dict:
+    ``extractHBaseCells`` mappings -> ``fields``, remaining commands ->
+    ``transform_stages``.  ``variables`` resolves ``${VAR}`` at load time
+    (Kite resolves substitutions from config/env the same way,
+    extractHBaseCellsWithVariables.conf); unresolved ones survive as
+    ``${VAR}`` strings for the conf's own morphlineVariable templating.
+    Pass the target ``table`` (the reference carries it in the XML
+    <indexer>, not the morphline) and any IndexerConf overrides as
+    keywords."""
+    m = select_morphline(parse_hocon(text), morphline_id)
+    if variables:
+        m = _substitute(m, variables)
+    commands = m.get("commands", [])
+    if not commands or "extractHBaseCells" not in commands[0]:
+        raise ValueError(
+            "morphline must start with extractHBaseCells (the reference "
+            "requires it too: LocalMorphlineResultToSolrMapper.java:142)")
+    fields = [_mapping_to_field(mp)
+              for mp in commands[0]["extractHBaseCells"].get("mappings", [])]
+    conf = {
+        "table": table,
+        "fields": fields,
+        "transform_stages": _commands_to_stages(commands[1:]),
+    }
+    conf.update(conf_overrides)
+    return conf

@@ -205,6 +205,16 @@ def encode_bigdecimal(col: Column) -> Column:
     return _encode_bigdecimal_udf(col)
 
 
+def decode_bytes(col: Column) -> Column:
+    """``byte[]`` passthrough (ExtractHBaseCellsBuilder.java:147-155): no
+    conversion — for downstream commands like readAvroContainer."""
+    return col
+
+
+def encode_bytes(col: Column) -> Column:
+    return col.cast("binary")
+
+
 DECODERS = {
     "int": decode_int,
     "long": decode_long,
@@ -214,6 +224,7 @@ DECODERS = {
     "double": decode_double,
     "short": decode_short,
     "bigdecimal": decode_bigdecimal,
+    "bytes": decode_bytes,
 }
 
 ENCODERS = {
@@ -225,6 +236,7 @@ ENCODERS = {
     "double": encode_double,
     "short": encode_short,
     "bigdecimal": encode_bigdecimal,
+    "bytes": encode_bytes,
 }
 
 SPARK_TYPES = {
@@ -236,6 +248,7 @@ SPARK_TYPES = {
     "double": "double",
     "short": "smallint",
     "bigdecimal": "decimal(38,18)",
+    "bytes": "binary",
 }
 
 

@@ -154,6 +154,16 @@ def field_exprs(fd: FieldDef, cells_arr: Column) -> list[Column]:
     base = field_expr(fd, cells_arr)
     if not fd.output_fields:
         return [base]
+    if not fd.wildcard:
+        # single-cell extractor feeds at most ONE value, so only the first
+        # positional name can be filled; later names stay typed NULLs
+        # (ExtractHBaseCellsBuilder.java:208-221: the apply loop stops when
+        # the extracted iterator is exhausted)
+        return [
+            (base if i == 0 else F.when(F.lit(False), base)).alias(name)
+            for i, name in enumerate(fd.output_fields)
+            if name
+        ]
     return [
         F.try_element_at(base, F.lit(i + 1)).alias(name)
         for i, name in enumerate(fd.output_fields)

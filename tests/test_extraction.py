@@ -123,11 +123,13 @@ def test_positional_output_fields(spark):
 
 
 def test_positional_output_fields_validation():
-    with pytest.raises(ValueError, match="wildcard"):
-        IndexerConf.from_dict({
-            "table": "t",
-            "fields": [{"value": "data:d", "output_fields": ["a"]}],
-        })
+    # non-wildcard + output_fields is VALID (ExtractHBaseCellsBuilder
+    # .java:128-133): the single extracted value fills the first name
+    conf = IndexerConf.from_dict({
+        "table": "t",
+        "fields": [{"value": "data:d", "output_fields": ["a"]}],
+    })
+    assert conf.fields[0].output_fields == ("a",)
     with pytest.raises(ValueError, match="name or output_fields"):
         IndexerConf.from_dict({
             "table": "t", "fields": [{"value": "data:d_*"}],

@@ -1,0 +1,214 @@
+"""morphlines.conf ingestion: HOCON-subset parse + Kite-command
+translation, checked against the reference's own config files (read from
+the reference tree; skipped when absent).
+
+Pins: the reference's hbase-indexer-mr morphlines.conf compiles and runs
+end-to-end; ${VAR} substitution matches extractHBaseCellsWithVariables;
+multi/positional output fields survive; unknown commands fail with the
+register_stage escape hatch, never silently drop.
+"""
+
+import os
+
+import pytest
+
+from hbase_indexer_spark.config.morphline_conf import (
+    morphline_to_conf,
+    parse_hocon,
+)
+
+REF = "/root/reference/hbase-indexer-mr/src/test/resources/morphlines.conf"
+REF_VARS = ("/root/reference/hbase-indexer-morphlines/src/test/resources/"
+            "test-morphlines/extractHBaseCellsWithVariables.conf")
+REF_MULTI = ("/root/reference/hbase-indexer-morphlines/src/test/resources/"
+             "test-morphlines/extractHBaseCellsWithMultipleOutputFields.conf")
+
+CELLS_SCHEMA = ("table string, row string, family string, qualifier string, "
+                "ts long, op string, value binary")
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(rows, CELLS_SCHEMA)
+
+
+def test_parse_hocon_subset():
+    conf = parse_hocon("""
+        # comment
+        a : 1
+        b : "two words"   // trailing comment
+        c { d : [x, y, 3] }
+        e : ${SOME_VAR}
+        f : true
+    """)
+    assert conf["a"] == 1
+    assert conf["b"] == "two words"
+    assert conf["c"]["d"] == ["x", "y", 3]
+    assert conf["e"] == "${SOME_VAR}"
+    assert conf["f"] is True
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference tree absent")
+def test_reference_morphlines_conf_end_to_end(spark):
+    """The VERDICT-r4 worked example: the reference's own mr test
+    morphline (data:* wildcard string extract + logTrace), verbatim."""
+    with open(REF, encoding="utf-8") as f:
+        text = f.read()
+    conf_dict = morphline_to_conf(text, table="record")
+    assert conf_dict["fields"] == [
+        {"value": "data:*", "name": "data", "type": "string",
+         "source": "value"}]
+    assert conf_dict["transform_stages"] == [
+        {"stage": "log_debug", "name": "logTrace"}]
+
+    from hbase_indexer_spark.lifecycle import IndexerDefinition
+    from hbase_indexer_spark.plans.batch import build_index
+
+    conf = IndexerDefinition(name="m", conf=conf_dict).indexer_conf()
+    cells = _cells(spark, [
+        ("record", "row1", "data", "a", 1, "put", b"va"),
+        ("record", "row1", "data", "b", 1, "put", b"vb"),
+        ("record", "row2", "data", "a", 1, "put", b"vc"),
+        ("other", "row3", "data", "a", 1, "put", b"zz"),
+    ])
+    docs = {r["id"]: r for r in build_index(cells, conf).collect()}
+    assert set(docs) == {"row1", "row2"}  # table routing holds
+    assert docs["row1"]["data"] == ["va", "vb"]  # qualifier-sorted multi
+    assert docs["row2"]["data"] == ["vc"]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_VARS),
+                    reason="reference tree absent")
+def test_reference_variables_conf(spark):
+    """${VAR} substitution at load time (the morphlineVariable surface),
+    against the reference's extractHBaseCellsWithVariables.conf."""
+    with open(REF_VARS, encoding="utf-8") as f:
+        text = f.read()
+    conf_dict = morphline_to_conf(
+        text, table="record",
+        variables={"INPUT_COLUMN": "info:name", "OUTPUT_FIELD": "name_s",
+                   "TYPE": "string", "SOURCE": "value"})
+    assert conf_dict["fields"] == [
+        {"value": "info:name", "name": "name_s", "type": "string",
+         "source": "value"}]
+    # unresolved substitutions survive literally for downstream templating
+    half = morphline_to_conf(text, table="record",
+                             variables={"INPUT_COLUMN": "info:name"})
+    assert half["fields"][0]["name"] == "${OUTPUT_FIELD}"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MULTI),
+                    reason="reference tree absent")
+def test_reference_multiple_output_fields_conf(spark):
+    """Positional outputFields (P8) from the reference conf: the i-th
+    qualifier-sorted value lands in the i-th name, '' skips."""
+    with open(REF_MULTI, encoding="utf-8") as f:
+        text = f.read()
+    conf_dict = morphline_to_conf(text, table="record")
+    by_val = {f["value"]: f for f in conf_dict["fields"]}
+    assert by_val["cfB:qualifier*"]["output_fields"] == ["fieldB", "",
+                                                         "fieldC"]
+
+    from hbase_indexer_spark.lifecycle import IndexerDefinition
+    from hbase_indexer_spark.plans.batch import build_index
+
+    conf = IndexerDefinition(name="m", conf=conf_dict).indexer_conf()
+    cells = _cells(spark, [
+        ("record", "r1", "cfB", "qualifier1", 1, "put", b"one"),
+        ("record", "r1", "cfB", "qualifier2", 1, "put", b"two"),
+        ("record", "r1", "cfB", "qualifier3", 1, "put", b"three"),
+        # the conf's first mapping: single-cell int -> outputFields [fieldA]
+        ("record", "r1", "cfA", "qualifierA", 1, "put",
+         (42).to_bytes(4, "big")),
+    ])
+    (doc,) = build_index(cells, conf).collect()
+    assert doc["fieldB"] == "one" and doc["fieldC"] == "three"
+    assert doc["fieldA"] == 42  # non-wildcard positional fills first name
+
+
+def test_unknown_command_fails_with_escape_hatch():
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:q", outputField : f } ] } }
+          { geoIP { inputField : ip } }
+        ] } ]
+    """
+    with pytest.raises(ValueError, match="register_stage"):
+        morphline_to_conf(text, table="t")
+
+
+def test_registered_custom_command_passes_through(spark):
+    from hbase_indexer_spark.operators.transform import (
+        STAGE_REGISTRY,
+        register_stage,
+    )
+
+    @register_stage("reverseField")
+    def _reverse(params):
+        import pyspark.sql.functions as F
+        f = params["field"]
+        return lambda df: df.withColumn(f, F.reverse(F.col(f)))
+
+    try:
+        text = """
+        morphlines : [
+          { id : m1
+            commands : [
+              { extractHBaseCells { mappings : [
+                  { inputColumn : "cf:q", outputField : f } ] } }
+              { reverseField { field : f } }
+            ] } ]
+        """
+        conf = morphline_to_conf(text, table="t")
+        assert conf["transform_stages"] == [
+            {"stage": "reverseField", "field": "f"}]
+    finally:
+        STAGE_REGISTRY.pop("reverseField", None)
+
+
+def test_kite_command_translations():
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:body", outputField : body,
+                type : "byte[]" } ] } }
+          { setValues { src : web } }
+          { toLowerCase { field : body } }
+          { split { inputField : body, outputField : parts,
+                    separator : "," } }
+          { convertTimestamp { field : ts,
+                               inputFormats : ["unixTimeInMillis"],
+                               outputFormat : "yyyy-MM-dd" } }
+          { logDebug { format : "rec: {}", args : ["@{}"] } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    assert conf["fields"] == [{"value": "cf:body", "name": "body",
+                               "type": "bytes"}]
+    stages = conf["transform_stages"]
+    assert stages[0] == {"stage": "set_field", "field": "src",
+                         "value": "web"}
+    assert stages[1] == {"stage": "lowercase_field", "field": "body"}
+    assert stages[2] == {"stage": "split_field", "field": "body",
+                         "into": "parts", "pattern": ","}
+    assert stages[3]["stage"] == "convert_timestamp"
+    assert stages[3]["input_formats"] == ["unixTimeInMillis"]
+    assert stages[4] == {"stage": "log_debug", "name": "logDebug"}
+
+
+def test_bytes_type_passthrough_roundtrip(spark):
+    """type byte[] -> 'bytes' identity decode (ExtractHBaseCellsBuilder
+    .java:147-155): the raw cell bytes survive for downstream commands."""
+    from hbase_indexer_spark.functions.bytes_codec import (
+        decode_bytes,
+        encode_bytes,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(b"\x00\x01\xff",)], "b binary")
+    out = df.select(decode_bytes(encode_bytes(F.col("b"))).alias("b"))
+    assert out.collect()[0]["b"] == b"\x00\x01\xff"
