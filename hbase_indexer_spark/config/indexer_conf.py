@@ -209,6 +209,45 @@ _FORMATTER_CLASSES = {
 }
 
 
+# literal indexerconf.xsd shape: allowed child elements and attributes per
+# element (hbase-indexer-engine/src/main/resources/com/ngdata/hbaseindexer/
+# conf/indexerconf.xsd; reference validates at DefaultIndexerComponentFactory
+# .java:154-164 and rejects anything the schema doesn't name).
+# `output-fields` is this engine's one documented extension attribute (P8).
+_XSD_SHAPE = {
+    "indexer": (
+        {"field", "extract", "param"},
+        {"table", "mapping-type", "read-row", "mapper",
+         "unique-key-formatter", "unique-key-field", "row-field",
+         "column-family-field", "table-name-field"},
+    ),
+    "field": ({"param"}, {"name", "value", "source", "type",
+                          "output-fields"}),
+    "extract": ({"param"}, {"prefix", "value", "source", "type",
+                            "output-fields"}),
+    "param": (set(), {"name", "value"}),
+}
+
+
+def _validate_xml_shape(el, path: str = "indexer") -> None:
+    """Reject unknown elements/attributes exactly where XSD validation
+    would (the reference's DefaultIndexerComponentFactory.java:154-164
+    schema check) — a typo'd <filed> or mapping-typ must fail loudly,
+    not silently drop config."""
+    children, attrs = _XSD_SHAPE[el.tag]
+    for a in el.attrib:
+        if a not in attrs:
+            raise ValueError(
+                f"unknown attribute {a!r} on <{path}> "
+                f"(indexerconf.xsd allows {sorted(attrs)})")
+    for child in el:
+        if child.tag not in children:
+            raise ValueError(
+                f"unknown element <{child.tag}> under <{path}> "
+                f"(indexerconf.xsd allows {sorted(children) or 'none'})")
+        _validate_xml_shape(child, f"{path}>{child.tag}")
+
+
 def conf_from_xml(xml_text: str) -> IndexerConf:
     """Parse a reference-format ``<indexer>`` XML definition (the
     ``indexerconf.xsd`` surface a reference user already has on disk) into
@@ -235,6 +274,7 @@ def conf_from_xml(xml_text: str) -> IndexerConf:
     root = ET.fromstring(xml_text)
     if root.tag != "indexer":
         raise ValueError(f"expected <indexer> root, got <{root.tag}>")
+    _validate_xml_shape(root)
 
     def field_dict(el) -> dict:
         d = {}

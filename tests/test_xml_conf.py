@@ -113,3 +113,29 @@ def test_custom_mapper_with_params_runs(spark):
     )
     rows = row_documents(cells, conf).collect()
     assert rows[0]["parts"] == ["a", "b", "c"]
+
+
+def test_xml_rejects_unknown_elements_and_attributes():
+    """Literal XSD-shape validation (DefaultIndexerComponentFactory
+    .java:154-164): typos fail loudly instead of silently dropping."""
+    import pytest
+
+    from hbase_indexer_spark.config.indexer_conf import conf_from_xml
+
+    with pytest.raises(ValueError, match="unknown element"):
+        conf_from_xml(
+            '<indexer table="t"><filed name="a" value="f:q"/></indexer>')
+    with pytest.raises(ValueError, match="unknown attribute"):
+        conf_from_xml('<indexer table="t" mapping-typ="row"/>')
+    with pytest.raises(ValueError, match="unknown attribute"):
+        conf_from_xml(
+            '<indexer table="t"><field nam="a" value="f:q"/></indexer>')
+    with pytest.raises(ValueError, match="unknown element"):
+        conf_from_xml(
+            '<indexer table="t"><param name="a" value="b">'
+            '<field name="x" value="f:q"/></param></indexer>')
+    # the valid surface still parses
+    conf = conf_from_xml(
+        '<indexer table="t"><field name="a" value="f:q" type="int">'
+        '<param name="k" value="v"/></field></indexer>')
+    assert conf.fields[0].name == "a"
