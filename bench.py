@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     # token-budget mixture, embedding audits
     "bloom_screen",
     "dedup_store_screen",
+    "curation_stream",
     "dedup_keep_best",
     "chunk_documents",
     "token_budget_sample",

@@ -45,6 +45,7 @@ from hbase_indexer_spark.pipeline.dedup import (
     exploded_shingles,
     sigs_from_shingles,
 )
+from hbase_indexer_spark.pipeline.text import QUALITY_SQL
 from hbase_indexer_spark.sinks.index_store import IndexStore
 
 
@@ -186,13 +187,13 @@ def screen_batches(spark: SparkSession, docs: DataFrame, state_path: str,
     return out.select("doc_id", "batch", "exact_dup", "near_dup", "keep")
 
 
-def dedup_store_screen_sql(threshold: float = 0.7, n: int = 3,
-                           n_batches: int = 3) -> str:
-    """DuckDB mirror of :func:`screen_batches` — the sequential
-    stateful screen unrolled into per-batch CTEs (kept_{b} = kept_{b-1}
-    plus batch b's keeps).  Near-dup replays the store's estimator
-    exactly: a band collision (any of the 16 sig-triples equal) AND
-    >= ceil(threshold * 48) matching signature positions."""
+def _screen_ctes(threshold: float, n: int, n_batches: int,
+                 keep_gate: str = "") -> str:
+    """The shared CTE body replaying the sequential stateful screen in
+    DuckDB: sketches, per-batch verdicts v{b}, and cumulative kept{b}
+    state sets.  ``keep_gate`` is an extra SQL predicate (over a ``qual``
+    CTE alias ``q``) a doc must also pass to enter the state — the
+    curation quality gate; empty = pure screen (dedup_store_screen)."""
     from hbase_indexer_spark.pipeline.dedup import (
         N_BANDS,
         P,
@@ -213,6 +214,8 @@ def dedup_store_screen_sql(threshold: float = 0.7, n: int = 3,
         f"(CASE WHEN nw.s{i} = st.s{i} THEN 1 ELSE 0 END)"
         for i in range(N_SIGS))
     sig_cols = ", ".join(f"s{i}" for i in range(N_SIGS))
+    gate_join = (f"JOIN qual q ON q.doc_id = s.doc_id AND ({keep_gate})"
+                 if keep_gate else "")
     ctes = [f"""{shingle_cte_sql(n)},
         hashed AS (
             SELECT doc_id,
@@ -220,12 +223,16 @@ def dedup_store_screen_sql(threshold: float = 0.7, n: int = 3,
             FROM sh
         ),
         sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+        qual AS (
+            SELECT doc_id, n_tokens, {QUALITY_SQL} AS quality
+            FROM (SELECT doc_id, toks, len(toks) AS n_tokens FROM tk)
+        ),
         sk AS (
             SELECT d.doc_id, d.doc_id % {n_batches} AS batch,
                    md5(d.text) AS ch, {sig_cols}
             FROM documents d LEFT JOIN sigs USING (doc_id)
         ),
-        kept0 AS (SELECT * FROM sk WHERE batch = 0),
+        kept0 AS (SELECT s.* FROM sk s {gate_join} WHERE s.batch = 0),
         v0 AS (
             SELECT doc_id, CAST(0 AS BIGINT) AS batch,
                    FALSE AS exact_dup, FALSE AS near_dup, TRUE AS keep
@@ -257,9 +264,20 @@ def dedup_store_screen_sql(threshold: float = 0.7, n: int = 3,
         kept{b} AS (
             SELECT * FROM {prev}
             UNION ALL
-            SELECT s.* FROM sk s JOIN v{b} v
-              ON s.doc_id = v.doc_id AND v.keep
+            SELECT s.* FROM sk s
+            JOIN v{b} v ON s.doc_id = v.doc_id AND v.keep
+            {gate_join}
         )""")
+    return ",".join(ctes)
+
+
+def dedup_store_screen_sql(threshold: float = 0.7, n: int = 3,
+                           n_batches: int = 3) -> str:
+    """DuckDB mirror of :func:`screen_batches` — the sequential
+    stateful screen unrolled into per-batch CTEs (kept_{b} = kept_{b-1}
+    plus batch b's keeps).  Near-dup replays the store's estimator
+    exactly: a band collision (any of the 16 sig-triples equal) AND
+    >= ceil(threshold * 48) matching signature positions."""
     union = " UNION ALL ".join(
         f"SELECT * FROM v{b}" for b in range(n_batches))
-    return f"WITH {','.join(ctes)} {union}"
+    return f"WITH {_screen_ctes(threshold, n, n_batches)} {union}"

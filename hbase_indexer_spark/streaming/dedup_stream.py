@@ -145,3 +145,29 @@ def curation_stream(stream_docs: DataFrame, store, corpus_store,
     writer = stream_docs.writeStream.foreachBatch(_process) \
         .option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def curation_stream_sql(threshold: float = 0.7, n: int = 3,
+                        n_batches: int = 3, min_tokens: int = 10,
+                        min_quality: float = 0.5) -> str:
+    """DuckDB mirror of the :func:`curation_stream` end state over
+    ``n_batches`` ordered file-drops of the documents table (batch =
+    doc_id % n_batches): the accepted corpus after the last trigger.
+
+    Builds on the stateful-screen CTEs (``pipeline.dedup_store``),
+    adding the stream's quality gate to the kept sets: a doc enters the
+    corpus AND the dedup state only when its screen verdict is keep AND
+    n_tokens >= min_tokens AND quality_score >= min_quality — exactly
+    the foreachBatch filter, so a low-quality unique doc neither lands
+    in the corpus nor shields later duplicates of itself."""
+    from hbase_indexer_spark.pipeline.dedup_store import _screen_ctes
+
+    gate = (f"q.n_tokens >= {min_tokens} AND q.quality >= {min_quality}")
+    ctes = _screen_ctes(threshold, n, n_batches, keep_gate=gate)
+    last = f"kept{n_batches - 1}"
+    return f"""
+        WITH {ctes}
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN {last} k ON d.doc_id = k.doc_id
+    """

@@ -547,6 +547,13 @@ CHECKS = {
         [r"Union", r"ExistingRDD"],
         [r"Join", r"CartesianProduct", *NO_PYTHON],
     ),
+    # streaming curation end state: the returned frame is the corpus
+    # store's published version — a bare parquet scan; all screen/gate
+    # work ran inside the foreachBatch micro-batches
+    "curation_stream": (
+        [r"Scan parquet"],
+        [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
 }
 
 
