@@ -1781,16 +1781,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # output to BIGINT, pinned repo-wide by tests/test_oracle_types.py)
     # plus 48 queries the driver has NEVER checked (r1–r4 gated 74
     # distinct queries; the other 76 rested on the local sweep only).
-    # The remaining 29 never-checked rows sit immediately after the
-    # window, first in line for the r6 rotation: 14 pipeline/analysis
-    # rows (winnow_overlap, dup_size_histogram, vocab_by_lang,
-    # ngram_containment, simhash_near_dups, ngram_topk, pii_scrub,
-    # event_grouping, media_features, ann_ivf_topk, stratified_sample,
+    # The never-checked rows sit immediately after the window, first in
+    # line for the r6 rotation: curation_stream (new r5, local-green at
+    # 3 SFs), jaccard_threshold_curve (swapped out for the new
+    # dedup_store_screen), 15 pipeline/analysis rows (winnow_overlap,
+    # dup_size_histogram, vocab_by_lang, ngram_containment,
+    # simhash_near_dups, ngram_topk, pii_scrub, event_grouping,
+    # media_features, ann_ivf_topk, stratified_sample,
     # embedding_quantize, token_freq_spectrum, normalize_text) and the
     # 15 TPC-H analytics never gated (their 12 siblings were r1+r2
-    # driver-green, same DECIMAL-intermediate recipe).  The new
-    # embedding_cosine_lsh (VERDICT r4 #3: gate the scalable embedding
-    # near-dup path) took winnow_overlap's slot.
+    # driver-green, same DECIMAL-intermediate recipe).  New r5 gated
+    # in-window: embedding_cosine_lsh (VERDICT r4 #3, took
+    # winnow_overlap's slot) and dedup_store_screen (VERDICT r4 #7).
     return {name: _pinned(fn) for name, fn in {
         # ------------- 50-query driver gate window -------------
         # the two r4 reds, fixed — must stay in-window until recorded green

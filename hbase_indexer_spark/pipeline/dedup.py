@@ -624,32 +624,46 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     O(n^2) flops — for verification and small corpora).  Deterministic
     end-to-end (LCG hyperplanes), so the whole approximate pipeline has an
     exact SQL oracle: :func:`embedding_cosine_pairs_lsh_sql`."""
-    from hbase_indexer_spark.pipeline.similarity import cosine, hyperplane_sketch
+    from hbase_indexer_spark.pipeline.similarity import dot, hyperplane_sketch, norm
 
-    tables = None
-    for t in range(n_tables):
+    sketches = [
         # table t uses its own independent plane family
-        sk = emb.select(
-            F.col("vec_id"),
-            F.lit(t).alias("tbl"),
-            hyperplane_sketch(F.col("embedding"), dim, n_bits,
-                              plane_offset=n_bits * t).alias("bkt"),
-        )
-        tables = sk if tables is None else tables.unionByName(sk)
+        hyperplane_sketch(F.col("embedding"), dim, n_bits,
+                          plane_offset=n_bits * t).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    # ONE pass computes all n_tables sketches AND the vector norm (reused
+    # by the verify step, so the per-candidate work is dot-only); the
+    # per-table rows explode out of the combined row
+    sk = emb.select("vec_id", "embedding",
+                    norm(F.col("embedding")).alias("nrm"), *sketches)
+    tables = sk.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)]))
+        .alias("tbl", "bkt"),
+    )
     a = tables.alias("a")
     b = tables.alias("b")
     cands = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bkt") == F.col("b.bkt"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
-        .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("x"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("y"), F.col("embedding").alias("vb"))
+    ea = sk.select(F.col("vec_id").alias("x"), F.col("embedding").alias("va"),
+                   F.col("nrm").alias("na"))
+    eb = sk.select(F.col("vec_id").alias("y"), F.col("embedding").alias("vb"),
+                   F.col("nrm").alias("nb"))
     return (
         cands.join(ea, "x").join(eb, "y")
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        # same float expression as cosine(): dot / (norm * norm) >= t —
+        # norms just come precomputed from the sketch pass.  The dedup of
+        # multi-table collisions runs AFTER the filter: re-verifying the
+        # ~8% duplicate candidates is cheaper than shuffling the full
+        # candidate set for a pre-verify distinct
+        .filter((dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))) >= threshold)
         .select("x", "y")
+        .distinct()
     )
 
 

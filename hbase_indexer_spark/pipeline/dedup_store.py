@@ -78,19 +78,31 @@ class DedupIndexStore:
     def sketches(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read(spark)
 
-    def accept(self, spark: SparkSession, docs: DataFrame) -> None:
+    def accept(self, spark: SparkSession, docs: DataFrame,
+               sketches: DataFrame | None = None) -> None:
         """Add a batch's sketches to the accepted state (idempotent per
-        doc_id — re-accepting a doc overwrites its identical sketch)."""
-        self.store.merge(spark, adds=doc_sketches(docs, self.n))
+        doc_id — re-accepting a doc overwrites its identical sketch).
+        Pass ``sketches`` (the batch's ``doc_sketches`` frame, possibly
+        pre-materialized by the caller) to skip re-shingling the text."""
+        if sketches is None:
+            sketches = doc_sketches(docs, self.n)
+        self.store.merge(spark, adds=sketches)
 
     # -- screening --------------------------------------------------------
 
-    def screen(self, spark: SparkSession, new: DataFrame) -> DataFrame:
+    def screen(self, spark: SparkSession, new: DataFrame,
+               sketches: DataFrame | None = None) -> DataFrame:
         """Per new doc: ``exact_dup`` (content hash in state),
         ``near_dup`` (some state doc with signature-estimated Jaccard
-        >= threshold among band-collision candidates), ``keep``."""
+        >= threshold among band-collision candidates), ``keep``.
+
+        ``sketches`` lets the caller hand in a pre-materialized
+        ``doc_sketches`` frame: the sketch subtree appears three times in
+        this plan (exact join, band join, sig join), so a caller-side
+        ``localCheckpoint`` turns three shingle passes into RDD scans —
+        and the same frame feeds :meth:`accept` afterwards."""
         state = self.sketches(spark)
-        new_sk = doc_sketches(new, self.n)
+        new_sk = doc_sketches(new, self.n) if sketches is None else sketches
         if state is None:
             return new.select(
                 "doc_id",
@@ -175,11 +187,14 @@ def screen_batches(spark: SparkSession, docs: DataFrame, state_path: str,
     for b in range(n_batches):
         batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches))
                             == F.lit(b))
-        verdicts = store.screen(spark, batch).localCheckpoint(eager=True)
-        keeps = batch.join(
-            verdicts.filter(F.col("keep")).select("doc_id"),
-            "doc_id", "left_semi")
-        store.accept(spark, keeps)
+        # one shingle pass per batch: the materialized sketches feed the
+        # screen's three sketch-consuming joins AND the accept merge
+        sk = doc_sketches(batch, n).localCheckpoint(eager=True)
+        verdicts = store.screen(spark, batch, sketches=sk) \
+            .localCheckpoint(eager=True)
+        keep_ids = verdicts.filter(F.col("keep")).select("doc_id")
+        store.accept(spark, batch,
+                     sketches=sk.join(keep_ids, "doc_id", "left_semi"))
         outs.append(verdicts.withColumn("batch", F.lit(b).cast("long")))
     out = outs[0]
     for v in outs[1:]:

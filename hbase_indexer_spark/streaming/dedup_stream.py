@@ -116,12 +116,17 @@ def curation_stream(stream_docs: DataFrame, store, corpus_store,
     from hbase_indexer_spark.pipeline.text import quality_score, token_count
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        from hbase_indexer_spark.pipeline.dedup_store import doc_sketches
+
         spark = batch.sparkSession
         if not batch.head(1):
             return
         batch = batch.cache()
         try:
-            verdicts = store.screen(spark, batch)
+            # one shingle pass per micro-batch: the materialized sketches
+            # feed the screen's three sketch joins AND the state accept
+            sk = doc_sketches(batch).localCheckpoint(eager=True)
+            verdicts = store.screen(spark, batch, sketches=sk)
             n_tok = token_count(F.col("text"))
             keeps = (
                 batch.join(verdicts.filter(F.col("keep")).select("doc_id"),
@@ -136,7 +141,10 @@ def curation_stream(stream_docs: DataFrame, store, corpus_store,
                 # the next redelivery re-appends the same keyed docs into
                 # the corpus MERGE (idempotent) and then lands the state
                 corpus_store.merge(spark, adds=keeps)
-                store.accept(spark, keeps)
+                store.accept(
+                    spark, keeps,
+                    sketches=sk.join(keeps.select("doc_id"), "doc_id",
+                                     "left_semi"))
             finally:
                 keeps.unpersist()
         finally:
