@@ -944,6 +944,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_docs(spark, sf_dir), n=6, min_shared=3)
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: train-split vectors within
+    cosine>=0.3 of any test-split vector, via the deterministic
+    hyperplane-LSH candidate machinery — catches the paraphrase
+    contamination the n-gram screen (q_decontaminate) can't."""
+    from hbase_indexer_spark.pipeline.decontam import semantic_decontam
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return semantic_decontam(load(spark, sf_dir, "embeddings"),
+                             threshold=0.3, test_frac=0.1)
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dominating phrases: top-20 word trigrams by document
     frequency (per-doc-distinct explode + partial-agg count + stable top-k)."""
@@ -1863,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the REAL streaming loop over the same state machinery) heads
         # the pool — local-sweep-verified at 3 SFs this round.
         "curation_stream": q_curation_stream,
+        "semantic_decontam": q_semantic_decontam,
         "jaccard_threshold_curve": q_jaccard_threshold_curve,
         "winnow_overlap": q_winnow_overlap,
         "dup_size_histogram": q_dup_size_histogram,
@@ -2367,6 +2380,10 @@ def oracle_sql() -> dict[str, str]:
 
     out["simhash_near_dups"] = simhash_near_pairs_sql(max_hamming=3)
     out["decontaminate"] = decontaminate_sql(n=6, min_shared=3)
+    from hbase_indexer_spark.pipeline.decontam import semantic_decontam_sql
+
+    out["semantic_decontam"] = semantic_decontam_sql(
+        threshold=0.3, test_frac=0.1)
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",
                                  extra_cols=["event_id"])

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "repetition_filter",
     "media_frame_sample",
     "decontaminate",
+    "semantic_decontam",
     "ngram_topk",
     "embedding_quantize",
     "vocab_estimate",

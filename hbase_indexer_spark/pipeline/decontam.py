@@ -145,3 +145,116 @@ def ngram_topk_sql(n: int = 3, k: int = 20, table: str = "documents") -> str:
         ORDER BY df DESC, ngram ASC
         LIMIT {k}
     """
+
+
+def semantic_decontam(emb: DataFrame, threshold: float = 0.4,
+                      test_frac: float = 0.1, salt: str = "split-v1",
+                      dim: int = 64, n_bits: int = 6,
+                      n_tables: int = 8) -> DataFrame:
+    """Embedding-space decontamination: flag train-split vectors whose
+    embedding has cosine >= ``threshold`` to ANY test-split vector — the
+    paraphrase/translation contamination the n-gram screen
+    (:func:`decontaminate`) structurally cannot catch.
+
+    Returns ``(vec_id, n_test_hits)`` per contaminated train vector,
+    where ``n_test_hits`` counts the distinct test vectors above the
+    threshold among LSH candidates.  The split is the same deterministic
+    hash deal as ``train_test_split`` (over ``vec_id``), and the
+    candidate generation is the same OR-amplified hyperplane machinery
+    as ``embedding_cosine_pairs_lsh`` — deterministic LCG planes, so the
+    approximate screen has an exact SQL mirror.
+
+    Scale: one corpus pass computes all sketches + the norm; candidates
+    come from train-x-test band-equality joins (never a cross join);
+    verification is dot-only on candidates.  At 100 TB the test split is
+    small and hot — the band join broadcasts it."""
+    from hbase_indexer_spark.pipeline.curation import SPLIT_BUCKETS, _bucket
+    from hbase_indexer_spark.pipeline.similarity import (
+        dot,
+        hyperplane_sketch,
+        norm,
+    )
+
+    cut = int(test_frac * SPLIT_BUCKETS)
+    sketches = [
+        hyperplane_sketch(F.col("embedding"), dim, n_bits,
+                          plane_offset=n_bits * t).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    sk = emb.select(
+        "vec_id", "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        (_bucket(F.col("vec_id"), salt) < cut).alias("is_test"),
+        *sketches,
+    )
+    tables = sk.select(
+        "vec_id", "is_test",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)]))
+        .alias("tbl", "bkt"),
+    )
+    train = tables.filter(~F.col("is_test")) \
+        .select(F.col("vec_id").alias("x"), "tbl", "bkt")
+    test = tables.filter(F.col("is_test")) \
+        .select(F.col("vec_id").alias("y"), "tbl", "bkt")
+    cands = train.join(F.broadcast(test), ["tbl", "bkt"]).select("x", "y")
+    ex = sk.select(F.col("vec_id").alias("x"), F.col("embedding").alias("va"),
+                   F.col("nrm").alias("na"))
+    ey = sk.select(F.col("vec_id").alias("y"), F.col("embedding").alias("vb"),
+                   F.col("nrm").alias("nb"))
+    return (
+        cands.join(ex, "x").join(F.broadcast(ey), "y")
+        .filter((dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))) >= threshold)
+        .groupBy(F.col("x").alias("vec_id"))
+        .agg(F.count_distinct(F.col("y")).alias("n_test_hits"))
+    )
+
+
+def semantic_decontam_sql(threshold: float = 0.4, test_frac: float = 0.1,
+                          salt: str = "split-v1", dim: int = 64,
+                          n_bits: int = 6, n_tables: int = 8) -> str:
+    """DuckDB mirror of :func:`semantic_decontam` — LCG planes inline as
+    literals, same split hash, count(DISTINCT) over verified candidates."""
+    from hbase_indexer_spark.pipeline.curation import SPLIT_BUCKETS, _bucket_sql
+    from hbase_indexer_spark.pipeline.similarity import _hyperplane
+
+    cut = int(test_frac * SPLIT_BUCKETS)
+
+    def sketch_expr(off: int) -> str:
+        terms = []
+        for b in range(n_bits):
+            plane = ", ".join(repr(c) for c in _hyperplane(dim, off + b))
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"[{plane}]) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    ctes, selects = [], []
+    for t in range(n_tables):
+        ctes.append(f"""
+        sk{t} AS (
+            SELECT vec_id,
+                   ({_bucket_sql(salt, 'vec_id')}) < {cut} AS is_test,
+                   CAST({sketch_expr(t * n_bits)} AS BIGINT) AS bkt
+            FROM embeddings
+        )""")
+        selects.append(
+            f"SELECT a.vec_id AS x, b.vec_id AS y FROM sk{t} a "
+            f"JOIN sk{t} b ON a.bkt = b.bkt "
+            f"AND NOT a.is_test AND b.is_test"
+        )
+    cands = " UNION ALL ".join(selects)
+    return f"""
+        WITH {", ".join(ctes)},
+        cands AS (SELECT DISTINCT x, y FROM ({cands}))
+        SELECT c.x AS vec_id,
+               CAST(count(DISTINCT c.y) AS BIGINT) AS n_test_hits
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.x
+        JOIN embeddings eb ON eb.vec_id = c.y
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              >= {threshold}
+        GROUP BY c.x
+    """

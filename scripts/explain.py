@@ -554,6 +554,12 @@ CHECKS = {
         [r"Scan parquet"],
         [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
     ),
+    # embedding decontamination: train-x-test candidates from broadcast
+    # band-equality joins; never a cross join, never a Python stage
+    "semantic_decontam": (
+        [r"BroadcastHashJoin", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
 }
 
 

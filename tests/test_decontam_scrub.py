@@ -362,3 +362,32 @@ def test_simhash_banded_join_is_complete(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError):
         simhash_near_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_semantic_decontam_flags_near_test_vectors(spark):
+    """A train vector nearly parallel to a test vector is flagged with
+    the right hit count; an orthogonal one is not — even though neither
+    shares any n-gram surface (the case the n-gram screen can't catch)."""
+    import hashlib
+
+    from hbase_indexer_spark.pipeline.curation import SPLIT_BUCKETS
+    from hbase_indexer_spark.pipeline.decontam import semantic_decontam
+
+    def bucket(vec_id, salt="split-v1"):
+        h = hashlib.md5(f"{vec_id}:{salt}".encode()).hexdigest()
+        return int(h[:15], 16) % SPLIT_BUCKETS
+
+    cut = int(0.1 * SPLIT_BUCKETS)
+    test_id = next(i for i in range(1000) if bucket(i) < cut)
+    trains = [i for i in range(1000) if bucket(i) >= cut and i != test_id]
+    train_a, train_b = trains[0], trains[1]
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.98] + [0.199] + [0.0] * (dim - 2)   # cosine ~0.98 to base
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    emb = spark.createDataFrame(
+        [(test_id, base), (train_a, near), (train_b, ortho)],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["n_test_hits"]
+           for r in semantic_decontam(emb, threshold=0.9).collect()}
+    assert out == {train_a: 1}
