@@ -885,6 +885,17 @@ def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs_blocked(emb, threshold=0.4)
 
 
+def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall audit of the gated LSH embedding-dedup path vs
+    the exact blocked-matmul pair set — the approximation measured as
+    one queryable row, both sides deterministic and oracle-checked."""
+    from hbase_indexer_spark.pipeline.dedup import embedding_lsh_recall
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return embedding_lsh_recall(load(spark, sf_dir, "embeddings"),
+                                threshold=0.4, n_bits=6, n_tables=8)
+
+
 def q_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the 100 TB default: hyperplane-LSH
     candidates (OR-amplified over 4 tables) + exact-cosine verification of
@@ -1876,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pool — local-sweep-verified at 3 SFs this round.
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
+        "embedding_lsh_recall": q_embedding_lsh_recall,
         "jaccard_threshold_curve": q_jaccard_threshold_curve,
         "winnow_overlap": q_winnow_overlap,
         "dup_size_histogram": q_dup_size_histogram,
@@ -2347,6 +2359,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["embedding_cosine_lsh"] = embedding_cosine_pairs_lsh_sql(
+        threshold=0.4, n_bits=6, n_tables=8)
+    from hbase_indexer_spark.pipeline.dedup import embedding_lsh_recall_sql
+
+    out["embedding_lsh_recall"] = embedding_lsh_recall_sql(
         threshold=0.4, n_bits=6, n_tables=8)
     out["exact_dedup"] = EXACT_DEDUP_SQL
     from hbase_indexer_spark.pipeline.dedup import deduped_corpus_sql

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
     "embedding_cosine_lsh",
+    "embedding_lsh_recall",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_verified",

@@ -711,6 +711,66 @@ def embedding_cosine_pairs_lsh_sql(threshold: float = 0.4, dim: int = 64,
     """
 
 
+def embedding_lsh_recall(emb: DataFrame, threshold: float = 0.4,
+                         dim: int = 64, n_bits: int = 6,
+                         n_tables: int = 8) -> DataFrame:
+    """Recall of the gated LSH embedding-dedup path against the exact
+    pair set, as one queryable row — the approximation the 100 TB
+    default makes, measured instead of asserted (the pair-level analog
+    of ``ann_recall_report``).
+
+    Returns ``(n_exact, n_lsh, n_hits, recall_pct)``: exact-pair count,
+    LSH-pair count, their intersection, and integer-percent recall.
+    Both sides are deterministic, so the report is oracle-checkable.
+
+    Scale: this is an AUDIT — the exact side is O(n^2) flops by nature
+    (blocked matmul, no driver collect); run it on a sampled slice at
+    full scale.  The comparison itself is one join of two pair sets."""
+    exact = embedding_cosine_pairs_blocked(emb, threshold=threshold) \
+        .withColumn("in_e", F.lit(1))
+    approx = embedding_cosine_pairs_lsh(
+        emb, threshold=threshold, dim=dim, n_bits=n_bits,
+        n_tables=n_tables).withColumn("in_a", F.lit(1))
+    j = exact.join(approx, ["x", "y"], "full_outer")
+    return j.agg(
+        F.sum("in_e").cast("long").alias("n_exact"),
+        F.sum("in_a").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_e") * F.col("in_a")).cast("long").alias("n_hits"),
+    ).select(
+        "n_exact", "n_lsh", "n_hits",
+        F.expr("CASE WHEN n_exact > 0 THEN (100 * n_hits) div n_exact END")
+        .cast("long").alias("recall_pct"),
+    )
+
+
+def embedding_lsh_recall_sql(threshold: float = 0.4, dim: int = 64,
+                             n_bits: int = 6, n_tables: int = 8) -> str:
+    approx = embedding_cosine_pairs_lsh_sql(threshold, dim, n_bits, n_tables)
+    return f"""
+        WITH exact_pairs AS (
+            SELECT a.vec_id AS x, b.vec_id AS y
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {threshold}
+        ),
+        approx_pairs AS (SELECT * FROM ({approx}) t),
+        j AS (
+            SELECT coalesce(e.in_e, 0) AS in_e, coalesce(a.in_a, 0) AS in_a
+            FROM (SELECT x, y, 1 AS in_e FROM exact_pairs) e
+            FULL JOIN (SELECT x, y, 1 AS in_a FROM approx_pairs) a
+              USING (x, y)
+        )
+        SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+               CAST(sum(in_a) AS BIGINT) AS n_lsh,
+               CAST(sum(in_e * in_a) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN sum(in_e) > 0
+                    THEN (100 * sum(in_e * in_a)) // sum(in_e) END
+                   AS BIGINT) AS recall_pct
+        FROM j
+    """
+
+
 # ---------------------------------------------------------------------------
 # End-to-end dedup materialization
 # ---------------------------------------------------------------------------

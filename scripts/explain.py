@@ -560,6 +560,12 @@ CHECKS = {
         [r"BroadcastHashJoin", r"partial_count"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # recall audit: ONE full-outer pair join + a single agg (the exact
+    # side's blocked matmul is its declared Arrow cogroup)
+    "embedding_lsh_recall": (
+        [r"FullOuter", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
