@@ -236,6 +236,21 @@ def _xlate_sanitize(params: dict) -> list[dict]:
     return [{"stage": "sanitize_unknown_fields", "keep": params["keep"]}]
 
 
+def _xlate_translate(params: dict) -> list[dict]:
+    out = {"stage": "translate", "field": params["field"],
+           "dictionary": params["dictionary"]}
+    if "fallback" in params:
+        out["fallback"] = params["fallback"]
+    return [out]
+
+
+def _xlate_find_replace(params: dict) -> list[dict]:
+    return [{"stage": "find_replace", "field": params["field"],
+             "pattern": params["pattern"],
+             "replacement": params.get("replacement", ""),
+             "is_regex": bool(params.get("isRegex", False))}]
+
+
 def _xlate_drop_record(params: dict) -> list[dict]:
     return [{"stage": "filter_rows", "predicate": "false"}]
 
@@ -268,6 +283,8 @@ _COMMAND_XLATE = {
     "readAvroContainer": _xlate_read_avro,
     "extractAvroPaths": _xlate_extract_avro,
     "sanitizeUnknownSolrFields": _xlate_sanitize,
+    "translate": _xlate_translate,
+    "findReplace": _xlate_find_replace,
     "dropRecord": _xlate_drop_record,
     "if": _xlate_if,
 }

@@ -266,6 +266,43 @@ def _if_then_else(params: dict) -> Stage:
     return stage
 
 
+@register_stage("translate")
+def _translate(params: dict) -> Stage:
+    """Kite ``translate`` analog: map a field's value through a literal
+    dictionary; non-matching values keep ``fallback`` (Kite's ``fallback``
+    param) or pass through unchanged when no fallback is given.  Compiles
+    to one CASE chain — codegen, no join."""
+    name = params["field"]
+    table = params["dictionary"]
+    out = params.get("into", name)
+
+    def stage(df: DataFrame) -> DataFrame:
+        src = F.col(name)
+        expr = (F.lit(params["fallback"]) if "fallback" in params else src)
+        for k, v in table.items():
+            expr = F.when(src.cast("string") == str(k), F.lit(v)) \
+                .otherwise(expr)
+        return df.withColumn(out, expr)
+
+    return stage
+
+
+@register_stage("find_replace")
+def _find_replace(params: dict) -> Stage:
+    """Kite ``findReplace`` analog: literal or regex substitution on a
+    string field (``pattern``/``replacement``, ``is_regex``) — JVM-side
+    regexp_replace/replace, no Python."""
+    name = params["field"]
+    out = params.get("into", name)
+    pattern = params["pattern"]
+    replacement = params.get("replacement", "")
+    if params.get("is_regex", False):
+        return lambda df: df.withColumn(
+            out, F.regexp_replace(F.col(name), pattern, replacement))
+    return lambda df: df.withColumn(
+        out, F.replace(F.col(name), F.lit(pattern), F.lit(replacement)))
+
+
 _VAR = re.compile(r"\$\{([^}]+)\}")
 
 

@@ -212,3 +212,28 @@ def test_bytes_type_passthrough_roundtrip(spark):
     df = spark.createDataFrame([(b"\x00\x01\xff",)], "b binary")
     out = df.select(decode_bytes(encode_bytes(F.col("b"))).alias("b"))
     assert out.collect()[0]["b"] == b"\x00\x01\xff"
+
+
+def test_translate_and_find_replace_stages(spark):
+    """Kite translate/findReplace analogs, through the compiler and the
+    stage execution (CASE-chain dictionary + fallback; regex replace)."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:code", outputField : code } ] } }
+          { translate { field : code, dictionary : { a : alpha, b : beta },
+                        fallback : unknown } }
+          { findReplace { field : code, pattern : "ph", replacement : "f" } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    assert conf["transform_stages"][0]["dictionary"] == {"a": "alpha",
+                                                         "b": "beta"}
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame([("a",), ("b",), ("zz",)], "code string")
+    got = sorted(r["code"] for r in chain(df).collect())
+    assert got == ["alfa", "beta", "unknown"]  # translate then ph->f
