@@ -523,6 +523,60 @@ def build_ivf_index(emb: DataFrame, path: str, n_cells: int = 16,
         json.dump([[float(x) for x in row] for row in centroids], f)
 
 
+def ivf_index_upsert(spark, path: str, new_emb: DataFrame) -> list[int]:
+    """Incrementally fold new vectors into a :func:`build_ivf_index`
+    store WITHOUT retraining or a full rewrite: assign each new vector to
+    its nearest existing centroid, then rewrite ONLY the touched cell
+    partitions (read-merge-overwrite per cell, keyed dedup on vec_id so
+    re-upserting a vector replaces it).  Returns the touched cell ids.
+
+    This is the ANN analog of the dedup state's incremental accept: the
+    daily embedding drip costs O(new + touched cells), never a corpus
+    rewrite.  Centroids stay fixed between rebuilds — standard IVF
+    practice (recall drifts only as the data distribution drifts; track
+    it with ann_recall_report and retrain on a schedule).
+
+    Scale note: per-cell read-merge-overwrite mirrors the bucketed index
+    store's copy-on-write; dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``) gives the same effect in one
+    write on a real cluster."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.array(json.load(f), dtype=np.float64)
+
+    adds = assign_cells(new_emb, centroids, n_probe=1).select(
+        "vec_id", "embedding", F.element_at(F.col("cell"), 1).alias("cell")
+    ).cache()
+    try:
+        touched = sorted(r["cell"]
+                         for r in adds.select("cell").distinct().collect())
+        for cell in touched:
+            cell_dir = os.path.join(path, f"cell={cell}")
+            cell_adds = adds.filter(F.col("cell") == cell) \
+                .select("vec_id", "embedding")
+            if os.path.isdir(cell_dir):
+                cur = spark.read.parquet(cell_dir).select("vec_id", "embedding")
+                merged = cur.join(cell_adds.select("vec_id"), "vec_id",
+                                  "left_anti").unionByName(cell_adds)
+            else:
+                merged = cell_adds
+            import shutil
+
+            # one write to a sibling tmp dir, then swap — merged reads the
+            # live cell dir, so an in-place overwrite would read-after-free
+            tmp = os.path.join(path, f"_cell_{cell}.tmp")
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(cell_dir, ignore_errors=True)
+            os.rename(tmp, cell_dir)
+    finally:
+        adds.unpersist()
+    return touched
+
+
 def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
                      n_probe: int = 4) -> DataFrame:
     """Query a :func:`build_ivf_index` store: assign each query to its

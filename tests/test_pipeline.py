@@ -256,3 +256,39 @@ def test_lsh_hot_bucket_star_guard(spark):
         docs, 0.7, max_bucket_size=5).collect()}
     assert losers(guarded) == losers(exact)
     assert len(guarded) <= len(exact)
+
+
+def test_ivf_index_upsert_incremental(emb, spark, tmp_path):
+    """Incremental upsert: new vectors fold into ONLY their cells; a
+    post-upsert query equals a from-scratch rebuild over the full corpus
+    (same centroids); re-upserting a vector replaces, not duplicates."""
+    from hbase_indexer_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_index_upsert,
+        ivf_topk_indexed,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, n_cells=8)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    drip = emb.filter(F.col("vec_id") % 5 == 0)
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_ivf_index(base, inc_path, centroids=cents)
+    touched = ivf_index_upsert(spark, inc_path, drip)
+    assert touched and len(touched) <= 8
+    build_ivf_index(emb, full_path, centroids=cents)
+
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    got = sorted(map(tuple, ivf_topk_indexed(
+        spark, inc_path, queries, k=5, n_probe=3).collect()))
+    want = sorted(map(tuple, ivf_topk_indexed(
+        spark, full_path, queries, k=5, n_probe=3).collect()))
+    assert got == want
+
+    # idempotent re-upsert: same vectors again, no duplicates
+    ivf_index_upsert(spark, inc_path, drip)
+    n_inc = spark.read.parquet(inc_path).count()
+    n_full = spark.read.parquet(full_path).count()
+    assert n_inc == n_full
