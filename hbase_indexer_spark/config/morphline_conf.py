@@ -197,16 +197,90 @@ def _xlate_convert_timestamp(params: dict) -> list[dict]:
     return [out]
 
 
+# core grok pattern dictionary (the logstash/Kite base set a morphline
+# actually uses; extendable per-command via dictionaryString)
+GROK_BUILTINS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?[0-9]+",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "NUMBER": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "POSINT": r"[0-9]+",
+    "YEAR": r"(?:\d\d){1,2}",
+    "MONTHNUM": r"0?[1-9]|1[0-2]",
+    "MONTHDAY": r"(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9]",
+    "HOUR": r"2[0123]|[01]?[0-9]",
+    "MINUTE": r"[0-5][0-9]",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "IP": r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "LOGLEVEL": (r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|"
+                 r"[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn?(?:ing)?|"
+                 r"WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|"
+                 r"[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL"),
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def expand_grok(pattern: str, dictionary: dict[str, str] | None = None,
+                _depth: int = 0) -> str:
+    """Expand ``%{NAME:field}`` grok references into Java-style named
+    groups ``(?<field>...)`` (and ``%{NAME}`` into non-capturing groups)
+    using :data:`GROK_BUILTINS` plus an optional per-command dictionary.
+    Dictionary entries may reference other patterns (bounded depth)."""
+    if _depth > 10:
+        raise ValueError(f"grok pattern recursion too deep in {pattern!r}")
+    table = dict(GROK_BUILTINS)
+    if dictionary:
+        table.update(dictionary)
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        if name not in table:
+            raise ValueError(
+                f"unknown grok pattern %{{{name}}} — add it to the "
+                f"command's dictionaryString or GROK_BUILTINS")
+        body = expand_grok(table[name], dictionary, _depth + 1)
+        if field:
+            return f"(?<{field}>{body})"
+        return f"(?:{body})"
+
+    return _GROK_REF.sub(sub, pattern)
+
+
+def _parse_dictionary_string(s: str) -> dict[str, str]:
+    """Kite ``dictionaryString``: one ``NAME pattern`` definition per
+    line (grok dictionary file format)."""
+    out = {}
+    for line in s.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        name, _, pat = line.partition(" ")
+        if not pat:
+            raise ValueError(f"bad grok dictionary line {line!r}")
+        out[name] = pat.strip()
+    return out
+
+
 def _xlate_grok(params: dict) -> list[dict]:
-    # Kite grok: expressions maps record field -> pattern with named groups
+    # Kite grok: expressions maps record field -> pattern; %{NAME:field}
+    # references expand from the builtin + dictionaryString dictionaries
     exprs = params.get("expressions", {})
-    if params.get("dictionaryFiles") or params.get("dictionaryString"):
+    if params.get("dictionaryFiles"):
         raise ValueError(
-            "grok pattern dictionaries are not supported — inline the "
-            "named groups in the expression, or register_stage a custom "
-            "'grok' stage (U4)")
-    return [{"stage": "regex_extract", "field": f, "pattern": p,
-             "drop_unmatched": True}
+            "grok dictionaryFiles are not supported — inline the "
+            "definitions via dictionaryString (same NAME-pattern-per-line "
+            "format), or register_stage a custom 'grok' stage (U4)")
+    extra = _parse_dictionary_string(params.get("dictionaryString", ""))
+    return [{"stage": "regex_extract", "field": f,
+             "pattern": expand_grok(p, extra), "drop_unmatched": True}
             for f, p in exprs.items()]
 
 

@@ -237,3 +237,41 @@ def test_translate_and_find_replace_stages(spark):
     df = spark.createDataFrame([("a",), ("b",), ("zz",)], "code string")
     got = sorted(r["code"] for r in chain(df).collect())
     assert got == ["alfa", "beta", "unknown"]  # translate then ph->f
+
+
+def test_grok_dictionary_expansion(spark):
+    """Kite grok with %{NAME:field} references: builtins + an inline
+    dictionaryString expand to named groups, executed JVM-side."""
+    text = r"""
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:line", outputField : line } ] } }
+          { grok {
+              dictionaryString : "REQID req-%{INT}"
+              expressions : { line : "%{LOGLEVEL:level} %{IP:ip} %{REQID:rid}" }
+          } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    (stage,) = conf["transform_stages"]
+    assert stage["stage"] == "regex_extract"
+
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [("INFO 10.0.0.7 req-42",), ("not a log line",)], "line string")
+    rows = chain(df).collect()
+    assert len(rows) == 1  # drop_unmatched, grok's record-drop behavior
+    r = rows[0]
+    assert (r["level"], r["ip"], r["rid"]) == ("INFO", "10.0.0.7", "req-42")
+
+
+def test_grok_unknown_pattern_fails():
+    from hbase_indexer_spark.config.morphline_conf import expand_grok
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown grok pattern"):
+        expand_grok("%{NOSUCHPATTERN:x}")
