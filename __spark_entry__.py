@@ -967,6 +967,16 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.3, test_frac=0.1)
 
 
+def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a hashed char-trigram linear
+    classifier (fasttext/C4-style) with pinned literal weights — one
+    map-only pass, logit in fixed-point micros so the float pipeline is
+    exactly oracle-checkable."""
+    from hbase_indexer_spark.pipeline.text import quality_model_scores
+
+    return quality_model_scores(_docs(spark, sf_dir))
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dominating phrases: top-20 word trigrams by document
     frequency (per-doc-distinct explode + partial-agg count + stable top-k)."""
@@ -1888,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
         "embedding_lsh_recall": q_embedding_lsh_recall,
+        "quality_model_scores": q_quality_model_scores,
         "jaccard_threshold_curve": q_jaccard_threshold_curve,
         "winnow_overlap": q_winnow_overlap,
         "dup_size_histogram": q_dup_size_histogram,
@@ -2400,6 +2411,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["semantic_decontam"] = semantic_decontam_sql(
         threshold=0.3, test_frac=0.1)
+    from hbase_indexer_spark.pipeline.text import quality_model_scores_sql
+
+    out["quality_model_scores"] = quality_model_scores_sql()
     out["ngram_topk"] = ngram_topk_sql(n=3, k=20)
     out["pii_scrub"] = scrub_sql("events", text_col="props",
                                  extra_cols=["event_id"])

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "media_frame_sample",
     "decontaminate",
     "semantic_decontam",
+    "quality_model_scores",
     "ngram_topk",
     "embedding_quantize",
     "vocab_estimate",

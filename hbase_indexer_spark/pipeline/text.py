@@ -901,3 +901,101 @@ def token_fertility_sql(group_col: str = "source") -> str:
         FROM documents
         GROUP BY {group_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (hashed n-gram linear classifier)
+# ---------------------------------------------------------------------------
+
+QM_BUCKETS = 64
+
+
+def _qm_weights(k: int = QM_BUCKETS) -> list[float]:
+    """Pinned per-bucket weights in [-1, 1] (LCG — fixed literals).
+
+    These are a deterministic PLACEHOLDER weight vector: the operator
+    demonstrates the full fasttext/C4-style classifier plumbing (hashed
+    char-trigram bag -> linear logit) with an exactly-mirrorable model.
+    A production deployment exports its trained weights into this same
+    literal vector — the plan shape does not change."""
+    out, x = [], 77777
+    for _ in range(k):
+        x = (x * 1103515245 + 12345) % (2 ** 31)
+        out.append(round(x / (2 ** 30) - 1.0, 6))
+    return out
+
+
+QM_WEIGHTS = _qm_weights()
+
+
+def quality_model_logit(text: Column) -> Column:
+    """Linear quality-model logit over a hashed char-trigram bag: each
+    lowercased trigram hashes (token_hash60 % QM_BUCKETS) into a bucket
+    and contributes its bucket's weight; the logit is the per-gram mean
+    plus a length feature — a single left-to-right fold of +/* double
+    arithmetic, so Spark and DuckDB produce bit-identical doubles (no
+    transcendentals; apply a sigmoid downstream if a probability is
+    wanted).
+
+    Scale: map-only — ONE pass over the grams (O(chars) per doc, not
+    O(buckets x chars)), no shuffle, no UDF; the model rides the
+    expression tree as literals exactly like the LSH planes."""
+    lowered = F.lower(text)
+    n = F.length(lowered)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0))),
+        lambda i: F.substring(lowered, i, F.lit(3)),
+    )
+    grams = F.when(n >= 3, grams).otherwise(F.array())
+    ws = F.array(*[F.lit(w) for w in QM_WEIGHTS])
+    acc = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda a, g: a + F.element_at(
+            ws, (token_hash60(g) % QM_BUCKETS + 1).cast("int")),
+    )
+    n_grams = F.size(grams)
+    per_gram = F.when(n_grams > 0, acc / n_grams.cast("double")) \
+        .otherwise(F.lit(0.0))
+    len_feat = F.least(F.lit(1.0), n.cast("double") / F.lit(500.0))
+    return per_gram + len_feat * F.lit(0.25)
+
+
+def quality_model_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc model quality scores: ``(doc_id, logit_micro)`` with the
+    logit in fixed-point micro units (the repo's cross-engine float
+    convention)."""
+    return docs.select(
+        "doc_id",
+        F.floor(quality_model_logit(F.col("text")) * 1_000_000
+                + F.lit(0.5)).cast("long").alias("logit_micro"),
+    )
+
+
+def quality_model_scores_sql() -> str:
+    weights = ", ".join(repr(w) for w in QM_WEIGHTS)
+    h = (f"(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)"
+         f" % {QM_BUCKETS}) + 1")
+    return f"""
+        WITH g AS (
+            SELECT doc_id, lower(text) AS lt,
+                   CASE WHEN length(text) >= 3 THEN
+                       list_transform(range(1, length(text) - 1),
+                                      i -> substr(lower(text), i, 3))
+                   ELSE [] END AS gs,
+                   CAST([{weights}] AS DOUBLE[]) AS ws
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(floor((
+                   (CASE WHEN len(gs) > 0
+                    THEN list_reduce(
+                             list_prepend(0.0,
+                                 list_transform(gs, g -> ws[{h}])),
+                             (a, b) -> a + b)
+                         / CAST(len(gs) AS DOUBLE)
+                    ELSE 0.0 END)
+                   + least(1.0, CAST(length(lt) AS DOUBLE) / 500.0) * 0.25
+               ) * 1000000 + 0.5) AS BIGINT) AS logit_micro
+        FROM g
+    """

@@ -566,6 +566,12 @@ CHECKS = {
         [r"FullOuter", r"partial_sum"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # model scorer: pure map — no shuffle of any kind, no Python
+    "quality_model_scores": (
+        [r"Scan parquet", r"Project"],
+        [r"hashpartitioning", r"Window", r"SortAggregate",
+         r"HashAggregate", *NO_PYTHON],
+    ),
 }
 
 
