@@ -197,10 +197,13 @@ def semantic_decontam(emb: DataFrame, threshold: float = 0.4,
     test = tables.filter(F.col("is_test")) \
         .select(F.col("vec_id").alias("y"), "tbl", "bkt")
     cands = train.join(F.broadcast(test), ["tbl", "bkt"]).select("x", "y")
-    ex = sk.select(F.col("vec_id").alias("x"), F.col("embedding").alias("va"),
-                   F.col("nrm").alias("na"))
-    ey = sk.select(F.col("vec_id").alias("y"), F.col("embedding").alias("vb"),
-                   F.col("nrm").alias("nb"))
+    ex = sk.filter(~F.col("is_test")).select(
+        F.col("vec_id").alias("x"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"))
+    # only the (small, hot) TEST split is broadcast — never the corpus
+    ey = sk.filter(F.col("is_test")).select(
+        F.col("vec_id").alias("y"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"))
     return (
         cands.join(ex, "x").join(F.broadcast(ey), "y")
         .filter((dot(F.col("va"), F.col("vb"))
