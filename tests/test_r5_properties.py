@@ -112,3 +112,51 @@ def test_screen_batches_exact_verdicts_vs_model(spark, texts, tmp_path_factory):
         for i in batch_ids:
             if rows[i]["keep"]:
                 kept_texts.add(texts[i])
+
+
+# ---------------------------------------------------------------- hocon
+key_st = st.text(alphabet="abcdefgh_", min_size=1, max_size=6)
+scalar_st = st.one_of(
+    st.integers(min_value=-999, max_value=999),
+    st.booleans(),
+    st.text(alphabet="abc xyz-0123", min_size=0, max_size=10),
+)
+value_st = st.recursive(
+    scalar_st,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(key_st, children, max_size=3),
+    ),
+    max_leaves=10,
+)
+conf_st = st.dictionaries(key_st, value_st, min_size=1, max_size=4)
+
+
+def _render(v, indent=0) -> str:
+    pad = "  " * indent
+    if isinstance(v, dict):
+        body = "\n".join(
+            f"{pad}  {k} : {_render(x, indent + 1).lstrip()}"
+            if not isinstance(x, dict)
+            else f"{pad}  {k} {_render(x, indent + 1).lstrip()}"
+            for k, x in v.items())
+        return f"{pad}{{\n{body}\n{pad}}}"
+    if isinstance(v, list):
+        return "[" + ", ".join(_render(x).strip() for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+@settings(max_examples=50, deadline=None)
+@given(conf=conf_st)
+def test_parse_hocon_round_trips_rendered_configs(conf):
+    from hbase_indexer_spark.config.morphline_conf import parse_hocon
+
+    text = "\n".join(
+        (f"{k} : {_render(v).strip()}" if not isinstance(v, dict)
+         else f"{k} {_render(v).strip()}")
+        for k, v in conf.items())
+    assert parse_hocon(text) == conf
