@@ -105,6 +105,15 @@ _EXPORTS = {
     "token_fertility": "hbase_indexer_spark.pipeline.text",
     "snapshot_diff": "hbase_indexer_spark.pipeline.curation",
     "corpus_summary": "hbase_indexer_spark.pipeline.curation",
+    # r5 surface
+    "morphline_to_conf": "hbase_indexer_spark.config.morphline_conf",
+    "evaluate_timestamp": "hbase_indexer_spark.functions.timeutil",
+    "screen_batches": "hbase_indexer_spark.pipeline.dedup_store",
+    "embedding_cosine_pairs_lsh": "hbase_indexer_spark.pipeline.dedup",
+    "embedding_lsh_recall": "hbase_indexer_spark.pipeline.dedup",
+    "semantic_decontam": "hbase_indexer_spark.pipeline.decontam",
+    "quality_model_scores": "hbase_indexer_spark.pipeline.text",
+    "ivf_index_upsert": "hbase_indexer_spark.pipeline.similarity",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
