@@ -1559,7 +1559,14 @@ def q_dedup_store_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches' keeps, so a duplicate arriving one batch after its
     original is dropped.  Every verdict — exact, MinHash-estimated
     near-dup among band candidates, keep — is deterministic and
-    replayed by the oracle's unrolled per-batch CTEs."""
+    replayed by the oracle's unrolled per-batch CTEs.
+
+    Cost note: ~9s idle at sf0.1 — 3 sequential rounds x (sketch
+    checkpoint + screen checkpoint + versioned state publish), i.e.
+    ~9 driver-synchronized actions of mostly fixed overhead.  The
+    sequencing IS the semantics under test (state must fold between
+    batches); per-round cost is O(batch + touched sketch partitions),
+    so the overhead amortizes at real batch sizes."""
     from hbase_indexer_spark.pipeline.dedup_store import screen_batches
 
     tmp = tempfile.mkdtemp(prefix="hbis_dstore_")
@@ -1576,7 +1583,14 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-gated (n_tokens >= 10, quality >= 0.5, the curated_corpus
     thresholds), appended to the corpus store, and folded into the dedup
     state.  Returns the final accepted corpus — the oracle replays the
-    whole sequential loop in unrolled CTEs."""
+    whole sequential loop in unrolled CTEs.
+
+    Cost note: ~11-12s idle at sf0.1 — Structured-Streaming trigger
+    overhead x 3 micro-batches, each running sketch checkpoint + screen
+    + TWO versioned store publishes (corpus, then state: the crash-safe
+    ordering).  All of it is per-trigger fixed cost; the per-row work is
+    the band-bounded sketch joins, which is why the loop holds at real
+    batch sizes (same argument as streaming_row_index)."""
     _ensure_session_confs(spark)
     from hbase_indexer_spark.pipeline.dedup_store import DedupIndexStore
     from hbase_indexer_spark.sinks.index_store import IndexStore
