@@ -1145,6 +1145,48 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(_docs(spark, sf_dir))
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist gate: per-doc blocked-token count + ppm fraction +
+    keep verdict against the pinned placeholder list — map-only scan,
+    the list is a plan literal."""
+    from hbase_indexer_spark.pipeline.scrub import blocklist_filter
+
+    return blocklist_filter(_docs(spark, sf_dir))
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining for 5 anchors: top-3 same-label positives
+    + top-3 different-label hard negatives per anchor, float-free ranks
+    (cosine desc, id asc) — one broadcast corpus pass, per-(anchor,
+    role) top-k window."""
+    from hbase_indexer_spark.pipeline.similarity import contrastive_pairs
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return contrastive_pairs(emb, CONTRASTIVE_QUERY_IDS, k_pos=3, k_neg=3)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference-batch manifest (per-batch doc count,
+    max/sum tokens, audited padding waste) — two-level hash-block rank
+    within buckets, one combinable manifest agg."""
+    from hbase_indexer_spark.pipeline.pack import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir))
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI drift between the even/odd doc_id snapshot halves
+    over the token-length distribution, integer micro-PSI — two
+    combinable binning passes + a tiny full-outer join."""
+    from hbase_indexer_spark.pipeline.curation import psi_drift
+
+    docs = _docs(spark, sf_dir)
+    return psi_drift(docs.filter("doc_id % 2 = 0"),
+                     docs.filter("doc_id % 2 = 1"))
+
+
 def q_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training layout: deterministic corpus shuffle composed
     with sequence packing over the shuffled stream."""
@@ -1672,6 +1714,7 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_QUERY_IDS = list(range(10))
+CONTRASTIVE_QUERY_IDS = [1, 7, 19, 42, 63]
 
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,6 +1971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "token_freq_spectrum": q_token_freq_spectrum,
         "normalize_text": q_normalize_text,
+        "blocklist_filter": q_blocklist_filter,
+        "contrastive_pairs": q_contrastive_pairs,
+        "length_buckets": q_length_buckets,
+        "psi_drift": q_psi_drift,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2694,5 +2741,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(ascii(substr(text, CAST(off AS INTEGER) + 1, 1)) AS BIGINT) AS frame_byte
         FROM offs
     """
+    from hbase_indexer_spark.pipeline.curation import psi_drift_sql
+    from hbase_indexer_spark.pipeline.pack import length_buckets_sql
+    from hbase_indexer_spark.pipeline.scrub import blocklist_filter_sql
+    from hbase_indexer_spark.pipeline.similarity import contrastive_pairs_sql
+
+    out["blocklist_filter"] = blocklist_filter_sql()
+    out["contrastive_pairs"] = contrastive_pairs_sql(
+        CONTRASTIVE_QUERY_IDS, k_pos=3, k_neg=3)
+    out["length_buckets"] = length_buckets_sql()
+    out["psi_drift"] = psi_drift_sql()
     # ann_lsh_topk: intentionally no oracle (approximate); rows-only check
     return out

@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "shuffle_order",
     "shuffled_pack",
     "normalize_text",
+    "blocklist_filter",
+    "contrastive_pairs",
+    "length_buckets",
+    "psi_drift",
     "simhash",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",

@@ -925,6 +925,119 @@ def snapshot_diff_sql(base_pred: str = "doc_id % 2 = 0",
     """
 
 
+def psi_drift(base: DataFrame, new: DataFrame,
+              group_col: str = "source",
+              boundaries: tuple[int, ...] = (16, 32, 48, 64, 96)) -> DataFrame:
+    """Population Stability Index per source between two corpus
+    snapshots, over the token-length distribution — the standard data-
+    drift monitor: PSI = sum_bins (p_new - p_old) * ln(p_new / p_old).
+    Rule of thumb: < 0.1 stable, 0.1-0.25 shifting, > 0.25 the source
+    changed character (crawler broke, domain pivoted) and needs review
+    before the next training mix.
+
+    Docs bin by ``#(boundaries <= n_tokens)``; bin shares are Laplace-
+    smoothed ((c+1)/(n+B), B = #bins) so empty bins never divide by
+    zero, and bins empty on BOTH sides contribute exactly 0 (p_new ==
+    p_old), so only bins observed on at least one side materialize.
+    Per-bin terms are floored to integer micro-PSI *before* the sum
+    (the repo's cross-engine fixed-point convention), making the
+    result hash-stable: ``(source, n_base, n_new, n_bins, psi_micro)``.
+
+    Scale: each snapshot reduces to (source, bin) counts in one
+    combinable pass; the verdict is a full-outer join + one aggregation
+    over |sources| x |bins| rows — corpus text never shuffles."""
+    n_bins = len(boundaries) + 1
+
+    def binned(df: DataFrame, cname: str) -> DataFrame:
+        bucket = sum(
+            (F.when(token_count_col() >= b, 1).otherwise(0)
+             for b in boundaries),
+            F.lit(0),
+        )
+        return (
+            df.select(F.col(group_col).alias("grp"), bucket.alias("bin"))
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    a, b = binned(base, "c_a"), binned(new, "c_b")
+    per_bin = (
+        a.join(b, ["grp", "bin"], "full_outer")
+        .fillna(0, subset=["c_a", "c_b"])
+    )
+    # per-source totals as a window over the |sources| x |bins| aggregate
+    # (NOT a second aggregation + join — that would re-scan the corpus)
+    wg = Window.partitionBy("grp")
+    per_bin = (
+        per_bin
+        .withColumn("n_base", F.sum("c_a").over(wg))
+        .withColumn("n_new", F.sum("c_b").over(wg))
+        .withColumn("obs_bins", F.count(F.lit(1)).over(wg))
+    )
+    p_a = (F.col("c_a") + 1).cast("double") / (F.col("n_base") + n_bins)
+    p_b = (F.col("c_b") + 1).cast("double") / (F.col("n_new") + n_bins)
+    term = F.floor(1_000_000 * (p_b - p_a) * F.log(p_b / p_a))
+    return (
+        per_bin.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.first("n_base").alias("n_base"),
+            F.first("n_new").alias("n_new"),
+            F.first("obs_bins").alias("n_bins"),
+            F.sum(term).alias("psi_micro"),
+        )
+    )
+
+
+def psi_drift_sql(base_pred: str = "doc_id % 2 = 0",
+                  new_pred: str = "doc_id % 2 = 1",
+                  group_col: str = "source",
+                  boundaries: tuple[int, ...] = (16, 32, 48, 64, 96)) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    n_bins = len(boundaries) + 1
+    bucket = " + ".join(
+        f"CASE WHEN n_tokens >= {b} THEN 1 ELSE 0 END" for b in boundaries)
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, {group_col} AS grp,
+                   len({TOKS_SQL}) AS n_tokens
+            FROM documents
+        ),
+        a AS (
+            SELECT grp, {bucket} AS bin, count(*) AS c_a
+            FROM tk WHERE {base_pred} GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT grp, {bucket} AS bin, count(*) AS c_b
+            FROM tk WHERE {new_pred} GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT coalesce(a.grp, b.grp) AS grp,
+                   coalesce(a.bin, b.bin) AS bin,
+                   coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+            FROM a FULL OUTER JOIN b ON a.grp = b.grp AND a.bin = b.bin
+        ),
+        t AS (
+            SELECT grp, sum(c_a) AS n_base, sum(c_b) AS n_new,
+                   count(*) AS n_bins
+            FROM j GROUP BY grp
+        )
+        SELECT j.grp AS {group_col},
+               CAST(any_value(t.n_base) AS BIGINT) AS n_base,
+               CAST(any_value(t.n_new) AS BIGINT) AS n_new,
+               CAST(any_value(t.n_bins) AS BIGINT) AS n_bins,
+               CAST(sum(floor(1000000
+                   * (CAST(j.c_b + 1 AS DOUBLE) / (t.n_new + {n_bins})
+                      - CAST(j.c_a + 1 AS DOUBLE) / (t.n_base + {n_bins}))
+                   * ln((CAST(j.c_b + 1 AS DOUBLE) / (t.n_new + {n_bins}))
+                        / (CAST(j.c_a + 1 AS DOUBLE)
+                           / (t.n_base + {n_bins})))))
+                   AS BIGINT) AS psi_micro
+        FROM j JOIN t ON j.grp = t.grp
+        GROUP BY j.grp
+    """
+
+
 def corpus_summary(docs: DataFrame) -> DataFrame:
     """One-row executive summary of a corpus snapshot: volumes, source/
     language breadth, and the exact-duplicate rate — the number that

@@ -496,3 +496,133 @@ def chunk_documents_sql(size: int = 32, stride: int = 24) -> str:
                                ' ') AS chunk_text
         FROM ck
     """
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batching (padding-waste-minimizing layout)
+# ---------------------------------------------------------------------------
+
+DEFAULT_LEN_BOUNDARIES: tuple[int, ...] = (16, 32, 48, 64, 96)
+
+
+def length_buckets(docs: DataFrame,
+                   boundaries: tuple[int, ...] | None = None,
+                   batch_docs: int = 8,
+                   salt: str = "len-bucket-v1") -> DataFrame:
+    """Length-bucketed batch layout for bulk inference/scoring: batching
+    docs of wildly different token lengths pads every sequence to the
+    batch max, and on a web corpus that wastes most of the FLOPs.  The
+    standard fix is to bucket by length first and batch within buckets.
+
+    Each doc lands in bucket ``#(boundaries <= n_tokens)``; within a
+    bucket, docs take a deterministic salted-hash order (same recipe as
+    :func:`shuffle_order` — reproducible across runs and engines) and
+    consecutive runs of ``batch_docs`` form a batch.  Returns the
+    per-batch manifest ``(bucket, batch_id, n_docs, max_tokens,
+    sum_tokens, padding_tokens)`` where ``padding_tokens`` =
+    n_docs * max_tokens - sum_tokens — the audited waste.
+
+    Scale: a naive per-bucket ``row_number`` would sort each bucket on
+    one reducer (buckets are few and huge at corpus scale), so the rank
+    reuses the two-level scan from :func:`shuffle_order`, just keyed by
+    (bucket, hash-block): per-(bucket, block) counts (combinable,
+    <= buckets x 4096 rows), a running offset per bucket over that tiny
+    aggregate, broadcast back, block-partitioned ``row_number``.  The
+    manifest is then one combinable aggregation.
+    """
+    from hbase_indexer_spark.pipeline.text import token_count, token_hash60
+
+    bounds = tuple(boundaries or DEFAULT_LEN_BOUNDARIES)
+    block_size = (1 << 60) // _HASH_BLOCKS
+    bucket = sum(
+        (F.when(F.col("n_tokens") >= b, 1).otherwise(0) for b in bounds),
+        F.lit(0),
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    keyed = (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            token_hash60(key).alias("h"),
+        )
+        .withColumn("bucket", bucket)
+        .withColumn("block", F.expr(f"h div {block_size}"))
+    )
+    block_off = (
+        keyed.groupBy("bucket", "block").agg(F.count("*").alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.partitionBy("bucket").orderBy("block")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .drop("n")
+    )
+    w = Window.partitionBy("bucket", "block").orderBy("h", "doc_id")
+    seq = F.col("off") + F.row_number().over(w) - 1
+    return (
+        keyed.join(F.broadcast(block_off), ["bucket", "block"])
+        .withColumn("seq", seq.cast("long"))
+        .select(
+            "bucket",
+            F.expr(f"seq div {batch_docs}").alias("batch_id"),
+            "n_tokens",
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_tokens",
+            F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
+        )
+    )
+
+
+def length_buckets_sql(boundaries: tuple[int, ...] | None = None,
+                       batch_docs: int = 8,
+                       salt: str = "len-bucket-v1") -> str:
+    """DuckDB mirror: the per-bucket rank collapses to a plain window
+    (the oracle does not need the two-level scan — it must only agree
+    on the ORDER, which is (hash, doc_id) in both engines)."""
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    bounds = tuple(boundaries or DEFAULT_LEN_BOUNDARIES)
+    bucket = " + ".join(
+        f"CASE WHEN n_tokens >= {b} THEN 1 ELSE 0 END" for b in bounds)
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(len({TOKS_SQL}) AS INTEGER) AS n_tokens,
+                   CAST(('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 15))
+                       AS BIGINT) AS h
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n_tokens, h,
+                   CAST({bucket} AS INTEGER) AS bucket
+            FROM c
+        ),
+        r AS (
+            SELECT bucket, n_tokens,
+                   (row_number() OVER (PARTITION BY bucket
+                                       ORDER BY h, doc_id) - 1)
+                       // {batch_docs} AS batch_id
+            FROM b
+        )
+        SELECT bucket,
+               CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               max(n_tokens) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * max(n_tokens) - sum(n_tokens)
+                    AS BIGINT) AS padding_tokens
+        FROM r
+        GROUP BY bucket, batch_id
+    """

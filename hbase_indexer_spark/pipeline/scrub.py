@@ -33,6 +33,14 @@ DEFAULT_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+# Placeholder blocklist for the synthetic corpus (three mid-frequency
+# vocabulary words, so at ppm thresholds around 10% some docs fail and
+# most pass — both verdict branches get exercised).  Deployments
+# substitute their own list; it remains a plan literal at any size a
+# human-curated blocklist reaches.
+DEFAULT_BLOCKLIST: list[str] = ["slow", "big", "batch"]
+
+
 def scrub_text(text: Column, rules: list[tuple[str, str, str]] | None = None) -> Column:
     """Apply the redaction chain to one column (all occurrences)."""
     out = text
@@ -58,6 +66,67 @@ def scrub(df: DataFrame, text_col: str = "text",
         scrub_text(F.col(text_col), rules).alias(f"{text_col}_scrubbed"),
         *counts,
     )
+
+
+def blocklist_filter(docs: DataFrame,
+                     words: list[str] | None = None,
+                     max_ppm: int = 100_000) -> DataFrame:
+    """Term-blocklist document filter — the classic web-corpus gate
+    ("bad-word list") generalized to any pinned vocabulary: count how
+    many whitespace tokens of each doc (case-folded) sit on the
+    blocklist and keep the doc iff the blocked fraction stays under
+    ``max_ppm`` parts-per-million.  The default list is a neutral
+    placeholder wired to the synthetic corpus so both branches of the
+    verdict are exercised — production swaps in its own list (it stays
+    a broadcast-sized literal either way).
+
+    Returns ``(doc_id, n_tokens, n_blocked, blocked_ppm, keep)``;
+    ``blocked_ppm`` is integer micro-fraction (NULL for empty docs,
+    which are kept — an empty doc contains nothing blockable).
+
+    Scale: pure map — the list compiles into the plan as a literal
+    array, one scan, zero shuffle, whole-stage codegen.
+    """
+    from hbase_indexer_spark.pipeline.text import stopword_hits, token_count
+
+    words = [w.lower() for w in (words or DEFAULT_BLOCKLIST)]
+    counted = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        stopword_hits(F.col("text"), words).alias("n_blocked"),
+    )
+    ppm = F.expr("(1000000 * cast(n_blocked as bigint))"
+                 " div nullif(n_tokens, 0)")
+    return counted.select(
+        "doc_id", "n_tokens", "n_blocked",
+        ppm.alias("blocked_ppm"),
+        F.coalesce(ppm <= max_ppm, F.lit(True)).alias("keep"),
+    )
+
+
+def blocklist_filter_sql(words: list[str] | None = None,
+                         max_ppm: int = 100_000) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    words = [w.lower() for w in (words or DEFAULT_BLOCKLIST)]
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   len({TOKS_SQL}) AS n_tokens,
+                   len(list_filter({TOKS_SQL},
+                       t -> list_contains([{lst}], lower(t)))) AS n_blocked
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(n_blocked AS INTEGER) AS n_blocked,
+               CAST((1000000 * n_blocked) // NULLIF(n_tokens, 0)
+                    AS BIGINT) AS blocked_ppm,
+               coalesce((1000000 * n_blocked) // NULLIF(n_tokens, 0)
+                        <= {max_ppm}, TRUE) AS keep
+        FROM c
+    """
 
 
 def scrub_sql(table: str, text_col: str = "text",

@@ -882,6 +882,85 @@ def knn_label_vote_sql(query_ids: list[int], k: int = 5) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Contrastive pair mining (positives + hard negatives for metric learning)
+# ---------------------------------------------------------------------------
+
+def contrastive_pairs(emb: DataFrame, query_ids: list[int],
+                      k_pos: int = 3, k_neg: int = 3) -> DataFrame:
+    """Mine contrastive training pairs for each anchor: the ``k_pos``
+    nearest neighbors sharing the anchor's label (positives) and the
+    ``k_neg`` nearest with a DIFFERENT label (hard negatives — the
+    near-misses that teach a metric model the class boundary; random
+    negatives are too easy to carry gradient).
+
+    Returns ``(query_id, role, pair_id, rank)`` with ``role`` in
+    ``('pos', 'neg')``; rank orders by (cosine desc, pair_id asc)
+    within each (anchor, role), so the output is float-free and
+    deterministic under ties.
+
+    Scale: one corpus pass — anchors broadcast against the corpus
+    exactly like :func:`brute_force_topk`, the role split is a CASE on
+    the joined labels (not a second scan), and the per-(anchor, role)
+    top-k window partitions on 2x|anchors| keys.  For bulk mining over
+    every anchor, feed the candidate set from :func:`lsh_topk` /
+    :func:`ivf_topk` instead of the full cross join — the window and
+    role logic are unchanged.
+    """
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.when(F.col("label") == F.col("q_label"), F.lit("pos"))
+            .otherwise(F.lit("neg")).alias("role"),
+            F.col("vec_id").alias("pair_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("sim"), F.asc("pair_id"))
+    k_for = (F.when(F.col("role") == "pos", F.lit(k_pos))
+             .otherwise(F.lit(k_neg)))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_for)
+        .select("query_id", "role", "pair_id", "rank")
+    )
+
+
+def contrastive_pairs_sql(query_ids: list[int], k_pos: int = 3,
+                          k_neg: int = 3) -> str:
+    """DuckDB mirror: same scored cross join, same (sim desc, id)
+    window per (anchor, role), same per-role k."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+            FROM embeddings WHERE vec_id IN ({ids})
+        ), scored AS (
+            SELECT q.query_id,
+                   CASE WHEN e.label = q.q_label THEN 'pos'
+                        ELSE 'neg' END AS role,
+                   e.vec_id AS pair_id,
+                   list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS sim
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, role, pair_id, rank FROM (
+            SELECT query_id, role, pair_id,
+                   row_number() OVER (PARTITION BY query_id, role
+                                      ORDER BY sim DESC, pair_id) AS rank
+            FROM scored
+        ) WHERE rank <= CASE WHEN role = 'pos'
+                             THEN {k_pos} ELSE {k_neg} END
+    """
+
+
+# ---------------------------------------------------------------------------
 # Quantized coarse-rank + exact re-rank (int8 ANN, fully oracle-able)
 # ---------------------------------------------------------------------------
 

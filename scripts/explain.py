@@ -572,6 +572,33 @@ CHECKS = {
         [r"hashpartitioning", r"Window", r"SortAggregate",
          r"HashAggregate", *NO_PYTHON],
     ),
+    # blocklist gate: pure map — the list compiles to a plan literal,
+    # no keyed shuffle, no Python
+    "blocklist_filter": (
+        [r"Scan parquet", r"Project"],
+        [r"hashpartitioning", r"Window", r"SortAggregate",
+         r"HashAggregate", *NO_PYTHON],
+    ),
+    # contrastive mining: the declared O(K)-broadcast verifier scan
+    # (same family as ann_bruteforce_topk — BNLJ allowlisted in
+    # test_plan_lint) + per-(anchor, role) WindowGroupLimit top-k
+    "contrastive_pairs": (
+        [r"WindowGroupLimit"],
+        [r"CartesianProduct", r"SortMergeJoin", *NO_PYTHON],
+    ),
+    # batching layout: two-level (bucket, hash-block) rank — block
+    # offsets broadcast back, manifest agg is map-side combinable
+    "length_buckets": (
+        [r"BroadcastHashJoin", r"partial_count", r"partial_max"],
+        [r"SortMergeJoin", r"CartesianProduct",
+         r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # PSI drift: combinable (grp, bin) counts per side; verdict joins
+    # aggregate tables only (SMJ full-outer over |sources|x|bins| rows)
+    "psi_drift": (
+        [r"partial_count", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
 }
 
 

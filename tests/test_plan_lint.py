@@ -44,6 +44,10 @@ ALLOW_BNLJ = {
     # recall report: runs brute_force_topk as the ground-truth side by
     # definition — same O(K)-broadcast verifier scan as above.
     "ann_recall_report",
+    # contrastive mining scores the corpus against K broadcast anchors
+    # (`vec_id != query_id` non-equi => BNLJ over the O(K) side) — the
+    # verifier path; bulk mining feeds LSH/IVF candidates instead.
+    "contrastive_pairs",
     # funnel: the `depth >= step_idx` suffix-sum theta-join and the
     # 1-row first-step crossJoin both operate on AGGREGATE tables
     # (<= n_steps+1 rows each) — constant-size loops, not data joins.

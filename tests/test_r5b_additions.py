@@ -1,0 +1,197 @@
+"""Unit tests for the second r5 batch of pipeline operators:
+blocklist_filter, contrastive_pairs, length_buckets, psi_drift.
+
+Each also has an oracle gate entry (__spark_entry__) — these tests pin
+the semantic corners the cross-engine hash can't see: verdict branches,
+role correctness, partition invariance, and the zero-drift identity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter
+# ---------------------------------------------------------------------------
+
+def test_blocklist_counts_and_verdicts(spark):
+    from hbase_indexer_spark.pipeline.scrub import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow Big crawl of the web"),     # 2/6 blocked = 333333 ppm
+            (2, "clean text only here"),          # 0 blocked
+            (3, ""),                              # empty: NULL ppm, kept
+            (4, "slow slow slow"),                # all blocked
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            blocklist_filter(docs, words=["slow", "big"],
+                             max_ppm=300_000).collect()}
+    assert rows[1]["n_blocked"] == 2 and rows[1]["n_tokens"] == 6
+    assert rows[1]["blocked_ppm"] == 333_333 and rows[1]["keep"] is False
+    assert rows[2]["n_blocked"] == 0 and rows[2]["keep"] is True
+    assert rows[3]["n_tokens"] == 0 and rows[3]["blocked_ppm"] is None
+    assert rows[3]["keep"] is True
+    assert rows[4]["blocked_ppm"] == 1_000_000 and rows[4]["keep"] is False
+
+
+def test_blocklist_casefolds(spark):
+    from hbase_indexer_spark.pipeline.scrub import blocklist_filter
+
+    docs = spark.createDataFrame([(1, "SLOW Slow sLoW")],
+                                 "doc_id long, text string")
+    row = blocklist_filter(docs, words=["Slow"]).collect()[0]
+    assert row["n_blocked"] == 3
+
+
+# ---------------------------------------------------------------------------
+# contrastive_pairs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_emb(spark):
+    # 2-d embeddings: label 0 clusters near (1, 0), label 1 near (0, 1);
+    # vec 4 is a label-1 point sitting close to the label-0 cluster —
+    # the hard negative every label-0 anchor should surface first.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, 0.0], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.7, 0.3], 1),
+        (5, [0.1, 0.9], 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_contrastive_roles_and_ranks(tiny_emb):
+    from hbase_indexer_spark.pipeline.similarity import contrastive_pairs
+
+    out = contrastive_pairs(tiny_emb, [0], k_pos=2, k_neg=2).collect()
+    by_role = {}
+    for r in out:
+        by_role.setdefault(r["role"], []).append((r["rank"], r["pair_id"]))
+    # positives: the two other label-0 vectors, nearest first — vec 2
+    # (0.8, 0) is colinear with the anchor (cos = 1.0), so it wins
+    assert sorted(by_role["pos"]) == [(1, 2), (2, 1)]
+    # hard negative #1 is vec 4 (the label-1 point near the 0-cluster)
+    assert sorted(by_role["neg"])[0] == (1, 4)
+    # labels actually differ/match as the role claims
+    labels = {r["vec_id"]: r["label"] for r in tiny_emb.collect()}
+    for r in out:
+        same = labels[r["pair_id"]] == labels[0]
+        assert same == (r["role"] == "pos")
+
+
+def test_contrastive_excludes_anchor_and_caps_k(tiny_emb):
+    from hbase_indexer_spark.pipeline.similarity import contrastive_pairs
+
+    out = contrastive_pairs(tiny_emb, [0, 3], k_pos=1, k_neg=2).collect()
+    assert all(r["pair_id"] != r["query_id"] for r in out)
+    for qid in (0, 3):
+        mine = [r for r in out if r["query_id"] == qid]
+        assert len([r for r in mine if r["role"] == "pos"]) == 1
+        assert len([r for r in mine if r["role"] == "neg"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# length_buckets
+# ---------------------------------------------------------------------------
+
+def _naive_manifest(spark, docs, bounds, batch_docs, salt):
+    """Single-window reference implementation (the oracle shape)."""
+    from hbase_indexer_spark.pipeline.text import token_count, token_hash60
+
+    bucket = sum(
+        (F.when(F.col("n_tokens") >= b, 1).otherwise(0) for b in bounds),
+        F.lit(0),
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    c = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"),
+        token_hash60(key).alias("h")).withColumn("bucket", bucket)
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        c.withColumn("seq", F.row_number().over(w) - 1)
+        .withColumn("batch_id", F.expr(f"cast(seq as bigint) div {batch_docs}"))
+        .groupBy("bucket", "batch_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.max("n_tokens").alias("max_tokens"),
+             F.sum("n_tokens").alias("sum_tokens"))
+        .withColumn("padding_tokens",
+                    F.col("n_docs") * F.col("max_tokens")
+                    - F.col("sum_tokens"))
+    )
+
+
+def test_length_buckets_matches_naive_window(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.pack import (DEFAULT_LEN_BOUNDARIES,
+                                                   length_buckets)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = sorted(map(tuple, length_buckets(docs, batch_docs=8).collect()))
+    ref = sorted(map(tuple, _naive_manifest(
+        spark, docs, DEFAULT_LEN_BOUNDARIES, 8, "len-bucket-v1").collect()))
+    assert fast == ref
+
+
+def test_length_buckets_partitions_corpus_exactly(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.pack import length_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = length_buckets(docs, batch_docs=8).collect()
+    assert sum(r["n_docs"] for r in m) == docs.count()
+    assert all(1 <= r["n_docs"] <= 8 for r in m)
+    assert all(r["padding_tokens"] >= 0 for r in m)
+    # only the tail batch of each bucket may be short
+    short = [(r["bucket"], r["batch_id"]) for r in m if r["n_docs"] < 8]
+    last = {}
+    for r in m:
+        last[r["bucket"]] = max(last.get(r["bucket"], -1), r["batch_id"])
+    assert all(bid == last[b] for b, bid in short)
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+def test_psi_identical_snapshots_is_zero(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.curation import psi_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = psi_drift(docs, docs).collect()
+    assert out and all(r["psi_micro"] == 0 for r in out)
+    assert all(r["n_base"] == r["n_new"] for r in out)
+
+
+def test_psi_detects_length_shift(spark):
+    from hbase_indexer_spark.pipeline.curation import psi_drift
+
+    short = [(i, "a b c", "web") for i in range(100)]           # 3 tokens
+    long_ = [(i, " ".join(["t"] * 70), "web") for i in range(100)]
+    schema = "doc_id long, text string, source string"
+    base = spark.createDataFrame(short, schema)
+    drifted = spark.createDataFrame(long_, schema)
+    same = psi_drift(base, base).collect()[0]
+    moved = psi_drift(base, drifted).collect()[0]
+    assert same["psi_micro"] == 0
+    # hard shift: PSI far above the 0.25 "changed character" rule of thumb
+    assert moved["psi_micro"] > 250_000
+
+
+def test_psi_one_sided_source_does_not_error(spark):
+    from hbase_indexer_spark.pipeline.curation import psi_drift
+
+    schema = "doc_id long, text string, source string"
+    base = spark.createDataFrame([(1, "a b", "old-only")], schema)
+    new = spark.createDataFrame([(2, "a b", "new-only")], schema)
+    rows = {r["source"]: r for r in psi_drift(base, new).collect()}
+    assert set(rows) == {"old-only", "new-only"}
+    assert rows["old-only"]["n_new"] == 0
+    assert rows["new-only"]["n_base"] == 0
