@@ -179,6 +179,35 @@ def _xlate_to_lower(params: dict) -> list[dict]:
     return [{"stage": "lowercase_field", "field": params["field"]}]
 
 
+def _xlate_to_upper(params: dict) -> list[dict]:
+    return [{"stage": "uppercase_field", "field": params["field"]}]
+
+
+def _xlate_trim(params: dict) -> list[dict]:
+    return [{"stage": "trim_field", "field": params["field"]}]
+
+
+def _xlate_decode_base64(params: dict) -> list[dict]:
+    return [{"stage": "decode_base64", "field": params["inputField"],
+             "into": params.get("outputField", params["inputField"])}]
+
+
+def _xlate_read_csv(params: dict) -> list[dict]:
+    out = {"stage": "read_csv", "field": params.get("inputField", "text"),
+           "columns": list(params["columns"])}
+    if "separator" in params:
+        out["separator"] = params["separator"]
+    if "trim" in params:
+        out["trim"] = params["trim"]
+    return [out]
+
+
+def _xlate_extract_uri(params: dict) -> list[dict]:
+    return [{"stage": "extract_uri_components",
+             "field": params["inputField"],
+             "outputFieldPrefix": params.get("outputFieldPrefix", "")}]
+
+
 def _xlate_split(params: dict) -> list[dict]:
     return [{
         "stage": "split_field",
@@ -350,6 +379,11 @@ _COMMAND_XLATE = {
     "setValues": _xlate_set_values,
     "addValues": _xlate_set_values,
     "toLowerCase": _xlate_to_lower,
+    "toUpperCase": _xlate_to_upper,
+    "trim": _xlate_trim,
+    "decodeBase64": _xlate_decode_base64,
+    "readCSV": _xlate_read_csv,
+    "extractURIComponents": _xlate_extract_uri,
     "split": _xlate_split,
     "convertTimestamp": _xlate_convert_timestamp,
     "grok": _xlate_grok,

@@ -84,6 +84,87 @@ def _lowercase_field(params: dict) -> Stage:
     return lambda df: df.withColumn(name, F.lower(F.col(name)))
 
 
+@register_stage("uppercase_field")
+def _uppercase_field(params: dict) -> Stage:
+    name = params["field"]
+    return lambda df: df.withColumn(name, F.upper(F.col(name)))
+
+
+@register_stage("trim_field")
+def _trim_field(params: dict) -> Stage:
+    """Kite `trim` analog: strip leading/trailing whitespace in place."""
+    name = params["field"]
+    return lambda df: df.withColumn(name, F.trim(F.col(name)))
+
+
+@register_stage("decode_base64")
+def _decode_base64(params: dict) -> Stage:
+    """Kite `decodeBase64` analog: base64 string field -> bytes (or a
+    UTF-8 string with ``as_string: true``) — JVM-side ``unbase64``."""
+    name = params["field"]
+    out = params.get("into", name)
+    col = F.unbase64(F.col(name))
+    if params.get("as_string"):
+        col = col.cast("string")
+    return lambda df: df.withColumn(out, col)
+
+
+@register_stage("read_csv")
+def _read_csv(params: dict) -> Stage:
+    """Kite `readCSV` analog over a string FIELD (rows already exist here
+    — the scan is the reader, so the command degenerates to a positional
+    split): ``field`` splits on ``separator`` (literal) and each name in
+    ``columns`` binds the next position; ``trim: true`` strips each
+    value; a ``""`` column name skips that position (Kite convention).
+    Missing positions become NULL (``try_element_at`` — ANSI-safe)."""
+    name = params["field"]
+    sep = params.get("separator", ",")
+    cols = list(params["columns"])
+    do_trim = bool(params.get("trim", True))
+
+    def stage(df):
+        parts = F.split(F.col(name), re.escape(sep))
+        out = df.withColumn("_csv", parts)
+        for i, cname in enumerate(cols):
+            if not cname:
+                continue
+            v = F.try_element_at(F.col("_csv"), F.lit(i + 1))
+            if do_trim:
+                v = F.trim(v)
+            out = out.withColumn(cname, v)
+        return out.drop("_csv")
+
+    return stage
+
+
+@register_stage("extract_uri_components")
+def _extract_uri_components(params: dict) -> Stage:
+    """Kite `extractURIComponents` analog: parse a URI string field into
+    ``{prefix}scheme/authority/host/port/path/query/fragment`` via
+    JVM-side ``try_parse_url`` (port comes from a regex over the authority —
+    parse_url has no PORT part).  Unparseable/absent parts are NULL."""
+    name = params["field"]
+    prefix = params.get("outputFieldPrefix", params.get("prefix", ""))
+    u = F.col(name)
+
+    def stage(df):
+        authority = F.try_parse_url(u, F.lit("AUTHORITY"))
+        return (
+            df.withColumn(prefix + "scheme", F.try_parse_url(u, F.lit("PROTOCOL")))
+            .withColumn(prefix + "authority", authority)
+            .withColumn(prefix + "host", F.try_parse_url(u, F.lit("HOST")))
+            .withColumn(
+                prefix + "port",
+                F.nullif(F.regexp_extract(authority, ":([0-9]+)$", 1),
+                         F.lit("")).cast("int"))
+            .withColumn(prefix + "path", F.try_parse_url(u, F.lit("PATH")))
+            .withColumn(prefix + "query", F.try_parse_url(u, F.lit("QUERY")))
+            .withColumn(prefix + "fragment", F.try_parse_url(u, F.lit("REF")))
+        )
+
+    return stage
+
+
 @register_stage("sql_expr")
 def _sql_expr(params: dict) -> Stage:
     """General computed field from a SQL expression (the logDebug/convert

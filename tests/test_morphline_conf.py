@@ -275,3 +275,78 @@ def test_grok_unknown_pattern_fails():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown grok pattern"):
         expand_grok("%{NOSUCHPATTERN:x}")
+
+
+def test_case_trim_base64_stages(spark):
+    """toUpperCase / trim / decodeBase64 analogs through the compiler."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:code", outputField : code } ] } }
+          { trim { field : code } }
+          { toUpperCase { field : code } }
+          { decodeBase64 { inputField : b64, outputField : raw } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame([("  ab ", "aGk=")], "code string, b64 string")
+    row = chain(df).collect()[0]
+    assert row["code"] == "AB"
+    assert bytes(row["raw"]) == b"hi"
+
+
+def test_read_csv_stage(spark):
+    """readCSV analog: positional split, skip-position, trim, NULL pad."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:line", outputField : line } ] } }
+          { readCSV { inputField : line, separator : ";",
+                      columns : [first, "", third, missing] } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame([(" a ;skipme; c ",)], "line string")
+    row = chain(df).collect()[0]
+    assert row["first"] == "a" and row["third"] == "c"
+    assert row["missing"] is None
+    assert "skipme" not in row.asDict().values()
+
+
+def test_extract_uri_components_stage(spark):
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:url", outputField : url } ] } }
+          { extractURIComponents { inputField : url,
+                                   outputFieldPrefix : "u_" } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [("https://example.com:8443/a/b?x=1&y=2#frag",),
+         ("not a url",)], "url string")
+    rows = chain(df).collect()
+    ok = rows[0]
+    assert ok["u_scheme"] == "https"
+    assert ok["u_host"] == "example.com"
+    assert ok["u_port"] == 8443
+    assert ok["u_path"] == "/a/b"
+    assert ok["u_query"] == "x=1&y=2"
+    assert ok["u_fragment"] == "frag"
+    assert rows[1]["u_host"] is None
