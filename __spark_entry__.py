@@ -1187,6 +1187,30 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      docs.filter("doc_id % 2 = 1"))
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embedding table: one
+    distributed fixed-point Lloyd refinement of the pinned centroids,
+    then integer-dot reassignment — the iterative algorithm itself is
+    hash-checked (oracle unrolls both iterations as CTEs)."""
+    from hbase_indexer_spark.pipeline.dedup import kmeans_cells
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return kmeans_cells(load(spark, sf_dir, "embeddings"))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning: k-means cells bound the comparison
+    scope, exact cosine prunes within each cell (keep-first keeper +
+    exemplar provenance) — the cluster-bucketed third leg of the
+    embedding-dedup family next to brute and LSH."""
+    from hbase_indexer_spark.pipeline.dedup import semdedup
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training layout: deterministic corpus shuffle composed
     with sequence packing over the shuffled stream."""
@@ -1975,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "length_buckets": q_length_buckets,
         "psi_drift": q_psi_drift,
+        "kmeans_cells": q_kmeans_cells,
+        "semdedup": q_semdedup,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2751,5 +2777,12 @@ def oracle_sql() -> dict[str, str]:
         CONTRASTIVE_QUERY_IDS, k_pos=3, k_neg=3)
     out["length_buckets"] = length_buckets_sql()
     out["psi_drift"] = psi_drift_sql()
+    from hbase_indexer_spark.pipeline.dedup import (
+        kmeans_cells_sql,
+        semdedup_sql,
+    )
+
+    out["kmeans_cells"] = kmeans_cells_sql()
+    out["semdedup"] = semdedup_sql(threshold=0.4)
     # ann_lsh_topk: intentionally no oracle (approximate); rows-only check
     return out

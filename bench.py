@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "embedding_cosine_dedup",
     "embedding_cosine_lsh",
     "embedding_lsh_recall",
+    "kmeans_cells",
+    "semdedup",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_verified",

@@ -772,6 +772,258 @@ def embedding_lsh_recall_sql(threshold: float = 0.4, dim: int = 64,
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: k-means-bucketed semantic dedup (cluster, then prune in-cluster)
+# ---------------------------------------------------------------------------
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two long arrays.  ANSI-safe by
+    magnitude: micro components are ~1e6, so a 64-dim sum of products
+    stays around 6.4e13 — far under the 2^63 overflow throw."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _micro_vec(v: Column) -> Column:
+    """Vector components quantized to micro-unit longs via the repo's
+    ``floor(x * 1e6 + 0.5)`` fixed-point convention (cross-engine exact)."""
+    return F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)
+                          + F.lit(0.5)).cast("long"),
+    )
+
+
+def kmeans_cells(emb: DataFrame, dim: int = 64, n_cells: int = 16,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic spherical k-means assignment: one distributed Lloyd
+    refinement step over the pinned LCG centroids, then a final
+    assignment against the refined centroids — entirely hash-checkable
+    (``kmeans_cells_sql`` replays both iterations as unrolled CTEs, the
+    house recipe for sequential/iterative semantics).
+
+    - iteration 1 assigns each vector to its max-dot pinned centroid
+      (ties: cell asc) — the same float expression the driver-green
+      pinned-IVF path uses;
+    - the refinement sums members in exact fixed point per (cell, dim)
+      and floor-divides by the member count (integer centroid, so the
+      data-dependent state is bit-exact and order-independent);
+    - iteration 2 re-assigns by INTEGER dot against the refined
+      centroids — no float enters the data-dependent iteration.
+
+    Returns ``(vec_id, cell)``.
+
+    Scale: both assignment passes are map-only against a broadcast
+    ``n_cells x dim`` literal; the refinement shuffle is map-side
+    combinable and carries at most ``n_cells x dim`` partials per task.
+    The driver materializes only the refined centroid table (≤ n_cells x
+    dim longs — the same boundedness class as the IVF training cap).
+    At 100 TB, grow ``n_cells`` (SemDeDup practice: K ~ sqrt(N) keeps
+    expected cluster size at sqrt(N)) — cost stays one broadcast literal."""
+    from hbase_indexer_spark.pipeline.similarity import (
+        _pinned_centroids, dot)
+
+    cents = _pinned_centroids(dim, n_cells)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in cents
+    ])
+
+    def pinned_cell(v: Column) -> Column:
+        scored = F.transform(
+            cents_lit,
+            lambda c, i: F.struct((-dot(v, c)).alias("nd"),
+                                  i.cast("int").alias("cell")),
+        )
+        return F.element_at(F.array_sort(scored), 1)["cell"]
+
+    quant = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _micro_vec(F.col(vec_col)).alias("vm"),
+        pinned_cell(F.col(vec_col)).alias("cell"),
+    )
+    # one Lloyd step: exact fixed-point member sums -> floor-div centroid.
+    # floor (not Spark's truncating `div`): matches DuckDB `//` on
+    # negative sums; |sum| < 2^53 so the double floor is exact.
+    refined_rows = (
+        quant.select("cell", F.posexplode("vm").alias("dim", "mv"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("mv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cell", "dim",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("long").alias("cm"))
+        .collect()
+    )
+    by_cell: dict[int, list[int]] = {}
+    for r in refined_rows:
+        by_cell.setdefault(r["cell"], [0] * dim)[r["dim"]] = r["cm"]
+    cells = sorted(by_cell)
+    cents2_lit = F.array(*[
+        F.array(*[F.lit(int(c)).cast("long") for c in by_cell[cell]])
+        for cell in cells
+    ])
+    cell_ids = F.array(*[F.lit(int(c)).cast("int") for c in cells])
+
+    vm = _micro_vec(F.col(vec_col))
+    scored2 = F.transform(
+        cents2_lit,
+        lambda c, i: F.struct((-_int_dot(vm, c)).alias("nd"),
+                              i.cast("int").alias("pos")),
+    )
+    # positions enumerate `cells` ascending, so pos asc == cell asc —
+    # the SQL mirror's ORDER BY d DESC, cell tie-break exactly
+    pos = F.element_at(F.array_sort(scored2), 1)["pos"]
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(cell_ids, pos + F.lit(1)).alias("cell"),
+    )
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.4, dim: int = 64,
+             n_cells: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (public recipe: cluster the embedding space, prune
+    near-duplicates within each cluster): deterministic k-means cells
+    from :func:`kmeans_cells`, then an exact-cosine self-join INSIDE
+    each cell — a vector is dropped iff some lower-id cell-mate is
+    ``>= threshold`` similar, and its exemplar is the smallest such id
+    (the repo's keep-first keeper convention; chains a<b<c may record a
+    dropped exemplar, like ``span_dedup``).
+
+    Returns ``(vec_id, cell, kept, exemplar)`` — one row per vector,
+    integer-only output.
+
+    Scale: the quadratic work is confined to single cells (expected
+    size n/K; grow K with the corpus so cells stay bounded — no global
+    matmul, no LSH recall gap: within a cell the pair set is exact).
+    Complements ``embedding_cosine_pairs_lsh``: LSH bounds the
+    similarity band by collision probability, SemDeDup bounds the
+    comparison scope by cluster."""
+    cells = kmeans_cells(emb, dim=dim, n_cells=n_cells, id_col=id_col,
+                         vec_col=vec_col)
+    from hbase_indexer_spark.pipeline.similarity import cosine
+
+    vecs = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("v")).join(cells, "vec_id")
+    a = vecs.select(F.col("vec_id").alias("x"), F.col("v").alias("va"),
+                    "cell")
+    b = vecs.select(F.col("vec_id").alias("y"), F.col("v").alias("vb"),
+                    "cell")
+    drops = (
+        a.join(b, ["cell"])
+        .filter(F.col("x") < F.col("y"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .groupBy(F.col("y").alias("vec_id"))
+        .agg(F.min("x").alias("exemplar"))
+    )
+    return (
+        cells.join(drops, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.when(F.col("exemplar").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("kept"),
+            "exemplar",
+        )
+    )
+
+
+def kmeans_cells_sql_cte(dim: int = 64, n_cells: int = 16) -> str:
+    """The two unrolled k-means iterations as CTE text ending in
+    ``a2(vec_id, cell)`` — shared by the kmeans/semdedup oracles."""
+    from hbase_indexer_spark.pipeline.similarity import _pinned_centroids
+
+    cents = _pinned_centroids(dim, n_cells)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        cents(cell, cv) AS (VALUES {values}),
+        vm AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
+                   ) AS m
+            FROM embeddings
+        ),
+        a1 AS (
+            SELECT vec_id, m, cell FROM (
+                SELECT vec_id, m, c.cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY list_dot_product(v, c.cv) DESC, c.cell
+                       ) AS rn
+                FROM vm CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        rc AS (
+            SELECT cell, dim,
+                   CAST(sum(mv) AS BIGINT) // count(*) AS cm
+            FROM (
+                SELECT cell,
+                       CAST(unnest(range(1, len(m) + 1)) AS INTEGER) - 1
+                           AS dim,
+                       unnest(m) AS mv
+                FROM a1
+            )
+            GROUP BY 1, 2
+        ),
+        mdim AS (
+            SELECT vec_id,
+                   CAST(unnest(range(1, len(m) + 1)) AS INTEGER) - 1 AS dim,
+                   unnest(m) AS mv
+            FROM vm
+        ),
+        d2 AS (
+            SELECT md.vec_id, rc.cell, CAST(sum(md.mv * rc.cm) AS BIGINT) AS d
+            FROM mdim md JOIN rc ON md.dim = rc.dim
+            GROUP BY 1, 2
+        ),
+        a2 AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cell) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        )"""
+
+
+def kmeans_cells_sql(dim: int = 64, n_cells: int = 16) -> str:
+    return f"""
+        WITH {kmeans_cells_sql_cte(dim, n_cells)}
+        SELECT vec_id, cell FROM a2
+    """
+
+
+def semdedup_sql(threshold: float = 0.4, dim: int = 64,
+                 n_cells: int = 16) -> str:
+    """DuckDB mirror of :func:`semdedup`: the same two unrolled k-means
+    iterations, then the identical in-cell keep-first prune."""
+    return f"""
+        WITH {kmeans_cells_sql_cte(dim, n_cells)},
+        members AS (
+            SELECT a2.vec_id, a2.cell, vm.v
+            FROM a2 JOIN vm USING (vec_id)
+        ),
+        drops AS (
+            SELECT b.vec_id, CAST(min(a.vec_id) AS BIGINT) AS exemplar
+            FROM members a JOIN members b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+            GROUP BY 1
+        )
+        SELECT a2.vec_id, a2.cell,
+               CASE WHEN d.exemplar IS NULL THEN 1 ELSE 0 END AS kept,
+               d.exemplar
+        FROM a2 LEFT JOIN drops d USING (vec_id)
+    """
+
+
+# ---------------------------------------------------------------------------
 # End-to-end dedup materialization
 # ---------------------------------------------------------------------------
 

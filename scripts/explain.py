@@ -599,6 +599,19 @@ CHECKS = {
         [r"partial_count", r"partial_sum"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # k-means assignment: the returned frame is a pure projection against
+    # broadcast centroid LITERALS (refinement ran at build time as its
+    # own combinable job) — no join, no shuffle, no Python may appear
+    "kmeans_cells": (
+        [r"Scan parquet", r"Project"],
+        [r"Join", r"CartesianProduct", r"hashpartitioning", *NO_PYTHON],
+    ),
+    # SemDeDup: quadratic work confined to equality-joined cells —
+    # never a cross join, never a Python stage
+    "semdedup": (
+        [r"SortMergeJoin Inner|BroadcastHashJoin Inner"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
 }
 
 

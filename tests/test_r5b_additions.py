@@ -195,3 +195,63 @@ def test_psi_one_sided_source_does_not_error(spark):
     assert set(rows) == {"old-only", "new-only"}
     assert rows["old-only"]["n_new"] == 0
     assert rows["new-only"]["n_base"] == 0
+
+
+# ---------------------------------------------------------------------------
+# kmeans_cells / semdedup
+# ---------------------------------------------------------------------------
+
+def test_kmeans_cells_total_assignment(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.dedup import kmeans_cells
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_cells(emb).collect()
+    assert len(out) == emb.count()
+    assert len({r["vec_id"] for r in out}) == len(out)
+    assert all(0 <= r["cell"] < 16 for r in out)
+    # deterministic: a second build lands every vector in the same cell
+    again = {r["vec_id"]: r["cell"] for r in kmeans_cells(emb).collect()}
+    assert all(again[r["vec_id"]] == r["cell"] for r in out)
+
+
+def test_semdedup_keeper_invariants(spark, sf_dir):
+    """Dropped ⇔ some lower-id cell-mate is >= threshold similar, and the
+    exemplar is the smallest such id — checked against a numpy replay."""
+    import numpy as np
+
+    from hbase_indexer_spark.pipeline.dedup import kmeans_cells, semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.4
+    out = {r["vec_id"]: r for r in semdedup(emb, threshold=thr).collect()}
+    cells = {r["vec_id"]: r["cell"] for r in kmeans_cells(emb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    for vid, r in out.items():
+        assert r["cell"] == cells[vid]
+        mates = [o for o in vecs if o < vid and cells[o] == r["cell"]]
+        sims = {
+            o: float(np.dot(vecs[o], vecs[vid])
+                     / (np.linalg.norm(vecs[o]) * np.linalg.norm(vecs[vid])))
+            for o in mates
+        }
+        over = sorted(o for o, s in sims.items() if s >= thr)
+        if over:
+            assert r["kept"] == 0 and r["exemplar"] == over[0]
+        else:
+            assert r["kept"] == 1 and r["exemplar"] is None
+
+
+def test_semdedup_drops_exact_duplicate(spark):
+    from hbase_indexer_spark.pipeline.dedup import semdedup
+
+    base = [float((i * 7 + d) % 13 - 6) for d in range(64) for i in (1,)]
+    other = [float((i * 11 + d) % 17 - 8) for d in range(64) for i in (1,)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(emb, threshold=0.95).collect()}
+    assert out[1]["kept"] == 1
+    assert out[2]["kept"] == 0 and out[2]["exemplar"] == 1
+    assert out[1]["cell"] == out[2]["cell"]
