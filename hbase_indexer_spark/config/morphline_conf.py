@@ -354,6 +354,39 @@ def _xlate_find_replace(params: dict) -> list[dict]:
              "is_regex": bool(params.get("isRegex", False))}]
 
 
+def _xlate_read_line(params: dict) -> list[dict]:
+    out = {"stage": "read_line",
+           "field": params.get("inputField", "_attachment_body"),
+           "into": params.get("outputField", "line")}
+    if params.get("ignoreFirstLine"):
+        out["ignore_first_line"] = True
+    if "commentPrefix" in params:
+        out["comment_prefix"] = params["commentPrefix"]
+    return [out]
+
+
+def _xlate_read_json(params: dict) -> list[dict]:
+    return [{"stage": "read_json",
+             "field": params.get("inputField", "_attachment_body"),
+             "into": params.get("outputField", "json")}]
+
+
+def _xlate_generate_uuid(params: dict) -> list[dict]:
+    if "fromFields" not in params:
+        raise ValueError(
+            "generateUUID draws a RANDOM uuid per record in the reference, "
+            "which breaks replay idempotence on a cluster; this engine's "
+            "analog is name-based — pass fromFields : [field, ...] naming "
+            "the identity columns (see generate_uuid in "
+            "operators/transform.py)")
+    out = {"stage": "generate_uuid", "field": params.get("field", "id"),
+           "from_fields": params["fromFields"],
+           "preserve_existing": bool(params.get("preserveExisting", True))}
+    if "prefix" in params:
+        out["prefix"] = params["prefix"]
+    return [out]
+
+
 def _xlate_drop_record(params: dict) -> list[dict]:
     return [{"stage": "filter_rows", "predicate": "false"}]
 
@@ -395,6 +428,9 @@ _COMMAND_XLATE = {
     "findReplace": _xlate_find_replace,
     "dropRecord": _xlate_drop_record,
     "if": _xlate_if,
+    "readLine": _xlate_read_line,
+    "readJson": _xlate_read_json,
+    "generateUUID": _xlate_generate_uuid,
 }
 
 # byte[] passthrough maps to the engine's identity decode

@@ -384,6 +384,95 @@ def _find_replace(params: dict) -> Stage:
         out, F.replace(F.col(name), F.lit(pattern), F.lit(replacement)))
 
 
+@register_stage("read_line")
+def _read_line(params: dict) -> Stage:
+    """Kite ``readLine`` analog over a string FIELD (the scan already
+    produced rows; the command degenerates to a line multiplicator):
+    split ``field`` on newlines (CRLF normalized) and emit ONE ROW PER
+    LINE in ``into``.  ``ignore_first_line`` and ``comment_prefix``
+    match Kite's params (ReadLineBuilder); blank lines are kept unless
+    ``skip_blank`` is set.  Pure codegen: split + posexplode."""
+    name = params.get("field", "text")
+    into = params.get("into", "line")
+    ignore_first = bool(params.get("ignore_first_line", False))
+    comment = params.get("comment_prefix")
+    skip_blank = bool(params.get("skip_blank", False))
+    keep_source = params.get("keep_source", False)
+
+    def stage(df: DataFrame) -> DataFrame:
+        lines = F.split(
+            F.regexp_replace(F.col(name), "\r\n", "\n"), "\n", -1)
+        out = df.select("*", F.posexplode(lines).alias("_line_pos", into))
+        if ignore_first:
+            out = out.filter(F.col("_line_pos") >= 1)
+        if comment:
+            out = out.filter(~F.col(into).startswith(comment))
+        if skip_blank:
+            out = out.filter(F.col(into) != "")
+        out = out.drop("_line_pos")
+        return out if keep_source else out.drop(name)
+
+    return stage
+
+
+@register_stage("read_json")
+def _read_json(params: dict) -> Stage:
+    """Kite ``readJson`` analog: the JSON text in ``field`` becomes one
+    row per top-level record in ``into`` — a top-level ARRAY is a
+    multi-record attachment (one row per element, each element as its
+    own JSON text), anything else is a single record passed through.
+    ``drop_invalid: true`` drops rows whose record isn't parseable JSON
+    (Kite raises; a cluster filter is the set-oriented form).  Pair with
+    ``extract_json_paths`` for field extraction.  JVM-side throughout
+    (from_json / try_parse_json)."""
+    name = params.get("field", "_attachment_body")
+    into = params.get("into", "json")
+    drop_invalid = bool(params.get("drop_invalid", False))
+    keep_source = params.get("keep_source", False)
+
+    def stage(df: DataFrame) -> DataFrame:
+        records = F.coalesce(
+            F.from_json(F.col(name), "array<string>"),
+            F.array(F.col(name)))
+        out = df.withColumn(into, F.explode(records))
+        if drop_invalid:
+            out = out.filter(F.try_parse_json(F.col(into)).isNotNull())
+        return out if keep_source else out.drop(name)
+
+    return stage
+
+
+@register_stage("generate_uuid")
+def _generate_uuid(params: dict) -> Stage:
+    """Kite ``generateUUID`` analog with one declared substitution: the
+    reference draws a RANDOM UUID per record (GenerateUUIDBuilder),
+    which breaks replay idempotence and retry determinism on a cluster —
+    here the UUID is NAME-BASED, derived from ``from_fields`` (md5 of
+    the unit-separator-joined values, formatted 8-4-4-4-12), so
+    re-running a batch yields the same ids.  ``preserve_existing``
+    (default true, like Kite) keeps a non-null existing value; ``prefix``
+    is prepended like Kite's param."""
+    field = params.get("field", "id")
+    from_fields = params["from_fields"]
+    preserve = bool(params.get("preserve_existing", True))
+    prefix = params.get("prefix", "")
+
+    def stage(df: DataFrame) -> DataFrame:
+        h = F.md5(F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in from_fields]))
+        uid = F.concat_ws(
+            "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+            F.substring(h, 13, 4), F.substring(h, 17, 4),
+            F.substring(h, 21, 12))
+        if prefix:
+            uid = F.concat(F.lit(prefix), uid)
+        if preserve and field in df.columns:
+            uid = F.coalesce(F.col(field).cast("string"), uid)
+        return df.withColumn(field, uid)
+
+    return stage
+
+
 _VAR = re.compile(r"\$\{([^}]+)\}")
 
 

@@ -350,3 +350,94 @@ def test_extract_uri_components_stage(spark):
     assert ok["u_query"] == "x=1&y=2"
     assert ok["u_fragment"] == "frag"
     assert rows[1]["u_host"] is None
+
+
+def test_read_line_stage(spark):
+    """readLine analog: one row per line, ignoreFirstLine + commentPrefix."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:blob", outputField : blob } ] } }
+          { readLine { inputField : blob, outputField : ln,
+                       ignoreFirstLine : true, commentPrefix : "#" } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [("header\r\nfirst\n# a comment\nsecond",)], "blob string")
+    rows = [r["ln"] for r in chain(df).collect()]
+    assert rows == ["first", "second"]
+    assert "blob" not in chain(df).columns
+
+
+def test_read_json_stage_multiplies_arrays(spark):
+    """readJson analog: top-level array -> one row per element; a bare
+    object passes through; drop_invalid filters garbage."""
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config([
+        {"stage": "read_json", "field": "raw", "into": "j",
+         "drop_invalid": True},
+        {"stage": "extract_json_paths", "field": "j",
+         "paths": {"a": "$.a"}},
+    ])
+    df = spark.createDataFrame(
+        [(1, '[{"a":1},{"a":2}]'), (2, '{"a":3}'), (3, "not json")],
+        "k int, raw string")
+    got = sorted((r["k"], r["a"]) for r in chain(df).collect())
+    assert got == [(1, "1"), (1, "2"), (2, "3")]
+
+
+def test_generate_uuid_stage(spark):
+    """generateUUID analog: deterministic name-based ids, preserveExisting,
+    prefix; compiler rejects the random (fromFields-less) form."""
+    import re as _re
+
+    import pytest
+
+    from hbase_indexer_spark.config.morphline_conf import morphline_to_conf
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:k", outputField : k } ] } }
+          { generateUUID { field : doc_id, fromFields : [k],
+                           prefix : "u-" } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame([("x",), ("y",), ("x",)], "k string")
+    rows = [r["doc_id"] for r in chain(df).collect()]
+    assert rows[0] == rows[2] != rows[1]
+    assert all(_re.fullmatch(
+        r"u-[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", r) for r in rows)
+
+    # preserve_existing keeps non-null ids
+    chain2 = TransformChain.from_config([
+        {"stage": "generate_uuid", "field": "doc_id", "from_fields": ["k"]}])
+    df2 = spark.createDataFrame(
+        [("x", "keep-me"), ("y", None)], "k string, doc_id string")
+    got = {r["k"]: r["doc_id"] for r in chain2(df2).collect()}
+    assert got["x"] == "keep-me"
+    assert _re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}",
+                         got["y"])
+
+    with pytest.raises(ValueError, match="fromFields"):
+        morphline_to_conf("""
+        morphlines : [
+          { id : m1
+            commands : [
+              { extractHBaseCells { mappings : [
+                  { inputColumn : "cf:k", outputField : k } ] } }
+              { generateUUID { field : doc_id } }
+            ] } ]
+        """, table="t")
