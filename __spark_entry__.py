@@ -1128,6 +1128,18 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (public Xie et al. 2023 recipe):
+    hashed-unigram log-likelihood ratio of every doc under a target-domain
+    LM (here: the doc_id % 7 slice stands in for the target sample) vs the
+    raw-corpus LM, plus replayable hash-derived Gumbel noise; top-k by the
+    noisy score is the selected training subset."""
+    from hbase_indexer_spark.pipeline.corpus_stats import dsir_selection
+
+    docs = _docs(spark, sf_dir)
+    return dsir_selection(docs, docs.filter("doc_id % 7 = 0"), k=100)
+
+
 def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence packing manifest: doc count, token fill, and doc_id
     span of every 128-token training sequence (inverse of
@@ -2001,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "kmeans_cells": q_kmeans_cells,
         "semdedup": q_semdedup,
+        "dsir_selection": q_dsir_selection,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2568,12 +2581,15 @@ def oracle_sql() -> dict[str, str]:
 
     out["mixture_resample"] = mixture_resample_sql(alpha=0.5)
     from hbase_indexer_spark.pipeline.corpus_stats import (
+        dsir_selection_sql,
         tfidf_topk_sql,
         unigram_logprob_sql,
     )
 
     out["tfidf_topk"] = tfidf_topk_sql(k=5)
     out["unigram_logprob"] = unigram_logprob_sql()
+    out["dsir_selection"] = dsir_selection_sql(
+        target_pred="doc_id % 7 = 0", k=100)
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,

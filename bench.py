@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "mixture_resample",
     "tfidf_topk",
     "unigram_logprob",
+    "dsir_selection",
     "bigram_logprob",
     "gopher_rules",
     "dedup_against",

@@ -583,3 +583,166 @@ def nll_outliers_sql(z: int = 2, group_col: str = "lang") -> str:
         JOIN documents d USING (doc_id)
         LEFT JOIN g ON d.{group_col} = g.grp
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023 recipe)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+_HASH_SPACE_F = float(1 << 60)
+
+
+def _bucket_tf(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """``(doc_id, b, tf)`` — hashed-unigram bucket frequencies, one
+    combinable aggregation (the DSIR feature map: token -> md5 60-bit
+    hash -> bucket, exactly reproducible in SQL)."""
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    return (
+        docs.select("doc_id",
+                    F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id",
+                (token_hash60(F.col("term")) % n_buckets).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def dsir_selection(docs: DataFrame, target: DataFrame, k: int = 100,
+                   n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR data selection: score every raw document by the
+    log-likelihood ratio of its hashed-unigram bag under a TARGET-domain
+    LM vs the RAW-corpus LM (add-1 smoothed over ``n_buckets`` hashed
+    buckets), then Gumbel-top-``k`` resample — the public
+    importance-resampling recipe for "pick web data that looks like the
+    target domain".
+
+    Determinism: bucket log-ratios are snapped to integer micro-nats the
+    moment they are computed (one ``ln`` per BUCKET, not per token — the
+    same float discipline as :func:`unigram_logprob`); the Gumbel noise
+    is hash-derived from ``doc_id`` (md5 -> uniform -> -ln(-ln(u))), so
+    the "random" draw is replayable and exactly mirrorable in SQL.
+
+    Returns one row per raw doc: ``(doc_id, n_tokens, dsir_micro,
+    score_micro, sampled)`` where ``score_micro = dsir_micro +
+    gumbel_micro`` and ``sampled`` marks the top-``k`` by
+    ``(score_micro DESC, doc_id)``.
+
+    Scale: two combinable bucket-count aggs + one broadcast join of a
+    ≤ ``n_buckets``-row weight table against per-doc bucket freqs; the
+    top-k is TakeOrderedAndProject (per-partition heads, never a global
+    sort) and the sampled flag comes back via a broadcast of k ids.
+    Corpus scalars (token totals) are two bounded auxiliary aggs, the
+    unigram_logprob precedent."""
+    raw_total = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("c")).first()[0] or 0
+    tgt_total = target.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("c")).first()[0] or 0
+
+    tfb = _bucket_tf(docs, n_buckets)
+    raw_c = tfb.groupBy("b").agg(F.sum("tf").alias("rc"))
+    tgt_c = _bucket_tf(target, n_buckets).groupBy("b").agg(
+        F.sum("tf").alias("tc"))
+    # numerator/denominator are exact-integer doubles (< 2^53), so the
+    # division and the single ln see bit-identical inputs in both engines
+    w = (
+        raw_c.join(tgt_c, "b", "left")
+        .select(
+            "b",
+            F.floor(F.lit(float(MICRO)) * F.log(
+                ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                 * F.lit(float(raw_total + n_buckets)))
+                / ((F.col("rc") + 1).cast("double")
+                   * F.lit(float(tgt_total + n_buckets)))
+            )).cast("long").alias("w_micro"),
+        )
+    )
+    per_doc = (
+        tfb
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"),
+             F.sum(F.col("tf") * F.col("w_micro")).alias("dsir_micro"))
+    )
+    from hbase_indexer_spark.pipeline.text import token_hash60 as h60
+
+    u = ((h60(F.col("doc_id").cast("string")).cast("double") + F.lit(0.5))
+         / F.lit(_HASH_SPACE_F))
+    gumbel_micro = F.floor(F.lit(float(MICRO)) * -F.log(-F.log(u))) \
+        .cast("long")
+    scored = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("dsir_micro", F.lit(0)).cast("long")
+            .alias("dsir_micro"),
+            (F.coalesce("dsir_micro", F.lit(0)) + gumbel_micro)
+            .cast("long").alias("score_micro"),
+        )
+    )
+    topk = (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+        .select("doc_id", F.lit(1).alias("_s"))
+    )
+    return (
+        scored.join(F.broadcast(topk), "doc_id", "left")
+        .select("doc_id", "n_tokens", "dsir_micro", "score_micro",
+                F.coalesce("_s", F.lit(0)).cast("int").alias("sampled"))
+    )
+
+
+def dsir_selection_sql(target_pred: str = "doc_id % 7 = 0", k: int = 100,
+                       n_buckets: int = DSIR_BUCKETS) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    b = f"CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {n_buckets}"
+    return f"""
+        WITH tb AS (
+            SELECT doc_id, {b} AS b
+            FROM (SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents)
+        ),
+        scal AS (
+            SELECT (SELECT count(*) FROM tb) AS rt,
+                   (SELECT count(*) FROM tb WHERE {target_pred}) AS tt
+        ),
+        rawc AS (SELECT b, count(*) AS rc FROM tb GROUP BY b),
+        tgtc AS (SELECT b, count(*) AS tc
+                 FROM tb WHERE {target_pred} GROUP BY b),
+        w AS (
+            SELECT rawc.b,
+                   CAST(floor(1000000.0 * ln(
+                       (CAST(coalesce(tgtc.tc, 0) + 1 AS DOUBLE)
+                        * CAST(scal.rt + {n_buckets} AS DOUBLE))
+                       / (CAST(rawc.rc + 1 AS DOUBLE)
+                          * CAST(scal.tt + {n_buckets} AS DOUBLE))
+                   )) AS BIGINT) AS w_micro
+            FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN scal
+        ),
+        per_doc AS (
+            SELECT tb.doc_id, count(*) AS n_tokens,
+                   sum(w.w_micro) AS dsir_micro
+            FROM tb JOIN w USING (b)
+            GROUP BY tb.doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.dsir_micro, 0) AS BIGINT) AS dsir_micro,
+                   CAST(coalesce(p.dsir_micro, 0)
+                        + CAST(floor(1000000.0 * -ln(-ln(
+                            (CAST(CAST(('0x' || substr(
+                                 md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) AS DOUBLE) + 0.5)
+                            / 1152921504606846976.0
+                        ))) AS BIGINT) AS BIGINT) AS score_micro
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        )
+        SELECT doc_id, n_tokens, dsir_micro, score_micro,
+               CAST(CASE WHEN row_number() OVER (
+                   ORDER BY score_micro DESC, doc_id) <= {k}
+                   THEN 1 ELSE 0 END AS INTEGER) AS sampled
+        FROM scored
+    """

@@ -243,6 +243,13 @@ CHECKS = {
         [r"Window", r"CartesianProduct", r"BroadcastNestedLoopJoin",
          *NO_PYTHON],
     ),
+    # DSIR: bucket weights ride a broadcast join (≤ n_buckets rows); the
+    # top-k resample must be TakeOrderedAndProject, never a global Sort
+    "dsir_selection": (
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

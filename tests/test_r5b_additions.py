@@ -255,3 +255,42 @@ def test_semdedup_drops_exact_duplicate(spark):
     assert out[1]["kept"] == 1
     assert out[2]["kept"] == 0 and out[2]["exemplar"] == 1
     assert out[1]["cell"] == out[2]["cell"]
+
+
+# ---------------------------------------------------------------------------
+# dsir_selection
+# ---------------------------------------------------------------------------
+
+def test_dsir_selection_invariants(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.corpus_stats import dsir_selection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_selection(docs, docs.filter("doc_id % 7 = 0"), k=50).collect()
+    assert len(out) == docs.count()
+    assert sum(r["sampled"] for r in out) == min(50, len(out))
+    # the k selected are exactly the top-k by (score desc, doc_id asc)
+    ranked = sorted(out, key=lambda r: (-r["score_micro"], r["doc_id"]))
+    assert all(r["sampled"] == 1 for r in ranked[:50])
+    assert all(r["sampled"] == 0 for r in ranked[50:])
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target slice's vocabulary outscore docs that
+    don't — the importance weight is doing its job."""
+    from hbase_indexer_spark.pipeline.corpus_stats import dsir_selection
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "quantum flux lattice boson " * 3))
+        else:
+            rows.append((i, "cheap pills casino winner " * 3))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id % 2 = 0")  # the science-y half
+    out = {r["doc_id"]: r for r in
+           dsir_selection(docs, target, k=10).collect()}
+    sci = [out[i]["dsir_micro"] for i in range(0, 40, 2)]
+    spam = [out[i]["dsir_micro"] for i in range(1, 40, 2)]
+    assert min(sci) > max(spam)
+    # all 10 sampled docs come from the target-like half despite noise
+    assert all(out[i]["sampled"] == 0 for i in range(1, 40, 2))
