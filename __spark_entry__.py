@@ -1223,6 +1223,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (public Raffel et al. recipe): terminal
+    punctuation / >= 5 words / no-javascript line gates, >= 3 surviving
+    lines + no lorem-ipsum/brace doc gate — one map-only projection."""
+    from hbase_indexer_spark.pipeline.text import c4_line_clean
+
+    return c4_line_clean(_docs(spark, sf_dir))
+
+
 def q_shuffled_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training layout: deterministic corpus shuffle composed
     with sequence packing over the shuffled stream."""
@@ -2014,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans_cells,
         "semdedup": q_semdedup,
         "dsir_selection": q_dsir_selection,
+        "c4_line_clean": q_c4_line_clean,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2590,6 +2600,9 @@ def oracle_sql() -> dict[str, str]:
     out["unigram_logprob"] = unigram_logprob_sql()
     out["dsir_selection"] = dsir_selection_sql(
         target_pred="doc_id % 7 = 0", k=100)
+    from hbase_indexer_spark.pipeline.text import c4_line_clean_sql
+
+    out["c4_line_clean"] = c4_line_clean_sql()
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,

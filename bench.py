@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "unigram_logprob",
     "dsir_selection",
+    "c4_line_clean",
     "bigram_logprob",
     "gopher_rules",
     "dedup_against",

@@ -999,3 +999,76 @@ def quality_model_scores_sql() -> str:
                ) * 1000000 + 0.5) AS BIGINT) AS logit_micro
         FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, the public C4 recipe)
+# ---------------------------------------------------------------------------
+
+def c4_line_clean(docs: DataFrame) -> DataFrame:
+    """The C4 line-level cleaning pass as one map-only projection: a
+    LINE survives iff it ends in terminal punctuation (``. ! ? "``),
+    has >= 5 whitespace words, and doesn't mention ``javascript``
+    (case-insensitive); the DOC survives iff >= 3 lines survive (the
+    line-level analog of C4's >= 3 sentences) and the raw text contains
+    neither ``lorem ipsum`` nor a curly brace.
+
+    Returns one row per input doc: ``(doc_id, n_lines, n_kept_lines,
+    keep, clean_text)`` where ``clean_text`` is the surviving lines
+    rejoined (NULL for dropped docs) — the downstream corpus feeds from
+    ``keep = 1``.
+
+    Scale: pure array expressions inside one scan — no explode, no
+    shuffle, no UDF; compose with span_dedup for C4's three-sentence
+    span dedup leg."""
+    lines = F.split(
+        F.regexp_replace(F.col("text"), "\r\n", "\n"), "\n", -1)
+    def line_ok(line):
+        t = F.trim(line)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        return (t.rlike('[.!?"]$')
+                & (F.size(words) >= 5)
+                & ~F.lower(line).contains("javascript"))
+    kept = F.filter(lines, line_ok)
+    doc_ok = ((F.size(kept) >= 3)
+              & ~F.lower(F.col("text")).contains("lorem ipsum")
+              & ~F.col("text").contains("{"))
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        doc_ok.cast("int").alias("keep"),
+        F.when(doc_ok, F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
+def c4_line_clean_sql(table: str = "documents") -> str:
+    return f"""
+        WITH l AS (
+            SELECT doc_id, text,
+                   list_filter(
+                       string_split(replace(text, chr(13) || chr(10),
+                                            chr(10)), chr(10)),
+                       x -> regexp_matches(trim(x), '[.!?"]$')
+                            AND len(list_filter(
+                                    string_split_regex(trim(x), '\\s+'),
+                                    w -> w <> '')) >= 5
+                            AND NOT contains(lower(x), 'javascript')
+                   ) AS kept,
+                   len(string_split(replace(text, chr(13) || chr(10),
+                                            chr(10)), chr(10))) AS n_lines
+            FROM {table}
+        )
+        SELECT doc_id,
+               CAST(n_lines AS INTEGER) AS n_lines,
+               CAST(len(kept) AS INTEGER) AS n_kept_lines,
+               CAST(CASE WHEN len(kept) >= 3
+                         AND NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT contains(text, '{{')
+                    THEN 1 ELSE 0 END AS INTEGER) AS keep,
+               CASE WHEN len(kept) >= 3
+                         AND NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT contains(text, '{{')
+                    THEN array_to_string(kept, chr(10)) END AS clean_text
+        FROM l
+    """

@@ -250,6 +250,12 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
          *NO_PYTHON],
     ),
+    # C4 line cleaning is one map-only projection: a single scan, no
+    # explode, no join, no shuffle, no Python
+    "c4_line_clean": (
+        [r"Scan parquet", r"Project"],
+        [r"Join", r"Generate", r"hashpartitioning", *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

@@ -294,3 +294,31 @@ def test_dsir_prefers_target_like_docs(spark):
     assert min(sci) > max(spam)
     # all 10 sampled docs come from the target-like half despite noise
     assert all(out[i]["sampled"] == 0 for i in range(1, 40, 2))
+
+
+# ---------------------------------------------------------------------------
+# c4_line_clean
+# ---------------------------------------------------------------------------
+
+def test_c4_line_clean_rules(spark):
+    from hbase_indexer_spark.pipeline.text import c4_line_clean
+
+    good = "this line has enough words to pass easily."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good, good, good, "too short.",
+                           "no terminal punctuation here at all",
+                           "enable javascript to view this page."])),
+            (2, "\n".join([good, good])),                # < 3 kept lines
+            (3, "\n".join([good, good, good]) + "\nlorem ipsum dolor."),
+            (4, "\n".join([good, good, good]) + "\nvar x = {1};"),
+            (5, good + "\r\n" + good + "\r\n" + good),   # CRLF normalized
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_clean(docs).collect()}
+    assert out[1]["keep"] == 1 and out[1]["n_kept_lines"] == 3
+    assert out[1]["clean_text"] == "\n".join([good, good, good])
+    assert out[2]["keep"] == 0 and out[2]["clean_text"] is None
+    assert out[3]["keep"] == 0          # lorem ipsum doc gate
+    assert out[4]["keep"] == 0          # curly-brace doc gate
+    assert out[5]["keep"] == 1 and out[5]["n_lines"] == 3
