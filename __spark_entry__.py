@@ -1223,6 +1223,30 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC two-stage ANN: 4-bit product-quantized codes (pinned
+    codebook), integer asymmetric-distance LUT coarse rank over the ~32x
+    smaller code corpus, exact cosine re-rank — the classic billion-scale
+    memory-bound leg next to brute/LSH/IVF/int8, bit-exact oracle-checked
+    end to end."""
+    from hbase_indexer_spark.pipeline.similarity import pq_adc_topk
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return pq_adc_topk(load(spark, sf_dir, "embeddings"),
+                       ANN_QUERY_IDS, k=5)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, bounded-width distributed
+    form): every 15-token window occurring twice in the corpus is removed
+    from all but its first occurrence; overlapping removals merge into
+    spans and the survivors are rejoined — suffix-array semantics for
+    >= width repeats without a global suffix sort."""
+    from hbase_indexer_spark.pipeline.dedup import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), width=15)
+
+
 def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (public Raffel et al. recipe): terminal
     punctuation / >= 5 words / no-javascript line gates, >= 3 surviving
@@ -2024,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dsir_selection": q_dsir_selection,
         "c4_line_clean": q_c4_line_clean,
+        "substring_dedup": q_substring_dedup,
+        "ann_pq_adc": q_ann_pq_adc,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2603,6 +2629,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.text import c4_line_clean_sql
 
     out["c4_line_clean"] = c4_line_clean_sql()
+    from hbase_indexer_spark.pipeline.dedup import substring_dedup_sql
+
+    out["substring_dedup"] = substring_dedup_sql(width=15)
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,
@@ -2757,6 +2786,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.similarity import int8_rerank_topk_sql
 
     out["ann_int8_rerank"] = int8_rerank_topk_sql(ANN_QUERY_IDS, k=5)
+    from hbase_indexer_spark.pipeline.similarity import pq_adc_topk_sql
+
+    out["ann_pq_adc"] = pq_adc_topk_sql(ANN_QUERY_IDS, k=5)
     from hbase_indexer_spark.pipeline.curation import (
         curated_corpus_sql,
         stratified_sample_sql,

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "dsir_selection",
     "c4_line_clean",
+    "substring_dedup",
+    "ann_pq_adc",
     "bigram_logprob",
     "gopher_rules",
     "dedup_against",

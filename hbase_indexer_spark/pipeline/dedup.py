@@ -2293,3 +2293,175 @@ def jaccard_threshold_curve_sql(n: int = 3, floor: float = 0.5) -> str:
         FROM grid g LEFT JOIN buckets b ON b.bpct >= g.threshold_pct
         GROUP BY g.threshold_pct
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, bounded-width distributed form)
+# ---------------------------------------------------------------------------
+
+_POS_BITS = 20  # (doc_id, pos) keeper key = doc_id << 20 | pos; docs are
+# assumed < 2^20 tokens (1M) — the packing/chunking layer upstream
+# guarantees far smaller units
+
+
+def substring_dedup(docs: DataFrame, width: int = 15) -> DataFrame:
+    """Exact substring deduplication, the distributed bounded-width form
+    of the public suffix-array recipe ("Deduplicating Training Data
+    Makes Language Models Better"): every ``width``-token window that
+    occurs more than once in the corpus is removed from every occurrence
+    EXCEPT the first (min ``(doc_id, pos)``), overlapping/adjacent
+    removals merge into spans, and the surviving tokens are rejoined.
+    Any repeated substring of >= ``width`` tokens is covered by its
+    windows, so this removes exactly the (>= width)-token repeats the
+    suffix array would find — without a global suffix sort.
+
+    Returns one row per doc: ``(doc_id, n_tokens, n_dup_spans,
+    n_removed, clean_text)`` (``clean_text`` is whitespace-normalized —
+    token-level reconstruction, declared).
+
+    Scale: one (window-hash) shuffle with combinable count/min, a hash
+    join back on the window hash, then per-doc combinable aggregation;
+    the interval merge is a pure array fold over each doc's own flagged
+    starts (bounded by tokens/doc).  Never a global sort, never a
+    driver-side structure — the 100 TB path of the suffix-array
+    semantics."""
+    from hbase_indexer_spark.pipeline.text import token_hash60, tokens
+
+    w = int(width)
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks"))
+    t = F.col("toks")
+    win_arr = F.when(
+        F.size(t) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - w + 1),
+            lambda i: F.struct(
+                i.cast("long").alias("i"),
+                token_hash60(
+                    F.concat_ws(" ", F.slice(t, i, F.lit(w)))).alias("h")),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:long,h:long>>"))
+    wins = (
+        toked.select("doc_id", F.explode(win_arr).alias("wn"))
+        .select("doc_id", F.col("wn.i").alias("i"), F.col("wn.h").alias("h"))
+    )
+    key = (F.col("doc_id") * F.lit(1 << _POS_BITS) + F.col("i"))
+    stats = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(key).alias("keeper"),
+    )
+    flagged = (
+        wins.join(stats, "h")
+        .filter((F.col("c") > 1) & (key != F.col("keeper")))
+        .select("doc_id", "i")
+    )
+    empty_iv = F.array().cast("array<struct<s:bigint,e:bigint>>")
+
+    def merge_starts(starts):
+        def step(acc, s):
+            last = F.element_at(acc, -1)
+            grown = F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], s + w).alias("e"))))
+            fresh = F.concat(acc, F.array(F.struct(
+                s.alias("s"), (s + w).cast("bigint").alias("e"))))
+            return F.when((F.size(acc) > 0) & (s <= last["e"]), grown) \
+                .otherwise(fresh)
+
+        return F.aggregate(starts, empty_iv, step)
+
+    per_doc = (
+        flagged.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("i")).alias("starts"))
+        .select("doc_id", merge_starts(F.col("starts")).alias("iv"))
+    )
+    joined = toked.join(per_doc, "doc_id", "left").select(
+        "doc_id", "toks", F.coalesce("iv", empty_iv).alias("iv"))
+    ivc = F.col("iv")
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, idx: ~F.exists(
+            ivc, lambda v: (idx + 1 >= v["s"]) & (idx + 1 < v["e"])))
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size("iv").cast("int").alias("n_dup_spans"),
+        F.aggregate(ivc, F.lit(0).cast("long"),
+                    lambda a, v: a + (v["e"] - v["s"]))
+        .cast("int").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def substring_dedup_sql(width: int = 15, table: str = "documents") -> str:
+    w = int(width)
+    return f"""
+        WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM {table}),
+        wins AS (
+            SELECT doc_id, CAST(i.x AS BIGINT) AS i,
+                   CAST(('0x' || substr(md5(
+                       array_to_string(toks[i.x:i.x + {w - 1}], ' ')),
+                       1, 15)) AS BIGINT) AS h
+            FROM tk, LATERAL unnest(
+                generate_series(1, len(toks) - {w} + 1)) AS i(x)
+            WHERE len(toks) >= {w}
+        ),
+        stats AS (
+            SELECT h, count(*) AS c,
+                   min(doc_id * {1 << _POS_BITS} + i) AS keeper
+            FROM wins GROUP BY h
+        ),
+        flagged AS (
+            SELECT wins.doc_id, wins.i
+            FROM wins JOIN stats USING (h)
+            WHERE stats.c > 1
+              AND wins.doc_id * {1 << _POS_BITS} + wins.i <> stats.keeper
+        ),
+        brk AS (
+            SELECT doc_id, i,
+                   CASE WHEN i <= max(i + {w}) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 0 ELSE 1 END AS b
+            FROM flagged
+        ),
+        isl AS (
+            SELECT doc_id, i,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM brk
+        ),
+        iv AS (
+            SELECT doc_id, g, min(i) AS s, max(i) + {w} AS e
+            FROM isl GROUP BY doc_id, g
+        ),
+        ivdoc AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(e - s) AS BIGINT) AS n_removed
+            FROM iv GROUP BY doc_id
+        ),
+        pos AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS p
+            FROM tk
+        ),
+        keep AS (
+            SELECT pos.doc_id, pos.p, pos.tok
+            FROM pos LEFT JOIN iv
+              ON pos.doc_id = iv.doc_id AND pos.p >= iv.s AND pos.p < iv.e
+            WHERE iv.s IS NULL
+        ),
+        ct AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+            FROM keep GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(len(tk.toks) AS INTEGER) AS n_tokens,
+               CAST(coalesce(d.n_spans, 0) AS INTEGER) AS n_dup_spans,
+               CAST(coalesce(d.n_removed, 0) AS INTEGER) AS n_removed,
+               coalesce(ct.clean_text, '') AS clean_text
+        FROM tk
+        LEFT JOIN ivdoc d ON tk.doc_id = d.doc_id
+        LEFT JOIN ct ON tk.doc_id = ct.doc_id
+    """

@@ -1409,3 +1409,322 @@ def embedding_drift_sql(pred_a: str = "vec_id % 2 = 0",
                END AS centroid_cos
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8      # subspaces (64-dim -> 8 x 8)
+PQ_KS = 16       # centroids per subspace (4-bit codes)
+_PQ_MICRO = 1_000_000
+
+
+def _pq_codebook(dim: int = 64, m_sub: int = PQ_SUBS,
+                 ks: int = PQ_KS) -> list[list[list[int]]]:
+    """Pinned PQ codebook: ``[subspace][centroid][dim]`` micro-unit
+    integers in [-1e6, 1e6] (LCG — fixed literals, the same determinism
+    recipe as the LSH planes / IVF centroids, so both engines share the
+    exact codebook).  A production deployment swaps trained centroids
+    into the same literal structure — plan shape unchanged."""
+    d_sub = dim // m_sub
+    book = []
+    for s in range(m_sub):
+        cents = []
+        for j in range(ks):
+            x = (s * ks + j + 1) * 2654435761 % (2 ** 31)
+            row = []
+            for _ in range(d_sub):
+                x = (x * 1103515245 + 12345) % (2 ** 31)
+                row.append(int(round((x / (2 ** 30) - 1.0) * _PQ_MICRO)))
+            cents.append(row)
+        book.append(cents)
+    return book
+
+
+def _micro_quant(v: Column) -> Column:
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)
+                             + F.lit(0.5)).cast("long"))
+
+
+def _book_literal(book) -> Column:
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(int(c)).cast("long") for c in row])
+                  for row in sub])
+        for sub in book])
+
+
+def _packed_code(vm: Column, cb: Column, s, d_sub: int, ks: int) -> Column:
+    """Argmin-L2 code for subspace ``s``: ``min(dist * ks + j) % ks`` —
+    one array_min of packed longs, no struct sort, bit-identical in
+    SQL."""
+    sub_v = F.slice(vm, s * d_sub + 1, d_sub)
+    return (F.array_min(F.transform(
+        F.element_at(cb, s + 1),
+        lambda c, j: F.aggregate(
+            F.zip_with(sub_v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, t: a + t
+        ) * ks + j.cast("long"))) % ks).cast("int")
+
+
+def pq_train(emb: DataFrame, dim: int = 64, m_sub: int = PQ_SUBS,
+             ks: int = PQ_KS,
+             vec_col: str = "embedding") -> list[list[list[int]]]:
+    """One exact fixed-point Lloyd step per subspace from the pinned
+    init (the :func:`~hbase_indexer_spark.pipeline.dedup.kmeans_cells`
+    recipe applied per subspace): assign every subvector to its
+    argmin-L2 pinned centroid, refine each centroid to the
+    floor(mean) of its members (integer state — bit-exact and
+    order-independent), and keep the PINNED centroid for clusters that
+    attracted no members.  Returns the refined ``[s][j][d]`` micro-unit
+    codebook.
+
+    Scale: the assignment is map-only vs the broadcast pinned literal;
+    the refinement shuffle is a combinable (s, j, d) agg carrying at
+    most ``m_sub x ks x d_sub`` partials per task, and the driver
+    materializes only that many longs (the IVF-training boundedness
+    class)."""
+    d_sub = dim // m_sub
+    book = _pq_codebook(dim, m_sub, ks)
+    cb = _book_literal(book)
+    base = emb.select(
+        F.explode(F.array(_micro_quant(F.col(vec_col)))).alias("vm"))
+    vm = F.col("vm")
+    codes0 = F.array(*[_packed_code(vm, cb, s, d_sub, ks)
+                       for s in range(m_sub)])
+    rows = (
+        base.select("vm", F.posexplode(codes0).alias("s", "j"))
+        .select("s", "j",
+                F.posexplode(F.slice(vm, F.col("s") * d_sub + 1,
+                                     F.lit(d_sub))).alias("d", "val"))
+        .groupBy("s", "j", "d")
+        .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import math
+
+    refined = {(r["s"], r["j"], r["d"]): math.floor(r["sm"] / r["n"])
+               for r in rows}
+    return [[[int(refined.get((s, j, d), book[s][j][d]))
+              for d in range(d_sub)]
+             for j in range(ks)]
+            for s in range(m_sub)]
+
+
+def pq_encode(emb: DataFrame, book, dim: int = 64, m_sub: int = PQ_SUBS,
+              ks: int = PQ_KS, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ-encode every vector against ``book`` (from :func:`pq_train`):
+    per subspace, the code is the argmin-L2 centroid (ties -> smaller
+    code), computed entirely in integer arithmetic on micro-quantized
+    components.  Returns ``(vec_id, codes array<int>)``.
+
+    Scale: map-only vs a broadcast ``m_sub x ks x d_sub`` literal; codes
+    are 4 bits each — the corpus representation ADC scans is ~32x
+    smaller than the float vectors (the classic billion-scale trick)."""
+    d_sub = dim // m_sub
+    cb = _book_literal(book)
+    # explode(array(...)) barrier: the quantized vector is referenced
+    # m_sub*ks times below — without the Generate, CollapseProject would
+    # inline (and re-evaluate) the 64-element quant per reference
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(_micro_quant(F.col(vec_col)))).alias("vm"))
+    vm = F.col("vm")
+    return base.select(
+        "vec_id",
+        F.array(*[_packed_code(vm, cb, s, d_sub, ks)
+                  for s in range(m_sub)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                dim: int = 64, m_sub: int = PQ_SUBS, ks: int = PQ_KS,
+                m: int | None = None) -> DataFrame:
+    """Two-stage PQ search: ADC (asymmetric distance computation) ranks
+    every corpus code by the sum of per-subspace LUT distances between
+    the RAW query subvectors and each code's trained centroid (all
+    integer), keeps the top ``m`` (default 10k) per query, then re-ranks
+    those by exact float cosine for the final top-``k``.
+
+    Returns ``(query_id, neighbor_id, rank)`` — the same contract as
+    the brute/LSH/IVF/int8 legs, and like int8 the ENTIRE operator
+    (training included) has a bit-exact DuckDB oracle.
+
+    Scale: the LUT is ``m_sub x ks`` longs per query, built once on the
+    broadcast side; the corpus pass reads only the 4-bit codes (~32x
+    less than floats) and does ``m_sub`` array lookups per row — the
+    memory-bound regime PQ exists for.  Compose with the IVF cell
+    layout to also prune which codes are scanned."""
+    m = 10 * k if m is None else m
+    d_sub = dim // m_sub
+    book = pq_train(emb, dim=dim, m_sub=m_sub, ks=ks)
+    cb = _book_literal(book)
+    codes = pq_encode(emb, book, dim=dim, m_sub=m_sub, ks=ks)
+
+    qvm = F.col("vm")
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda s: F.transform(
+            F.element_at(cb, s + 1),
+            lambda c: F.aggregate(
+                F.zip_with(F.slice(qvm, s * d_sub + 1, F.lit(d_sub)), c,
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda a, t: a + t)))
+    q = (emb.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.explode(F.array(_micro_quant(F.col("embedding"))))
+                 .alias("vm"))
+         .select("query_id", lut.alias("lut")))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"),
+                   lambda code, row: F.element_at(row, code + 1)),
+        F.lit(0).cast("long"), lambda a, t: a + t)
+    coarse = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                adc.alias("adc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc"),
+                                                F.asc("neighbor_id"))
+    cands = (coarse.withColumn("crank", F.row_number().over(wq))
+             .filter(F.col("crank") <= m)
+             .select("query_id", "neighbor_id"))
+    qv = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    exact = (
+        cands.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                              "embedding"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("embedding")).alias("sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def _pq_sql_book(dim: int, m_sub: int, ks: int) -> str:
+    book = _pq_codebook(dim, m_sub, ks)
+    return ("[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(str(c) for c in row) + "]" for row in sub)
+        + "]" for sub in book) + "]")
+
+
+def pq_adc_topk_sql(query_ids: list[int], k: int = 5, dim: int = 64,
+                    m_sub: int = PQ_SUBS, ks: int = PQ_KS,
+                    m: int | None = None) -> str:
+    """Bit-exact DuckDB mirror: replays the Lloyd training step (pinned
+    init -> assign -> floor-mean refine with pinned fallback), the
+    packed-argmin encode, the integer ADC, and the exact-cosine
+    re-rank."""
+    m = 10 * k if m is None else m
+    d_sub = dim // m_sub
+    ids = ", ".join(str(i) for i in query_ids)
+
+    def dist(bname: str) -> str:
+        # integer L2^2 between subvector s of q and centroid j of the
+        # given book: pure nested lambdas over range() — DuckDB lambdas
+        # cannot contain subqueries
+        return (f"list_sum(list_transform(range(1, {d_sub} + 1), "
+                f"d -> (q[s * {d_sub} + d] - {bname}[s + 1][j + 1][d])"
+                f" * (q[s * {d_sub} + d] - {bname}[s + 1][j + 1][d])))")
+
+    codes_expr = (f"list_transform(range(0, {m_sub}), s -> "
+                  f"CAST(list_min(list_transform(range(0, {ks}), "
+                  f"j -> {{d}} * {ks} + j)) % {ks} AS INTEGER))")
+    return f"""
+        WITH pb(b) AS (
+            SELECT CAST({_pq_sql_book(dim, m_sub, ks)} AS BIGINT[][][])
+        ),
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+            FROM embeddings
+        ),
+        vm AS (
+            SELECT vec_id, ve,
+                   list_transform(ve,
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                   AS q
+            FROM v
+        ),
+        c0 AS (
+            SELECT vec_id, q,
+                   {codes_expr.format(d=dist('b'))} AS cs
+            FROM vm, pb
+        ),
+        mem AS (
+            SELECT si.i - 1 AS s, c0.cs[si.i] AS j, di.i AS d,
+                   c0.q[(si.i - 1) * {d_sub} + di.i] AS val
+            FROM c0,
+                 LATERAL unnest(generate_series(1, {m_sub})) AS si(i),
+                 LATERAL unnest(generate_series(1, {d_sub})) AS di(i)
+        ),
+        rsum AS (
+            SELECT s, j, d,
+                   CAST(floor(CAST(sum(val) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cm
+            FROM mem GROUP BY s, j, d
+        ),
+        allsjd AS (
+            SELECT si.i - 1 AS s, ji.i - 1 AS j, di.i AS d,
+                   b[si.i][ji.i][di.i] AS pv
+            FROM pb,
+                 LATERAL unnest(generate_series(1, {m_sub})) AS si(i),
+                 LATERAL unnest(generate_series(1, {ks})) AS ji(i),
+                 LATERAL unnest(generate_series(1, {d_sub})) AS di(i)
+        ),
+        rbrow AS (
+            SELECT a.s, a.j, a.d, coalesce(r.cm, a.pv) AS cm
+            FROM allsjd a LEFT JOIN rsum r
+              ON a.s = r.s AND a.j = r.j AND a.d = r.d
+        ),
+        rb1 AS (SELECT s, j, list(cm ORDER BY d) AS cv
+                FROM rbrow GROUP BY s, j),
+        rb2 AS (SELECT s, list(cv ORDER BY j) AS sv FROM rb1 GROUP BY s),
+        tb(b2) AS (SELECT list(sv ORDER BY s) FROM rb2),
+        codes AS (
+            SELECT vec_id, {codes_expr.format(d=dist('b2'))} AS codes
+            FROM vm, tb
+        ),
+        lut AS (
+            SELECT vec_id AS query_id,
+                   list_transform(range(0, {m_sub}), s ->
+                       list_transform(range(0, {ks}), j -> {dist('b2')}))
+                   AS t
+            FROM vm, tb
+            WHERE vec_id IN ({ids})
+        ),
+        coarse AS (
+            SELECT l.query_id, cd.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, {m_sub} + 1),
+                       s -> l.t[s][cd.codes[s] + 1])) AS adc
+            FROM codes cd, lut l
+            WHERE cd.vec_id <> l.query_id
+        ),
+        cands AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adc, neighbor_id) AS cr
+                FROM coarse
+            ) WHERE cr <= {m}
+        ),
+        exact AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   list_cosine_similarity(q.ve, e.ve) AS sim
+            FROM cands cd
+            JOIN v e ON cd.neighbor_id = e.vec_id
+            JOIN v q ON cd.query_id = q.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM exact
+        ) WHERE rank <= {k}
+    """

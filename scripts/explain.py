@@ -256,6 +256,20 @@ CHECKS = {
         [r"Scan parquet", r"Project"],
         [r"Join", r"Generate", r"hashpartitioning", *NO_PYTHON],
     ),
+    # substring dedup: window-hash equality shuffles + hash joins only;
+    # the interval merge is an array fold, never a per-doc Python stage
+    "substring_dedup": (
+        [r"Generate", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
+    # PQ/ADC: the coarse pass is codes x broadcast LUT (the deliberate
+    # candidate-generation product, same floor as the other ANN legs);
+    # encode must stay a map-only projection — no Python anywhere
+    "ann_pq_adc": (
+        [r"BroadcastNestedLoopJoin", r"WindowGroupLimit"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

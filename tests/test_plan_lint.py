@@ -55,6 +55,11 @@ ALLOW_BNLJ = {
     # threshold curve: the same suffix-sum theta-join over ~10 grid
     # rows x ~10 Jaccard-bucket aggregate rows.
     "jaccard_threshold_curve",
+    # PQ/ADC coarse pass: the deliberate 32x-smaller code-corpus linear
+    # scan against K broadcast query LUTs (`vec_id != query_id` non-equi
+    # => BNLJ over the O(K) side) — the memory-bound regime PQ exists
+    # for; scan pruning comes from composing with the IVF cell layout.
+    "ann_pq_adc",
 }
 
 

@@ -322,3 +322,125 @@ def test_c4_line_clean_rules(spark):
     assert out[3]["keep"] == 0          # lorem ipsum doc gate
     assert out[4]["keep"] == 0          # curly-brace doc gate
     assert out[5]["keep"] == 1 and out[5]["n_lines"] == 3
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup
+# ---------------------------------------------------------------------------
+
+def test_substring_dedup_removes_repeats_keeps_first(spark):
+    from hbase_indexer_spark.pipeline.dedup import substring_dedup
+
+    shared = " ".join(f"s{i}" for i in range(6))      # 6-token repeat
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} d e f"),
+            (2, f"x y {shared} z w"),                  # later copy: removed
+            (3, "u v " + " ".join(f"q{i}" for i in range(8))),  # unique
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dedup(docs, width=6).collect()}
+    # first occurrence survives intact
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == f"a b c {shared} d e f"
+    # second occurrence loses exactly the 6-token window
+    assert out[2]["n_dup_spans"] == 1 and out[2]["n_removed"] == 6
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[3]["n_removed"] == 0
+
+
+def test_substring_dedup_merges_overlapping_windows(spark):
+    """A 9-token repeat yields 4 overlapping width-6 windows that must
+    merge into ONE 9-token span, and a doc shorter than width is
+    untouched."""
+    from hbase_indexer_spark.pipeline.dedup import substring_dedup
+
+    rep = " ".join(f"r{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(1, f"{rep} tail1 tail2"), (2, f"head1 head2 {rep}"),
+         (3, "tiny doc.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dedup(docs, width=6).collect()}
+    loser = out[2]
+    assert loser["n_dup_spans"] == 1
+    assert loser["n_removed"] == 9
+    assert loser["clean_text"] == "head1 head2"
+    assert out[1]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "tiny doc."
+
+
+def test_substring_dedup_matches_brute_replay(spark, sf_dir):
+    """Window flagging matches an exact in-memory replay on real data."""
+    from hbase_indexer_spark.pipeline.dedup import substring_dedup
+
+    w = 15
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    first, flagged = {}, {}
+    for did in sorted(toks):
+        ts = toks[did]
+        for i in range(len(ts) - w + 1):
+            k = " ".join(ts[i:i + w])
+            first.setdefault(k, []).append((did, i + 1))
+    for k, occ in first.items():
+        if len(occ) > 1:
+            for did, i in occ[1:] if occ == sorted(occ) else sorted(occ)[1:]:
+                flagged.setdefault(did, set()).add(i)
+    removed = {}
+    for did, starts in flagged.items():
+        pos = set()
+        for s in starts:
+            pos.update(range(s, s + w))
+        removed[did] = len(pos)
+    out = {r["doc_id"]: r for r in
+           substring_dedup(docs, width=w).collect()}
+    assert all(out[d]["n_removed"] == removed.get(d, 0) for d in toks)
+    got_clean = {d: out[d]["clean_text"] for d in toks}
+    for d in toks:
+        keep = [t for j, t in enumerate(toks[d], start=1)
+                if not any(s <= j < s + w for s in flagged.get(d, ()))]
+        assert got_clean[d] == " ".join(keep)
+
+
+# ---------------------------------------------------------------------------
+# PQ / ADC
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
+    import numpy as np
+
+    from hbase_indexer_spark.pipeline.similarity import (
+        PQ_KS, PQ_SUBS, pq_encode, pq_train)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    book = np.array(pq_train(emb))  # [s][j][d] micro, trained on emb
+    got = {r["vec_id"]: r["codes"]
+           for r in pq_encode(emb, book.tolist()).collect()}
+    for r in emb.collect():
+        vm = np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6
+                      + 0.5).astype(np.int64)
+        for s in range(PQ_SUBS):
+            sub = vm[s * 8:(s + 1) * 8]
+            d2 = ((book[s] - sub) ** 2).sum(axis=1)
+            expect = int(np.argmin(d2 * PQ_KS + np.arange(PQ_KS)))
+            assert got[r["vec_id"]][s] == expect
+
+
+def test_pq_adc_recall_vs_brute(spark, sf_dir):
+    """ADC@3k-rerank recall vs exact top-5 is decent on real data (the
+    4-bit pinned codebook is a placeholder, so the bar is modest)."""
+    from hbase_indexer_spark.pipeline.similarity import (
+        brute_force_topk, pq_adc_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, qids, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in pq_adc_topk(emb, qids, k=5).collect()}
+    assert len(approx) == len(truth) == 50
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, recall
