@@ -1223,6 +1223,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids under a corpus-built word vocabulary (top-4096 by
+    count, OOV -> 0): the encode step feeding pack_sequences; ids are
+    unit-separator-joined per the gate's array convention."""
+    from hbase_indexer_spark.pipeline.corpus_stats import vocab_encode
+
+    return vocab_encode(_docs(spark, sf_dir), size=4096)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal: any trimmed non-empty
+    line occurring > 2 times corpus-wide is removed from every document;
+    the per-doc rebuild keeps original line order."""
+    from hbase_indexer_spark.pipeline.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), max_freq=2)
+
+
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC two-stage ANN: 4-bit product-quantized codes (pinned
     codebook), integer asymmetric-distance LUT coarse rank over the ~32x
@@ -2021,6 +2039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation_stream (VERDICT r4 #7 companion to dedup_store_screen:
         # the REAL streaming loop over the same state machinery) heads
         # the pool — local-sweep-verified at 3 SFs this round.
+        # The r5b additions (kmeans_cells, semdedup, dsir_selection,
+        # c4_line_clean, substring_dedup, line_dedup, vocab_encode,
+        # ann_pq_adc) sit further down — each oracle-green at 3 SFs on
+        # arrival; rotate them in after this pool drains.
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
         "embedding_lsh_recall": q_embedding_lsh_recall,
@@ -2049,6 +2071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": q_dsir_selection,
         "c4_line_clean": q_c4_line_clean,
         "substring_dedup": q_substring_dedup,
+        "line_dedup": q_line_dedup,
+        "vocab_encode": q_vocab_encode,
         "ann_pq_adc": q_ann_pq_adc,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
@@ -2632,6 +2656,12 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import substring_dedup_sql
 
     out["substring_dedup"] = substring_dedup_sql(width=15)
+    from hbase_indexer_spark.pipeline.dedup import line_dedup_sql
+
+    out["line_dedup"] = line_dedup_sql(max_freq=2)
+    from hbase_indexer_spark.pipeline.corpus_stats import vocab_encode_sql
+
+    out["vocab_encode"] = vocab_encode_sql(size=4096)
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,

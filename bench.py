@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "c4_line_clean",
     "substring_dedup",
     "ann_pq_adc",
+    "line_dedup",
+    "vocab_encode",
     "bigram_logprob",
     "gopher_rules",
     "dedup_against",

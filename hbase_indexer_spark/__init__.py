@@ -114,6 +114,18 @@ _EXPORTS = {
     "semantic_decontam": "hbase_indexer_spark.pipeline.decontam",
     "quality_model_scores": "hbase_indexer_spark.pipeline.text",
     "ivf_index_upsert": "hbase_indexer_spark.pipeline.similarity",
+    # r5-continuation surface
+    "kmeans_cells": "hbase_indexer_spark.pipeline.dedup",
+    "semdedup": "hbase_indexer_spark.pipeline.dedup",
+    "substring_dedup": "hbase_indexer_spark.pipeline.dedup",
+    "line_dedup": "hbase_indexer_spark.pipeline.dedup",
+    "dsir_selection": "hbase_indexer_spark.pipeline.corpus_stats",
+    "build_vocab": "hbase_indexer_spark.pipeline.corpus_stats",
+    "vocab_encode": "hbase_indexer_spark.pipeline.corpus_stats",
+    "c4_line_clean": "hbase_indexer_spark.pipeline.text",
+    "pq_train": "hbase_indexer_spark.pipeline.similarity",
+    "pq_encode": "hbase_indexer_spark.pipeline.similarity",
+    "pq_adc_topk": "hbase_indexer_spark.pipeline.similarity",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

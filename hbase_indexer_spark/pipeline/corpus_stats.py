@@ -746,3 +746,112 @@ def dsir_selection_sql(target_pred: str = "doc_id % 7 = 0", k: int = 100,
                    THEN 1 ELSE 0 END AS INTEGER) AS sampled
         FROM scored
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary encoding: corpus-built word vocab -> token-id sequences
+# ---------------------------------------------------------------------------
+
+def build_vocab(docs: DataFrame, size: int = 4096) -> DataFrame:
+    """Top-``size`` corpus tokens by (count DESC, token ASC), assigned
+    ids 1..size in that order (0 is reserved for OOV).  Returns
+    ``(token, token_id)``.
+
+    Scale: one combinable token-count shuffle, then TakeOrderedAndProject
+    for the top-``size`` rows; the id-assigning window runs over that
+    already-LIMITed ``size``-row frame (the G-row-broadcast boundedness
+    class), never over the corpus."""
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select(
+        "token", F.row_number().over(w).cast("int").alias("token_id"))
+
+
+def vocab_encode(docs: DataFrame, size: int = 4096) -> DataFrame:
+    """Encode every document as a token-id sequence under the
+    :func:`build_vocab` word vocabulary — the tokenize step feeding the
+    pack_sequences layout (word-level here; a trained BPE drops into the
+    same join shape).  OOV tokens map to id 0.
+
+    Returns ``(doc_id, n_tokens, n_oov, ids)`` with ``ids`` the
+    unit-separator-joined id string (the gate convention for array
+    output).
+
+    Scale: explode + broadcast vocab join + per-doc sorted rebuild —
+    groups bounded by tokens/doc; the vocab is ``size`` rows by
+    construction, always broadcastable."""
+    vocab = build_vocab(docs, size=size)
+    toked = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "token"))
+    joined = toked.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "p",
+        F.coalesce("token_id", F.lit(0)).cast("int").alias("tid"))
+    rebuilt = (
+        joined.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
+             F.array_sort(F.collect_list(F.struct("p", "tid"))).alias("ts"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_oov").cast("int").alias("n_oov"),
+            F.array_join(
+                F.transform(F.col("ts"),
+                            lambda s: s["tid"].cast("string")),
+                "\x1f").alias("ids"))
+    )
+    return (
+        docs.select("doc_id").join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("int").alias("n_oov"),
+            F.coalesce("ids", F.lit("")).alias("ids"))
+    )
+
+
+def vocab_encode_sql(size: int = 4096, table: str = "documents") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM {table}),
+        counts AS (
+            SELECT t AS token, count(*) AS cnt
+            FROM (SELECT unnest(toks) AS t FROM tk)
+            GROUP BY t
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                        AS INTEGER) AS token_id
+            FROM counts
+            ORDER BY cnt DESC, token
+            LIMIT {size}
+        ),
+        e AS (
+            SELECT doc_id, generate_subscripts(toks, 1) AS p,
+                   unnest(toks) AS token
+            FROM tk
+        ),
+        j AS (
+            SELECT e.doc_id, e.p,
+                   coalesce(v.token_id, 0) AS tid
+            FROM e LEFT JOIN vocab v ON e.token = v.token
+        ),
+        r AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+                   string_agg(CAST(tid AS VARCHAR), chr(31) ORDER BY p)
+                       AS ids
+            FROM j GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(coalesce(r.n_tokens, 0) AS INTEGER) AS n_tokens,
+               CAST(coalesce(r.n_oov, 0) AS INTEGER) AS n_oov,
+               coalesce(r.ids, '') AS ids
+        FROM tk LEFT JOIN r ON tk.doc_id = r.doc_id
+    """

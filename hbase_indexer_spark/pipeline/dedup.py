@@ -2465,3 +2465,94 @@ def substring_dedup_sql(width: int = 15, table: str = "documents") -> str:
         LEFT JOIN ivdoc d ON tk.doc_id = d.doc_id
         LEFT JOIN ct ON tk.doc_id = ct.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency line dedup (RefinedWeb/CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(docs: DataFrame, max_freq: int = 2) -> DataFrame:
+    """Exact LINE-level boilerplate removal (the RefinedWeb/CCNet
+    recipe): any trimmed non-empty line whose total occurrence count
+    across the corpus exceeds ``max_freq`` is removed from EVERY
+    document (nav menus, footers, cookie banners — text that repeats
+    verbatim is boilerplate, not content).  Blank lines pass through.
+
+    Returns one row per doc: ``(doc_id, n_lines, n_dropped,
+    clean_text)``.
+
+    Scale: one (line-key) shuffle with a combinable count, a hash join
+    back on the key, and a per-doc rebuild via sorted collect_list —
+    each group is bounded by lines/doc, never corpus-wide.  The hot-line
+    table is tiny by definition (only keys with count > max_freq), but
+    rides a regular equality join, not a driver collect."""
+    lines = F.split(
+        F.regexp_replace(F.col("text"), "\r\n", "\n"), "\n", -1)
+    exploded = (
+        docs.select("doc_id", F.posexplode(lines).alias("p", "line"))
+        .withColumn("key", F.trim(F.col("line")))
+    )
+    counts = (
+        exploded.filter(F.col("key") != "")
+        .groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > max_freq)
+        .select("key", F.lit(True).alias("hot"))
+    )
+    marked = exploded.join(counts, "key", "left")
+    kept = marked.filter(F.col("hot").isNull())
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.array_sort(F.collect_list(F.struct("p", "line"))).alias("ls"))
+        .select(
+            "doc_id", "n_kept",
+            F.array_join(F.transform(F.col("ls"), lambda s: s["line"]),
+                         "\n").alias("clean_text"))
+    )
+    base = docs.select("doc_id", F.size(lines).cast("int").alias("n_lines"))
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int").alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def line_dedup_sql(max_freq: int = 2, table: str = "documents") -> str:
+    return f"""
+        WITH l AS (
+            SELECT doc_id,
+                   string_split(replace(text, chr(13) || chr(10), chr(10)),
+                                chr(10)) AS lines
+            FROM {table}
+        ),
+        e AS (
+            SELECT doc_id, generate_subscripts(lines, 1) AS p,
+                   unnest(lines) AS line
+            FROM l
+        ),
+        ek AS (SELECT doc_id, p, line, trim(line) AS key FROM e),
+        hot AS (
+            SELECT key FROM ek WHERE key <> ''
+            GROUP BY key HAVING count(*) > {max_freq}
+        ),
+        kept AS (
+            SELECT ek.doc_id, ek.p, ek.line
+            FROM ek LEFT JOIN hot ON ek.key = hot.key
+            WHERE hot.key IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY p) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               CAST(len(l.lines) AS INTEGER) AS n_lines,
+               CAST(len(l.lines) - coalesce(r.n_kept, 0) AS INTEGER)
+                   AS n_dropped,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+    """

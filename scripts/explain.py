@@ -270,6 +270,19 @@ CHECKS = {
         [r"BroadcastNestedLoopJoin", r"WindowGroupLimit"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # line dedup: one line-key shuffle + equality join back; rebuild is
+    # a per-doc combinable collect — no window, no Python
+    "line_dedup": (
+        [r"Generate", r"partial_count"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
+    # vocab encode: token counts -> TakeOrdered top-V -> broadcast join;
+    # the id-assigning window runs over the LIMITed V-row frame only
+    "vocab_encode": (
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

@@ -444,3 +444,48 @@ def test_pq_adc_recall_vs_brute(spark, sf_dir):
     assert len(approx) == len(truth) == 50
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.3, recall
+
+
+# ---------------------------------------------------------------------------
+# line_dedup / vocab_encode
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_removes_hot_lines_everywhere(spark):
+    from hbase_indexer_spark.pipeline.dedup import line_dedup
+
+    footer = "copyright 2026 example corp"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n{footer}"),
+            (2, f"unique beta\n  {footer}  \nmore beta"),   # trim-matched
+            (3, f"unique gamma\n{footer}"),
+            (4, "only\n\nblanks kept\n"),
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_freq=2).collect()}
+    # footer occurs 3x (> 2) -> dropped from every doc, trim-insensitive
+    assert out[1]["clean_text"] == "unique alpha"
+    assert out[2]["clean_text"] == "unique beta\nmore beta"
+    assert out[3]["n_dropped"] == 1
+    # blank lines pass through untouched and uncounted
+    assert out[4]["n_dropped"] == 0
+    assert out[4]["clean_text"] == "only\n\nblanks kept\n"
+
+
+def test_vocab_encode_ids_and_oov(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        build_vocab, vocab_encode)
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"), (2, "bb cc dd"), (3, "")],
+        "doc_id long, text string")
+    vocab = {r["token"]: r["token_id"]
+             for r in build_vocab(docs, size=3).collect()}
+    # counts: aa=3, bb=3, cc=2, dd=1 -> ids by (count desc, token asc)
+    assert vocab == {"aa": 1, "bb": 2, "cc": 3}
+    out = {r["doc_id"]: r for r in vocab_encode(docs, size=3).collect()}
+    assert out[1]["ids"] == "\x1f".join("111223")
+    assert out[1]["n_oov"] == 0
+    assert out[2]["ids"] == "\x1f".join(["2", "3", "0"])  # dd is OOV
+    assert out[2]["n_oov"] == 1
+    assert out[3]["n_tokens"] == 0 and out[3]["ids"] == ""
