@@ -1223,6 +1223,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation: per-doc verdict bits from the C4, Gopher,
+    repetition, and quality-model gates, aggregated to doc/token counts
+    per bit pattern — 'which filter is killing my data' as one query."""
+    from hbase_indexer_spark.pipeline.curation import filter_ablation
+
+    return filter_ablation(_docs(spark, sf_dir))
+
+
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-to-ids under a corpus-built word vocabulary (top-4096 by
     count, OOV -> 0): the encode step feeding pack_sequences; ids are
@@ -2073,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "line_dedup": q_line_dedup,
         "vocab_encode": q_vocab_encode,
+        "filter_ablation": q_filter_ablation,
         "ann_pq_adc": q_ann_pq_adc,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
@@ -2662,6 +2672,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.corpus_stats import vocab_encode_sql
 
     out["vocab_encode"] = vocab_encode_sql(size=4096)
+    from hbase_indexer_spark.pipeline.curation import filter_ablation_sql
+
+    out["filter_ablation"] = filter_ablation_sql()
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,

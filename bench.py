@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ann_pq_adc",
     "line_dedup",
     "vocab_encode",
+    "filter_ablation",
     "bigram_logprob",
     "gopher_rules",
     "dedup_against",

@@ -1090,3 +1090,87 @@ def corpus_summary_sql() -> str:
                    AS BIGINT) AS dup_pct
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Filter ablation: which gate is killing the data?
+# ---------------------------------------------------------------------------
+
+def filter_ablation(docs: DataFrame,
+                    quality_threshold_micro: int = 150_000) -> DataFrame:
+    """Per-gate ablation across the quality-filter stack: every document
+    gets a verdict bit from each of the four public gates — C4 line
+    cleaning (doc gate), Gopher rules, intra-doc repetition, and the
+    hashed-n-gram quality model — and the report aggregates doc/token
+    counts per bit PATTERN, so "which filter is killing my data" (and
+    which combinations overlap) is one query.
+
+    Repetition gate: dup-word fraction <= 0.3 AND dup-bigram fraction
+    <= 0.2, in cross-multiplied integers (no float ratios).  Docs with
+    no bigrams pass the bigram leg.
+
+    Returns ``(c4_keep, gopher_keep, rep_keep, quality_keep, n_docs,
+    n_tokens)`` — one row per observed pattern (<= 16).
+
+    Scale: composes the existing gate operators and joins their per-doc
+    verdicts on doc_id (the audit reads the corpus a few times — at
+    100 TB materialize the per-gate verdict table once and point every
+    audit at it); the final aggregation is <= 16 groups, fully
+    combinable."""
+    from hbase_indexer_spark.pipeline.text import (
+        c4_line_clean, gopher_rules, quality_model_scores,
+        repetition_stats)
+
+    c4 = c4_line_clean(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("c4_keep"))
+    gop = gopher_rules(docs).select(
+        "doc_id", F.col("n_tokens"),
+        F.col("keep").cast("int").alias("gopher_keep"))
+    rep = repetition_stats(docs).select(
+        "doc_id",
+        ((F.col("n_words") > 0)
+         & (F.col("dup_word_count") * 10 <= F.col("n_words") * 3)
+         & ((F.col("n_bigrams") == 0)
+            | (F.col("dup_bigram_count") * 10 <= F.col("n_bigrams") * 2)))
+        .cast("int").alias("rep_keep"))
+    qual = quality_model_scores(docs).select(
+        "doc_id",
+        (F.col("logit_micro") >= quality_threshold_micro)
+        .cast("int").alias("quality_keep"))
+    return (
+        gop.join(c4, "doc_id").join(rep, "doc_id").join(qual, "doc_id")
+        .groupBy("c4_keep", "gopher_keep", "rep_keep", "quality_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
+
+
+def filter_ablation_sql(quality_threshold_micro: int = 150_000) -> str:
+    from hbase_indexer_spark.pipeline.text import (
+        c4_line_clean_sql, gopher_rules_sql, quality_model_scores_sql,
+        repetition_sql)
+
+    return f"""
+        WITH c4r AS ({c4_line_clean_sql()}),
+        gr AS ({gopher_rules_sql()}),
+        rr AS ({repetition_sql()}),
+        qr AS ({quality_model_scores_sql()})
+        SELECT CAST(c4r.keep AS INTEGER) AS c4_keep,
+               CAST(CASE WHEN gr.keep THEN 1 ELSE 0 END AS INTEGER)
+                   AS gopher_keep,
+               CAST(CASE WHEN rr.n_words > 0
+                         AND rr.dup_word_count * 10 <= rr.n_words * 3
+                         AND (rr.n_bigrams = 0
+                              OR rr.dup_bigram_count * 10
+                                 <= rr.n_bigrams * 2)
+                    THEN 1 ELSE 0 END AS INTEGER) AS rep_keep,
+               CAST(CASE WHEN qr.logit_micro >= {quality_threshold_micro}
+                    THEN 1 ELSE 0 END AS INTEGER) AS quality_keep,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(gr.n_tokens) AS BIGINT) AS n_tokens
+        FROM gr
+        JOIN c4r ON gr.doc_id = c4r.doc_id
+        JOIN rr ON gr.doc_id = rr.doc_id
+        JOIN qr ON gr.doc_id = qr.doc_id
+        GROUP BY 1, 2, 3, 4
+    """

@@ -283,6 +283,12 @@ CHECKS = {
         [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # filter ablation: equality joins of per-doc verdicts + a <=16-group
+    # final agg; an audit op (multiple scans accepted, no Python)
+    "filter_ablation": (
+        [r"partial_count", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

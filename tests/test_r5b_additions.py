@@ -489,3 +489,40 @@ def test_vocab_encode_ids_and_oov(spark):
     assert out[2]["ids"] == "\x1f".join(["2", "3", "0"])  # dd is OOV
     assert out[2]["n_oov"] == 1
     assert out[3]["n_tokens"] == 0 and out[3]["ids"] == ""
+
+
+# ---------------------------------------------------------------------------
+# filter_ablation
+# ---------------------------------------------------------------------------
+
+def test_filter_ablation_partitions_corpus(spark, sf_dir):
+    from hbase_indexer_spark.pipeline.curation import filter_ablation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = filter_ablation(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    pats = {(r["c4_keep"], r["gopher_keep"], r["rep_keep"],
+             r["quality_keep"]) for r in rows}
+    assert len(pats) == len(rows)          # one row per pattern
+    assert all(all(b in (0, 1) for b in p) for p in pats)
+
+
+def test_filter_ablation_bits_match_individual_gates(spark):
+    from hbase_indexer_spark.pipeline.curation import filter_ablation
+    from hbase_indexer_spark.pipeline.text import c4_line_clean
+
+    good = "this line has plenty of words to pass the c4 gate."
+    docs = spark.createDataFrame(
+        [(1, "\n".join([good] * 4)),   # passes c4; fails repetition
+         (2, "word " * 3)],            # fails c4 (1 line, no terminal .)
+        "doc_id long, text string")
+    c4 = {r["doc_id"]: r["keep"] for r in c4_line_clean(docs).collect()}
+    assert c4 == {1: 1, 2: 0}
+    rows = filter_ablation(docs).collect()
+    # doc 1: 4 identical lines -> dup-word fraction 3/4 > 0.3 -> rep fail
+    by_doccount = {r["n_docs"]: r for r in rows}
+    assert len(rows) == 2
+    one = [r for r in rows if r["c4_keep"] == 1][0]
+    assert one["rep_keep"] == 0
+    other = [r for r in rows if r["c4_keep"] == 0][0]
+    assert other["n_docs"] == 1
