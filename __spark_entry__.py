@@ -1223,6 +1223,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a depth-4 x width-256 mergeable
+    sketch (order-independent, one combinable shuffle) probed with the
+    corpus's top-20 true terms — est vs true emitted side by side so the
+    sketch's one-sided error is auditable as data."""
+    from hbase_indexer_spark.pipeline.corpus_stats import cms_estimates
+
+    return cms_estimates(_docs(spark, sf_dir), k=20)
+
+
 def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter ablation: per-doc verdict bits from the C4, Gopher,
     repetition, and quality-model gates, aggregated to doc/token counts
@@ -2083,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "vocab_encode": q_vocab_encode,
         "filter_ablation": q_filter_ablation,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "ann_pq_adc": q_ann_pq_adc,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
@@ -2675,6 +2686,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.curation import filter_ablation_sql
 
     out["filter_ablation"] = filter_ablation_sql()
+    from hbase_indexer_spark.pipeline.corpus_stats import cms_estimates_sql
+
+    out["cms_heavy_hitters"] = cms_estimates_sql(k=20)
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "vocab_encode",
     "filter_ablation",
+    "cms_heavy_hitters",
     "bigram_logprob",
     "gopher_rules",
     "dedup_against",

@@ -855,3 +855,121 @@ def vocab_encode_sql(size: int = 4096, table: str = "documents") -> str:
                coalesce(r.ids, '') AS ids
         FROM tk LEFT JOIN r ON tk.doc_id = r.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter frequency estimates
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_cell(term: Column, row: int, width: int) -> Column:
+    """Row ``row``'s cell index for a term: an independent 60-bit hash
+    per row via a row-salted key (md5 — the house cross-engine hash)."""
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    return (token_hash60(F.concat(F.lit(f"cms{row}:"), term))
+            % width).cast("int")
+
+
+def count_min_sketch(docs: DataFrame, depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH) -> DataFrame:
+    """The count-min sketch as a DataFrame: ``(row, cell, c)`` — each
+    token increments one cell per hash row.  Unlike Misra-Gries-style
+    heavy-hitter summaries, count-min is ORDER-INDEPENDENT and
+    mergeable (cells are plain sums), so the distributed build is one
+    combinable aggregation and two sketches union by adding cells —
+    exactly reproducible in SQL.
+
+    Scale: the sketch is ``depth x width`` longs regardless of corpus
+    size; the build shuffles only (row, cell) keys with map-side
+    combine."""
+    from hbase_indexer_spark.pipeline.text import tokens
+
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    rows = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cms_cell(F.col("term"), r, width).alias("cell"))
+        for r in range(depth)])).alias("rc"))
+    return (
+        rows.select(F.col("rc.row").alias("row"),
+                    F.col("rc.cell").alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimates(docs: DataFrame, k: int = 20, depth: int = CMS_DEPTH,
+                  width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min frequency estimates for the corpus's top-``k`` true
+    terms: ``(term, true_count, est_count)`` with ``est = min over rows
+    of the term's cell`` — the classic one-sided guarantee
+    (``est >= true``; overshoot bounded by collisions at ``width``).
+    Emitting both sides makes the sketch's error auditable as data, the
+    same pattern as ann_recall_report.
+
+    Scale: sketch build as :func:`count_min_sketch`; the probe side is
+    the top-``k`` term list (TakeOrdered) joined against the
+    ``depth x width``-row sketch — both broadcastable by
+    construction."""
+    from hbase_indexer_spark.pipeline.text import tokens
+
+    sketch = count_min_sketch(docs, depth=depth, width=width)
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    top = counts.orderBy(F.desc("true_count"), F.asc("term")).limit(k)
+    probes = top.select(
+        "term", "true_count",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cms_cell(F.col("term"), r, width).alias("cell"))
+            for r in range(depth)])).alias("rc")
+    ).select("term", "true_count",
+             F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+
+
+def cms_estimates_sql(k: int = 20, depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    def cell(row: int, term: str) -> str:
+        return (f"CAST(('0x' || substr(md5('cms{row}:' || {term}), 1, 15))"
+                f" AS BIGINT) % {width}")
+
+    hash_rows = " UNION ALL ".join(
+        f"SELECT term, {r} AS row, {cell(r, 'term')} AS cell FROM toks"
+        for r in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, true_count, {r} AS row, {cell(r, 'term')} AS cell"
+        f" FROM top"
+        for r in range(depth))
+    return f"""
+        WITH toks AS (
+            SELECT unnest({TOKS_SQL}) AS term FROM documents
+        ),
+        cells AS ({hash_rows}),
+        sketch AS (
+            SELECT row, cell, count(*) AS c FROM cells GROUP BY row, cell
+        ),
+        counts AS (
+            SELECT term, count(*) AS true_count FROM toks GROUP BY term
+        ),
+        top AS (
+            SELECT term, true_count FROM counts
+            ORDER BY true_count DESC, term LIMIT {k}
+        ),
+        probes AS ({probe_rows})
+        SELECT p.term, CAST(p.true_count AS BIGINT) AS true_count,
+               CAST(min(s.c) AS BIGINT) AS est_count
+        FROM probes p JOIN sketch s ON p.row = s.row AND p.cell = s.cell
+        GROUP BY p.term, p.true_count
+    """

@@ -289,6 +289,13 @@ CHECKS = {
         [r"partial_count", r"partial_sum"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # count-min: combinable (row, cell) build + broadcast probe join;
+    # the sketch is depth x width rows by construction
+    "cms_heavy_hitters": (
+        [r"partial_count", r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

@@ -526,3 +526,34 @@ def test_filter_ablation_bits_match_individual_gates(spark):
     assert one["rep_keep"] == 0
     other = [r for r in rows if r["c4_keep"] == 0][0]
     assert other["n_docs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_one_sided_and_merge(spark):
+    from collections import Counter
+
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        cms_estimates, count_min_sketch)
+
+    texts = ["aa bb aa cc", "aa dd ee bb", "ff " * 30]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    true = Counter(t for txt in texts for t in txt.split())
+    out = {r["term"]: r for r in cms_estimates(docs, k=10).collect()}
+    assert set(out) == set(true)  # < 10 distinct terms: all probed
+    for t, r in out.items():
+        assert r["true_count"] == true[t]
+        assert r["est_count"] >= true[t]          # one-sided guarantee
+    # mergeability: sketch(docs) == sketch(half1) + sketch(half2)
+    whole = {(r["row"], r["cell"]): r["c"]
+             for r in count_min_sketch(docs).collect()}
+    h1 = count_min_sketch(docs.filter("doc_id < 1")).collect()
+    h2 = count_min_sketch(docs.filter("doc_id >= 1")).collect()
+    merged = {}
+    for r in list(h1) + list(h2):
+        merged[(r["row"], r["cell"])] = \
+            merged.get((r["row"], r["cell"]), 0) + r["c"]
+    assert merged == whole
