@@ -126,6 +126,9 @@ _EXPORTS = {
     "pq_train": "hbase_indexer_spark.pipeline.similarity",
     "pq_encode": "hbase_indexer_spark.pipeline.similarity",
     "pq_adc_topk": "hbase_indexer_spark.pipeline.similarity",
+    "filter_ablation": "hbase_indexer_spark.pipeline.curation",
+    "count_min_sketch": "hbase_indexer_spark.pipeline.corpus_stats",
+    "cms_estimates": "hbase_indexer_spark.pipeline.corpus_stats",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
