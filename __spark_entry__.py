@@ -1772,6 +1772,43 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min accumulation: documents arrive as 3 ordered
+    parquet file-drops (readStream + foreachBatch, checkpointed); each
+    micro-batch's sketch folds into a versioned IndexStore.  Count-min is
+    mergeable, so the streamed end state is BIT-IDENTICAL to one batch
+    sketch over the whole corpus — which is exactly what the oracle
+    checks (count_min_sketch_sql).  Per-trigger cost: one combinable
+    batch aggregation + a depth*width-cell fold; state never grows."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.sketch_stream import cms_stream
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="hbis_cmsstream_")
+    src = os.path.join(tmp, "docs")
+    os.makedirs(src)
+    for b in range(3):
+        chunk = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == F.lit(b))
+        stage = os.path.join(tmp, f"stage{b}")
+        chunk.coalesce(1).write.parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                os.rename(os.path.join(stage, f_),
+                          os.path.join(src, f"chunk{b}.parquet"))
+    store = IndexStore(os.path.join(tmp, "sketch"), key="row")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = cms_stream(stream, store, os.path.join(tmp, "checkpoint"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = store.read(spark)
+    assert out is not None
+    return out.select("row", "cell", "c")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-canonical dedup: per near-dup cluster keep the member with
     the most characters (tie -> smallest doc_id) instead of min-id — the
@@ -2094,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": q_vocab_encode,
         "filter_ablation": q_filter_ablation,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cms_stream": q_cms_stream,
         "ann_pq_adc": q_ann_pq_adc,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
@@ -2689,6 +2727,11 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.corpus_stats import cms_estimates_sql
 
     out["cms_heavy_hitters"] = cms_estimates_sql(k=20)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        count_min_sketch_sql,
+    )
+
+    out["cms_stream"] = count_min_sketch_sql()
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "vocab_encode",
     "filter_ablation",
     "cms_heavy_hitters",
+    "cms_stream",
     "bigram_logprob",
     "gopher_rules",
     "dedup_against",

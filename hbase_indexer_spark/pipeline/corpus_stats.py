@@ -973,3 +973,27 @@ def cms_estimates_sql(k: int = 20, depth: int = CMS_DEPTH,
         FROM probes p JOIN sketch s ON p.row = s.row AND p.cell = s.cell
         GROUP BY p.term, p.true_count
     """
+
+
+def count_min_sketch_sql(depth: int = CMS_DEPTH,
+                         width: int = CMS_WIDTH,
+                         table: str = "documents") -> str:
+    """Batch sketch mirror — also the oracle for the STREAMING
+    accumulation (`streaming/sketch_stream.py cms_stream`): count-min is
+    mergeable, so the streamed end state equals this one batch sketch
+    exactly."""
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, CAST(('0x' || substr(md5('cms{r}:' || term),"
+        f" 1, 15)) AS BIGINT) % {width} AS cell FROM toks"
+        for r in range(depth))
+    return f"""
+        WITH toks AS (
+            SELECT unnest({TOKS_SQL}) AS term FROM {table}
+        ),
+        cells AS ({hash_rows})
+        SELECT CAST(row AS INTEGER) AS row, CAST(cell AS INTEGER) AS cell,
+               CAST(count(*) AS BIGINT) AS c
+        FROM cells GROUP BY row, cell
+    """

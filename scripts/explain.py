@@ -296,6 +296,13 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
          *NO_PYTHON],
     ),
+    # streaming sketch end state: the returned frame is the store's
+    # published version — a bare parquet scan; the folds ran inside
+    # the foreachBatch micro-batches
+    "cms_stream": (
+        [r"Scan parquet"],
+        [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

@@ -557,3 +557,34 @@ def test_cms_one_sided_and_merge(spark):
         merged[(r["row"], r["cell"])] = \
             merged.get((r["row"], r["cell"]), 0) + r["c"]
     assert merged == whole
+
+
+def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Mergeability makes the streamed end state bit-identical to one
+    batch sketch over the whole corpus — including across a restart."""
+    from hbase_indexer_spark.pipeline.corpus_stats import count_min_sketch
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.sketch_stream import cms_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    src = tmp_path / "docs"
+    src.mkdir()
+    for b in range(2):
+        chunk = docs.filter(f"doc_id % 2 = {b}")
+        stage = tmp_path / f"stage{b}"
+        chunk.coalesce(1).write.parquet(str(stage))
+        pq = next(p for p in stage.iterdir() if p.suffix == ".parquet")
+        pq.rename(src / f"chunk{b}.parquet")
+    store = IndexStore(str(tmp_path / "sketch"), key="row")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = cms_stream(stream, store, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["row"], r["cell"]): r["c"]
+           for r in store.read(spark).collect()}
+    want = {(r["row"], r["cell"]): r["c"]
+            for r in count_min_sketch(docs).collect()}
+    assert got == want
