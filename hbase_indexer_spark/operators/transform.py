@@ -458,8 +458,15 @@ def _generate_uuid(params: dict) -> Stage:
     prefix = params.get("prefix", "")
 
     def stage(df: DataFrame) -> DataFrame:
+        # NULL-safe serialization: concat_ws SKIPS nulls, which would
+        # make (a, NULL) and (NULL, a) collide — encode each field as
+        # "v<value>" or "n" so null-ness is part of the identity
         h = F.md5(F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in from_fields]))
+            "\x1f", *[
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")),
+                    F.lit("n"))
+                for c in from_fields]))
         uid = F.concat_ws(
             "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
             F.substring(h, 13, 4), F.substring(h, 17, 4),

@@ -1138,7 +1138,13 @@ def filter_ablation(docs: DataFrame,
         (F.col("logit_micro") >= quality_threshold_micro)
         .cast("int").alias("quality_keep"))
     return (
-        gop.join(c4, "doc_id").join(rep, "doc_id").join(qual, "doc_id")
+        # rep joins LEFT: repetition_stats emits no row for empty docs
+        # (its gram explode produces nothing), and a verdict grid that
+        # silently loses documents under-reports — empty docs fail the
+        # n_words > 0 leg, so their rep bit is 0
+        gop.join(c4, "doc_id").join(rep, "doc_id", "left")
+        .join(qual, "doc_id")
+        .withColumn("rep_keep", F.coalesce("rep_keep", F.lit(0)))
         .groupBy("c4_keep", "gopher_keep", "rep_keep", "quality_keep")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
              F.sum("n_tokens").cast("long").alias("n_tokens"))
@@ -1163,14 +1169,16 @@ def filter_ablation_sql(quality_threshold_micro: int = 150_000) -> str:
                          AND (rr.n_bigrams = 0
                               OR rr.dup_bigram_count * 10
                                  <= rr.n_bigrams * 2)
-                    THEN 1 ELSE 0 END AS INTEGER) AS rep_keep,
+                    THEN 1 ELSE 0 END AS INTEGER) AS rep_keep,  -- NULL
+                    -- rr row (empty doc) falls to ELSE 0, matching the
+                    -- Spark left join's coalesced 0
                CAST(CASE WHEN qr.logit_micro >= {quality_threshold_micro}
                     THEN 1 ELSE 0 END AS INTEGER) AS quality_keep,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(gr.n_tokens) AS BIGINT) AS n_tokens
         FROM gr
         JOIN c4r ON gr.doc_id = c4r.doc_id
-        JOIN rr ON gr.doc_id = rr.doc_id
+        LEFT JOIN rr ON gr.doc_id = rr.doc_id
         JOIN qr ON gr.doc_id = qr.doc_id
         GROUP BY 1, 2, 3, 4
     """

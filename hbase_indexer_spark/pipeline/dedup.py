@@ -845,8 +845,9 @@ def kmeans_cells(emb: DataFrame, dim: int = 64, n_cells: int = 16,
         pinned_cell(F.col(vec_col)).alias("cell"),
     )
     # one Lloyd step: exact fixed-point member sums -> floor-div centroid.
-    # floor (not Spark's truncating `div`): matches DuckDB `//` on
-    # negative sums; |sum| < 2^53 so the double floor is exact.
+    # floor of an exact double division (|sum| < 2^53) — the SQL mirror
+    # must use floor(CAST(sum AS DOUBLE)/count) too, NOT `//` (DuckDB's
+    # integer // truncates toward zero, diverging on negative sums).
     refined_rows = (
         quant.select("cell", F.posexplode("vm").alias("dim", "mv"))
         .groupBy("cell", "dim")
@@ -866,7 +867,13 @@ def kmeans_cells(emb: DataFrame, dim: int = 64, n_cells: int = 16,
     ])
     cell_ids = F.array(*[F.lit(int(c)).cast("int") for c in cells])
 
-    vm = _micro_vec(F.col(vec_col))
+    # explode(array(...)) barrier: vm is referenced once per refined
+    # centroid below — without the Generate, CollapseProject would
+    # re-evaluate the 64-element quantization n_cells times per row
+    base2 = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(_micro_vec(F.col(vec_col)))).alias("vm"))
+    vm = F.col("vm")
     scored2 = F.transform(
         cents2_lit,
         lambda c, i: F.struct((-_int_dot(vm, c)).alias("nd"),
@@ -875,8 +882,8 @@ def kmeans_cells(emb: DataFrame, dim: int = 64, n_cells: int = 16,
     # positions enumerate `cells` ascending, so pos asc == cell asc —
     # the SQL mirror's ORDER BY d DESC, cell tie-break exactly
     pos = F.element_at(F.array_sort(scored2), 1)["pos"]
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
+    return base2.select(
+        "vec_id",
         F.element_at(cell_ids, pos + F.lit(1)).alias("cell"),
     )
 
@@ -961,7 +968,8 @@ def kmeans_cells_sql_cte(dim: int = 64, n_cells: int = 16) -> str:
         ),
         rc AS (
             SELECT cell, dim,
-                   CAST(sum(mv) AS BIGINT) // count(*) AS cm
+                   CAST(floor(CAST(sum(mv) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cm
             FROM (
                 SELECT cell,
                        CAST(unnest(range(1, len(m) + 1)) AS INTEGER) - 1
@@ -2301,7 +2309,11 @@ def jaccard_threshold_curve_sql(n: int = 3, floor: float = 0.5) -> str:
 
 _POS_BITS = 20  # (doc_id, pos) keeper key = doc_id << 20 | pos; docs are
 # assumed < 2^20 tokens (1M) — the packing/chunking layer upstream
-# guarantees far smaller units
+# guarantees far smaller units.  DECLARED CONTRACT: doc_id must be a
+# non-negative integer < 2^43 — a negative id would invert the
+# min-keeper's "first occurrence" order and a larger one overflows the
+# packed long (ANSI throws, it does not wrap).  Hash-derived 60-bit ids
+# must be remapped (e.g. dense_rank) before this operator.
 
 
 def substring_dedup(docs: DataFrame, width: int = 15) -> DataFrame:

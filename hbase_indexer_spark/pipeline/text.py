@@ -1026,7 +1026,11 @@ def c4_line_clean(docs: DataFrame) -> DataFrame:
     def line_ok(line):
         t = F.trim(line)
         words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
-        return (t.rlike('[.!?"]$')
+        # \z, not $: Java's $ also matches before a FINAL \r (a stray
+        # carriage return survives the CRLF normalization and trim),
+        # while the oracle's RE2 $ is end-of-string only — \z pins both
+        # engines to end-of-string
+        return (t.rlike('[.!?"]\\z')
                 & (F.size(words) >= 5)
                 & ~F.lower(line).contains("javascript"))
     kept = F.filter(lines, line_ok)

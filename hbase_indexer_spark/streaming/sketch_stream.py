@@ -29,23 +29,40 @@ def cms_stream(stream_docs: DataFrame, store, checkpoint: str,
 
     Returns the started ``StreamingQuery``; read the accumulated sketch
     with ``store.read(spark)``."""
-    from hbase_indexer_spark.pipeline.corpus_stats import count_min_sketch
-
     def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if not batch.head(1):
-            return
-        sk = count_min_sketch(batch, depth=depth, width=width)
-        cur = store.read(spark)
-        if cur is not None and cur.head(1):
-            sk = (sk.unionByName(cur.select("row", "cell", "c"))
-                  .groupBy("row", "cell")
-                  .agg(F.sum("c").alias("c")))
-        # localCheckpoint BEFORE the overwrite: the store retains only 2
-        # versions, and a lazy plan re-reading the vacuumed current
-        # version mid-overwrite would fail
-        store.overwrite(sk.localCheckpoint(eager=True), spark)
+        fold_sketch_batch(store, batch, batch_id, depth=depth, width=width)
 
     writer = stream_docs.writeStream.foreachBatch(_process) \
         .option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def fold_sketch_batch(store, batch: DataFrame, batch_id: int,
+                      depth: int = 4, width: int = 256) -> bool:
+    """One idempotent fold: sketch ``batch`` and add it into the stored
+    sketch, tagging every row with ``last_batch = batch_id``.  A
+    REDELIVERED batch (foreachBatch is at-least-once: a crash between
+    the store's version flip and the streaming checkpoint commit replays
+    the last micro-batch) is detected by ``batch_id <= last_batch`` and
+    skipped — without this the replay would double-count every cell the
+    batch touched.  Returns True when the batch was applied."""
+    from hbase_indexer_spark.pipeline.corpus_stats import count_min_sketch
+
+    spark = batch.sparkSession
+    if not batch.head(1):
+        return False
+    cur = store.read(spark)
+    have_cur = cur is not None and bool(cur.head(1))
+    if have_cur and cur.agg(F.max("last_batch")).first()[0] >= batch_id:
+        return False
+    sk = count_min_sketch(batch, depth=depth, width=width)
+    if have_cur:
+        sk = (sk.unionByName(cur.select("row", "cell", "c"))
+              .groupBy("row", "cell")
+              .agg(F.sum("c").alias("c")))
+    sk = sk.withColumn("last_batch", F.lit(int(batch_id)).cast("long"))
+    # localCheckpoint BEFORE the overwrite: the store retains only 2
+    # versions, and a lazy plan re-reading the vacuumed current
+    # version mid-overwrite would fail
+    store.overwrite(sk.localCheckpoint(eager=True), spark)
+    return True

@@ -588,3 +588,64 @@ def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
     want = {(r["row"], r["cell"]): r["c"]
             for r in count_min_sketch(docs).collect()}
     assert got == want
+
+
+def test_cms_fold_skips_redelivered_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: re-folding the same batch_id must
+    be a no-op, not a double count."""
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.sketch_stream import fold_sketch_batch
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc aa dd")], "doc_id long, text string")
+    store = IndexStore(str(tmp_path / "sk"), key="row")
+    assert fold_sketch_batch(store, docs, batch_id=0) is True
+    once = {(r["row"], r["cell"]): r["c"]
+            for r in store.read(spark).collect()}
+    assert fold_sketch_batch(store, docs, batch_id=0) is False  # replay
+    again = {(r["row"], r["cell"]): r["c"]
+             for r in store.read(spark).collect()}
+    assert again == once
+    assert fold_sketch_batch(store, docs, batch_id=1) is True   # progress
+    more = {(r["row"], r["cell"]): r["c"]
+            for r in store.read(spark).collect()}
+    assert more == {k: 2 * v for k, v in once.items()}
+
+
+def test_filter_ablation_keeps_empty_docs(spark):
+    from hbase_indexer_spark.pipeline.curation import filter_ablation
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   \n  "),
+         (3, "this line has plenty of words to pass the gates today.")],
+        "doc_id long, text string")
+    rows = filter_ablation(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == 3  # empty docs not dropped
+    empties = [r for r in rows if r["rep_keep"] == 0]
+    assert sum(r["n_docs"] for r in empties) >= 2
+
+
+def test_generate_uuid_null_fields_do_not_collide(spark):
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config([
+        {"stage": "generate_uuid", "field": "uid",
+         "from_fields": ["k1", "k2"], "preserve_existing": False}])
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", "a")],
+        "i long, k1 string, k2 string")
+    uids = {r["i"]: r["uid"] for r in chain(df).collect()}
+    assert len(set(uids.values())) == 3
+
+
+def test_c4_line_clean_trailing_cr_fails_line_gate(spark):
+    """A stray carriage return (from '...\\r\\r\\n' web text) must fail
+    the terminal-punctuation gate — \\z semantics, not Java's $."""
+    from hbase_indexer_spark.pipeline.text import c4_line_clean
+
+    good = "this line has enough words to pass easily."
+    docs = spark.createDataFrame(
+        [(1, "\n".join([good, good, good, good + "\r"]))],
+        "doc_id long, text string")
+    row = c4_line_clean(docs).collect()[0]
+    assert row["n_kept_lines"] == 3  # the \r line is out
