@@ -387,6 +387,22 @@ def _xlate_generate_uuid(params: dict) -> list[dict]:
     return [out]
 
 
+def _xlate_geo_ip(params: dict) -> list[dict]:
+    if "ranges" not in params:
+        raise ValueError(
+            "geoIP streams the Maxmind binary database in the reference; "
+            "this engine's analog takes an explicit CIDR dictionary — "
+            "pass ranges : { \"1.2.3.0/24\" : \"US\", ... } (see geo_ip "
+            "in operators/transform.py)")
+    out = {"stage": "geo_ip",
+           "field": params.get("inputField", "ip"),
+           "into": params.get("outputField", "geo"),
+           "ranges": params["ranges"]}
+    if "fallback" in params:
+        out["fallback"] = params["fallback"]
+    return [out]
+
+
 def _xlate_drop_record(params: dict) -> list[dict]:
     return [{"stage": "filter_rows", "predicate": "false"}]
 
@@ -431,6 +447,7 @@ _COMMAND_XLATE = {
     "readLine": _xlate_read_line,
     "readJson": _xlate_read_json,
     "generateUUID": _xlate_generate_uuid,
+    "geoIP": _xlate_geo_ip,
 }
 
 # byte[] passthrough maps to the engine's identity decode

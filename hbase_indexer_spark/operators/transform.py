@@ -480,6 +480,55 @@ def _generate_uuid(params: dict) -> Stage:
     return stage
 
 
+@register_stage("geo_ip")
+def _geo_ip(params: dict) -> Stage:
+    """Kite ``geoIP`` analog with one declared substitution: the
+    reference streams Maxmind's binary city database; a cluster-side
+    lookup instead takes an explicit ``ranges`` dictionary mapping IPv4
+    CIDR blocks to values (country code, region, anything) — the same
+    broadcast-literal recipe as ``translate``.  Longest (most-specific)
+    prefix wins; non-matching / unparseable IPs get ``fallback``
+    (default NULL).  Pure codegen: IPv4 -> uint32 via split + fold,
+    then one CASE chain ordered by prefix length."""
+    name = params["field"]
+    out = params.get("into", "geo")
+    ranges = params["ranges"]
+    fallback = params.get("fallback")
+
+    def cidr_bounds(cidr: str) -> tuple[int, int, int]:
+        ip, _, plen_s = cidr.partition("/")
+        plen = int(plen_s) if plen_s else 32
+        parts = [int(p) for p in ip.split(".")]
+        base = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) \
+            | parts[3]
+        mask = ((1 << plen) - 1) << (32 - plen) if plen else 0
+        lo = base & mask
+        return lo, lo | (~mask & 0xFFFFFFFF), plen
+
+    # most-specific prefix first so the CASE chain resolves overlaps
+    compiled = sorted(
+        ((cidr_bounds(c), v) for c, v in ranges.items()),
+        key=lambda e: -e[0][2])
+
+    def stage(df: DataFrame) -> DataFrame:
+        oct_ = F.split(F.col(name), r"\.")
+        octet = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+        valid = (F.col(name).rlike(rf"^({octet}\.){{3}}{octet}\z"))
+        # try_cast: & does not short-circuit, so the fold is evaluated
+        # even for rows `valid` already rejected — ANSI cast would throw
+        ip = (F.try_element_at(oct_, F.lit(1)).try_cast("long") * 16777216
+              + F.try_element_at(oct_, F.lit(2)).try_cast("long") * 65536
+              + F.try_element_at(oct_, F.lit(3)).try_cast("long") * 256
+              + F.try_element_at(oct_, F.lit(4)).try_cast("long"))
+        expr = F.lit(fallback)
+        for (lo, hi, _), v in reversed(compiled):
+            expr = F.when(valid & (ip >= lo) & (ip <= hi), F.lit(v)) \
+                .otherwise(expr)
+        return df.withColumn(out, expr)
+
+    return stage
+
+
 _VAR = re.compile(r"\$\{([^}]+)\}")
 
 

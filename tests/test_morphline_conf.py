@@ -132,7 +132,7 @@ def test_unknown_command_fails_with_escape_hatch():
         commands : [
           { extractHBaseCells { mappings : [
               { inputColumn : "cf:q", outputField : f } ] } }
-          { geoIP { inputField : ip } }
+          { readSequenceFile { inputField : blob } }
         ] } ]
     """
     with pytest.raises(ValueError, match="register_stage"):
@@ -441,3 +441,31 @@ def test_generate_uuid_stage(spark):
               { generateUUID { field : doc_id } }
             ] } ]
         """, table="t")
+
+
+def test_geo_ip_stage(spark):
+    """geoIP analog: CIDR dictionary lookup, longest prefix wins,
+    fallback on miss/garbage."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:ip", outputField : ip } ] } }
+          { geoIP { inputField : ip, outputField : cc,
+                    ranges : { "10.0.0.0/8" : "corp",
+                               "10.1.2.0/24" : "lab",
+                               "192.168.1.5/32" : "router" },
+                    fallback : "??" } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [("10.5.5.5",), ("10.1.2.77",), ("192.168.1.5",),
+         ("8.8.8.8",), ("999.1.2.3",), ("not an ip",)],
+        "ip string")
+    got = [r["cc"] for r in chain(df).collect()]
+    assert got == ["corp", "lab", "router", "??", "??", "??"]
