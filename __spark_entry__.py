@@ -1809,6 +1809,79 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row", "cell", "c")
 
 
+def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog accumulation: events arrive as 3 ordered
+    parquet file-drops (readStream + foreachBatch, checkpointed); each
+    micro-batch's (day, register) table folds into a versioned
+    IndexStore by REGISTER-WISE MAX — HLL's merge operator, idempotent
+    as well as mergeable, so the streamed end state is BIT-IDENTICAL to
+    one batch register build over the whole table (hll_registers_sql,
+    the oracle).  Per-trigger cost: one combinable max-shuffle over the
+    batch; state is 64 rows per group forever."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.sources.fixtures import load
+    from hbase_indexer_spark.streaming.sketch_stream import hll_stream
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    tmp = tempfile.mkdtemp(prefix="hbis_hllstream_")
+    src = os.path.join(tmp, "events")
+    os.makedirs(src)
+    for b in range(3):
+        chunk = events.filter(
+            F.pmod(F.col("event_id"), F.lit(3)) == F.lit(b))
+        stage = os.path.join(tmp, f"stage{b}")
+        chunk.coalesce(1).write.parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                os.rename(os.path.join(stage, f_),
+                          os.path.join(src, f"chunk{b}.parquet"))
+    store = IndexStore(os.path.join(tmp, "sketch"), key="grp")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = hll_stream(stream, store, os.path.join(tmp, "checkpoint"),
+                   key="user_id", group="day")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = store.read(spark)
+    assert out is not None
+    return out.select(F.col("grp").alias("day"), "reg", "mr")
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the customer<->supplier trade
+    graph (5 bulk-synchronous rounds, damping 0.85, micro-unit ranks):
+    the numeric iterative-algorithm leg next to dedup_clusters'
+    structural one.  Every round is one co-partitioned join against the
+    static edge list + a combinable groupBy; integer division makes the
+    oracle an exact unrolled-CTE replay."""
+    from hbase_indexer_spark.pipeline.graph import pagerank, trade_edges
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    edges = trade_edges(load(spark, sf_dir, "orders"),
+                        load(spark, sf_dir, "lineitem"))
+    return pagerank(edges, iters=5)
+
+
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-users-per-day: 64 max-mergeable registers
+    per group, integer fixed-point estimate, emitted next to the exact
+    count so the sketch's error is auditable as data — the
+    distinct-count leg of the sketch family (count-min = frequency,
+    bloom = membership, KMV = vocabulary)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_distinct
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    return hll_distinct(events, F.col("user_id"), "day")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-canonical dedup: per near-dup cluster keep the member with
     the most characters (tie -> smallest doc_id) instead of min-id — the
@@ -2133,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cms_stream": q_cms_stream,
         "ann_pq_adc": q_ann_pq_adc,
+        "pagerank_trade": q_pagerank_trade,
+        "hll_daily_users": q_hll_daily_users,
+        "hll_stream": q_hll_stream,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2732,6 +2808,24 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["cms_stream"] = count_min_sketch_sql()
+    from hbase_indexer_spark.pipeline.graph import pagerank_sql
+
+    out["pagerank_trade"] = pagerank_sql(iters=5)
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_distinct_sql
+
+    out["hll_daily_users"] = hll_distinct_sql(
+        "user_id", "day",
+        table="(SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS day"
+              " FROM events)")
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_registers_sql
+
+    out["hll_stream"] = (
+        "SELECT grp AS day, reg, mr FROM ("
+        + hll_registers_sql(
+            "user_id", "day",
+            table="(SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS day"
+                  " FROM events)")
+        + ") t")
     from hbase_indexer_spark.pipeline.dedup import (
         bloom_screen_sql,
         dedup_keep_best_sql,

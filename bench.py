@@ -155,6 +155,10 @@ BENCH_QUERIES = [
     "pack_append",
     "media_dedup",
     "corpus_summary",
+    # r5 continuation: numeric iterative graph + distinct-count sketch
+    "pagerank_trade",
+    "hll_daily_users",
+    "hll_stream",
 ]
 
 

@@ -997,3 +997,155 @@ def count_min_sketch_sql(depth: int = CMS_DEPTH,
                CAST(count(*) AS BIGINT) AS c
         FROM cells GROUP BY row, cell
     """
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count sketch (register-level, exact replay)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6
+HLL_M = 1 << HLL_P                      # 64 registers
+# alpha_64 = 0.7213 / (1 + 1.079/64), snapped to integer micro-units so
+# both engines apply the identical constant.
+HLL_ALPHA_MICRO = 709341
+_HLL_SCALE = 1 << 33                    # 2^33: rho in [1,33] -> shift >= 0
+_HLL_INNER = HLL_M * HLL_M * _HLL_SCALE  # m^2 * 2^33 = 2^45
+
+
+def hll_registers(df: DataFrame, key: Column,
+                  group: str) -> DataFrame:
+    """The HLL register table as a DataFrame: ``(group, reg, mr)`` where
+    ``reg`` is the key-hash's low ``HLL_P`` bits and ``mr`` the max over
+    keys of ``rho`` = 1 + leading zeros of the next 32 hash bits
+    (``33 - length(bin(w))``, the cross-engine trick: both Spark and
+    DuckDB ``bin()`` render without leading zeros).  Registers are
+    max-mergeable, so the build is ONE combinable aggregation and two
+    sketches union by register-wise max — the same mergeability story as
+    the count-min sketch above.
+
+    Scale: the sketch is ``HLL_M`` rows per group regardless of key
+    cardinality; the build shuffles only (group, reg) with map-side
+    max-combine."""
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    h = token_hash60(F.concat(F.lit("hll:"), key.cast("string")))
+    return (
+        df.select(F.col(group).alias("grp"),
+                  (h % HLL_M).cast("int").alias("reg"),
+                  h.alias("_h"))
+        .select("grp", "reg",
+                F.expr(f"_h div {HLL_M} % 4294967296").alias("w"))
+        .select("grp", "reg",
+                F.when(F.col("w") == 0, F.lit(33))
+                .otherwise(F.lit(33) - F.length(F.bin(F.col("w"))))
+                .cast("int").alias("rho"))
+        .groupBy("grp", "reg").agg(F.max("rho").alias("mr"))
+    )
+
+
+def hll_distinct(df: DataFrame, key: Column, group: str) -> DataFrame:
+    """Per-group HLL distinct-count estimate next to the exact count:
+    ``(group, true_distinct, est_distinct)`` — the sketch's error is
+    emitted as data (the ann_recall_report / cms_estimates pattern), and
+    the whole computation is integer fixed point so the DuckDB oracle
+    replays the identical registers and the identical estimate.
+
+    ``est = (ALPHA_MICRO * ((m^2 * 2^33) div S)) div 1e6`` where
+    ``S = sum over registers of 2^(33 - rho)`` with absent registers
+    contributing ``2^33`` (rho = 0).  Raw HLL estimate — no small-range
+    linear-counting correction (it needs a float ``ln``); the point is
+    engine-vs-oracle equality, and the raw bias is visible against
+    ``true_distinct`` in the output.
+
+    Scale: register build as :func:`hll_registers`; the exact side is
+    one distinct-count per group (itself combinable) and exists only to
+    make the report auditable — at 100 TB, drop it and keep the
+    sketch."""
+    regs = hll_registers(df, key, group)
+    sketch = (
+        regs.groupBy("grp")
+        .agg(F.sum(F.expr("CAST(1 AS BIGINT) << (33 - mr)")).alias("sp"),
+             F.count(F.lit(1)).alias("nr"))
+        .select(
+            "grp",
+            F.expr(f"sp + ({HLL_M} - nr) * CAST({_HLL_SCALE} AS BIGINT)")
+            .alias("s_total"))
+        .select(
+            "grp",
+            F.expr(f"({HLL_ALPHA_MICRO} * ({_HLL_INNER} div s_total))"
+                   f" div 1000000").cast("long").alias("est_distinct"))
+    )
+    true = (df.groupBy(F.col(group).alias("grp"))
+            .agg(F.countDistinct(key).cast("long").alias("true_distinct")))
+    return (true.join(sketch, "grp")
+            .select(F.col("grp").alias(group), "true_distinct",
+                    "est_distinct"))
+
+
+def hll_distinct_sql(key_expr: str, group: str,
+                     table: str = "events") -> str:
+    return f"""
+        WITH h AS (
+            SELECT {group} AS grp,
+                   CAST(('0x' || substr(md5('hll:' || {key_expr}), 1, 15))
+                        AS BIGINT) AS h
+            FROM {table}
+        ),
+        rw AS (
+            SELECT grp, h % {HLL_M} AS reg,
+                   (h // {HLL_M}) % 4294967296 AS w
+            FROM h
+        ),
+        regs AS (
+            SELECT grp, reg,
+                   max(CASE WHEN w = 0 THEN 33
+                       ELSE 33 - length(bin(CAST(w AS BIGINT))) END) AS mr
+            FROM rw GROUP BY grp, reg
+        ),
+        sk AS (
+            SELECT grp,
+                   CAST(sum(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT)
+                     + ({HLL_M} - count(*)) * CAST({_HLL_SCALE} AS BIGINT)
+                     AS s_total
+            FROM regs GROUP BY grp
+        ),
+        est AS (
+            SELECT grp,
+                   CAST(({HLL_ALPHA_MICRO} * ({_HLL_INNER} // s_total))
+                        // 1000000 AS BIGINT) AS est_distinct
+            FROM sk
+        ),
+        tr AS (
+            SELECT {group} AS grp,
+                   CAST(count(DISTINCT {key_expr}) AS BIGINT)
+                     AS true_distinct
+            FROM {table} GROUP BY {group}
+        )
+        SELECT t.grp AS {group}, t.true_distinct, e.est_distinct
+        FROM tr t JOIN est e ON t.grp = e.grp
+    """
+
+
+def hll_registers_sql(key_expr: str, group: str,
+                      table: str = "events") -> str:
+    """Batch register mirror — also the oracle for the STREAMING
+    accumulation (`streaming/sketch_stream.py hll_stream`): registers
+    merge by max, so the streamed end state equals this one batch
+    register table exactly."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS grp,
+                   CAST(('0x' || substr(md5('hll:' || {key_expr}), 1, 15))
+                        AS BIGINT) AS h
+            FROM {table}
+        ),
+        rw AS (
+            SELECT grp, h % {HLL_M} AS reg,
+                   (h // {HLL_M}) % 4294967296 AS w
+            FROM h
+        )
+        SELECT grp, CAST(reg AS INTEGER) AS reg,
+               CAST(max(CASE WHEN w = 0 THEN 33
+                        ELSE 33 - length(bin(CAST(w AS BIGINT))) END)
+                    AS INTEGER) AS mr
+        FROM rw GROUP BY grp, reg
+    """

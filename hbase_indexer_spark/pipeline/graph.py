@@ -1,0 +1,139 @@
+"""Iterative graph analytics over relation-derived edge lists.
+
+The reference ships no graph engine, but its batch-rebuild story
+(`hbase-indexer-mr`) is the same shape: derive a keyed dataset from the
+row store, iterate a bulk-synchronous computation, publish the result.
+`dedup_clusters` (pipeline/dedup.py) already covers the *structural*
+iterative algorithm (connected components); this module adds the
+*numeric* one — PageRank — because training-data curation uses link
+centrality as a quality prior (e.g. harvesting seed URLs by rank).
+
+Everything is exact-integer fixed point (micro-units, 1e6 = 1.0) so a
+DuckDB oracle can replay the identical iteration with unrolled CTEs:
+`rank div outdeg` and `(85 * s) div 100` are integer divisions on
+non-negative values, where Spark's `div` (truncate) and DuckDB's `//`
+(floor) agree.
+
+Scale shape (the Pregel-on-DataFrames standard):
+- the edge list is the big, static side — partitioned once by ``src``
+  and reused every iteration (one shuffle, then co-partitioned joins);
+- the rank vector is one row per node and re-shuffles each iteration;
+- each of the fixed ``iters`` rounds is join(ranks, edges) + one
+  combinable groupBy(dst) — no driver-side state, no collect;
+- ``localCheckpoint`` after every round keeps the plan depth constant
+  (same recipe as the large-star/small-star CC loop,
+  pipeline/dedup.py:1125).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ONE_MICRO = 1_000_000
+DAMP_PCT = 85  # damping factor in integer percent: 0.85
+
+
+def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Symmetric customer<->supplier edge list from the order flow:
+    one edge per DISTINCT (customer, supplier) pair that ever traded,
+    emitted in both directions so every node has outdegree >= 1.
+
+    Node ids are prefixed strings ('C<custkey>' / 'S<suppkey>') so the
+    two key spaces can't collide.
+
+    Scale: one projection join orders⋈lineitem on orderkey (the
+    fact-fact join every TPC-H plan already pays) + a distinct on the
+    pair — combinable, no skew beyond the natural key distribution."""
+    pairs = (
+        orders.join(lineitem,
+                    orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+                .alias("c"),
+                F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                .alias("s"))
+        .distinct()
+    )
+    return (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst")))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Fixed-point integer PageRank: ``iters`` bulk-synchronous rounds
+    of ``rank'(v) = 150000 + (85 * sum over in-edges of
+    rank(u) div outdeg(u)) div 100`` starting from 1000000 micro per
+    node (i.e. damping 0.85, teleport 0.15, rank unit 1e6).
+
+    Returns ``(node, rank_micro)`` for every node in the edge list.
+    Integer division makes every intermediate exactly reproducible in
+    SQL — the oracle unrolls the same ``iters`` rounds as CTEs.
+
+    Scale: see the module docstring — edges static and re-used, ranks
+    (1 row/node) re-shuffled per round, plan depth held constant by
+    ``localCheckpoint``."""
+    edges = edges.repartition("src").localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = nodes.select(
+        "node", F.lit(ONE_MICRO).cast("long").alias("rank_micro"))
+    base = (15 * ONE_MICRO) // 100  # (1 - d) * unit, exact: 150000
+    for _ in range(iters):
+        contribs = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select(F.col("node").alias("u"),
+                    F.expr("rank_micro div outdeg").alias("contrib"))
+            .join(edges, F.col("u") == edges.src)
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"({DAMP_PCT} * coalesce(s, 0)) div 100"))
+                .cast("long").alias("rank_micro"))
+        ).localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_sql(iters: int = 5) -> str:
+    """DuckDB mirror: the identical fixed-point iteration, unrolled."""
+    base = (15 * ONE_MICRO) // 100
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                            'S' || CAST(l_suppkey AS VARCHAR) AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )""",
+        """edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        )""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM deg)",
+        f"""r0 AS (
+            SELECT node, CAST({ONE_MICRO} AS BIGINT) AS rank_micro
+            FROM nodes
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+            SELECT e.dst AS node,
+                   CAST(sum(r.rank_micro // d.outdeg) AS BIGINT) AS s
+            FROM r{i - 1} r
+            JOIN deg d ON r.node = d.src
+            JOIN edges e ON r.node = e.src
+            GROUP BY e.dst
+        )""")
+        ctes.append(f"""r{i} AS (
+            SELECT n.node,
+                   CAST({base} + ({DAMP_PCT} * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS rank_micro
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+        )""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, rank_micro FROM r{iters}")

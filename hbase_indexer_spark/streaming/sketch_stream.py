@@ -66,3 +66,49 @@ def fold_sketch_batch(store, batch: DataFrame, batch_id: int,
     # version mid-overwrite would fail
     store.overwrite(sk.localCheckpoint(eager=True), spark)
     return True
+
+def hll_stream(stream_df: DataFrame, store, checkpoint: str,
+               key: str, group: str):
+    """Accumulate HyperLogLog registers over a stream: per micro-batch,
+    build the batch's ``(group, reg, max rho)`` table (one combinable
+    aggregation, `pipeline/corpus_stats.py hll_registers`) and fold it
+    into ``store`` by REGISTER-WISE MAX — HLL's merge operator.  Max is
+    idempotent as well as commutative, so unlike the count-min fold the
+    register state would survive a double-apply unchanged; the
+    ``last_batch`` replay guard is kept anyway so the two sketch streams
+    share one crash-safety contract.
+
+    End state ≡ the batch register table over the concatenated input —
+    exact, order-independent — which is what the oracle gate checks.
+
+    Scale: per-trigger cost is one combinable shuffle over the batch;
+    state is 64 rows per group forever."""
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        fold_hll_batch(store, batch, batch_id, key=key, group=group)
+
+    writer = stream_df.writeStream.foreachBatch(_process) \
+        .option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def fold_hll_batch(store, batch: DataFrame, batch_id: int,
+                   key: str, group: str) -> bool:
+    """One idempotent register fold (see `fold_sketch_batch` for the
+    at-least-once redelivery story).  Returns True when applied."""
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_registers
+
+    spark = batch.sparkSession
+    if not batch.head(1):
+        return False
+    cur = store.read(spark)
+    have_cur = cur is not None and bool(cur.head(1))
+    if have_cur and cur.agg(F.max("last_batch")).first()[0] >= batch_id:
+        return False
+    regs = hll_registers(batch, F.col(key), group)
+    if have_cur:
+        regs = (regs.unionByName(cur.select("grp", "reg", "mr"))
+                .groupBy("grp", "reg")
+                .agg(F.max("mr").alias("mr")))
+    regs = regs.withColumn("last_batch", F.lit(int(batch_id)).cast("long"))
+    store.overwrite(regs.localCheckpoint(eager=True), spark)
+    return True

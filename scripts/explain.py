@@ -303,6 +303,28 @@ CHECKS = {
         [r"Scan parquet"],
         [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
     ),
+    # streaming HLL end state: like cms_stream, the returned frame is
+    # the store's published version — a bare parquet scan
+    "hll_stream": (
+        [r"Scan parquet"],
+        [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
+    # HLL: one combinable (group, reg) max-shuffle, then a 64-row-per-
+    # group fold; the exact side joins back broadcast-small
+    "hll_daily_users": (
+        [r"partial_max", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         r"SortMergeJoin", *NO_PYTHON],
+    ),
+    # pagerank: the returned frame IS the last localCheckpoint — a bare
+    # scan of the materialized rank blocks (plan depth held constant is
+    # the property; the per-round join+agg shapes ran eagerly inside the
+    # loop); no Python, no windows, no cartesian survives to the output
+    "pagerank_trade": (
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

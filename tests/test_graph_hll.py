@@ -1,0 +1,167 @@
+"""The r5 continuation operators vs pure-Python reference models:
+
+- pagerank: exact fixed-point replay on random graphs, partition
+  invariance (BSP rounds must not depend on row placement), and the
+  teleport floor (every node holds >= the base rank).
+- hll_distinct: registers match a pure-Python HLL built from the same
+  md5 hash; the sketch is max-mergeable (estimate over a union equals
+  the estimate from register-wise max of the parts); estimates are
+  invariant to duplication of keys (distinct-count semantics).
+"""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+ONE = 1_000_000
+
+
+def _py_pagerank(edges, iters=5):
+    """Pure-Python replay of the integer fixed-point iteration."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    nodes = sorted(out)
+    rank = {n: ONE for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for u in nodes:
+            c = rank[u] // len(out[u])
+            for v in out[u]:
+                if v in acc:
+                    acc[v] += c
+        rank = {n: 150000 + (85 * acc[n]) // 100 for n in nodes}
+    return rank
+
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=20, unique=True)
+
+
+@settings(**_SETTINGS)
+@given(raw=edge_st)
+def test_pagerank_matches_python_model(spark, raw):
+    from hbase_indexer_spark.pipeline.graph import pagerank
+
+    # symmetrize like trade_edges so every node has out-edges
+    sym = sorted({(f"n{a}", f"n{b}") for a, b in raw}
+                 | {(f"n{b}", f"n{a}") for a, b in raw})
+    expect = _py_pagerank(sym)
+    for parts in (None, 7):
+        df = spark.createDataFrame(sym, "src string, dst string")
+        if parts:
+            df = df.repartition(parts)
+        got = {r["node"]: r["rank_micro"]
+               for r in pagerank(df, iters=5).collect()}
+        assert got == expect
+
+
+def test_pagerank_teleport_floor_and_node_set(spark):
+    from hbase_indexer_spark.pipeline.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    out = pagerank(spark.createDataFrame(
+        edges, "src string, dst string"), iters=3).collect()
+    assert {r["node"] for r in out} == {"a", "b", "c"}
+    # teleport term: every node keeps at least the base mass
+    assert all(r["rank_micro"] >= 150000 for r in out)
+    # hub 'b' (in-degree 2) outranks the spokes
+    ranks = {r["node"]: r["rank_micro"] for r in out}
+    assert ranks["b"] > ranks["a"] == ranks["c"]
+
+
+def _py_hll(keys):
+    """Pure-Python replay of hll_registers + the fixed-point estimate."""
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(f"hll:{k}".encode()).hexdigest()[:15], 16)
+        reg, w = h % 64, (h // 64) % (1 << 32)
+        rho = 33 if w == 0 else 33 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(1 << (33 - r) for r in regs.values()) \
+        + (64 - len(regs)) * (1 << 33)
+    return regs, (709341 * ((64 * 64 * (1 << 33)) // s)) // 1000000
+
+
+key_st = st.lists(st.integers(0, 500), min_size=1, max_size=60)
+
+
+@settings(**_SETTINGS)
+@given(keys=key_st)
+def test_hll_matches_python_model(spark, keys):
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_distinct
+
+    _, est = _py_hll(set(keys))  # multiset and set hash identically
+    df = spark.createDataFrame([(k, "g") for k in keys],
+                               "k long, grp string")
+    row = hll_distinct(df, F.col("k"), "grp").collect()[0]
+    assert row["true_distinct"] == len(set(keys))
+    assert row["est_distinct"] == est
+
+
+@settings(**_SETTINGS)
+@given(a=key_st, b=key_st)
+def test_hll_registers_merge_by_max(spark, a, b):
+    """Union sketch == register-wise max of part sketches — the property
+    that makes HLL shardable (build per partition, merge at the end)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_registers
+
+    df = spark.createDataFrame(
+        [(k, "a") for k in a] + [(k, "b") for k in b]
+        + [(k, "u") for k in a + b], "k long, grp string")
+    regs = {(r["grp"], r["reg"]): r["mr"]
+            for r in hll_registers(df, F.col("k"), "grp").collect()}
+    merged = {}
+    for (g, reg), mr in regs.items():
+        if g in ("a", "b"):
+            merged[reg] = max(merged.get(reg, 0), mr)
+    union = {reg: mr for (g, reg), mr in regs.items() if g == "u"}
+    assert merged == union
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_distinct
+
+    once = spark.createDataFrame([(k, "g") for k in range(40)],
+                                 "k long, grp string")
+    thrice = spark.createDataFrame([(k % 40, "g") for k in range(120)],
+                                   "k long, grp string")
+    e1 = hll_distinct(once, F.col("k"), "grp").collect()[0]
+    e3 = hll_distinct(thrice, F.col("k"), "grp").collect()[0]
+    assert (e1["true_distinct"], e1["est_distinct"]) == \
+           (e3["true_distinct"], e3["est_distinct"])
+
+
+def test_hll_fold_replay_and_merge_equivalence(spark, tmp_path):
+    """Redelivered batch is a no-op; two folded chunks equal one batch
+    register build over the concatenation (max-mergeability)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_registers
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.sketch_stream import fold_hll_batch
+
+    a = spark.createDataFrame([(k, "g") for k in range(25)],
+                              "k long, grp string")
+    b = spark.createDataFrame([(k, "g") for k in range(15, 40)],
+                              "k long, grp string")
+    store = IndexStore(str(tmp_path / "hll"), key="grp")
+    assert fold_hll_batch(store, a, 0, key="k", group="grp") is True
+    once = {(r["grp"], r["reg"]): r["mr"]
+            for r in store.read(spark).collect()}
+    assert fold_hll_batch(store, a, 0, key="k", group="grp") is False
+    again = {(r["grp"], r["reg"]): r["mr"]
+             for r in store.read(spark).collect()}
+    assert again == once
+    assert fold_hll_batch(store, b, 1, key="k", group="grp") is True
+    folded = {(r["grp"], r["reg"]): r["mr"]
+              for r in store.read(spark).collect()}
+    want = {(r["grp"], r["reg"]): r["mr"]
+            for r in hll_registers(a.unionByName(b), F.col("k"),
+                                   "grp").collect()}
+    assert folded == want
