@@ -73,20 +73,23 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     Scale: see the module docstring — edges static and re-used, ranks
     (1 row/node) re-shuffled per round, plan depth held constant by
     ``localCheckpoint``."""
+    # materialize the raw edge list once (it may hide an expensive
+    # upstream join), THEN fold outdeg into the static side from the
+    # cheap checkpointed copy: per-round cost drops to ONE join
+    # (ranks ⋈ edges on src) + one combinable agg
     edges = edges.repartition("src").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = (edges.join(deg, "src")
+             .repartition("src").localCheckpoint(eager=True))
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.select(
         "node", F.lit(ONE_MICRO).cast("long").alias("rank_micro"))
     base = (15 * ONE_MICRO) // 100  # (1 - d) * unit, exact: 150000
     for _ in range(iters):
         contribs = (
-            ranks.join(deg, ranks.node == deg.src)
-            .select(F.col("node").alias("u"),
-                    F.expr("rank_micro div outdeg").alias("contrib"))
-            .join(edges, F.col("u") == edges.src)
+            ranks.join(edges, ranks.node == edges.src)
             .groupBy("dst")
-            .agg(F.sum("contrib").alias("s"))
+            .agg(F.sum(F.expr("rank_micro div outdeg")).alias("s"))
         )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
