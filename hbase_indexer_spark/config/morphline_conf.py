@@ -420,6 +420,41 @@ def _xlate_if(params: dict) -> list[dict]:
              "else": _commands_to_stages(params.get("else", []))}]
 
 
+def _xlate_sample(params: dict) -> list[dict]:
+    if "keyFields" not in params:
+        raise ValueError(
+            "sample uses a PRNG in the reference — non-idempotent under "
+            "replay/retry; this engine's analog is hash-based — pass "
+            "keyFields : [col, ...] naming the row identity (see sample "
+            "in operators/transform.py)")
+    return [{"stage": "sample",
+             "probability": params.get("probability", 1.0),
+             "key_fields": list(params["keyFields"])}]
+
+
+def _xlate_tokenize_text(params: dict) -> list[dict]:
+    out = {"stage": "tokenize_text",
+           "field": params["inputField"],
+           "into": params.get("outputField", params["inputField"])}
+    if "pattern" in params:
+        out["pattern"] = params["pattern"]
+    if params.get("lowercase"):
+        out["lowercase"] = True
+    return [out]
+
+
+def _xlate_xquery(params: dict) -> list[dict]:
+    if "paths" not in params:
+        raise ValueError(
+            "xquery runs Saxon in the reference; this engine's analog "
+            "evaluates XPath 1.0 string expressions JVM-side — pass "
+            "paths : { outField : \"/a/b/text()\", ... } and inputField "
+            "(see extract_xml_paths in operators/transform.py)")
+    return [{"stage": "extract_xml_paths",
+             "field": params.get("inputField", "xml"),
+             "paths": dict(params["paths"])}]
+
+
 _COMMAND_XLATE = {
     "logDebug": _xlate_log("logDebug"),
     "logTrace": _xlate_log("logTrace"),
@@ -448,6 +483,9 @@ _COMMAND_XLATE = {
     "readJson": _xlate_read_json,
     "generateUUID": _xlate_generate_uuid,
     "geoIP": _xlate_geo_ip,
+    "sample": _xlate_sample,
+    "tokenizeText": _xlate_tokenize_text,
+    "xquery": _xlate_xquery,
 }
 
 # byte[] passthrough maps to the engine's identity decode

@@ -529,6 +529,75 @@ def _geo_ip(params: dict) -> Stage:
     return stage
 
 
+@register_stage("sample")
+def _sample(params: dict) -> Stage:
+    """Kite ``sample`` analog with one declared substitution: Kite
+    samples with a PRNG, which is non-idempotent under the engine's
+    at-least-once replay (a retried batch would keep a different
+    subset).  The analog keys the keep/drop decision on a content hash
+    of ``key_fields`` — same ``probability`` semantics, but any replica
+    or replay of a row decides identically.  Pure codegen: one md5 +
+    threshold compare."""
+    prob = float(params["probability"])
+    fields = params.get("key_fields")
+    if not fields:
+        raise ValueError(
+            "sample: Kite samples with a PRNG — non-idempotent under "
+            "replay/retry; this engine's analog is hash-based and needs "
+            "key_fields : [col, ...] naming the row identity")
+    if not 0.0 <= prob <= 1.0:
+        raise ValueError(f"sample: probability {prob} not in [0, 1]")
+    thresh = int(round(prob * 1_000_000))
+    key = F.concat_ws("\x1f", *[F.col(f) for f in fields])
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+        F.lit(1_000_000))
+    return lambda df: df.filter(bucket < thresh)
+
+
+@register_stage("tokenize_text")
+def _tokenize_text(params: dict) -> Stage:
+    """Kite ``tokenizeText`` analog with one declared substitution: the
+    reference runs a Lucene analyzer from a solrLocator; the analog is
+    a regex tokenizer (``pattern``, default whitespace) with optional
+    ``lowercase`` — the multi-valued output lands as an ArrayType field
+    (P6), JVM-side split + empty-filter."""
+    name = params["field"]
+    out = params.get("into", name)
+    pattern = params.get("pattern", r"\s+")
+    lower = bool(params.get("lowercase"))
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = F.col(name)
+        if lower:
+            col = F.lower(col)
+        toks = F.filter(F.split(col, pattern), lambda t: t != "")
+        return df.withColumn(out, toks)
+
+    return stage
+
+
+@register_stage("extract_xml_paths")
+def _extract_xml_paths(params: dict) -> Stage:
+    """Kite morphlines-saxon ``xquery`` analog with one declared
+    substitution: full XQuery doesn't exist JVM-side; each ``paths``
+    entry is an XPath 1.0 string expression evaluated with Spark's
+    ``xpath_string`` over the XML field (the extractJsonPaths shape,
+    XML edition).  Unmatched paths yield empty string (xpath_string
+    semantics); malformed XML raises — pre-filter with filter_rows if
+    the feed is dirty."""
+    name = params["field"]
+    paths = params["paths"]
+
+    def stage(df: DataFrame) -> DataFrame:
+        for out_name, xp in paths.items():
+            df = df.withColumn(out_name,
+                               F.xpath_string(F.col(name), F.lit(xp)))
+        return df
+
+    return stage
+
+
 _VAR = re.compile(r"\$\{([^}]+)\}")
 
 

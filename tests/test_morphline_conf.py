@@ -469,3 +469,106 @@ def test_geo_ip_stage(spark):
         "ip string")
     got = [r["cc"] for r in chain(df).collect()]
     assert got == ["corp", "lab", "router", "??", "??", "??"]
+
+
+def test_sample_stage_deterministic(spark):
+    """sample analog: hash-keyed keep/drop — identical subset on replay,
+    probability 0/1 degenerate cases exact."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:k", outputField : k } ] } }
+          { sample { probability : 0.5, keyFields : [k] } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame([(f"k{i}",) for i in range(200)],
+                               "k string")
+    kept1 = sorted(r["k"] for r in chain(df).collect())
+    kept2 = sorted(r["k"] for r in chain(df.repartition(7)).collect())
+    assert kept1 == kept2                      # replay-identical
+    assert 60 <= len(kept1) <= 140             # ~p=0.5 of 200
+    none = TransformChain.from_config(
+        [{"stage": "sample", "probability": 0.0, "key_fields": ["k"]}])
+    every = TransformChain.from_config(
+        [{"stage": "sample", "probability": 1.0, "key_fields": ["k"]}])
+    assert none(df).count() == 0
+    assert every(df).count() == 200
+
+
+def test_sample_without_key_fields_fails():
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:k", outputField : k } ] } }
+          { sample { probability : 0.5 } } ] } ]
+    """
+    import pytest
+
+    with pytest.raises(ValueError, match="keyFields"):
+        morphline_to_conf(text, table="t")
+
+
+def test_tokenize_text_stage(spark):
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:body", outputField : body } ] } }
+          { tokenizeText { inputField : body, outputField : toks,
+                           lowercase : true } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  one two ",), ("",)], "body string")
+    got = [r["toks"] for r in chain(df).collect()]
+    assert got == [["hello", "world"], ["one", "two"], []]
+
+
+def test_xquery_xpath_stage(spark):
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:xml", outputField : xml } ] } }
+          { xquery { inputField : xml,
+                     paths : { title : "/doc/title/text()",
+                               author : "/doc/meta/@author" } } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [('<doc><title>T1</title><meta author="ann"/></doc>',),
+         ("<doc><title>T2</title><meta/></doc>",)], "xml string")
+    rows = chain(df).collect()
+    assert [(r["title"], r["author"]) for r in rows] == \
+        [("T1", "ann"), ("T2", "")]
+
+
+def test_xquery_without_paths_fails():
+    import pytest
+
+    with pytest.raises(ValueError, match="paths"):
+        morphline_to_conf("""
+        morphlines : [
+          { id : m1, commands : [
+            { extractHBaseCells { mappings : [
+                { inputColumn : "cf:xml", outputField : xml } ] } }
+            { xquery { inputField : xml } } ] } ]
+        """, table="t")
