@@ -1867,6 +1867,29 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=5)
 
 
+def q_trustrank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-style personalized PageRank: teleport mass lands only
+    on one nation's suppliers, so ranks measure random-walk closeness
+    to the seed set — the seed-expansion primitive of web-corpus
+    curation (grow a trusted set by link proximity), exactly
+    oracle-replayed via unrolled CTEs like pagerank_trade."""
+    from hbase_indexer_spark.pipeline.graph import (
+        personalized_pagerank,
+        trade_edges,
+    )
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    edges = trade_edges(load(spark, sf_dir, "orders"),
+                        load(spark, sf_dir, "lineitem"))
+    seeds = (load(spark, sf_dir, "supplier")
+             .filter(F.col("s_nationkey") == 0)
+             .select(F.concat(F.lit("S"),
+                              F.col("s_suppkey").cast("string"))
+                     .alias("node")))
+    return personalized_pagerank(edges, seeds, iters=5)
+
+
 def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-users-per-day: 64 max-mergeable registers
     per group, integer fixed-point estimate, emitted next to the exact
@@ -2207,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_stream": q_cms_stream,
         "ann_pq_adc": q_ann_pq_adc,
         "pagerank_trade": q_pagerank_trade,
+        "trustrank_seeds": q_trustrank_seeds,
         "hll_daily_users": q_hll_daily_users,
         "hll_stream": q_hll_stream,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
@@ -2811,6 +2835,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.graph import pagerank_sql
 
     out["pagerank_trade"] = pagerank_sql(iters=5)
+    from hbase_indexer_spark.pipeline.graph import trustrank_sql
+
+    out["trustrank_seeds"] = trustrank_sql(seed_nation=0, iters=5)
     from hbase_indexer_spark.pipeline.corpus_stats import hll_distinct_sql
 
     out["hll_daily_users"] = hll_distinct_sql(

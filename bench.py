@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "corpus_summary",
     # r5 continuation: numeric iterative graph + distinct-count sketch
     "pagerank_trade",
+    "trustrank_seeds",
     "hll_daily_users",
     "hll_stream",
 ]

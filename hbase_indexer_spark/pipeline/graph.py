@@ -140,3 +140,100 @@ def pagerank_sql(iters: int = 5) -> str:
         )""")
     return (f"WITH {', '.join(ctes)} "
             f"SELECT node, rank_micro FROM r{iters}")
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 5) -> DataFrame:
+    """TrustRank-style personalized PageRank: identical fixed-point
+    iteration to :func:`pagerank`, but the teleport mass lands ONLY on
+    ``seeds`` (a one-column ``node`` DataFrame) — ranks measure random-
+    walk closeness to the seed set, the primitive behind seed-expansion
+    curation (grow a trusted domain/document set by link proximity).
+
+    ``rank0 = 1e6 * is_seed``; each round
+    ``rank'(v) = 150000 * is_seed(v) + (85 * sum contribs) div 100``.
+    Returns ``(node, rank_micro)`` for every node (non-seed nodes earn
+    rank only through in-edges from the seed side).
+
+    Scale: exactly :func:`pagerank` — the seed flag is one extra small
+    join folded into the static node table."""
+    edges = edges.repartition("src").localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = (edges.join(deg, "src")
+             .repartition("src").localCheckpoint(eager=True))
+    nodes = (deg.select(F.col("src").alias("node"))
+             .join(seeds.select(F.col("node"), F.lit(1).alias("_s")),
+                   "node", "left")
+             .select("node",
+                     F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
+             .localCheckpoint(eager=True))
+    base = (15 * ONE_MICRO) // 100
+    ranks = nodes.select(
+        "node",
+        (F.col("is_seed") * ONE_MICRO).cast("long").alias("rank_micro"))
+    for _ in range(iters):
+        contribs = (
+            ranks.join(edges, ranks.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_micro div outdeg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.col("is_seed") * base
+                 + F.expr(f"({DAMP_PCT} * coalesce(s, 0)) div 100"))
+                .cast("long").alias("rank_micro"))
+        ).localCheckpoint(eager=True)
+    return ranks
+
+
+def trustrank_sql(seed_nation: int = 0, iters: int = 5) -> str:
+    """DuckDB mirror of :func:`personalized_pagerank` seeded with the
+    suppliers of one nation over the trade graph."""
+    base = (15 * ONE_MICRO) // 100
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                            'S' || CAST(l_suppkey AS VARCHAR) AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )""",
+        """edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        )""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"""sd AS (
+            SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+            FROM supplier WHERE s_nationkey = {seed_nation}
+        )""",
+        """nodes AS (
+            SELECT d.src AS node,
+                   CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+            FROM deg d LEFT JOIN sd ON d.src = sd.node
+        )""",
+        f"""r0 AS (
+            SELECT node,
+                   CAST(is_seed * {ONE_MICRO} AS BIGINT) AS rank_micro
+            FROM nodes
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+            SELECT e.dst AS node,
+                   CAST(sum(r.rank_micro // d.outdeg) AS BIGINT) AS s
+            FROM r{i - 1} r
+            JOIN deg d ON r.node = d.src
+            JOIN edges e ON r.node = e.src
+            GROUP BY e.dst
+        )""")
+        ctes.append(f"""r{i} AS (
+            SELECT n.node,
+                   CAST(n.is_seed * {base}
+                        + ({DAMP_PCT} * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS rank_micro
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+        )""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, rank_micro FROM r{iters}")

@@ -325,6 +325,11 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
          *NO_PYTHON],
     ),
+    "trustrank_seeds": (
+        [r"Scan ExistingRDD"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (
