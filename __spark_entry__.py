@@ -1867,6 +1867,22 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=5)
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch: p50/p90/p99 of event value per type
+    from a 256-bucket mergeable equi-width histogram (integer fixed
+    point end to end), est emitted next to the exact rank-order
+    statistic so the bucket-width error is auditable as data — the
+    ordered-statistics leg of the sketch family."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        histogram_quantiles,
+    )
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return histogram_quantiles(load(spark, sf_dir, "events"),
+                               "value", "event_type")
+
+
 def q_trustrank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank-style personalized PageRank: teleport mass lands only
     on one nation's suppliers, so ranks measure random-walk closeness
@@ -2233,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_seeds": q_trustrank_seeds,
         "hll_daily_users": q_hll_daily_users,
         "hll_stream": q_hll_stream,
+        "quantile_sketch": q_quantile_sketch,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2844,6 +2861,11 @@ def oracle_sql() -> dict[str, str]:
         "user_id", "day",
         table="(SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS day"
               " FROM events)")
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        histogram_quantiles_sql,
+    )
+
+    out["quantile_sketch"] = histogram_quantiles_sql("value", "event_type")
     from hbase_indexer_spark.pipeline.corpus_stats import hll_registers_sql
 
     out["hll_stream"] = (

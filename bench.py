@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "trustrank_seeds",
     "hll_daily_users",
     "hll_stream",
+    "quantile_sketch",
 ]
 
 

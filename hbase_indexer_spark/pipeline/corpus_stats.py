@@ -1149,3 +1149,134 @@ def hll_registers_sql(key_expr: str, group: str,
                     AS INTEGER) AS mr
         FROM rw GROUP BY grp, reg
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: mergeable equi-width buckets, rank-exact audit
+# ---------------------------------------------------------------------------
+
+HQ_BINS = 256
+
+
+def histogram_quantiles(df: DataFrame, value_col: str, group: str,
+                        qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Quantile estimates from a mergeable equi-width histogram —
+    percentiles at 100 TB without a global sort.  The sketch family's
+    ordered-statistics leg (count-min = frequency, HLL = distinct,
+    bloom = membership): the histogram is ``HQ_BINS`` counts per group,
+    buckets are plain sums so two sketches merge by adding, and the
+    whole computation is integer fixed point (values snap to micro
+    units, bucketing is ``((v - lo) * B) div span`` — exact in both
+    engines).
+
+    Returns ``(group, q_pct, n, target_rank, est_micro, true_micro)``
+    per requested percentile: ``est`` is the answering bucket's lower
+    edge; ``true`` is the exact rank-``ceil(q*n/100)`` order statistic,
+    emitted next to it so the sketch's bucket-width error is auditable
+    as data (the cms_estimates / hll_distinct pattern).
+
+    Scale: min/max/count and the histogram are combinable aggregations;
+    the cumulative pass windows over <= ``HQ_BINS`` rows per group —
+    bounded, never corpus-sized.  The TRUE side is the audit: it ranks
+    values per group (a per-group sort) — at full scale drop it, or
+    narrow to the answering bucket first and rank only that slice."""
+    v = F.expr(f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)")
+    snapped = df.select(F.col(group).alias("grp"), v.alias("v"))
+    stats = snapped.groupBy("grp").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"))
+    j = snapped.join(F.broadcast(stats), "grp")
+    hist = (
+        j.select("grp",
+                 F.expr(f"((v - lo) * {HQ_BINS}) div (hi - lo + 1)")
+                 .alias("bucket"))
+        .groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (Window.partitionBy("grp").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    targets = stats.select(
+        "grp", "lo", "hi", "n",
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q_pct")
+    ).withColumn("r", F.expr("(q_pct * n + 99) div 100"))
+    est = (
+        targets.join(cum, "grp")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("grp", "q_pct", "n", "r", "lo", "hi")
+        .agg(F.min("bucket").alias("bucket"))
+        .select("grp", "q_pct", "n", "r",
+                F.expr(f"lo + (bucket * (hi - lo + 1)) div {HQ_BINS}")
+                .alias("est_micro"))
+    )
+    rn = Window.partitionBy("grp").orderBy("v")
+    # distinct column names on the ranked side: est descends from the
+    # same snapped lineage, and a bare grp == grp would resolve as a
+    # trivially-true self-compare
+    ranked = (snapped.withColumn("rn", F.row_number().over(rn))
+              .select(F.col("grp").alias("rk_grp"),
+                      F.col("v").alias("true_micro"),
+                      F.col("rn").alias("rk_rn")))
+    return (
+        est.join(ranked, (F.col("grp") == F.col("rk_grp"))
+                 & (F.col("r") == F.col("rk_rn")))
+        .select(F.col("grp").alias(group), "q_pct", "n",
+                F.col("r").alias("target_rank"),
+                "est_micro", "true_micro")
+    )
+
+
+def histogram_quantiles_sql(value_col: str, group: str,
+                            table: str = "events",
+                            qs: tuple = (50, 90, 99)) -> str:
+    q_rows = " UNION ALL ".join(f"SELECT {q} AS q_pct" for q in qs)
+    return f"""
+        WITH snapped AS (
+            SELECT {group} AS grp,
+                   CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT) AS v
+            FROM {table}
+        ),
+        stats AS (
+            SELECT grp, min(v) AS lo, max(v) AS hi,
+                   count(*) AS n
+            FROM snapped GROUP BY grp
+        ),
+        hist AS (
+            SELECT s.grp,
+                   ((s.v - t.lo) * {HQ_BINS}) // (t.hi - t.lo + 1)
+                       AS bucket,
+                   count(*) AS c
+            FROM snapped s JOIN stats t ON s.grp = t.grp
+            GROUP BY s.grp, bucket
+        ),
+        cum AS (
+            SELECT grp, bucket, c,
+                   sum(c) OVER (PARTITION BY grp ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist
+        ),
+        targets AS (
+            SELECT t.grp, t.lo, t.hi, t.n, q.q_pct,
+                   (q.q_pct * t.n + 99) // 100 AS r
+            FROM stats t CROSS JOIN ({q_rows}) q
+        ),
+        est AS (
+            SELECT t.grp, t.q_pct, t.n, t.r,
+                   t.lo + (min(c.bucket) * (t.hi - t.lo + 1))
+                       // {HQ_BINS} AS est_micro
+            FROM targets t JOIN cum c ON t.grp = c.grp
+            WHERE c.cum >= t.r
+            GROUP BY t.grp, t.q_pct, t.n, t.r, t.lo, t.hi
+        ),
+        ranked AS (
+            SELECT grp, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+            FROM snapped
+        )
+        SELECT e.grp AS {group},
+               CAST(e.q_pct AS INTEGER) AS q_pct,
+               CAST(e.n AS BIGINT) AS n,
+               CAST(e.r AS BIGINT) AS target_rank,
+               CAST(e.est_micro AS BIGINT) AS est_micro,
+               CAST(rk.v AS BIGINT) AS true_micro
+        FROM est e JOIN ranked rk ON e.grp = rk.grp AND e.r = rk.rn
+    """

@@ -330,6 +330,13 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
          *NO_PYTHON],
     ),
+    # quantile sketch: histogram + stats are combinable partial aggs;
+    # the Window is the <=256-rows-per-group cumulative pass plus the
+    # per-group exact-rank audit (both grp-partitioned, never global)
+    "quantile_sketch": (
+        [r"partial_", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
     # winnowing: fingerprint selection is a pure map (array ops inside
     # one scan); overlap pairs ride the fp equality join
     "winnow_fingerprints": (

@@ -221,3 +221,64 @@ def test_personalized_pagerank_mass_stays_near_seeds(spark):
              for r in personalized_pagerank(df, sdf, iters=6).collect()}
     assert ranks["d"] > 0                          # mass does reach d
     assert min(ranks["a"], ranks["b"], ranks["c"]) > ranks["d"]
+
+
+def _py_hist_quantiles(values, qs=(50, 90, 99), bins=256):
+    """Pure-Python replay of the histogram quantile sketch."""
+    v = sorted(int((x * 1e6 + 0.5) // 1) for x in values)
+    lo, hi, n = v[0], v[-1], len(v)
+    span = hi - lo + 1
+    hist = {}
+    for x in v:
+        b = ((x - lo) * bins) // span
+        hist[b] = hist.get(b, 0) + 1
+    out = {}
+    for q in qs:
+        r = (q * n + 99) // 100
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= r:
+                out[q] = (n, r, lo + (b * span) // bins, v[r - 1])
+                break
+    return out
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(
+    st.floats(min_value=0.01, max_value=500.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=3, max_size=60))
+def test_histogram_quantiles_matches_python_model(spark, vals):
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        histogram_quantiles,
+    )
+
+    # round inputs to cents so the float -> micro snap is unambiguous
+    vals = [round(x, 2) for x in vals]
+    expect = _py_hist_quantiles(vals)
+    df = spark.createDataFrame([("g", x) for x in vals],
+                               "grp string, value double")
+    rows = histogram_quantiles(df, "value", "grp").collect()
+    got = {r["q_pct"]: (r["n"], r["target_rank"], r["est_micro"],
+                        r["true_micro"]) for r in rows}
+    assert got == expect
+
+
+def test_histogram_quantiles_est_brackets_true(spark):
+    """The estimate is the answering bucket's lower edge: it can sit at
+    most one bucket width below the exact order statistic, never
+    above it."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        HQ_BINS,
+        histogram_quantiles,
+    )
+
+    vals = [float(i) for i in range(1, 1001)]
+    df = spark.createDataFrame([("g", x) for x in vals],
+                               "grp string, value double")
+    span = int(1000e6) - int(1e6) + 1
+    width = span // HQ_BINS + 1
+    for r in histogram_quantiles(df, "value", "grp").collect():
+        assert r["est_micro"] <= r["true_micro"]
+        assert r["true_micro"] - r["est_micro"] <= width
