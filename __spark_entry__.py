@@ -1867,6 +1867,38 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=5)
 
 
+def _roundtrip_ingest(spark: SparkSession, sf_dir: str,
+                      fmt: str) -> DataFrame:
+    """Write the documents table in ``fmt``, read it back through the
+    schema-enforced corpus reader, return the rows — escaping/unicode/
+    schema correctness of the ingestion path, oracle-checked against
+    the parquet ground truth."""
+    from hbase_indexer_spark.sources import corpus
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix=f"hbis_{fmt}_")
+    path = os.path.join(tmp, "docs")
+    if fmt == "jsonl":
+        corpus.write_jsonl(docs, path)
+    else:
+        corpus.write_csv(docs, path)
+    return (corpus.read_documents(spark, path, fmt=fmt)
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingestion roundtrip (newline-splittable at scale;
+    raw newlines JSON-escaped)."""
+    return _roundtrip_ingest(spark, sf_dir, "jsonl")
+
+
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus ingestion roundtrip (RFC-4180 quote doubling,
+    multiLine — the one-split-per-file caveat is documented in
+    sources/corpus.py)."""
+    return _roundtrip_ingest(spark, sf_dir, "csv")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram quantile sketch: p50/p90/p99 of event value per type
     from a 256-bucket mergeable equi-width histogram (integer fixed
@@ -2250,6 +2282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_users": q_hll_daily_users,
         "hll_stream": q_hll_stream,
         "quantile_sketch": q_quantile_sketch,
+        "jsonl_ingest": q_jsonl_ingest,
+        "csv_ingest": q_csv_ingest,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -2866,6 +2900,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["quantile_sketch"] = histogram_quantiles_sql("value", "event_type")
+    # ingestion roundtrips: the engine side writes+reads jsonl/csv; the
+    # ground truth is the parquet table itself
+    out["jsonl_ingest"] = ("SELECT doc_id, text, lang, source, n_chars"
+                           " FROM documents")
+    out["csv_ingest"] = ("SELECT doc_id, text, lang, source, n_chars"
+                         " FROM documents")
     from hbase_indexer_spark.pipeline.corpus_stats import hll_registers_sql
 
     out["hll_stream"] = (

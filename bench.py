@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "hll_daily_users",
     "hll_stream",
     "quantile_sketch",
+    "jsonl_ingest",
+    "csv_ingest",
 ]
 
 

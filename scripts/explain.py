@@ -330,6 +330,16 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
          *NO_PYTHON],
     ),
+    # ingestion roundtrips: the returned frame is a bare scan of the
+    # just-written corpus files under the enforced schema
+    "jsonl_ingest": (
+        [r"Scan json"],
+        [r"Join", r"Window", *NO_PYTHON],
+    ),
+    "csv_ingest": (
+        [r"Scan csv"],
+        [r"Join", r"Window", *NO_PYTHON],
+    ),
     # quantile sketch: histogram + stats are combinable partial aggs;
     # the Window is the <=256-rows-per-group cumulative pass plus the
     # per-group exact-rank audit (both grp-partitioned, never global)

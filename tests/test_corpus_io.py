@@ -1,0 +1,83 @@
+"""Corpus ingestion (sources/corpus.py) vs adversarial strings: the
+JSONL and CSV roundtrips must preserve newlines, quotes, commas,
+backslashes, unicode, and empty/NULL text exactly — these are the
+escaping footguns that silently corrupt training corpora."""
+
+import pyspark.sql.utils
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hbase_indexer_spark.sources import corpus
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+NASTY = [
+    'line one\nline two',
+    'quote " inside',
+    'comma, semicolon; tab\t',
+    'back\\slash and \\n literal',
+    'unicode: naïve café 日本語 🚀',
+    '"fully quoted"',
+    '',
+    'trailing newline\n',
+    '\r\nwindows line',
+    "single 'quotes'",
+]
+
+
+def _df(spark, texts):
+    rows = [(i, t, "en", "test", len(t) if t is not None else None)
+            for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, corpus.DOCUMENTS_SCHEMA)
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_nasty_strings_roundtrip(spark, tmp_path, fmt):
+    df = _df(spark, NASTY + [None])
+    path = str(tmp_path / fmt)
+    (corpus.write_jsonl if fmt == "jsonl" else corpus.write_csv)(df, path)
+    back = corpus.read_documents(spark, path, fmt=fmt)
+    want = {(r["doc_id"], r["text"]) for r in df.collect()}
+    got = {(r["doc_id"], r["text"]) for r in back.collect()}
+    # CSV cannot distinguish NULL from empty string under quoteAll;
+    # JSONL can.  Normalize only for csv and document the asymmetry.
+    if fmt == "csv":
+        want = {(i, t if t is not None else "") for i, t in want}
+        got = {(i, t if t is not None else "") for i, t in got}
+    assert got == want
+
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(text_st, min_size=1, max_size=10))
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_random_unicode_roundtrip(spark, tmp_path_factory, fmt, texts):
+    df = _df(spark, texts)
+    path = str(tmp_path_factory.mktemp("corp") / fmt)
+    (corpus.write_jsonl if fmt == "jsonl" else corpus.write_csv)(df, path)
+    back = corpus.read_documents(spark, path, fmt=fmt)
+    want = {(r["doc_id"], r["text"] or "") for r in df.collect()}
+    got = {(r["doc_id"], r["text"] or "") for r in back.collect()}
+    assert got == want
+
+
+def test_failfast_rejects_malformed_jsonl(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s",'
+        ' "n_chars": 2}\n'
+        'this is not json\n')
+    with pytest.raises(Exception):
+        corpus.read_jsonl(spark, str(p)).collect()
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(ValueError, match="unknown corpus format"):
+        corpus.read_documents(spark, "/nowhere", fmt="xml")
