@@ -915,6 +915,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents")
 
 
+def _stage_stream_chunks(df: DataFrame, id_col: str, prefix: str,
+                         n_chunks: int = 3) -> str:
+    """Write ``df`` as ``n_chunks`` single-file parquet drops (chunk
+    membership = id mod n, file names ordered so maxFilesPerTrigger=1
+    replays them deterministically) and return the source directory —
+    the staging step shared by every streaming gate query."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(tmp, "chunks")
+    os.makedirs(src)
+    for b in range(n_chunks):
+        chunk = df.filter(
+            F.pmod(F.col(id_col), F.lit(n_chunks)) == F.lit(b))
+        stage = os.path.join(tmp, f"stage{b}")
+        chunk.coalesce(1).write.parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                os.rename(os.path.join(stage, f_),
+                          os.path.join(src, f"chunk{b}.parquet"))
+    return src
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, lang-id heuristic, quality, fingerprint."""
     from hbase_indexer_spark.pipeline.text import text_profile
@@ -1745,17 +1766,8 @@ def q_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_indexer_spark.streaming.dedup_stream import curation_stream
 
     docs = _docs(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="hbis_curstream_")
-    src = os.path.join(tmp, "docs")
-    os.makedirs(src)
-    for b in range(3):
-        chunk = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == F.lit(b))
-        stage = os.path.join(tmp, f"stage{b}")
-        chunk.coalesce(1).write.parquet(stage)
-        for f_ in os.listdir(stage):
-            if f_.endswith(".parquet"):
-                os.rename(os.path.join(stage, f_),
-                          os.path.join(src, f"chunk{b}.parquet"))
+    src = _stage_stream_chunks(docs, "doc_id", "hbis_curstream_")
+    tmp = os.path.dirname(src)
     store = DedupIndexStore(os.path.join(tmp, "state"), threshold=0.7)
     corpus = IndexStore(os.path.join(tmp, "corpus"), key="doc_id")
     stream = (spark.readStream.schema(docs.schema)
@@ -1785,17 +1797,8 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_indexer_spark.streaming.sketch_stream import cms_stream
 
     docs = _docs(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="hbis_cmsstream_")
-    src = os.path.join(tmp, "docs")
-    os.makedirs(src)
-    for b in range(3):
-        chunk = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == F.lit(b))
-        stage = os.path.join(tmp, f"stage{b}")
-        chunk.coalesce(1).write.parquet(stage)
-        for f_ in os.listdir(stage):
-            if f_.endswith(".parquet"):
-                os.rename(os.path.join(stage, f_),
-                          os.path.join(src, f"chunk{b}.parquet"))
+    src = _stage_stream_chunks(docs, "doc_id", "hbis_cmsstream_")
+    tmp = os.path.dirname(src)
     store = IndexStore(os.path.join(tmp, "sketch"), key="row")
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -1825,18 +1828,8 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts").cast("string"))
-    tmp = tempfile.mkdtemp(prefix="hbis_hllstream_")
-    src = os.path.join(tmp, "events")
-    os.makedirs(src)
-    for b in range(3):
-        chunk = events.filter(
-            F.pmod(F.col("event_id"), F.lit(3)) == F.lit(b))
-        stage = os.path.join(tmp, f"stage{b}")
-        chunk.coalesce(1).write.parquet(stage)
-        for f_ in os.listdir(stage):
-            if f_.endswith(".parquet"):
-                os.rename(os.path.join(stage, f_),
-                          os.path.join(src, f"chunk{b}.parquet"))
+    src = _stage_stream_chunks(events, "event_id", "hbis_hllstream_")
+    tmp = os.path.dirname(src)
     store = IndexStore(os.path.join(tmp, "sketch"), key="grp")
     stream = (spark.readStream.schema(events.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))

@@ -547,11 +547,11 @@ def _sample(params: dict) -> Stage:
             "key_fields : [col, ...] naming the row identity")
     if not 0.0 <= prob <= 1.0:
         raise ValueError(f"sample: probability {prob} not in [0, 1]")
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
     thresh = int(round(prob * 1_000_000))
     key = F.concat_ws("\x1f", *[F.col(f) for f in fields])
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
-        F.lit(1_000_000))
+    bucket = F.pmod(token_hash60(key), F.lit(1_000_000))
     return lambda df: df.filter(bucket < thresh)
 
 

@@ -1022,6 +1022,11 @@ def hll_registers(df: DataFrame, key: Column,
     sketches union by register-wise max — the same mergeability story as
     the count-min sketch above.
 
+    NULL keys are dropped (count-distinct semantics: NULL is not a
+    value) — without the filter a NULL key would emit a (grp, NULL,
+    NULL) register row that sum() skips but count(*) counts, skewing
+    the estimate.
+
     Scale: the sketch is ``HLL_M`` rows per group regardless of key
     cardinality; the build shuffles only (group, reg) with map-side
     max-combine."""
@@ -1029,9 +1034,10 @@ def hll_registers(df: DataFrame, key: Column,
 
     h = token_hash60(F.concat(F.lit("hll:"), key.cast("string")))
     return (
-        df.select(F.col(group).alias("grp"),
-                  (h % HLL_M).cast("int").alias("reg"),
-                  h.alias("_h"))
+        df.filter(key.isNotNull())
+        .select(F.col(group).alias("grp"),
+                (h % HLL_M).cast("int").alias("reg"),
+                h.alias("_h"))
         .select("grp", "reg",
                 F.expr(f"_h div {HLL_M} % 4294967296").alias("w"))
         .select("grp", "reg",
@@ -1076,31 +1082,22 @@ def hll_distinct(df: DataFrame, key: Column, group: str) -> DataFrame:
     )
     true = (df.groupBy(F.col(group).alias("grp"))
             .agg(F.countDistinct(key).cast("long").alias("true_distinct")))
-    return (true.join(sketch, "grp")
+    # left join + coalesce: a group whose keys are ALL NULL has no
+    # registers (hll_registers drops NULL keys) but still deserves a
+    # (group, 0, 0) row, matching countDistinct's NULL semantics
+    return (true.join(sketch, "grp", "left")
             .select(F.col("grp").alias(group), "true_distinct",
-                    "est_distinct"))
+                    F.coalesce("est_distinct", F.lit(0)).cast("long")
+                    .alias("est_distinct")))
 
 
 def hll_distinct_sql(key_expr: str, group: str,
                      table: str = "events") -> str:
+    # compose the register mirror (single source of the hash recipe —
+    # including its NULL-key filter) rather than restating it
+    regs = hll_registers_sql(key_expr, group, table)
     return f"""
-        WITH h AS (
-            SELECT {group} AS grp,
-                   CAST(('0x' || substr(md5('hll:' || {key_expr}), 1, 15))
-                        AS BIGINT) AS h
-            FROM {table}
-        ),
-        rw AS (
-            SELECT grp, h % {HLL_M} AS reg,
-                   (h // {HLL_M}) % 4294967296 AS w
-            FROM h
-        ),
-        regs AS (
-            SELECT grp, reg,
-                   max(CASE WHEN w = 0 THEN 33
-                       ELSE 33 - length(bin(CAST(w AS BIGINT))) END) AS mr
-            FROM rw GROUP BY grp, reg
-        ),
+        WITH regs AS ({regs}),
         sk AS (
             SELECT grp,
                    CAST(sum(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT)
@@ -1120,8 +1117,10 @@ def hll_distinct_sql(key_expr: str, group: str,
                      AS true_distinct
             FROM {table} GROUP BY {group}
         )
-        SELECT t.grp AS {group}, t.true_distinct, e.est_distinct
-        FROM tr t JOIN est e ON t.grp = e.grp
+        SELECT t.grp AS {group}, t.true_distinct,
+               CAST(coalesce(e.est_distinct, 0) AS BIGINT)
+                   AS est_distinct
+        FROM tr t LEFT JOIN est e ON t.grp = e.grp
     """
 
 
@@ -1130,13 +1129,15 @@ def hll_registers_sql(key_expr: str, group: str,
     """Batch register mirror — also the oracle for the STREAMING
     accumulation (`streaming/sketch_stream.py hll_stream`): registers
     merge by max, so the streamed end state equals this one batch
-    register table exactly."""
+    register table exactly.  NULL keys are dropped, matching
+    ``hll_registers``."""
     return f"""
         WITH h AS (
             SELECT {group} AS grp,
                    CAST(('0x' || substr(md5('hll:' || {key_expr}), 1, 15))
                         AS BIGINT) AS h
             FROM {table}
+            WHERE {key_expr} IS NOT NULL
         ),
         rw AS (
             SELECT grp, h % {HLL_M} AS reg,
@@ -1180,8 +1181,12 @@ def histogram_quantiles(df: DataFrame, value_col: str, group: str,
     bounded, never corpus-sized.  The TRUE side is the audit: it ranks
     values per group (a per-group sort) — at full scale drop it, or
     narrow to the answering bucket first and rank only that slice."""
+    # NULL values are dropped up front: a NULL would inflate n, put a
+    # NULL bucket into the cumulative window, and diverge between
+    # engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST)
     v = F.expr(f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)")
-    snapped = df.select(F.col(group).alias("grp"), v.alias("v"))
+    snapped = (df.filter(F.col(value_col).isNotNull())
+               .select(F.col(group).alias("grp"), v.alias("v")))
     stats = snapped.groupBy("grp").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
         F.count(F.lit(1)).alias("n"))
@@ -1234,6 +1239,7 @@ def histogram_quantiles_sql(value_col: str, group: str,
             SELECT {group} AS grp,
                    CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT) AS v
             FROM {table}
+            WHERE {value_col} IS NOT NULL
         ),
         stats AS (
             SELECT grp, min(v) AS lo, max(v) AS hi,

@@ -5,8 +5,10 @@ The reference ships no graph engine, but its batch-rebuild story
 row store, iterate a bulk-synchronous computation, publish the result.
 `dedup_clusters` (pipeline/dedup.py) already covers the *structural*
 iterative algorithm (connected components); this module adds the
-*numeric* one — PageRank — because training-data curation uses link
-centrality as a quality prior (e.g. harvesting seed URLs by rank).
+*numeric* one — PageRank and its seeded (TrustRank) variant — because
+training-data curation uses link centrality as a quality prior
+(harvesting seed URLs by rank, growing a trusted set by link
+proximity).
 
 Everything is exact-integer fixed point (micro-units, 1e6 = 1.0) so a
 DuckDB oracle can replay the identical iteration with unrolled CTEs:
@@ -23,14 +25,20 @@ Scale shape (the Pregel-on-DataFrames standard):
 - ``localCheckpoint`` after every round keeps the plan depth constant
   (same recipe as the large-star/small-star CC loop,
   pipeline/dedup.py:1125).
+
+Dangling nodes (appear only as ``dst``) are kept: they hold their
+teleport base and absorb in-edge mass but pass nothing on — the
+classic rank-sink behavior, identical in both engines.  ``trade_edges``
+symmetrizes, so over the trade graph no node dangles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 ONE_MICRO = 1_000_000
 DAMP_PCT = 85  # damping factor in integer percent: 0.85
+BASE_MICRO = (15 * ONE_MICRO) // 100  # (1 - d) * unit, exact: 150000
 
 
 def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -60,19 +68,12 @@ def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
-    """Fixed-point integer PageRank: ``iters`` bulk-synchronous rounds
-    of ``rank'(v) = 150000 + (85 * sum over in-edges of
-    rank(u) div outdeg(u)) div 100`` starting from 1000000 micro per
-    node (i.e. damping 0.85, teleport 0.15, rank unit 1e6).
-
-    Returns ``(node, rank_micro)`` for every node in the edge list.
-    Integer division makes every intermediate exactly reproducible in
-    SQL — the oracle unrolls the same ``iters`` rounds as CTEs.
-
-    Scale: see the module docstring — edges static and re-used, ranks
-    (1 row/node) re-shuffled per round, plan depth held constant by
-    ``localCheckpoint``."""
+def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
+                 iters: int) -> DataFrame:
+    """The shared fixed-point iteration: ``rank0 = 1e6 * is_seed``;
+    each round ``rank'(v) = 150000 * is_seed(v) + (85 * sum over
+    in-edges of rank(u) div outdeg(u)) div 100``.  ``seeds=None``
+    means every node is a seed — plain PageRank."""
     # materialize the raw edge list once (it may hide an expensive
     # upstream join), THEN fold outdeg into the static side from the
     # cheap checkpointed copy: per-round cost drops to ONE join
@@ -81,93 +82,22 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = (edges.join(deg, "src")
              .repartition("src").localCheckpoint(eager=True))
-    nodes = deg.select(F.col("src").alias("node"))
-    ranks = nodes.select(
-        "node", F.lit(ONE_MICRO).cast("long").alias("rank_micro"))
-    base = (15 * ONE_MICRO) // 100  # (1 - d) * unit, exact: 150000
-    for _ in range(iters):
-        contribs = (
-            ranks.join(edges, ranks.node == edges.src)
-            .groupBy("dst")
-            .agg(F.sum(F.expr("rank_micro div outdeg")).alias("s"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (F.lit(base)
-                 + F.expr(f"({DAMP_PCT} * coalesce(s, 0)) div 100"))
-                .cast("long").alias("rank_micro"))
-        ).localCheckpoint(eager=True)
-    return ranks
-
-
-def pagerank_sql(iters: int = 5) -> str:
-    """DuckDB mirror: the identical fixed-point iteration, unrolled."""
-    base = (15 * ONE_MICRO) // 100
-    ctes = [
-        """pairs AS (
-            SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
-                            'S' || CAST(l_suppkey AS VARCHAR) AS s
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        )""",
-        """edges AS (
-            SELECT c AS src, s AS dst FROM pairs
-            UNION ALL
-            SELECT s AS src, c AS dst FROM pairs
-        )""",
-        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
-        "nodes AS (SELECT src AS node FROM deg)",
-        f"""r0 AS (
-            SELECT node, CAST({ONE_MICRO} AS BIGINT) AS rank_micro
-            FROM nodes
-        )""",
-    ]
-    for i in range(1, iters + 1):
-        ctes.append(f"""c{i} AS (
-            SELECT e.dst AS node,
-                   CAST(sum(r.rank_micro // d.outdeg) AS BIGINT) AS s
-            FROM r{i - 1} r
-            JOIN deg d ON r.node = d.src
-            JOIN edges e ON r.node = e.src
-            GROUP BY e.dst
-        )""")
-        ctes.append(f"""r{i} AS (
-            SELECT n.node,
-                   CAST({base} + ({DAMP_PCT} * coalesce(c.s, 0)) // 100
-                        AS BIGINT) AS rank_micro
-            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
-        )""")
-    return (f"WITH {', '.join(ctes)} "
-            f"SELECT node, rank_micro FROM r{iters}")
-
-
-def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
-                          iters: int = 5) -> DataFrame:
-    """TrustRank-style personalized PageRank: identical fixed-point
-    iteration to :func:`pagerank`, but the teleport mass lands ONLY on
-    ``seeds`` (a one-column ``node`` DataFrame) — ranks measure random-
-    walk closeness to the seed set, the primitive behind seed-expansion
-    curation (grow a trusted domain/document set by link proximity).
-
-    ``rank0 = 1e6 * is_seed``; each round
-    ``rank'(v) = 150000 * is_seed(v) + (85 * sum contribs) div 100``.
-    Returns ``(node, rank_micro)`` for every node (non-seed nodes earn
-    rank only through in-edges from the seed side).
-
-    Scale: exactly :func:`pagerank` — the seed flag is one extra small
-    join folded into the static node table."""
-    edges = edges.repartition("src").localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = (edges.join(deg, "src")
-             .repartition("src").localCheckpoint(eager=True))
-    nodes = (deg.select(F.col("src").alias("node"))
-             .join(seeds.select(F.col("node"), F.lit(1).alias("_s")),
-                   "node", "left")
-             .select("node",
-                     F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
-             .localCheckpoint(eager=True))
-    base = (15 * ONE_MICRO) // 100
+    # node set = src UNION dst: dangling (dst-only) nodes keep their
+    # teleport base and absorb mass; they just have no out-edges
+    all_nodes = (edges.select(F.col("src").alias("node"))
+                 .unionAll(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+    if seeds is None:
+        nodes = all_nodes.select("node", F.lit(1).alias("is_seed"))
+    else:
+        nodes = (all_nodes
+                 .join(seeds.select("node").distinct()
+                       .withColumn("_s", F.lit(1)), "node", "left")
+                 .select("node", F.coalesce(F.col("_s"), F.lit(0))
+                         .alias("is_seed")))
+    # checkpoint: the per-round ranks build re-reads nodes every
+    # iteration — without this the deg/union shuffles re-run each round
+    nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.select(
         "node",
         (F.col("is_seed") * ONE_MICRO).cast("long").alias("rank_micro"))
@@ -181,44 +111,76 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
-                (F.col("is_seed") * base
+                (F.col("is_seed") * BASE_MICRO
                  + F.expr(f"({DAMP_PCT} * coalesce(s, 0)) div 100"))
                 .cast("long").alias("rank_micro"))
         ).localCheckpoint(eager=True)
     return ranks
 
 
-def trustrank_sql(seed_nation: int = 0, iters: int = 5) -> str:
-    """DuckDB mirror of :func:`personalized_pagerank` seeded with the
-    suppliers of one nation over the trade graph."""
-    base = (15 * ONE_MICRO) // 100
-    ctes = [
-        """pairs AS (
-            SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
-                            'S' || CAST(l_suppkey AS VARCHAR) AS s
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        )""",
-        """edges AS (
-            SELECT c AS src, s AS dst FROM pairs
-            UNION ALL
-            SELECT s AS src, c AS dst FROM pairs
-        )""",
-        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
-        f"""sd AS (
-            SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node
-            FROM supplier WHERE s_nationkey = {seed_nation}
-        )""",
-        """nodes AS (
-            SELECT d.src AS node,
-                   CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
-            FROM deg d LEFT JOIN sd ON d.src = sd.node
-        )""",
-        f"""r0 AS (
-            SELECT node,
-                   CAST(is_seed * {ONE_MICRO} AS BIGINT) AS rank_micro
-            FROM nodes
-        )""",
-    ]
+def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Fixed-point integer PageRank: ``iters`` bulk-synchronous rounds
+    of ``rank'(v) = 150000 + (85 * sum over in-edges of
+    rank(u) div outdeg(u)) div 100`` starting from 1000000 micro per
+    node (i.e. damping 0.85, teleport 0.15, rank unit 1e6).
+
+    Returns ``(node, rank_micro)`` for every node in the edge list —
+    dst-only (dangling) nodes included, see the module docstring.
+    Integer division makes every intermediate exactly reproducible in
+    SQL — the oracle unrolls the same ``iters`` rounds as CTEs.
+
+    Scale: see the module docstring — edges static and re-used, ranks
+    (1 row/node) re-shuffled per round, plan depth held constant by
+    ``localCheckpoint``."""
+    return _seeded_loop(edges, None, iters)
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 5) -> DataFrame:
+    """TrustRank-style personalized PageRank: identical fixed-point
+    iteration to :func:`pagerank`, but the teleport mass lands ONLY on
+    ``seeds`` (a one-column ``node`` DataFrame; deduplicated here, so a
+    seed source with repeats can't double-count) — ranks measure
+    random-walk closeness to the seed set, the primitive behind
+    seed-expansion curation (grow a trusted domain/document set by link
+    proximity).
+
+    ``rank0 = 1e6 * is_seed``; each round
+    ``rank'(v) = 150000 * is_seed(v) + (85 * sum contribs) div 100``.
+    Returns ``(node, rank_micro)`` for every node (non-seed nodes earn
+    rank only through in-edges from the seed side).
+
+    Scale: exactly :func:`pagerank` — the seed flag is one extra small
+    join folded into the static node table."""
+    return _seeded_loop(edges, seeds, iters)
+
+
+# --- DuckDB mirrors -------------------------------------------------------
+
+_TRADE_CTES = [
+    """pairs AS (
+        SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                        'S' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )""",
+    """edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    )""",
+    "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+    """all_nodes AS (
+        SELECT src AS node FROM edges
+        UNION
+        SELECT dst AS node FROM edges
+    )""",
+]
+
+
+def _round_ctes(iters: int) -> list[str]:
+    """The unrolled per-round CTE pair shared by both mirrors; expects
+    ``nodes(node, is_seed)`` and ``r0(node, rank_micro)`` upstream."""
+    ctes = []
     for i in range(1, iters + 1):
         ctes.append(f"""c{i} AS (
             SELECT e.dst AS node,
@@ -230,10 +192,43 @@ def trustrank_sql(seed_nation: int = 0, iters: int = 5) -> str:
         )""")
         ctes.append(f"""r{i} AS (
             SELECT n.node,
-                   CAST(n.is_seed * {base}
+                   CAST(n.is_seed * {BASE_MICRO}
                         + ({DAMP_PCT} * coalesce(c.s, 0)) // 100
                         AS BIGINT) AS rank_micro
             FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
         )""")
+    return ctes
+
+
+def _mirror(nodes_cte: str, iters: int) -> str:
+    ctes = [*_TRADE_CTES, nodes_cte,
+            f"""r0 AS (
+                SELECT node,
+                       CAST(is_seed * {ONE_MICRO} AS BIGINT)
+                           AS rank_micro
+                FROM nodes
+            )""",
+            *_round_ctes(iters)]
     return (f"WITH {', '.join(ctes)} "
             f"SELECT node, rank_micro FROM r{iters}")
+
+
+def pagerank_sql(iters: int = 5) -> str:
+    """DuckDB mirror of :func:`pagerank` over the trade graph."""
+    return _mirror(
+        "nodes AS (SELECT node, 1 AS is_seed FROM all_nodes)", iters)
+
+
+def trustrank_sql(seed_nation: int = 0, iters: int = 5) -> str:
+    """DuckDB mirror of :func:`personalized_pagerank` seeded with the
+    suppliers of one nation over the trade graph."""
+    nodes = f"""sd AS (
+        SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier WHERE s_nationkey = {seed_nation}
+    ),
+    nodes AS (
+        SELECT a.node,
+               CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+        FROM all_nodes a LEFT JOIN sd ON a.node = sd.node
+    )"""
+    return _mirror(nodes, iters)

@@ -22,19 +22,20 @@ ONE = 1_000_000
 
 
 def _py_pagerank(edges, iters=5):
-    """Pure-Python replay of the integer fixed-point iteration."""
+    """Pure-Python replay of the integer fixed-point iteration —
+    node set is src UNION dst (dangling nodes keep their base)."""
     out = {}
+    nodes = set()
     for s, d in edges:
         out.setdefault(s, []).append(d)
-    nodes = sorted(out)
+        nodes.update((s, d))
     rank = {n: ONE for n in nodes}
     for _ in range(iters):
         acc = {n: 0 for n in nodes}
-        for u in nodes:
-            c = rank[u] // len(out[u])
-            for v in out[u]:
-                if v in acc:
-                    acc[v] += c
+        for u, dsts in out.items():
+            c = rank[u] // len(dsts)
+            for v in dsts:
+                acc[v] += c
         rank = {n: 150000 + (85 * acc[n]) // 100 for n in nodes}
     return rank
 
@@ -170,17 +171,17 @@ def test_hll_fold_replay_and_merge_equivalence(spark, tmp_path):
 def _py_ppr(edges, seeds, iters=5):
     """Pure-Python replay of the personalized (seeded) iteration."""
     out = {}
+    nodes = set()
     for s, d in edges:
         out.setdefault(s, []).append(d)
-    nodes = sorted(out)
+        nodes.update((s, d))
     rank = {n: ONE * (n in seeds) for n in nodes}
     for _ in range(iters):
         acc = {n: 0 for n in nodes}
-        for u in nodes:
-            c = rank[u] // len(out[u])
-            for v in out[u]:
-                if v in acc:
-                    acc[v] += c
+        for u, dsts in out.items():
+            c = rank[u] // len(dsts)
+            for v in dsts:
+                acc[v] += c
         rank = {n: 150000 * (n in seeds) + (85 * acc[n]) // 100
                 for n in nodes}
     return rank
@@ -282,3 +283,68 @@ def test_histogram_quantiles_est_brackets_true(spark):
     for r in histogram_quantiles(df, "value", "grp").collect():
         assert r["est_micro"] <= r["true_micro"]
         assert r["true_micro"] - r["est_micro"] <= width
+
+
+def test_pagerank_keeps_dangling_nodes(spark):
+    """A dst-only node has no out-edges but must keep its rank row:
+    teleport base + absorbed in-edge mass (the classic rank sink)."""
+    from hbase_indexer_spark.pipeline.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c")]  # b, c never appear as src
+    expect = _py_pagerank(edges, iters=3)
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(spark.createDataFrame(
+               edges, "src string, dst string"), iters=3).collect()}
+    assert got == expect
+    assert set(got) == {"a", "b", "c"}
+    # the sinks absorbed a's mass and keep their teleport base
+    assert got["b"] == got["c"] > 150000
+
+
+def test_personalized_pagerank_duplicate_seeds_no_double_count(spark):
+    from hbase_indexer_spark.pipeline.graph import personalized_pagerank
+
+    sym = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    once = spark.createDataFrame([("a",)], "node string")
+    twice = spark.createDataFrame([("a",), ("a",)], "node string")
+    r1 = sorted(map(tuple, personalized_pagerank(df, once, 4).collect()))
+    r2 = sorted(map(tuple, personalized_pagerank(df, twice, 4).collect()))
+    assert r1 == r2
+    assert len(r1) == 2  # no fanned-out duplicate node rows
+
+
+def test_hll_null_keys_dropped(spark):
+    """NULL keys must not mint a register row or skew the estimate;
+    a group whose keys are all NULL reports (0, 0), matching
+    count-distinct NULL semantics."""
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_distinct
+
+    df = spark.createDataFrame(
+        [(1, "g"), (2, "g"), (None, "g"), (None, "empty")],
+        "k long, grp string")
+    clean = spark.createDataFrame([(1, "g"), (2, "g")],
+                                  "k long, grp string")
+    rows = {r["grp"]: (r["true_distinct"], r["est_distinct"])
+            for r in hll_distinct(df, F.col("k"), "grp").collect()}
+    want = hll_distinct(clean, F.col("k"), "grp").collect()[0]
+    assert rows["g"] == (want["true_distinct"], want["est_distinct"])
+    assert rows["empty"] == (0, 0)
+
+
+def test_histogram_quantiles_ignores_null_values(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        histogram_quantiles,
+    )
+
+    vals = [float(i) for i in range(1, 51)]
+    with_nulls = spark.createDataFrame(
+        [("g", x) for x in vals] + [("g", None)] * 7,
+        "grp string, value double")
+    clean = spark.createDataFrame([("g", x) for x in vals],
+                                  "grp string, value double")
+    a = sorted(map(tuple, histogram_quantiles(
+        with_nulls, "value", "grp").collect()))
+    b = sorted(map(tuple, histogram_quantiles(
+        clean, "value", "grp").collect()))
+    assert a == b
