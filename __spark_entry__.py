@@ -1892,6 +1892,22 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_ingest(spark, sf_dir, "csv")
 
 
+def q_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment (self-join size) estimate of lineitem.l_partkey
+    from the count-min sketch (AMS inner-product on CMS rows): the
+    number a planner reads to foresee shuffle skew before paying for
+    the join, emitted next to the exact F2 so the overcount is
+    auditable as data."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        selfjoin_size_estimate,
+    )
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return selfjoin_size_estimate(load(spark, sf_dir, "lineitem"),
+                                  F.col("l_partkey"))
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram quantile sketch: p50/p90/p99 of event value per type
     from a 256-bucket mergeable equi-width histogram (integer fixed
@@ -2275,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_users": q_hll_daily_users,
         "hll_stream": q_hll_stream,
         "quantile_sketch": q_quantile_sketch,
+        "selfjoin_size": q_selfjoin_size,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
@@ -2893,6 +2910,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["quantile_sketch"] = histogram_quantiles_sql("value", "event_type")
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        selfjoin_size_estimate_sql,
+    )
+
+    out["selfjoin_size"] = selfjoin_size_estimate_sql(
+        "l_partkey", "lineitem")
     # ingestion roundtrips: the engine side writes+reads jsonl/csv; the
     # ground truth is the parquet table itself
     out["jsonl_ingest"] = ("SELECT doc_id, text, lang, source, n_chars"

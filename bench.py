@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "hll_daily_users",
     "hll_stream",
     "quantile_sketch",
+    "selfjoin_size",
     "jsonl_ingest",
     "csv_ingest",
 ]

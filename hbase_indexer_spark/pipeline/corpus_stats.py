@@ -1286,3 +1286,76 @@ def histogram_quantiles_sql(value_col: str, group: str,
                CAST(rk.v AS BIGINT) AS true_micro
         FROM est e JOIN ranked rk ON e.grp = rk.grp AND e.r = rk.rn
     """
+
+
+def selfjoin_size_estimate(df: DataFrame, key: Column,
+                           depth: int = CMS_DEPTH,
+                           width: int = CMS_WIDTH) -> DataFrame:
+    """Second-moment (self-join size) estimate from the count-min
+    sketch: ``F2 = sum over keys of count(key)^2`` predicts the row
+    count of a self-equijoin — THE number a planner needs to foresee
+    shuffle skew before paying for it.  The estimate is the min over
+    sketch rows of ``sum over cells of c^2`` (the AMS inner-product
+    trick on CMS rows); like cms_estimates it is one-sided
+    (``est >= true``, collision overcount bounded by width).
+
+    Returns ONE row ``(n_rows, n_keys, true_f2, est_f2)`` — exact F2
+    next to the estimate, error auditable as data.
+
+    Scale: the sketch build is one combinable (row, cell) shuffle; the
+    estimate folds ``depth x width`` cells.  The TRUE side is itself
+    just a per-key count (combinable) and exists as the audit — at
+    100 TB keep the sketch, which also MERGES across shards (cells add,
+    squares fold after the merge)."""
+    cells = (
+        df.select(F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cms_cell(key, r, width).alias("cell"))
+            for r in range(depth)])).alias("rc"))
+        .select(F.col("rc.row").alias("row"),
+                F.col("rc.cell").alias("cell"))
+        .groupBy("row", "cell").agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (cells.groupBy("row")
+           .agg(F.sum(F.expr("c * c")).alias("f2"))
+           .agg(F.min("f2").cast("long").alias("est_f2")))
+    true = (df.groupBy(key.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum("n").cast("long").alias("n_rows"),
+                 F.sum(F.expr("n * n")).cast("long").alias("true_f2")))
+    return true.crossJoin(est).select("n_rows", "n_keys", "true_f2",
+                                      "est_f2")
+
+
+def selfjoin_size_estimate_sql(key_expr: str, table: str,
+                               depth: int = CMS_DEPTH,
+                               width: int = CMS_WIDTH) -> str:
+    def cell(row: int) -> str:
+        return (f"CAST(('0x' || substr(md5('cms{row}:' || {key_expr}),"
+                f" 1, 15)) AS BIGINT) % {width}")
+
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cell(r)} AS cell FROM {table}"
+        for r in range(depth))
+    return f"""
+        WITH cells AS ({hash_rows}),
+        sketch AS (
+            SELECT row, cell, count(*) AS c FROM cells
+            GROUP BY row, cell
+        ),
+        est AS (
+            SELECT CAST(min(f2) AS BIGINT) AS est_f2
+            FROM (SELECT row, sum(c * c) AS f2 FROM sketch
+                  GROUP BY row) t
+        ),
+        tru AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n * n) AS BIGINT) AS true_f2
+            FROM (SELECT {key_expr} AS k, count(*) AS n FROM {table}
+                  GROUP BY {key_expr}) t
+        )
+        SELECT t.n_rows, t.n_keys, t.true_f2, e.est_f2
+        FROM tru t CROSS JOIN est e
+    """

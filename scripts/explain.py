@@ -330,6 +330,13 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
          *NO_PYTHON],
     ),
+    # F2 estimate: two combinable aggregation branches (sketch fold +
+    # exact per-key counts) crossed on single rows; the 1x1 BNLJ is
+    # allowlisted in tests/test_plan_lint.py
+    "selfjoin_size": (
+        [r"partial_", r"HashAggregate"],
+        [r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
     # ingestion roundtrips: the returned frame is a bare scan of the
     # just-written corpus files under the enforced schema
     "jsonl_ingest": (

@@ -348,3 +348,32 @@ def test_histogram_quantiles_ignores_null_values(spark):
     b = sorted(map(tuple, histogram_quantiles(
         clean, "value", "grp").collect()))
     assert a == b
+
+
+def _py_f2(keys, depth=4, width=256):
+    """Pure-Python replay of the CMS second-moment estimate."""
+    from collections import Counter
+    sketch = [Counter() for _ in range(depth)]
+    for k in keys:
+        for r in range(depth):
+            h = int(hashlib.md5(f"cms{r}:{k}".encode())
+                    .hexdigest()[:15], 16)
+            sketch[r][h % width] += 1
+    est = min(sum(c * c for c in row.values()) for row in sketch)
+    counts = Counter(keys)
+    true = sum(n * n for n in counts.values())
+    return len(keys), len(counts), true, est
+
+
+@settings(**_SETTINGS)
+@given(keys=st.lists(st.integers(0, 40), min_size=1, max_size=80))
+def test_selfjoin_size_matches_python_model(spark, keys):
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        selfjoin_size_estimate,
+    )
+
+    expect = _py_f2([str(k) for k in keys])
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    r = selfjoin_size_estimate(df, F.col("k")).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["true_f2"], r["est_f2"]) == expect
+    assert r["est_f2"] >= r["true_f2"]  # CMS one-sided overcount

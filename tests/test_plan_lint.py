@@ -60,6 +60,9 @@ ALLOW_BNLJ = {
     # => BNLJ over the O(K) side) — the memory-bound regime PQ exists
     # for; scan pruning comes from composing with the IVF cell layout.
     "ann_pq_adc",
+    # F2 report: crossJoin of TWO single-row aggregates (exact stats x
+    # sketch estimate) — a 1x1 loop, not a data join.
+    "selfjoin_size",
 }
 
 
