@@ -2251,7 +2251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The r5b additions (kmeans_cells, semdedup, dsir_selection,
         # c4_line_clean, substring_dedup, line_dedup, vocab_encode,
         # ann_pq_adc) sit further down — each oracle-green at 3 SFs on
-        # arrival; rotate them in after this pool drains.
+        # arrival; rotate them in after this pool drains.  The
+        # r5-continuation additions (pagerank_trade, trustrank_seeds,
+        # hll_daily_users, hll_stream, quantile_sketch, selfjoin_size,
+        # jsonl_ingest, csv_ingest) likewise: each landed with a full
+        # 3-SF oracle sweep (CHECK_LOCAL_r05*) and belongs in the r6/r7
+        # windows with the rest of the never-driver-checked pool.
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
         "embedding_lsh_recall": q_embedding_lsh_recall,

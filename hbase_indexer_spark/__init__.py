@@ -129,6 +129,19 @@ _EXPORTS = {
     "filter_ablation": "hbase_indexer_spark.pipeline.curation",
     "count_min_sketch": "hbase_indexer_spark.pipeline.corpus_stats",
     "cms_estimates": "hbase_indexer_spark.pipeline.corpus_stats",
+    # r5b surface: graph analytics, distinct/quantile/F2 sketches,
+    # corpus ingestion
+    "trade_edges": "hbase_indexer_spark.pipeline.graph",
+    "pagerank": "hbase_indexer_spark.pipeline.graph",
+    "personalized_pagerank": "hbase_indexer_spark.pipeline.graph",
+    "hll_registers": "hbase_indexer_spark.pipeline.corpus_stats",
+    "hll_distinct": "hbase_indexer_spark.pipeline.corpus_stats",
+    "hll_stream": "hbase_indexer_spark.streaming.sketch_stream",
+    "histogram_quantiles": "hbase_indexer_spark.pipeline.corpus_stats",
+    "selfjoin_size_estimate": "hbase_indexer_spark.pipeline.corpus_stats",
+    "read_documents": "hbase_indexer_spark.sources.corpus",
+    "read_jsonl": "hbase_indexer_spark.sources.corpus",
+    "read_csv": "hbase_indexer_spark.sources.corpus",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
