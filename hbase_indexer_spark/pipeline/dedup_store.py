@@ -203,12 +203,17 @@ def screen_batches(spark: SparkSession, docs: DataFrame, state_path: str,
 
 
 def _screen_ctes(threshold: float, n: int, n_batches: int,
-                 keep_gate: str = "") -> str:
+                 keep_gate: str = "",
+                 intra_batch_first: bool = False) -> str:
     """The shared CTE body replaying the sequential stateful screen in
     DuckDB: sketches, per-batch verdicts v{b}, and cumulative kept{b}
     state sets.  ``keep_gate`` is an extra SQL predicate (over a ``qual``
     CTE alias ``q``) a doc must also pass to enter the state — the
-    curation quality gate; empty = pure screen (dedup_store_screen)."""
+    curation quality gate; empty = pure screen (dedup_store_screen).
+    ``intra_batch_first`` restricts each batch's admissions to the min
+    doc_id per exact text — mirroring the curation loop's intra-batch
+    dedup (the transcript form keeps all verdicts and leaves in-batch
+    dedup to the caller, per the module docstring)."""
     from hbase_indexer_spark.pipeline.dedup import (
         N_BANDS,
         P,
@@ -231,6 +236,14 @@ def _screen_ctes(threshold: float, n: int, n_batches: int,
     sig_cols = ", ".join(f"s{i}" for i in range(N_SIGS))
     gate_join = (f"JOIN qual q ON q.doc_id = s.doc_id AND ({keep_gate})"
                  if keep_gate else "")
+    if intra_batch_first:
+        gate_join += (" JOIN fb ON fb.batch = s.batch"
+                      " AND fb.doc_id = s.doc_id")
+    fb_cte = (""",
+        fb AS (
+            SELECT batch, ch, min(doc_id) AS doc_id
+            FROM sk GROUP BY batch, ch
+        )""" if intra_batch_first else "")
     ctes = [f"""{shingle_cte_sql(n)},
         hashed AS (
             SELECT doc_id,
@@ -246,7 +259,7 @@ def _screen_ctes(threshold: float, n: int, n_batches: int,
             SELECT d.doc_id, d.doc_id % {n_batches} AS batch,
                    md5(d.text) AS ch, {sig_cols}
             FROM documents d LEFT JOIN sigs USING (doc_id)
-        ),
+        ){fb_cte},
         kept0 AS (SELECT s.* FROM sk s {gate_join} WHERE s.batch = 0),
         v0 AS (
             SELECT doc_id, CAST(0 AS BIGINT) AS batch,

@@ -218,9 +218,12 @@ class BucketedIndexStore:
             return df
 
         if (delete_predicates or delete_match) and delete_scope is None:
+            # base may be None: a published manifest can be EMPTY (a
+            # prior merge deleted every row) — the dbq then has nothing
+            # to delete and only the adds (below) matter
             base = self.read()
-            assert base is not None
-            base = _apply_dbq(base)
+            if base is not None:
+                base = _apply_dbq(base)
             untouched_dirs: dict[int, str] = {}
         else:
             # the changed-key set (small: bounded by the batch) -> touched

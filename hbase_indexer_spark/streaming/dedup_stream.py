@@ -14,9 +14,12 @@ failure) all produce duplicate records.  Two Spark-native forms:
 - ``dedup_stream_exact``: plain ``dropDuplicates`` — exact global dedup,
   state grows with distinct keys; only for bounded key domains.
 
-The content key defaults to a normalized-text hash (the same
-normalization as ``pipeline.dedup.exact_dedup_groups``), so stream and
-batch agree on what "duplicate" means.
+The content key is a normalized-text hash (casefold + whitespace
+collapse) — DELIBERATELY looser than ``pipeline.dedup.exact_dedup_groups``
+(which hashes the raw text): re-crawls of the same page routinely differ
+only in whitespace/case, and the streaming path exists to catch exactly
+those.  Pass a raw ``F.md5(text)`` key yourself where byte-exact batch
+parity is required.
 """
 
 from __future__ import annotations
@@ -27,7 +30,8 @@ from pyspark.sql import functions as F
 
 def content_key(text: Column) -> Column:
     """Normalized content hash: casefold + whitespace-collapse, then a
-    64-bit xxhash — the batch pipeline's exact-dedup key, streamable."""
+    64-bit xxhash.  Looser than the batch exact-dedup key by design —
+    see the module docstring."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(norm)
 
@@ -56,7 +60,12 @@ def dedup_stream_exact(events: DataFrame, text_col: str = "text") -> DataFrame:
 def batch_first_per_key(df: DataFrame, text_col: str = "text",
                         order_col: str = "event_time") -> DataFrame:
     """Batch closed form of :func:`dedup_stream_exact` (first record per
-    content key by ``order_col``): the equivalence oracle for tests."""
+    content key by ``order_col``): the equivalence oracle for tests.
+
+    Equivalence caveat: the streaming form keeps the first record in
+    ARRIVAL order; this form keeps min(``order_col``).  They agree only
+    when arrival follows ``order_col`` — same-key records with differing
+    non-key columns arriving out of order survive differently."""
     from pyspark.sql.window import Window
 
     keyed = df.withColumn("_ck", content_key(F.col(text_col)))
@@ -70,16 +79,22 @@ def batch_first_per_key(df: DataFrame, text_col: str = "text",
 
 def dedup_stream_against(events: DataFrame, base: DataFrame,
                          text_col: str = "text",
-                         base_text_col: str = "text") -> DataFrame:
+                         base_text_col: str = "text",
+                         broadcast_base: bool = True) -> DataFrame:
     """Screen a stream against a static accepted corpus: drop records
     whose normalized content key already exists in ``base`` — the
     streaming arm of ``pipeline.dedup.dedup_against``'s exact path.
 
-    Stateless: the base reduces to a distinct-key DataFrame (broadcast
-    when it fits; Spark re-plans the static side per micro-batch, so a
-    base that grows between triggers is picked up on the next batch).
-    A stream-static LEFT ANTI join is append-mode-safe — no watermark,
-    no streaming state, runs forever.
+    Stateless: the base reduces to a distinct-key DataFrame (Spark
+    re-plans the static side per micro-batch, so a base that grows
+    between triggers is picked up on the next batch).  A stream-static
+    LEFT ANTI join is append-mode-safe — no watermark, no streaming
+    state, runs forever.
+
+    ``broadcast_base=True`` (default) hints the key set broadcast —
+    right while the accepted corpus's distinct keys fit in memory.  At
+    billions of keys pass ``False``: the hint would force a too-large
+    broadcast (no AQE fallback), so let the planner shuffle instead.
 
     Near-dup screening needs per-batch aggregation (MinHash signatures),
     which streaming aggregation semantics don't allow statelessly — run
@@ -88,20 +103,31 @@ def dedup_stream_against(events: DataFrame, base: DataFrame,
     """
     keys = base.select(
         content_key(F.col(base_text_col)).alias("_ck")).distinct()
+    if broadcast_base:
+        keys = F.broadcast(keys)
     keyed = events.withColumn("_ck", content_key(F.col(text_col)))
-    return keyed.join(F.broadcast(keys), "_ck", "left_anti").drop("_ck")
+    return keyed.join(keys, "_ck", "left_anti").drop("_ck")
 
 
 def curation_stream(stream_docs: DataFrame, store, corpus_store,
                     checkpoint: str, min_tokens: int = 5,
                     min_quality: float = 0.0):
-    """The continuous-curation loop: per micro-batch, screen arriving
-    documents against the persistent dedup state (`DedupIndexStore`),
-    apply the quality gate (token length + ``quality_score``, matching
-    ``curated_corpus``), append survivors to the corpus store, and
-    fold their sketches back into the dedup state — so a duplicate
-    arriving in batch N+1 of a page accepted in batch N is dropped,
-    across restarts.
+    """The continuous-curation loop: per micro-batch, dedup the batch
+    against ITSELF (exact text, keep min doc_id — two copies of a page
+    racing into one trigger must not both land), screen survivors
+    against the persistent dedup state (`DedupIndexStore`), apply the
+    quality gate (token length + ``quality_score``; defaults shared
+    with :func:`curation_stream_sql`, the mirror — pass (10, 0.5) for
+    the ``curated_corpus`` thresholds), append keeps to the corpus
+    store, and fold their sketches back into the dedup state — so a
+    duplicate arriving in batch N+1 of a page accepted in batch N is
+    dropped, across restarts.
+
+    Residual: NEAR-duplicates of each other arriving in the same
+    micro-batch are both kept (the state compares batch vs accepted
+    only); they collapse the first time either re-arrives, and a batch
+    near-dup pass (``minhash_lsh_dedup_pairs`` over the batch) can be
+    composed in where that residual matters.
 
     Exactly-once composition mirrors the index path (T1): the stream is
     checkpointed, both stores publish via keyed idempotent MERGE, and a
@@ -118,14 +144,22 @@ def curation_stream(stream_docs: DataFrame, store, corpus_store,
     def _process(batch: DataFrame, batch_id: int) -> None:
         from hbase_indexer_spark.pipeline.dedup_store import doc_sketches
 
+        from pyspark.sql.window import Window
+
         spark = batch.sparkSession
         if not batch.head(1):
             return
+        # intra-batch exact dedup BEFORE screening: the state only knows
+        # accepted docs, so same-text twins inside one trigger would
+        # both pass the screen (mirrored by the oracle's batch-first CTE)
+        wfb = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        batch = (batch.withColumn("_rn", F.row_number().over(wfb))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
         batch = batch.cache()
         try:
             # one shingle pass per micro-batch: the materialized sketches
             # feed the screen's three sketch joins AND the state accept
-            sk = doc_sketches(batch).localCheckpoint(eager=True)
+            sk = doc_sketches(batch, store.n).localCheckpoint(eager=True)
             verdicts = store.screen(spark, batch, sketches=sk)
             n_tok = token_count(F.col("text"))
             keeps = (
@@ -156,22 +190,27 @@ def curation_stream(stream_docs: DataFrame, store, corpus_store,
 
 
 def curation_stream_sql(threshold: float = 0.7, n: int = 3,
-                        n_batches: int = 3, min_tokens: int = 10,
-                        min_quality: float = 0.5) -> str:
+                        n_batches: int = 3, min_tokens: int = 5,
+                        min_quality: float = 0.0) -> str:
+    # gate defaults shared with curation_stream — the two are mirrors,
+    # so invoking both with defaults must compare like for like
     """DuckDB mirror of the :func:`curation_stream` end state over
     ``n_batches`` ordered file-drops of the documents table (batch =
     doc_id % n_batches): the accepted corpus after the last trigger.
 
     Builds on the stateful-screen CTEs (``pipeline.dedup_store``),
-    adding the stream's quality gate to the kept sets: a doc enters the
-    corpus AND the dedup state only when its screen verdict is keep AND
-    n_tokens >= min_tokens AND quality_score >= min_quality — exactly
-    the foreachBatch filter, so a low-quality unique doc neither lands
-    in the corpus nor shields later duplicates of itself."""
+    adding the stream's quality gate AND its intra-batch exact dedup to
+    the kept sets: a doc enters the corpus AND the dedup state only
+    when it is the min doc_id for its text within its batch, its screen
+    verdict is keep, n_tokens >= min_tokens and quality_score >=
+    min_quality — exactly the foreachBatch filter, so a low-quality
+    unique doc neither lands in the corpus nor shields later duplicates
+    of itself, and same-text twins inside one trigger land once."""
     from hbase_indexer_spark.pipeline.dedup_store import _screen_ctes
 
     gate = (f"q.n_tokens >= {min_tokens} AND q.quality >= {min_quality}")
-    ctes = _screen_ctes(threshold, n, n_batches, keep_gate=gate)
+    ctes = _screen_ctes(threshold, n, n_batches, keep_gate=gate,
+                        intra_batch_first=True)
     last = f"kept{n_batches - 1}"
     return f"""
         WITH {ctes}

@@ -19,8 +19,11 @@ raw-event footprint; the shuffle is one hash partition by user_id, and the
 batch form's window + groupBy reuse the same single shuffle (Catalyst
 plans one Exchange for both).
 
-Ties: event timestamps are unique per user in the driver data (verified at
-sf0.01/0.1); with ties the sort is stable on (ts, event_id).
+Ties: both engines order by ``(ts_ms, event_id)`` when the event_id
+column is present (``event_times`` projects it), with an explicit ROWS
+frame on the running sum — under a total order the two engines cannot
+diverge on tied timestamps (DuckDB's default RANGE frame would sum
+across tie peers where Spark's ROWS frame goes row-by-row).
 """
 
 from __future__ import annotations
@@ -67,6 +70,7 @@ def event_times(events: DataFrame) -> DataFrame:
         "user_id",
         ts_millis(events).alias("ts_ms"),
         "event_type",
+        "event_id",  # tie-break column — see the module docstring
     )
 
 
@@ -77,7 +81,11 @@ def sessionize(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
     the final groupBy all hash-partition by user_id, so Catalyst reuses a
     single shuffle.
     """
-    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    # (ts_ms, event_id) is a total order -> deterministic lag/sum even on
+    # tied timestamps; frames without event_id keep plain ts_ms order
+    order_cols = ["ts_ms"] + (["event_id"] if "event_id" in events.columns
+                              else [])
+    w = Window.partitionBy("user_id").orderBy(*order_cols)
     prev = F.lag("ts_ms").over(w)
     new_sess = F.when(
         prev.isNull() | ((F.col("ts_ms") - prev) > gap_ms), F.lit(1)
@@ -104,17 +112,20 @@ def sessionize_sql(gap_ms: int = DEFAULT_GAP_MS) -> str:
     """DuckDB oracle for sessionize(event_times(events))."""
     return f"""
         WITH e AS (
-            SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+            SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, event_id
+            FROM events
         ), flagged AS (
-            SELECT user_id, ts_ms, event_type,
+            SELECT user_id, ts_ms, event_type, event_id,
                    CASE WHEN lag(ts_ms) OVER w IS NULL
                           OR ts_ms - lag(ts_ms) OVER w > {gap_ms}
                         THEN 1 ELSE 0 END AS new_sess
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
         ), numbered AS (
             SELECT user_id, ts_ms, event_type,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms)
-                       AS sess
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
             FROM flagged
         )
         SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
@@ -134,29 +145,38 @@ def _sessionize_group(key, pdf_iter, state: GroupState, gap_ms: int):
         start = last = None
         n = np_ = 0
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts_ms")
-        for ts, etype in zip(pdf["ts_ms"], pdf["event_type"]):
-            ts = int(ts)
-            flush = etype == FLUSH_EVENT_TYPE
-            gap_over = last is not None and ts - last > gap_ms
-            if (flush or gap_over) and start is not None:
-                out.append((int(key[0]), start, last, n, np_))
-                start = None
-                n = np_ = 0
-            if flush:
-                continue
-            if start is None:
-                start = ts
-            last = ts
-            n += 1
-            np_ += int(etype == "purchase")
+    # concatenate BEFORE sorting: a large group arrives as several Arrow
+    # chunks and events in chunk 2 can precede events in chunk 1 — a
+    # per-chunk sort would fold them out of time order, splitting real
+    # sessions.  Memory is the group's batch rows (already the operator's
+    # working set).
+    import pandas as _pd
+
+    chunks = [c for c in pdf_iter if len(c)]
+    pdf = (_pd.concat(chunks, ignore_index=True) if chunks
+           else _pd.DataFrame(columns=["ts_ms", "event_type"]))
+    sort_cols = ["ts_ms"] + (["event_id"] if "event_id" in pdf.columns
+                             else [])
+    pdf = pdf.sort_values(sort_cols)
+    for ts, etype in zip(pdf["ts_ms"], pdf["event_type"]):
+        ts = int(ts)
+        flush = etype == FLUSH_EVENT_TYPE
+        gap_over = last is not None and ts - last > gap_ms
+        if (flush or gap_over) and start is not None:
+            out.append((int(key[0]), start, last, n, np_))
+            start = None
+            n = np_ = 0
+        if flush:
+            continue
+        if start is None:
+            start = ts
+        last = ts
+        n += 1
+        np_ += int(etype == "purchase")
     if start is None:
         state.remove()
     else:
         state.update((start, last, n, np_))
-    import pandas as _pd
-
     yield _pd.DataFrame(
         out, columns=["user_id", "session_start", "session_end",
                       "n_events", "n_purchases"])

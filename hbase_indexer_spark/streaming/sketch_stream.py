@@ -53,8 +53,20 @@ def fold_sketch_batch(store, batch: DataFrame, batch_id: int,
         return False
     cur = store.read(spark)
     have_cur = cur is not None and bool(cur.head(1))
-    if have_cur and cur.agg(F.max("last_batch")).first()[0] >= batch_id:
-        return False
+    if have_cur:
+        last = cur.agg(F.max("last_batch")).first()[0]
+        if batch_id == last:
+            return False  # at-least-once replay of the last micro-batch
+        if batch_id < last:
+            # id REGRESSION (checkpoint reset/pointing a new query at a
+            # populated store): skipping silently would discard all
+            # future data — fail loudly instead
+            raise ValueError(
+                f"sketch store at {store.path!r} has last_batch={last} "
+                f"but the stream delivered batch_id={batch_id}; the "
+                "streaming checkpoint was reset against persistent "
+                "sketch state — resume the old checkpoint or point the "
+                "query at a fresh store")
     sk = count_min_sketch(batch, depth=depth, width=width)
     if have_cur:
         sk = (sk.unionByName(cur.select("row", "cell", "c"))
@@ -102,8 +114,17 @@ def fold_hll_batch(store, batch: DataFrame, batch_id: int,
         return False
     cur = store.read(spark)
     have_cur = cur is not None and bool(cur.head(1))
-    if have_cur and cur.agg(F.max("last_batch")).first()[0] >= batch_id:
-        return False
+    if have_cur:
+        last = cur.agg(F.max("last_batch")).first()[0]
+        if batch_id == last:
+            return False  # at-least-once replay of the last micro-batch
+        if batch_id < last:
+            raise ValueError(
+                f"sketch store at {store.path!r} has last_batch={last} "
+                f"but the stream delivered batch_id={batch_id}; the "
+                "streaming checkpoint was reset against persistent "
+                "sketch state — resume the old checkpoint or point the "
+                "query at a fresh store")
     regs = hll_registers(batch, F.col(key), group)
     if have_cur:
         regs = (regs.unionByName(cur.select("grp", "reg", "mr"))

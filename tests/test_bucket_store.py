@@ -174,3 +174,24 @@ def test_index_store_time_travel(spark, tmp_path):
         s2.merge(spark, adds=spark.createDataFrame(
             [(f"r{i}", i)], "id string, v int"))
     assert s2.versions() == [1, 2]
+
+
+def test_dbq_merge_on_empty_manifest(spark, tmp_path):
+    """A delete-by-query merge against a store whose current manifest is
+    EMPTY (a prior merge deleted every row) must not crash — the dbq is
+    a no-op and the accompanying adds still publish."""
+    from pyspark.sql import functions as F
+
+    from hbase_indexer_spark.sinks.bucket_store import BucketedIndexStore
+
+    store = BucketedIndexStore(str(tmp_path / "b"), key="id",
+                               bucket_field="id", n_buckets=4)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    store.overwrite(df)
+    # delete everything via predicate -> empty manifest published
+    store.merge(delete_predicates=[F.lit(True)])
+    assert store.read() is None or store.read().count() == 0
+    # next dbq merge with adds: previously AssertionError, now publishes
+    adds = spark.createDataFrame([(3, "z")], "id long, v string")
+    store.merge(adds=adds, delete_predicates=[F.col("v") == "gone"])
+    assert {r["id"] for r in store.read().collect()} == {3}

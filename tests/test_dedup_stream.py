@@ -240,3 +240,61 @@ def test_curation_stream_survives_restart(spark, tmp_path):
 
     got = {r["doc_id"] for r in corpus.read(spark).collect()}
     assert got == {1, 11}  # 10 dropped against state built pre-restart
+
+
+def test_curation_stream_intra_batch_twins_land_once(spark, tmp_path):
+    """Two copies of the same text racing into ONE micro-batch: only the
+    min-doc_id copy enters the corpus and the state (the oracle's
+    batch-first CTE mirrors this)."""
+    from hbase_indexer_spark.pipeline.dedup_store import DedupIndexStore
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.dedup_stream import curation_stream
+
+    doc_schema = "doc_id long, text string"
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(7, long_a), (3, long_a), (9, "a different page entirely here")],
+        doc_schema)
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import os
+    for f in os.listdir(tmp_path / "stage"):
+        if f.endswith(".parquet"):
+            os.rename(tmp_path / "stage" / f, src / "b0.parquet")
+    store = DedupIndexStore(str(tmp_path / "state"))
+    corpus = IndexStore(str(tmp_path / "corpus"), key="doc_id")
+    stream = spark.readStream.schema(doc_schema).parquet(str(src))
+    q = curation_stream(stream, store, corpus,
+                        checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in corpus.read(spark).collect()}
+    assert got == {3, 9}  # min doc_id per text survives, twin 7 dropped
+    state_ids = {r["doc_id"] for r in store.sketches(spark).collect()}
+    assert 7 not in state_ids
+
+
+def test_sketch_fold_raises_on_batch_id_regression(spark, tmp_path):
+    """Checkpoint reset against a populated sketch store must fail
+    loudly, not silently skip every future batch."""
+    import pytest
+
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.sketch_stream import (
+        fold_hll_batch,
+        fold_sketch_batch,
+    )
+
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    store = IndexStore(str(tmp_path / "sk"), key="row")
+    assert fold_sketch_batch(store, docs, batch_id=5) is True
+    assert fold_sketch_batch(store, docs, batch_id=5) is False  # replay
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        fold_sketch_batch(store, docs, batch_id=0)
+
+    keys = spark.createDataFrame([(1, "g")], "k long, grp string")
+    hstore = IndexStore(str(tmp_path / "hll"), key="grp")
+    assert fold_hll_batch(hstore, keys, 3, key="k", group="grp") is True
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        fold_hll_batch(hstore, keys, 1, key="k", group="grp")

@@ -59,3 +59,38 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in sessionize(
         spark.createDataFrame(EVENTS, EVENT_DDL), gap_ms=GAP).collect()}
     assert got == want
+
+
+def test_sessionize_tied_timestamps_match_oracle(spark):
+    """Tied per-user timestamps: the (ts_ms, event_id) total order plus
+    the explicit ROWS frame keep Spark and DuckDB session numbering
+    identical (DuckDB's default RANGE frame would sum across tie peers)."""
+    import duckdb
+
+    from hbase_indexer_spark.streaming.sessions import (
+        sessionize,
+        sessionize_sql,
+    )
+
+    # user 1: three events at the SAME ts, then one past the gap
+    rows = [
+        (1, 1000, "view", 10),
+        (1, 1000, "purchase", 11),
+        (1, 1000, "view", 12),
+        (1, 1000 + 7_200_001, "view", 13),
+        (2, 5000, "purchase", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ms long, event_type string, event_id long")
+    got = sorted(map(tuple, sessionize(df, gap_ms=7_200_000).collect()))
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW events AS
+        SELECT user_id, make_timestamp(CAST(ts_ms AS BIGINT) * 1000) AS ts,
+               event_type, event_id
+        FROM (VALUES {}) t(user_id, ts_ms, event_type, event_id)
+    """.format(", ".join(str(r) for r in rows)))
+    ora = sorted(tuple(int(x) if not isinstance(x, str) else x for x in r)
+                 for r in con.execute(sessionize_sql(7_200_000)).fetchall())
+    assert got == ora
+    # the three tied events are ONE session with 1 purchase
+    assert (1, 1000, 1000, 3, 1) in got
