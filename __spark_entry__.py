@@ -1892,6 +1892,18 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_ingest(spark, sf_dir, "csv")
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style per-column data-quality profile of the events table
+    (completeness + HLL cardinality next to the exact distinct count) —
+    the accept-gate report an ingest pipeline runs on every new drop."""
+    from hbase_indexer_spark.pipeline.corpus_stats import column_profile
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return column_profile(load(spark, sf_dir, "events"),
+                          ["user_id", "event_type", "props"])
+
+
 def q_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment (self-join size) estimate of lineitem.l_partkey
     from the count-min sketch (AMS inner-product on CMS rows): the
@@ -2297,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stream": q_hll_stream,
         "quantile_sketch": q_quantile_sketch,
         "selfjoin_size": q_selfjoin_size,
+        "column_profile": q_column_profile,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
@@ -2921,6 +2934,10 @@ def oracle_sql() -> dict[str, str]:
 
     out["selfjoin_size"] = selfjoin_size_estimate_sql(
         "l_partkey", "lineitem")
+    from hbase_indexer_spark.pipeline.corpus_stats import column_profile_sql
+
+    out["column_profile"] = column_profile_sql(
+        ["user_id", "event_type", "props"])
     # ingestion roundtrips: the engine side writes+reads jsonl/csv; the
     # ground truth is the parquet table itself
     out["jsonl_ingest"] = ("SELECT doc_id, text, lang, source, n_chars"

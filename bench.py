@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "hll_stream",
     "quantile_sketch",
     "selfjoin_size",
+    "column_profile",
     "jsonl_ingest",
     "csv_ingest",
 ]

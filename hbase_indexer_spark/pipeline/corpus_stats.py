@@ -1359,3 +1359,54 @@ def selfjoin_size_estimate_sql(key_expr: str, table: str,
         SELECT t.n_rows, t.n_keys, t.true_f2, e.est_f2
         FROM tru t CROSS JOIN est e
     """
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile: one row per column with
+    ``(column, n_rows, n_null, true_distinct, est_distinct)`` —
+    completeness and cardinality, the checks an ingest pipeline runs
+    before accepting a new corpus drop (the Deequ/dbt-test shape).
+
+    Cardinality rides :func:`hll_distinct` (64 max-mergeable registers)
+    with the exact count beside it; values hash via their string cast,
+    so profile integer/string columns — float-to-string rendering is
+    not guaranteed identical across engines.
+
+    Scale: one combinable pass per profiled column (count + null count
+    + register build); nothing is ever collected.  For very wide
+    tables, profile columns in batches and union the outputs."""
+    # union BEFORE aggregating: per-column frames would carry a
+    # CONSTANT 'column' literal, and Catalyst folds the counts⋈dist
+    # equi-join on it into a trivially-true nested loop; over the union
+    # the key genuinely varies and the join hashes
+    base = None
+    for c in cols:
+        part = df.select(F.lit(c).alias("column"),
+                         F.col(c).cast("string").alias("k"))
+        base = part if base is None else base.unionByName(part)
+    counts = base.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_null"))
+    dist = hll_distinct(base, F.col("k"), "column")
+    return (counts.join(dist, "column")
+            .select("column", "n_rows", F.col("n_null").cast("long")
+                    .alias("n_null"), "true_distinct", "est_distinct"))
+
+
+def column_profile_sql(cols: list[str], table: str = "events") -> str:
+    parts = []
+    for c in cols:
+        derived = (f"(SELECT '{c}' AS col_name, "
+                   f"CAST({c} AS VARCHAR) AS k FROM {table})")
+        hll = hll_distinct_sql("k", "col_name", table=derived)
+        parts.append(f"""
+            SELECT c.col_name AS "column",
+                   CAST(c.n_rows AS BIGINT) AS n_rows,
+                   CAST(c.n_null AS BIGINT) AS n_null,
+                   d.true_distinct, d.est_distinct
+            FROM (SELECT '{c}' AS col_name, count(*) AS n_rows,
+                         count(*) FILTER ({c} IS NULL) AS n_null
+                  FROM {table}) c
+            JOIN ({hll}) d ON c.col_name = d.col_name
+        """)
+    return " UNION ALL ".join(parts)

@@ -337,6 +337,12 @@ CHECKS = {
         [r"partial_", r"HashAggregate"],
         [r"CartesianProduct", r"Window", *NO_PYTHON],
     ),
+    # column profile: per-column combinable count/null/register passes
+    # unioned; the distinct-vs-sketch join is broadcast-1-row-per-column
+    "column_profile": (
+        [r"partial_", r"HashAggregate", r"Union"],
+        [r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
     # ingestion roundtrips: the returned frame is a bare scan of the
     # just-written corpus files under the enforced schema
     "jsonl_ingest": (

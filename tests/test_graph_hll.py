@@ -377,3 +377,19 @@ def test_selfjoin_size_matches_python_model(spark, keys):
     r = selfjoin_size_estimate(df, F.col("k")).collect()[0]
     assert (r["n_rows"], r["n_keys"], r["true_f2"], r["est_f2"]) == expect
     assert r["est_f2"] >= r["true_f2"]  # CMS one-sided overcount
+
+
+def test_column_profile_counts_and_nulls(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")],
+        "k long, s string")
+    rows = {r["column"]: r for r in
+            column_profile(df, ["k", "s"]).collect()}
+    assert (rows["k"]["n_rows"], rows["k"]["n_null"],
+            rows["k"]["true_distinct"]) == (4, 1, 2)
+    assert (rows["s"]["n_rows"], rows["s"]["n_null"],
+            rows["s"]["true_distinct"]) == (4, 1, 2)
+    # estimate present and plausible at tiny cardinality
+    assert rows["k"]["est_distinct"] >= 1
