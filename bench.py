@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "semdedup",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_indexed",
+    "ann_ivf_indexed_verified",
     "ann_lsh_verified",
     "ann_ivf_verified",
     "text_profile",
@@ -174,6 +177,9 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entry.queries()
+    # approximate plans with no oracle live outside the gate surface but
+    # stay benchmarked
+    qs.update(entry.bench_only())
 
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

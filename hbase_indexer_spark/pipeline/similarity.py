@@ -278,6 +278,32 @@ def _pinned_centroids(dim: int, n_cells: int) -> list[list[float]]:
     return cents
 
 
+def _pinned_cell_ranking(dim: int, n_cells: int):
+    """Catalyst cell-ranking expression over the pinned centroids: given a
+    vector column, returns the array of ``struct(nd, cell)`` sorted by
+    dot DESC, cell ASC (``array_sort`` over ``struct(-dot, cell)``).  One
+    2-D literal + one transform keeps the expression tree (and its codegen)
+    O(1) in n_cells instead of unrolling n aggregate folds.  Shared by the
+    ad-hoc pinned path (:func:`ivf_topk_pinned`) and the pinned index-store
+    build/query pair so all three hash-match the same SQL oracle."""
+    cents = _pinned_centroids(dim, n_cells)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in cents
+    ])
+
+    def cell_ranking(v: Column) -> Column:
+        scored = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                (-dot(v, c)).alias("nd"),
+                i.cast("int").alias("cell"),
+            ),
+        )
+        return F.array_sort(scored)
+
+    return cell_ranking
+
+
 def ivf_topk_pinned(emb: DataFrame, query_ids: list[int], k: int = 5,
                     dim: int = 64, n_cells: int = 16,
                     n_probe: int = 4) -> DataFrame:
@@ -296,23 +322,7 @@ def ivf_topk_pinned(emb: DataFrame, query_ids: list[int], k: int = 5,
     the approximate family has an exact external oracle
     (``ivf_topk_pinned_sql``), like ``lsh_topk``/``lsh_topk_sql``.
     """
-    cents = _pinned_centroids(dim, n_cells)
-    # one 2-D literal + one transform keeps the expression tree (and its
-    # codegen) O(1) in n_cells instead of unrolling 16 aggregate folds
-    cents_lit = F.array(*[
-        F.array(*[F.lit(x) for x in c]) for c in cents
-    ])
-
-    def cell_ranking(v: Column) -> Column:
-        scored = F.transform(
-            cents_lit,
-            lambda c, i: F.struct(
-                (-dot(v, c)).alias("nd"),
-                i.cast("int").alias("cell"),
-            ),
-        )
-        return F.array_sort(scored)
-
+    cell_ranking = _pinned_cell_ranking(dim, n_cells)
     corpus = emb.select(
         "vec_id", "embedding",
         F.element_at(cell_ranking(F.col("embedding")), 1)["cell"].alias("cell"),
@@ -618,6 +628,73 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def build_ivf_index_pinned(emb: DataFrame, path: str, dim: int = 64,
+                           n_cells: int = 16) -> None:
+    """:func:`build_ivf_index` with PINNED centroids and the Catalyst cell
+    assignment — the deterministic, hash-checkable build.  Same layout as
+    the trained store (``path/cell=<i>/`` + ``_centroids.json``), but the
+    assignment arithmetic is the exact float64 dot + (dot DESC, cell ASC)
+    tie-break that ``ivf_topk_pinned_sql`` replays in DuckDB, so a query
+    over this store has a full external oracle.  The trained k-means build
+    stays the production default; this exists so the driver gate covers the
+    store-backed read path (partition-pruned scan + re-rank), not just the
+    ad-hoc plan."""
+    import json
+    import os
+
+    cell_ranking = _pinned_cell_ranking(dim, n_cells)
+    corpus = emb.select(
+        "vec_id", "embedding",
+        F.element_at(cell_ranking(F.col("embedding")), 1)["cell"].alias("cell"),
+    )
+    corpus.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(_pinned_centroids(dim, n_cells), f)
+
+
+def ivf_topk_indexed_pinned(spark, path: str, queries: DataFrame, k: int = 5,
+                            dim: int = 64, n_cells: int = 16,
+                            n_probe: int = 4) -> DataFrame:
+    """Query a :func:`build_ivf_index_pinned` store: probe cells come from
+    the same pinned Catalyst ranking the build used, the corpus scan is
+    partition-pruned to the probed cells, candidates exact-re-rank by
+    cosine.  Output schema == :func:`ivf_topk_pinned` (query_id,
+    neighbor_id, rank, sim_q) and — because parquet round-trips the
+    embedding floats bit-exactly — the result equals the ad-hoc pinned
+    plan, so ``ivf_topk_pinned_sql`` is its oracle too.
+
+    ``queries``: DataFrame(query_id, qv).  The probed-cell collect is
+    bounded by queries x n_probe ints (same shape as the trained
+    :func:`ivf_topk_indexed`)."""
+    cell_ranking = _pinned_cell_ranking(dim, n_cells)
+    q = queries.select(
+        "query_id", "qv",
+        F.explode(
+            F.transform(
+                F.slice(cell_ranking(F.col("qv")), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    ).cache()
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    cands = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round(F.col("sim"), 4).alias("sim_q"))
     )
 
 

@@ -3,19 +3,27 @@ its COVERAGE.md line, so the correctness gate can never silently narrow."""
 
 import __spark_entry__ as entry
 
-# genuinely non-SQL-expressible ops (iterative / approximate): the driver
-# records a rows-only check for these, and COVERAGE.md flags them
+# genuinely non-SQL-expressible ops (iterative / approximate): these live in
+# bench_only(), NOT queries() — the driver gate can only record
+# ``err: no_oracle`` for them (VERDICT r5 #3), while their deterministic
+# siblings (ann_lsh_verified / ann_ivf_verified / ann_ivf_int8 /
+# ann_ivf_indexed_verified) hash-check the same machinery in queries()
 ROWS_ONLY = {"ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed"}
 
 
-def test_every_query_has_oracle_or_is_declared_rows_only():
+def test_every_query_has_oracle():
     qs = set(entry.queries())
     oracles = set(entry.oracle_sql())
     assert not (oracles - qs), f"oracle without query: {oracles - qs}"
     missing = qs - oracles
-    assert missing == ROWS_ONLY, (
-        f"queries without oracle beyond the declared rows-only set: "
-        f"{missing ^ ROWS_ONLY}")
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_rows_only_queries_live_in_bench_only():
+    bench = set(entry.bench_only())
+    assert bench == ROWS_ONLY, f"bench_only drifted: {bench ^ ROWS_ONLY}"
+    overlap = bench & set(entry.queries())
+    assert not overlap, f"bench-only queries leaked into the gate: {overlap}"
 
 
 def test_coverage_doc_mentions_every_gate_query():
@@ -28,7 +36,7 @@ def test_coverage_doc_mentions_every_gate_query():
 def test_bench_queries_are_registered():
     import bench
 
-    qs = set(entry.queries())
+    qs = set(entry.queries()) | set(entry.bench_only())
     unknown = [q for q in bench.BENCH_QUERIES if q not in qs]
     assert not unknown, f"bench names unknown queries: {unknown}"
 
@@ -56,19 +64,18 @@ def test_gate_window_policy():
     oracles = set(entry.oracle_sql())
     assert set(window) <= oracles, (
         f"gated queries without an oracle: {sorted(set(window) - oracles)}")
-    # r5 rotation pins: the two r4 hash-FAILs (oracle HUGEINT bug, fixed
-    # this round) must stay in the window until recorded green
-    for must in ("corpus_report", "pack_sequences"):
-        assert must in window, f"{must} fell out of the gate window"
-    # the whole point of the r5 window: it gates never-driver-checked
+    # r6 rotation pins: the new store-backed verified IVF path (VERDICT
+    # r5 #3) must be gated this round
+    assert "ann_ivf_indexed_verified" in window
+    # the whole point of the r6 window: it gates never-driver-checked
     # queries, not rows that are already multi-round green
     import json
 
     checked = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         with open(f"CORRECTNESS_r0{r}.json", encoding="utf-8") as f:
             checked |= set(json.load(f))
     never = [q for q in window if q not in checked]
-    assert len(never) >= 40, (
+    assert len(never) >= 49, (
         f"gate window wastes slots on already-checked queries: only "
         f"{len(never)} never-checked rows inside")

