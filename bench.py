@@ -184,14 +184,29 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    def jvm_gc_millis() -> int:
+        """Cumulative JVM GC wall-time — lets a slow query be attributed to
+        GC pressure vs plan cost vs external load (VERDICT r5 #2: the
+        driver saw ratios idle re-runs couldn't reproduce)."""
+        try:
+            beans = (spark._jvm.java.lang.management.ManagementFactory
+                     .getGarbageCollectorMXBeans())
+            return sum(b.getCollectionTime() for b in beans)
+        except Exception:  # noqa: BLE001
+            return -1
+
     times: dict[str, float] = {}
+    runs_out: dict[str, list[float]] = {}
+    gc_out: dict[str, int] = {}
     errors: dict[str, str] = {}
+    load_start = os.getloadavg()[0]
     for name in BENCH_QUERIES:
         # best-of-2: the first run pays Python-worker-pool fork, codegen
         # warmup, and any transient background load; the min of two runs is
         # the engine's plan cost.  Single-run timings swung 2-4x run-to-run
         # on the same plan (measured r4), making regression flags noise.
         runs: list[float] = []
+        gc0 = jvm_gc_millis()
         try:
             for _ in range(2):
                 t0 = time.time()
@@ -199,8 +214,11 @@ def main() -> None:
                 n = df.count()
                 runs.append(time.time() - t0)
             times[name] = round(min(runs), 3)
+            runs_out[name] = [round(r, 3) for r in runs]
+            gc_out[name] = jvm_gc_millis() - gc0
             print(f"# {name}: {n} rows in {times[name]}s "
-                  f"(runs: {[round(r, 2) for r in runs]})", file=sys.stderr)
+                  f"(runs: {[round(r, 2) for r in runs]}, "
+                  f"gc: {gc_out[name]}ms)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             msg = f"{type(exc).__name__}: {exc}"
             errors[name] = msg.splitlines()[0][:300]
@@ -217,6 +235,14 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf else None,
+        # decomposition data (VERDICT r5 #2): when a driver-observed ratio
+        # disagrees with an idle re-run, these attribute the delta —
+        # runs[0] >> runs[1] = warm-up/transient; high gc_ms = JVM memory
+        # pressure; load_avg_1m >> cpus = external contention.
+        "runs": runs_out,
+        "gc_ms": gc_out,
+        "load_avg_1m": {"start": round(load_start, 2),
+                        "end": round(os.getloadavg()[0], 2)},
     }
     if errors:
         out["errors"] = errors

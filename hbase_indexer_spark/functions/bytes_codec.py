@@ -23,7 +23,7 @@ import decimal
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, DecimalType
+from pyspark.sql.types import ArrayType, BinaryType, DecimalType
 
 _U32 = 4294967296  # 2**32
 _I32 = 2147483648  # 2**31
@@ -135,6 +135,31 @@ def _decode_bigdecimal_udf(s: pd.Series) -> pd.Series:
 
 def decode_bigdecimal(col: Column) -> Column:
     return _decode_bigdecimal_udf(col)
+
+
+@F.pandas_udf(ArrayType(DecimalType(38, 18)))
+def _decode_bigdecimal_array_udf(s: pd.Series) -> pd.Series:
+    """Array form for wildcard extractors (ByteArrayValueMappers.java:92-96
+    applies the bigDecimal mapper under ANY extractor, including prefix
+    wildcards): decode each element of an array<binary> column.  One Arrow
+    batch per partition-chunk — the per-element loop is python-side but the
+    transfer is columnar, same budget as the scalar UDF."""
+    def dec(b):
+        if b is None or len(b) < 5:
+            return None
+        scale = int.from_bytes(b[:4], "big", signed=True)
+        unscaled = int.from_bytes(b[4:], "big", signed=True)
+        try:
+            return decimal.Decimal(unscaled).scaleb(-scale)
+        except decimal.InvalidOperation:
+            return None
+
+    return s.map(
+        lambda arr: None if arr is None else [dec(b) for b in arr])
+
+
+def decode_bigdecimal_array(col: Column) -> Column:
+    return _decode_bigdecimal_array_udf(col)
 
 
 # ---------------------------------------------------------------------------

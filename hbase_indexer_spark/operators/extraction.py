@@ -121,9 +121,6 @@ def field_expr(fd: FieldDef, cells_arr: Column) -> Column:
         )
         return _decode(fd, F.try_element_at(matched, F.lit(1))["value"]).alias(fd.name)
 
-    if fd.type == "bigdecimal":
-        raise NotImplementedError("bigdecimal decode is not supported for wildcard fields")
-
     def pred(c):
         p = c["family"] == fd.family
         if fd.qualifier:
@@ -131,7 +128,22 @@ def field_expr(fd: FieldDef, cells_arr: Column) -> Column:
         return p
 
     matched = F.array_sort(F.filter(cells_arr, pred))  # struct sort => qualifier order
-    if fd.source == SOURCE_QUALIFIER:
+    if fd.type == "bigdecimal":
+        # bigdecimal is the one pandas-UDF type, and a scalar UDF cannot be
+        # invoked inside a HOF lambda — so extract the raw byte arrays in
+        # Catalyst, then decode the whole array in one Arrow batch
+        # (ByteArrayValueMappers.java:92-96: the mapper applies under any
+        # extractor, wildcards included)
+        from hbase_indexer_spark.functions.bytes_codec import (
+            decode_bigdecimal_array,
+        )
+
+        if fd.source == SOURCE_QUALIFIER:
+            raw = F.transform(matched, lambda c: c["qualifier"].cast("binary"))
+        else:
+            raw = F.transform(matched, lambda c: c["value"])
+        values = decode_bigdecimal_array(raw)
+    elif fd.source == SOURCE_QUALIFIER:
         # P3: index the qualifier bytes themselves
         values = F.transform(matched, lambda c: _decode(fd, c["qualifier"].cast("binary")))
     else:

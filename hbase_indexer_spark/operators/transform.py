@@ -550,7 +550,15 @@ def _sample(params: dict) -> Stage:
     from hbase_indexer_spark.pipeline.text import token_hash60
 
     thresh = int(round(prob * 1_000_000))
-    key = F.concat_ws("\x1f", *[F.col(f) for f in fields])
+    # concat_ws SKIPS NULL fields, so ('a', NULL) and ('a', '') — or a
+    # NULL migrating between fields — would collapse to one key and share
+    # a keep/drop decision (r5 ADVICE).  Coalesce each field to a
+    # sentinel that cannot appear in data (\x00NULL vs the \x1f joiner)
+    # so every distinct tuple hashes independently.
+    key = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(f).cast("string"), F.lit("\x00NULL"))
+        for f in fields
+    ])
     bucket = F.pmod(token_hash60(key), F.lit(1_000_000))
     return lambda df: df.filter(bucket < thresh)
 

@@ -1084,8 +1084,14 @@ def hll_distinct(df: DataFrame, key: Column, group: str) -> DataFrame:
             .agg(F.countDistinct(key).cast("long").alias("true_distinct")))
     # left join + coalesce: a group whose keys are ALL NULL has no
     # registers (hll_registers drops NULL keys) but still deserves a
-    # (group, 0, 0) row, matching countDistinct's NULL semantics
-    return (true.join(sketch, "grp", "left")
+    # (group, 0, 0) row, matching countDistinct's NULL semantics.
+    # NULL-SAFE equality (r5 ADVICE): a NULL group KEY is a real group to
+    # both engines' GROUP BY, but a plain equi-join would never match it —
+    # the sketch row would be dropped and the NULL group mis-reported as
+    # est 0 while true > 0.  eqNullSafe here, IS NOT DISTINCT FROM in the
+    # mirror.
+    sk = sketch.select(F.col("grp").alias("sk_grp"), "est_distinct")
+    return (true.join(sk, F.col("grp").eqNullSafe(F.col("sk_grp")), "left")
             .select(F.col("grp").alias(group), "true_distinct",
                     F.coalesce("est_distinct", F.lit(0)).cast("long")
                     .alias("est_distinct")))
@@ -1120,7 +1126,7 @@ def hll_distinct_sql(key_expr: str, group: str,
         SELECT t.grp AS {group}, t.true_distinct,
                CAST(coalesce(e.est_distinct, 0) AS BIGINT)
                    AS est_distinct
-        FROM tr t LEFT JOIN est e ON t.grp = e.grp
+        FROM tr t LEFT JOIN est e ON t.grp IS NOT DISTINCT FROM e.grp
     """
 
 
@@ -1184,12 +1190,35 @@ def histogram_quantiles(df: DataFrame, value_col: str, group: str,
     # NULL values are dropped up front: a NULL would inflate n, put a
     # NULL bucket into the cumulative window, and diverge between
     # engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST)
-    v = F.expr(f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)")
+    #
+    # Domain guards (r5 ADVICE): the micro-snap silently wraps int64 for
+    # |value| > ~9.2e12, and the bucket product ``(v - lo) * HQ_BINS``
+    # wraps when a group's span exceeds 2^63 // HQ_BINS micro-units —
+    # DuckDB errors on either while non-ANSI Spark wraps, so the engine
+    # and oracle would diverge exactly when it happens.  Guard both so
+    # an out-of-domain corpus fails LOUDLY instead of mis-estimating.
+    v_abs_max = (1 << 63) // 1_000_000 - 1  # micro-snap stays in int64
+    v_raw = F.col(value_col)
+    v = F.when(
+        F.abs(v_raw) <= F.lit(float(v_abs_max)),
+        F.expr(f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)"),
+    ).otherwise(F.raise_error(F.lit(
+        f"histogram_quantiles: |{value_col}| exceeds {v_abs_max} "
+        "(int64 micro-snap domain)")))
     snapped = (df.filter(F.col(value_col).isNotNull())
                .select(F.col(group).alias("grp"), v.alias("v")))
+    span_max = (1 << 63) // HQ_BINS  # (v - lo + 1) * HQ_BINS stays in int64
     stats = snapped.groupBy("grp").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
-        F.count(F.lit(1)).alias("n"))
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "grp",
+        F.when(F.col("hi") - F.col("lo") + 1 <= span_max, F.col("lo"))
+        .otherwise(F.raise_error(F.lit(
+            f"histogram_quantiles: group span exceeds {span_max} "
+            "micro-units (bucket product would wrap int64)"))).alias("lo"),
+        "hi", "n",
+    )
     j = snapped.join(F.broadcast(stats), "grp")
     hist = (
         j.select("grp",

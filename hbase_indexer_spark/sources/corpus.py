@@ -81,9 +81,33 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 def read_documents(spark: SparkSession, path: str, fmt: str = "parquet",
                    schema: str = DOCUMENTS_SCHEMA) -> DataFrame:
-    """Format-dispatching corpus reader (the ingestion front door)."""
+    """Format-dispatching corpus reader (the ingestion front door).
+
+    The explicit-schema contract holds on every path (r5 ADVICE closed
+    the parquet exemption): JSONL/CSV parse under the declared schema;
+    parquet carries its own types, so instead of silently trusting them
+    the read schema is VALIDATED against the declared one — name or type
+    drift in upstream-written files fails fast here, not three operators
+    later in a cast."""
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        from pyspark.sql.types import StructType
+
+        df = spark.read.parquet(path)
+        want = StructType.fromDDL(schema)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = [f.name for f in want.fields if f.name not in got]
+        drift = [
+            f"{f.name}: {got[f.name]} != {f.dataType.simpleString()}"
+            for f in want.fields
+            if f.name in got and got[f.name] != f.dataType.simpleString()
+        ]
+        if missing or drift:
+            raise ValueError(
+                f"parquet corpus at {path} does not match the declared "
+                f"schema: missing={missing} type_drift={drift}")
+        # declared column order/subset, so extra upstream columns don't
+        # silently widen downstream scans
+        return df.select(*[f.name for f in want.fields])
     if fmt == "jsonl":
         return read_jsonl(spark, path, schema)
     if fmt == "csv":

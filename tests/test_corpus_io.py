@@ -81,3 +81,33 @@ def test_failfast_rejects_malformed_jsonl(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unknown corpus format"):
         corpus.read_documents(spark, "/nowhere", fmt="xml")
+
+
+def test_parquet_schema_drift_fails_fast(spark, tmp_path):
+    """r5 ADVICE: the declared-schema contract now holds for parquet too —
+    name/type drift raises at the read, extra columns are pruned."""
+    # conforming file with an extra column: passes, extra column dropped
+    ok = spark.createDataFrame(
+        [(1, "t", "en", "s", 1, "extra")],
+        corpus.DOCUMENTS_SCHEMA + ", junk string")
+    p_ok = str(tmp_path / "ok")
+    ok.write.parquet(p_ok)
+    back = corpus.read_documents(spark, p_ok, fmt="parquet")
+    assert back.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+    # type drift: doc_id written as string
+    bad = spark.createDataFrame(
+        [("1", "t", "en", "s", 1)],
+        "doc_id string, text string, lang string, source string, "
+        "n_chars long")
+    p_bad = str(tmp_path / "bad")
+    bad.write.parquet(p_bad)
+    with pytest.raises(ValueError, match="type_drift"):
+        corpus.read_documents(spark, p_bad, fmt="parquet")
+
+    # missing column
+    partial = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    p_miss = str(tmp_path / "miss")
+    partial.write.parquet(p_miss)
+    with pytest.raises(ValueError, match="missing"):
+        corpus.read_documents(spark, p_miss, fmt="parquet")

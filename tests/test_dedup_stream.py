@@ -298,3 +298,103 @@ def test_sketch_fold_raises_on_batch_id_regression(spark, tmp_path):
     assert fold_hll_batch(hstore, keys, 3, key="k", group="grp") is True
     with pytest.raises(ValueError, match="checkpoint was reset"):
         fold_hll_batch(hstore, keys, 1, key="k", group="grp")
+
+
+def test_sketch_stream_crash_restart_equals_batch(spark, tmp_path):
+    """VERDICT r5 #8: kill the sketch stream BETWEEN micro-batches,
+    restart a fresh query from the same checkpoint + store, and assert
+    the end state is identical to one batch sketch over the whole input
+    (the happy resume path; the raise-on-reset path is pinned above).
+    Covers both folds: count-min (sum-merge) and HLL (max-merge)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        count_min_sketch,
+        hll_registers,
+    )
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.sketch_stream import (
+        cms_stream,
+        hll_stream,
+    )
+
+    doc_schema = "doc_id long, text string"
+    chunks = [
+        [(1, "alpha beta gamma alpha"), (2, "delta epsilon")],
+        [(3, "alpha zeta zeta"), (4, "eta theta")],
+        [(5, "iota kappa alpha beta")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(rows, name):
+        stage = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, doc_schema) \
+            .coalesce(1).write.mode("overwrite").parquet(str(stage))
+        import shutil
+
+        for f in stage.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    store = IndexStore(str(tmp_path / "cms"), key="row")
+
+    def run_cms():
+        stream = (spark.readStream.schema(doc_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = cms_stream(stream, store, str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        q.stop()  # simulated crash/stop between micro-batches
+
+    drop(chunks[0], "b0")
+    run_cms()                      # first query lifetime: batch 0 only
+    drop(chunks[1], "b1")
+    drop(chunks[2], "b2")
+    run_cms()                      # fresh query object resumes checkpoint
+
+    all_rows = spark.createDataFrame(
+        [r for c in chunks for r in c], doc_schema)
+    want = {(r["row"], r["cell"], r["c"])
+            for r in count_min_sketch(all_rows).collect()}
+    got = {(r["row"], r["cell"], r["c"])
+           for r in store.read(spark).select("row", "cell", "c").collect()}
+    assert got == want
+
+    # HLL: same stop/resume shape, register-wise max merge
+    from pyspark.sql import functions as F
+
+    hsrc = tmp_path / "hsrc"
+    hsrc.mkdir()
+
+    def hdrop(rows, name):
+        stage = tmp_path / ("hstage_" + name)
+        spark.createDataFrame(rows, "k long, grp string") \
+            .coalesce(1).write.mode("overwrite").parquet(str(stage))
+        import shutil
+
+        for f in stage.glob("*.parquet"):
+            shutil.copy(f, hsrc / (name + ".parquet"))
+
+    hstore = IndexStore(str(tmp_path / "hll"), key="grp")
+
+    def run_hll():
+        stream = (spark.readStream.schema("k long, grp string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(hsrc)))
+        q = hll_stream(stream, hstore, str(tmp_path / "hckpt"),
+                       key="k", group="grp")
+        q.processAllAvailable()
+        q.stop()
+
+    hchunks = [[(i, "g") for i in range(20)],
+               [(i, "g") for i in range(10, 30)],
+               [(i, "h") for i in range(5)]]
+    hdrop(hchunks[0], "b0")
+    run_hll()
+    hdrop(hchunks[1], "b1")
+    hdrop(hchunks[2], "b2")
+    run_hll()
+
+    hall = spark.createDataFrame(
+        [r for c in hchunks for r in c], "k long, grp string")
+    hwant = {(r["grp"], r["reg"], r["mr"])
+             for r in hll_registers(hall, F.col("k"), "grp").collect()}
+    hgot = {(r["grp"], r["reg"], r["mr"])
+            for r in hstore.read(spark).select("grp", "reg", "mr").collect()}
+    assert hgot == hwant

@@ -140,6 +140,25 @@ def test_hll_duplicates_do_not_move_the_estimate(spark):
            (e3["true_distinct"], e3["est_distinct"])
 
 
+def test_hll_null_group_reports_real_estimate(spark):
+    """r5 ADVICE: a NULL group KEY is a real GROUP BY group; the
+    true-vs-sketch join must be null-safe or the NULL group reports
+    est_distinct 0 while true_distinct > 0."""
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_distinct
+
+    df = spark.createDataFrame(
+        [(k, None) for k in range(40)] + [(k, "g") for k in range(10)],
+        "k long, grp string")
+    rows = {r["grp"]: r for r in hll_distinct(df, F.col("k"), "grp").collect()}
+    assert rows[None]["true_distinct"] == 40
+    assert rows[None]["est_distinct"] > 0  # was 0 before the null-safe join
+    assert rows["g"]["true_distinct"] == 10
+    # all-NULL keys in a group still yields the (group, 0, 0) row
+    allnull = spark.createDataFrame([(None, "h")], "k long, grp string")
+    r = hll_distinct(allnull, F.col("k"), "grp").collect()[0]
+    assert (r["true_distinct"], r["est_distinct"]) == (0, 0)
+
+
 def test_hll_fold_replay_and_merge_equivalence(spark, tmp_path):
     """Redelivered batch is a no-op; two folded chunks equal one batch
     register build over the concatenation (max-mergeability)."""
