@@ -1141,6 +1141,52 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+BM25_QUERIES = [(1, "spark fast join"), (2, "stream window agg"),
+                (3, "customer order query table")]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (new r6): top-10 documents per query with exact
+    fixed-point scores — the sparse leg of hybrid search next to the
+    dense ANN family, and the standard hard-negative miner for
+    embedding training data.  Inverted-index shape: the tiny query-term
+    side broadcasts into the postings join, so per query the cost is
+    its terms' postings, not a corpus scan."""
+    from hbase_indexer_spark.pipeline.corpus_stats import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (new r6): reciprocal-rank fusion of the sparse
+    BM25 ranking and the dense exact-cosine ranking for the same query
+    ids — the score-free combiner hybrid search standardizes on.  Both
+    legs are already top-k truncated, so the fusion is aggregate-sized."""
+    from hbase_indexer_spark.pipeline.corpus_stats import bm25_topk, rrf_fuse
+    from hbase_indexer_spark.pipeline.similarity import brute_force_topk
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    bm = bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+    dense = brute_force_topk(
+        load(spark, sf_dir, "embeddings"),
+        [qid for qid, _ in BM25_QUERIES], k=10,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, dense], k=10)
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew profile (new r6): top-10 heaviest user_id
+    keys of the events table with corpus share and multiple-of-mean in
+    ppm — the pre-shuffle diagnostic that decides between plain hash
+    partitioning, salting (operators/skew.py), and AQE skew-join."""
+    from hbase_indexer_spark.pipeline.corpus_stats import key_skew_report
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    return key_skew_report(load(spark, sf_dir, "events"), "user_id", k=10)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM score: per-doc negative log-likelihood in
     integer micro-nats under the corpus unigram distribution."""
@@ -2279,6 +2325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
         "priority_shipping_stats": _analytics("priority_shipping_stats"),
         "part_supplier_variety": _analytics("part_supplier_variety"),
+        # new r6 operators — local 3-SF sweeps on arrival, r7 window next
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "key_skew_report": q_key_skew_report,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -2901,6 +2951,21 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["tfidf_topk"] = tfidf_topk_sql(k=5)
+    from hbase_indexer_spark.pipeline.corpus_stats import bm25_topk_sql
+
+    out["bm25_topk"] = bm25_topk_sql(BM25_QUERIES, k=10)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        key_skew_report_sql,
+        rrf_fuse_sql,
+    )
+
+    out["hybrid_rrf"] = rrf_fuse_sql([
+        bm25_topk_sql(BM25_QUERIES, k=10),
+        "SELECT query_id, neighbor_id AS doc_id, rank FROM ("
+        + brute_force_topk_sql([qid for qid, _ in BM25_QUERIES], k=10)
+        + ")",
+    ], k=10)
+    out["key_skew_report"] = key_skew_report_sql("user_id", "events", k=10)
     out["unigram_logprob"] = unigram_logprob_sql()
     out["dsir_selection"] = dsir_selection_sql(
         target_pred="doc_id % 7 = 0", k=100)

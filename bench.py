@@ -168,6 +168,10 @@ BENCH_QUERIES = [
     "column_profile",
     "jsonl_ingest",
     "csv_ingest",
+    # r6 additions
+    "bm25_topk",
+    "hybrid_rrf",
+    "key_skew_report",
 ]
 
 
@@ -244,6 +248,15 @@ def main() -> None:
         "load_avg_1m": {"start": round(load_start, 2),
                         "end": round(os.getloadavg()[0], 2)},
     }
+    # sf1 iterative-loop probe (VERDICT r5 #7): generated offline by
+    # scripts/scale_probe.py (10x-replicated sf0.1 inputs, marginal
+    # per-round cost from an iters=2 vs iters=7 diff) — attached here so
+    # the numbers ride the per-round BENCH snapshot.
+    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "SCALE_PROBE.json")
+    if os.path.exists(probe_path):
+        with open(probe_path, encoding="utf-8") as f:
+            out["scale_probe"] = json.load(f)
     if errors:
         out["errors"] = errors
 

@@ -123,6 +123,288 @@ def tfidf_topk_sql(k: int = 5) -> str:
     """
 
 
+BM25_K1_MILLI = 1200  # k1 = 1.2 in integer milli
+BM25_B_MILLI = 750    # b  = 0.75 in integer milli
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]],
+              k: int = 10) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents per query, exact fixed-point
+    scores — the sparse-retrieval primitive next to the dense ANN family
+    (the classic hybrid-search pair; also the standard hard-negative
+    miner for embedding-model training data).
+
+    ``score(q, d) = sum over distinct query terms t of
+    idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with
+    the Robertson-Sparck-Jones idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``
+    (the +1 keeps it positive, Lucene-style).  Everything after the one
+    ``ln`` per vocabulary term is integer micro-unit arithmetic on
+    non-negative operands (the module's fixed-point discipline), so the
+    DuckDB mirror replays the identical scores:
+
+    - ``ratio_micro = (dl * N * 1e6) div total_len``     (dl/avgdl)
+    - ``denom_micro = tf*1e6 + (k1‰ * (1000 - b‰)*1000
+                                + k1‰ * b‰ * ratio_micro div 1000) ...``
+      — see the expression; every div is on non-negative ints
+    - ``term_score_micro = (idf_micro * (k1‰+1000) * tf * 1000)
+                            div denom_micro``
+
+    Query texts tokenize through the SAME recipe as documents (one
+    Spark-side ``tokens()`` pass over the query literals), distinct
+    terms per query (query-term multiplicity is ignored — standard when
+    queries are short).  Rank ties break by doc_id ascending.
+
+    Returns ``(query_id, doc_id, rank, score_micro)``.
+
+    Scale shape: postings = one combinable (doc_id, term) aggregation;
+    df aggregates that (term-keyed); the query side is tiny and
+    BROADCAST into the postings join, so per query the cost is the
+    postings of its terms only (an inverted-index probe, not a corpus
+    scan); top-k windows by query — partitioned, no global sort.
+    Corpus scalars (N, total_len) are one auxiliary aggregate."""
+    spark = docs.sparkSession
+    tf = term_freqs(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = docs.count()
+    total_len = tf.agg(F.sum("tf")).first()[0] or 0
+    if total_len == 0:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank int, score_micro long")
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.floor(MICRO * F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+        )).cast("long").alias("idf_micro"),
+    )
+    q = spark.createDataFrame(queries, "query_id long, qtext string")
+    q_terms = (q.select("query_id",
+                        F.explode(tokens(F.col("qtext"))).alias("term"))
+               .distinct())
+    k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    postings = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(idf, "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "ratio_micro",
+            F.expr(f"(dl * CAST({n_docs} AS BIGINT) * {MICRO})"
+                   f" div CAST({total_len} AS BIGINT)"))
+        .withColumn(
+            "denom_micro",
+            F.expr(f"tf * {MICRO}"
+                   f" + ({k1} * (1000 - {b}) * 1000) div 1000"
+                   f" + ({k1} * (({b} * ratio_micro) div 1000)) div 1000"))
+        .withColumn(
+            "term_score_micro",
+            F.expr(f"(idf_micro * {k1 + 1000} * tf * 1000)"
+                   " div denom_micro"))
+    )
+    scored = (postings.groupBy("query_id", "doc_id")
+              .agg(F.sum("term_score_micro").alias("score_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score_micro"))
+
+
+def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB mirror of :func:`bm25_topk` — query literals as VALUES
+    rows tokenized with the shared recipe, identical integer ops."""
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    values = ", ".join(
+        f"({qid}, {qtext!r})" for qid, qtext in queries)
+    q_toks = TOKS_SQL.replace("text", "qtext")
+    k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, t.term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term
+                  FROM documents) t
+            GROUP BY doc_id, t.term
+        ),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+               FROM tf GROUP BY doc_id),
+        scal AS (
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS total_len
+        ),
+        idf AS (
+            SELECT term,
+                   CAST(floor({MICRO} * ln(
+                       ((SELECT n_docs FROM scal) - count(*) + 0.5)
+                       / (count(*) + 0.5) + 1.0
+                   )) AS BIGINT) AS idf_micro
+            FROM tf GROUP BY term
+        ),
+        qt AS (
+            SELECT DISTINCT query_id, t.term
+            FROM (SELECT query_id, unnest({q_toks}) AS term
+                  FROM (VALUES {values}) AS v(query_id, qtext)) t
+        ),
+        postings AS (
+            SELECT qt.query_id, tf.doc_id, tf.tf, idf.idf_micro, dl.dl,
+                   (dl.dl * (SELECT CAST(n_docs AS BIGINT) FROM scal)
+                    * {MICRO}) // (SELECT total_len FROM scal)
+                       AS ratio_micro
+            FROM tf
+            JOIN qt ON tf.term = qt.term
+            JOIN idf ON tf.term = idf.term
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        term_scores AS (
+            SELECT query_id, doc_id,
+                   (idf_micro * {k1 + 1000} * tf * 1000) // (
+                       tf * {MICRO}
+                       + ({k1} * (1000 - {b}) * 1000) // 1000
+                       + ({k1} * (({b} * ratio_micro) // 1000)) // 1000
+                   ) AS term_score_micro
+            FROM postings
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(sum(term_score_micro) AS BIGINT) AS score_micro
+            FROM term_scores GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rank, score_micro FROM (
+            SELECT query_id, doc_id, score_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id
+                   ) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10,
+             k_rrf: int = RRF_K) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings into one — the standard
+    hybrid-search combiner (sparse BM25 + dense ANN), score-free so
+    incomparable scoring scales never need calibration:
+
+    ``score(q, d) = sum over rankings of 1e6 div (k_rrf + rank(q, d))``
+    (integer micro-units — exact in both engines), where a (q, d) pair
+    absent from a ranking contributes nothing.  Ties break by doc_id.
+
+    Each input is ``(query_id, doc_id, rank)``; extra columns are
+    ignored.  Returns ``(query_id, doc_id, rank, rrf_micro)``.
+
+    Scale: the inputs are already top-k truncated (queries x k rows —
+    aggregate-sized, NOT corpus-sized), so the union + groupBy here is
+    trivially small; the heavy lifting happened inside the input
+    retrievers."""
+    uni = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        uni = uni.unionByName(r.select("query_id", "doc_id", "rank"))
+    scored = (
+        uni.select("query_id", "doc_id",
+                   F.expr(f"{MICRO} div ({k_rrf} + rank)").alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("rrf_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "rrf_micro"))
+
+
+def rrf_fuse_sql(ranking_ctes: list[str], k: int = 10,
+                 k_rrf: int = RRF_K) -> str:
+    """DuckDB mirror: each entry of ``ranking_ctes`` is a SELECT
+    producing (query_id, doc_id, rank); they union and fuse exactly as
+    :func:`rrf_fuse`."""
+    uni = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, rank FROM ({cte})"
+        for cte in ranking_ctes)
+    return f"""
+        WITH uni AS ({uni}),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(sum({MICRO} // ({k_rrf} + rank)) AS BIGINT)
+                       AS rrf_micro
+            FROM uni GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rank, rrf_micro FROM (
+            SELECT query_id, doc_id, rrf_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_micro DESC, doc_id
+                   ) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def key_skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Per-key skew profile for a prospective join/groupBy key: the
+    top-``k`` heaviest keys with their row count, corpus share in
+    integer ppm, and the key's count as a multiple of the mean key load
+    (also ppm) — the numbers that decide whether a key needs salting
+    (`operators/skew.py`) or AQE skew-join before a 100 TB shuffle is
+    launched.  NULL keys profile like any other value (they hash to one
+    reducer too — the classic accidental hot key).
+
+    Returns ``(key, n_rows, share_ppm, x_mean_ppm, rank)``; rank ties
+    break by key string ascending.
+
+    Scale: one combinable count per key + one aggregate-sized window —
+    the report is k rows; nothing corpus-sized leaves the first agg."""
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = counts.agg(
+        F.sum("n_rows").alias("t"),
+        F.count(F.lit(1)).alias("nk")).select(
+        "t", "nk")
+    j = counts.crossJoin(F.broadcast(tot))
+    # top-k via orderBy+limit (TakeOrderedAndProject: O(k) per partition,
+    # no global sort of the key-cardinality table), THEN rank the k
+    # survivors with an aggregate-sized window
+    topk = (
+        j.select(
+            "key", "n_rows",
+            F.expr("(1000000 * n_rows) div t").alias("share_ppm"),
+            F.expr("(1000000 * n_rows * nk) div t").alias("x_mean_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def key_skew_report_sql(key_expr: str, table: str, k: int = 10) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT CAST({key_expr} AS VARCHAR) AS key,
+                   count(*) AS n_rows
+            FROM {table} GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+                       count(*) AS nk FROM counts)
+        SELECT key, CAST(n_rows AS BIGINT) AS n_rows, share_ppm,
+               x_mean_ppm, rank
+        FROM (
+            SELECT key, n_rows,
+                   (1000000 * n_rows) // (SELECT t FROM tot)
+                       AS share_ppm,
+                   (1000000 * n_rows * (SELECT nk FROM tot))
+                       // (SELECT t FROM tot) AS x_mean_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY n_rows DESC, key
+                   ) AS INTEGER) AS rank
+            FROM counts
+        ) WHERE rank <= {k}
+    """
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Unigram LM negative log-likelihood per document, in integer
     micro-nats — the CCNet-style "how surprising is this text under the

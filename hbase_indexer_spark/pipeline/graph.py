@@ -76,12 +76,23 @@ def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
     means every node is a seed — plain PageRank."""
     # materialize the raw edge list once (it may hide an expensive
     # upstream join), THEN fold outdeg into the static side from the
-    # cheap checkpointed copy: per-round cost drops to ONE join
-    # (ranks ⋈ edges on src) + one combinable agg
-    edges = edges.repartition("src").localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = (edges.join(deg, "src")
-             .repartition("src").localCheckpoint(eager=True))
+    # cheap materialized copy: per-round cost drops to ONE join
+    # (ranks ⋈ edges on src) + one combinable agg.
+    #
+    # The static sides use repartition + persist, NOT localCheckpoint:
+    # a localCheckpoint comes back as a LogicalRDD that DROPS the
+    # Catalyst output-partitioning metadata, so every round's join
+    # re-shuffled the full edge list — measured 212 MB/round at the sf1
+    # probe (scripts/scale_probe.py) vs ~41 MB/round with persist, where
+    # the join sees HashPartitioning(src) on the big side and shuffles
+    # only the rank vector + the map-side-combined contributions.
+    # (ranks below KEEPS localCheckpoint — there it is the plan-depth
+    # cut for the iterative lineage, and ranks are the small, per-round
+    # re-shuffled side by design.)
+    edges_raw = edges.repartition("src").persist()
+    deg = edges_raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = (edges_raw.join(deg, "src")
+             .repartition("src").persist())
     # node set = src UNION dst: dangling (dst-only) nodes keep their
     # teleport base and absorb mass; they just have no out-edges
     all_nodes = (edges.select(F.col("src").alias("node"))
@@ -95,9 +106,14 @@ def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
                        .withColumn("_s", F.lit(1)), "node", "left")
                  .select("node", F.coalesce(F.col("_s"), F.lit(0))
                          .alias("is_seed")))
-    # checkpoint: the per-round ranks build re-reads nodes every
-    # iteration — without this the deg/union shuffles re-run each round
-    nodes = nodes.localCheckpoint(eager=True)
+    # persist partitioned by node: the per-round ranks build re-reads
+    # nodes every iteration, and contribs arrive hash-partitioned by dst
+    # from their groupBy — co-partitioned, the nodes⋈contribs join adds
+    # no extra exchange
+    nodes = nodes.repartition("node").persist()
+    edges.count()      # materialize the joined static side...
+    nodes.count()
+    edges_raw.unpersist()  # ...then drop the pre-join copy
     ranks = nodes.select(
         "node",
         (F.col("is_seed") * ONE_MICRO).cast("long").alias("rank_micro"))

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""sf1 scale probe for the two iterative loops (VERDICT r5 #7).
+
+Validates the "per-round cost is one join + one combinable agg" claim for
+``pagerank`` and the bounded-pair-graph claim for ``dedup_clusters`` OFF
+the toy gate scale: inputs are the sf0.1 tables replicated 10x with
+disjoint key offsets (~6M lineitem rows / ~11M trade edges — the sf1
+shape), built deterministically so the probe is reproducible.
+
+Method: shuffle bytes come from the Spark REST status API (the probe
+session enables the UI); per-round marginal cost is measured by running
+the SAME loop at iters=2 and iters=7 and differencing — fixed costs
+(edge build, checkpoint, node table) cancel, leaving 5 pure rounds:
+
+    per_round_wall_s       = (t7 - t2) / 5
+    per_round_shuffle_mb   = (S7 - S2) / 5
+
+If rounds were anything other than one join + one agg over the rank
+vector, the marginal shuffle would grow with the edge list (it must stay
+~|nodes| + |edges-partition traffic| and constant across rounds).
+
+Writes SCALE_PROBE.json at the repo root; bench.py attaches it to the
+bench JSON line so the per-round sf1 numbers ride BENCH_r{N}.json.
+
+Run:  python scripts/scale_probe.py  [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICAS = 10
+KEY_OFF = 1_000_000_000  # disjoint key spaces per replica
+
+
+def build_session():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("scale-probe")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # REST status API is the shuffle-byte source (get_spark disables it)
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all stages."""
+    ui = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages"))
+    return (sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages))
+
+
+def replicate(df, key_cols: list[str], replicas: int = REPLICAS):
+    """Union ``replicas`` copies with each copy's keys offset into a
+    disjoint range — same degree distribution per replica, 10x rows."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(replicas):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFF))
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(spark, fn):
+    """(wall_s, shuffle_read_mb, shuffle_write_mb) around one action."""
+    r0, w0 = shuffle_totals(spark)
+    t0 = time.time()
+    n = fn()
+    wall = time.time() - t0
+    r1, w1 = shuffle_totals(spark)
+    return n, round(wall, 2), round((r1 - r0) / 1e6, 1), round((w1 - w0) / 1e6, 1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.json"))
+    args = ap.parse_args()
+
+    from hbase_indexer_spark.pipeline.dedup import dedup_clusters
+    from hbase_indexer_spark.pipeline.graph import pagerank, trade_edges
+
+    spark = build_session()
+    tmp = tempfile.mkdtemp(prefix="hbis_probe_")
+
+    # ---- build the sf1-shaped inputs once, as real parquet scans ----
+    orders0 = spark.read.parquet(f"{args.base}/orders.parquet")
+    li0 = spark.read.parquet(f"{args.base}/lineitem.parquet")
+    docs0 = spark.read.parquet(f"{args.base}/documents.parquet")
+    replicate(orders0.select("o_orderkey", "o_custkey"),
+              ["o_orderkey", "o_custkey"]) \
+        .write.mode("overwrite").parquet(f"{tmp}/orders")
+    replicate(li0.select("l_orderkey", "l_suppkey"),
+              ["l_orderkey", "l_suppkey"]) \
+        .write.mode("overwrite").parquet(f"{tmp}/lineitem")
+    replicate(docs0.select("doc_id", "text"), ["doc_id"]) \
+        .write.mode("overwrite").parquet(f"{tmp}/documents")
+    orders = spark.read.parquet(f"{tmp}/orders")
+    lineitem = spark.read.parquet(f"{tmp}/lineitem")
+    docs = spark.read.parquet(f"{tmp}/documents")
+    n_li = lineitem.count()
+
+    out: dict = {
+        "sf_equivalent": 1.0,
+        "base": args.base,
+        "replicas": REPLICAS,
+        "lineitem_rows": n_li,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+
+    # ---- pagerank: marginal per-round cost via iters=2 vs iters=7 ----
+    edges = trade_edges(orders, lineitem)
+    n_edges = edges.count()
+    # warm-up run: the first pagerank over fresh parquet pays page-cache
+    # first-touch + codegen that would otherwise inflate the iters=2 leg
+    # and make the (t7 - t2) difference negative (observed r6)
+    pagerank(edges, iters=1).count()
+    spark.catalog.clearCache()
+    _, t2, r2, w2 = timed(spark, lambda: pagerank(edges, iters=2).count())
+    spark.catalog.clearCache()
+    n_nodes, t7, r7, w7 = timed(spark, lambda: pagerank(edges, iters=7).count())
+    out["pagerank"] = {
+        "edges": n_edges,
+        "nodes": n_nodes,
+        "iters2_wall_s": t2,
+        "iters7_wall_s": t7,
+        "per_round_wall_s": round((t7 - t2) / 5, 2),
+        "per_round_shuffle_write_mb": round((w7 - w2) / 5, 1),
+        "per_round_shuffle_read_mb": round((r7 - r2) / 5, 1),
+    }
+    print(f"# pagerank: {json.dumps(out['pagerank'])}", file=sys.stderr)
+
+    # ---- dedup_clusters on 10x documents (pair graph + CC rounds) ----
+    n_docs, t_dc, r_dc, w_dc = timed(
+        spark, lambda: dedup_clusters(docs).count())
+    out["dedup_clusters"] = {
+        "docs": n_docs,
+        "wall_s": t_dc,
+        "shuffle_read_mb": r_dc,
+        "shuffle_write_mb": w_dc,
+    }
+    print(f"# dedup_clusters: {json.dumps(out['dedup_clusters'])}",
+          file=sys.stderr)
+
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,3 +137,84 @@ def test_char_entropy_values(spark):
     # uniform over 4 symbols: H = ln(4) per char
     assert out[2] == (4, math.floor(MICRO * math.log(4)))
     assert out[3] == (0, None)
+
+
+def test_bm25_exact_match_ranks_first(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import bm25_topk
+
+    docs = spark.createDataFrame([
+        (1, "apple banana cherry"),
+        (2, "apple apple apple apple"),
+        (3, "banana date elderberry fig grape"),
+        (4, "unrelated words entirely different"),
+    ], "doc_id long, text string")
+    out = bm25_topk(docs, [(1, "apple"), (2, "banana date")], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    q1 = sorted(by_q[1], key=lambda r: r["rank"])
+    # doc 2 (tf=4, but short) and doc 1 both match 'apple'; doc 4 never
+    assert {r["doc_id"] for r in q1} == {1, 2}
+    assert all(r["score_micro"] > 0 for r in q1)
+    q2 = sorted(by_q[2], key=lambda r: r["rank"])
+    # doc 3 matches both query terms -> outranks doc 1 (banana only)
+    assert q2[0]["doc_id"] == 3
+    assert {r["doc_id"] for r in q2} == {1, 3}
+
+
+def test_bm25_k_bound_and_determinism(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common word here") for i in range(20)],
+        "doc_id long, text string")
+    out = bm25_topk(docs, [(1, "common")], k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    # identical docs tie on score -> doc_id ascending breaks the tie
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3, 4]
+    again = bm25_topk(docs, [(1, "common")], k=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rrf_fuse_combines_and_breaks_ties(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 11 appears in both legs -> highest fused score
+    assert out[11]["rank"] == 1
+    assert out[11]["rrf_micro"] == 1_000_000 // 61 + 1_000_000 // 62
+    # doc absent from a leg contributes nothing from it
+    assert out[10]["rrf_micro"] == 1_000_000 // 61
+    assert out[13]["rrf_micro"] == 1_000_000 // 62
+    # equal scores (10 vs 13? no) — tie case: two docs with same single rank
+    c = spark.createDataFrame(
+        [(2, 7, 1), (2, 5, 1)], "query_id long, doc_id long, rank int")
+    tie = sorted((r["rank"], r["doc_id"])
+                 for r in rrf_fuse([c], k=10).collect())
+    assert tie == [(1, 5), (2, 7)]  # doc_id ascending breaks the tie
+
+
+def test_key_skew_report_shares_and_mean_multiple(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import key_skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in key_skew_report(df, "k", k=2).collect()}
+    assert set(out) == {"hot", "warm"}  # top-2 only
+    assert out["hot"]["rank"] == 1
+    assert out["hot"]["share_ppm"] == 600_000      # 60/100
+    assert out["hot"]["x_mean_ppm"] == 1_800_000   # 60 / (100/3 keys)
+    assert out["warm"]["share_ppm"] == 300_000
+
+    # NULL keys profile like any value
+    dn = spark.createDataFrame(
+        [(None,)] * 3 + [("x",)], "k string")
+    top = key_skew_report(dn, "k", k=1).collect()[0]
+    assert top["key"] is None and top["n_rows"] == 3
