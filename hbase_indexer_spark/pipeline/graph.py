@@ -18,7 +18,9 @@ non-negative values, where Spark's `div` (truncate) and DuckDB's `//`
 
 Scale shape (the Pregel-on-DataFrames standard):
 - the edge list is the big, static side — partitioned once by ``src``
-  and reused every iteration (one shuffle, then co-partitioned joins);
+  (``repartition + persist``, which keeps the partitioning visible to
+  Catalyst; see the note in ``_seeded_loop``) and reused every
+  iteration (one shuffle, then co-partitioned joins);
 - the rank vector is one row per node and re-shuffles each iteration;
 - each of the fixed ``iters`` rounds is join(ranks, edges) + one
   combinable groupBy(dst) — no driver-side state, no collect;

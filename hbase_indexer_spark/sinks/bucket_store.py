@@ -157,6 +157,22 @@ class BucketedIndexStore:
         """Full rebuild publish (K6)."""
         self._publish(self._write_version(df, self.current_version() + 1))
 
+    def compact(self, spark: SparkSession | None = None) -> int:
+        """Version-sprawl compaction: after many bucket-granular merges
+        the live manifest references bucket dirs scattered across many
+        old ``v=N`` dirs (each copy-on-write touched only some buckets;
+        GC must keep every dir any live manifest points at).  One full
+        rewrite re-homes every bucket into a single fresh version dir,
+        letting GC reclaim the old ones — bounded by the VIEW size, and
+        the manifest flip stays atomic.  Returns the number of distinct
+        version dirs the live manifest referenced before compaction
+        (the sprawl it collapsed)."""
+        before = {d.split("/", 1)[0] for d in self._bucket_dirs().values()}
+        cur = self.read(spark)
+        if cur is not None:
+            self.overwrite(cur.localCheckpoint(eager=True), spark)
+        return len(before)
+
     def _bucket_values(self, df: DataFrame) -> Column:
         """The bucket of each row of a changed-key frame: taken from the
         bucket_field column when the frame carries it, else from the key

@@ -110,6 +110,31 @@ class IndexStore:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def compact(self, spark: SparkSession, n_files: int | None = None,
+                target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file compaction: rewrite the current version into
+        ``n_files`` parquet files (default: sized so each file holds
+        ~``target_rows_per_file`` rows) and publish atomically — readers
+        of the old version stay valid through the flip, exactly like any
+        merge.  Incremental merges inherit the writing job's partition
+        count, so a long-lived store accumulates shuffle-partition-many
+        small files per version; on object storage that's the classic
+        listing/open-cost tax.  One bounded pass (the view, never the
+        history) fixes it.  Returns the file count written.
+
+        At 100 TB this is the maintenance job you schedule, not a query
+        — same contract as Delta OPTIMIZE / Iceberg rewrite_data_files.
+        """
+        cur = self.read(spark)
+        if cur is None:
+            return 0
+        if n_files is None:
+            n_rows = cur.count()
+            n_files = max(1, -(-n_rows // target_rows_per_file))
+        self._publish(cur.repartition(n_files), spark)
+        out = self._version_dir(self.current_version())
+        return len([f for f in os.listdir(out) if f.endswith(".parquet")])
+
     # -- merge (K1/K7/K8) --------------------------------------------------
 
     def merge(

@@ -195,3 +195,41 @@ def test_dbq_merge_on_empty_manifest(spark, tmp_path):
     adds = spark.createDataFrame([(3, "z")], "id long, v string")
     store.merge(adds=adds, delete_predicates=[F.col("v") == "gone"])
     assert {r["id"] for r in store.read().collect()} == {3}
+
+
+def test_compact_rehomes_buckets_into_one_version(spark, store):
+    """r6: after several bucket-granular merges the live manifest spans
+    multiple v=N dirs; compact() collapses it to one and GC reclaims."""
+    store.overwrite(docs(spark, [("a", 1), ("b", 2), ("c", 3), ("d", 4)]))
+    # several touching merges so buckets scatter across versions
+    store.merge(adds=docs(spark, [("a", 10)]))
+    store.merge(adds=docs(spark, [("b", 20)]))
+    dirs_before = {d.split("/", 1)[0] for d in store._bucket_dirs().values()}
+    assert len(dirs_before) > 1  # sprawl exists
+    sprawl = store.compact(spark)
+    assert sprawl == len(dirs_before)
+    dirs_after = {d.split("/", 1)[0] for d in store._bucket_dirs().values()}
+    assert len(dirs_after) == 1
+    # data intact
+    assert as_dict(store.read()) == {"a": 10, "b": 20, "c": 3, "d": 4}
+
+
+def test_plain_store_compact_shrinks_files(spark, tmp_path):
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+
+    st = IndexStore(str(tmp_path / "ix"), key="id")
+    df = spark.createDataFrame(
+        [(str(i), i) for i in range(1000)], "id string, v long"
+    ).repartition(16)
+    st.overwrite(df, spark)
+    v = st.current_version()
+    files_before = len([f for f in os.listdir(st._version_dir(v))
+                        if f.endswith(".parquet")])
+    assert files_before > 1
+    files_after = st.compact(spark, n_files=1)
+    assert files_after == 1
+    rows = {r["id"]: r["v"] for r in st.read(spark).collect()}
+    assert len(rows) == 1000 and rows["7"] == 7
+    # empty store is a no-op
+    empty = IndexStore(str(tmp_path / "empty"), key="id")
+    assert empty.compact(spark) == 0
