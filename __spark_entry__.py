@@ -1157,6 +1157,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
 
 
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality ensemble (new r6): heuristic quality +
+    char entropy + unigram-LM typicality, each equi-width binned against
+    broadcast corpus min/max and averaged — rank-ensemble semantics with
+    NO per-signal global sort (map-only after one combinable (min,max)
+    aggregate)."""
+    from hbase_indexer_spark.pipeline.curation import quality_ensemble
+
+    return quality_ensemble(_docs(spark, sf_dir), bins=256)
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (new r6): reciprocal-rank fusion of the sparse
     BM25 ranking and the dense exact-cosine ranking for the same query
@@ -2329,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "key_skew_report": q_key_skew_report,
+        "quality_ensemble": q_quality_ensemble,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -2966,6 +2978,9 @@ def oracle_sql() -> dict[str, str]:
         + ")",
     ], k=10)
     out["key_skew_report"] = key_skew_report_sql("user_id", "events", k=10)
+    from hbase_indexer_spark.pipeline.curation import quality_ensemble_sql
+
+    out["quality_ensemble"] = quality_ensemble_sql(bins=256)
     out["unigram_logprob"] = unigram_logprob_sql()
     out["dsir_selection"] = dsir_selection_sql(
         target_pred="doc_id % 7 = 0", k=100)

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "hybrid_rrf",
     "key_skew_report",
+    "quality_ensemble",
 ]
 
 

@@ -1182,3 +1182,125 @@ def filter_ablation_sql(quality_threshold_micro: int = 150_000) -> str:
         JOIN qr ON gr.doc_id = qr.doc_id
         GROUP BY 1, 2, 3, 4
     """
+
+
+def quality_ensemble(docs: DataFrame, bins: int = 256) -> DataFrame:
+    """Multi-signal quality ensemble WITHOUT a corpus rank sort: each of
+    three independent per-doc signals — the heuristic quality score
+    (higher better), character entropy per char (higher = diverse, not
+    boilerplate), and unigram-LM NLL per token (LOWER = more typical) —
+    is equi-width binned into ``bins`` positions against its corpus
+    min/max (one broadcast aggregate row), and the ensemble is the mean
+    bin position scaled to micro.  This is the scale-first substitute
+    for rank-averaging: a per-signal ``row_number`` over the corpus is a
+    global sort per signal, while binning is map-only after one
+    combinable (min, max) pass.  (Equi-width is not equi-depth: a
+    heavy-tailed signal crowds bins — acceptable for a combiner whose
+    job is cross-signal agreement, and the per-signal bins are emitted
+    so the spread is auditable.)
+
+    All-integer after the signals themselves (micro fixed point), so
+    the DuckDB oracle replays exact values.  Docs with no tokens carry
+    no signals and are excluded (state them via `corpus_report`).
+
+    Returns ``(doc_id, q_bin, ent_bin, typ_bin, ensemble_micro)`` where
+    ``typ_bin`` is the INVERTED nll bin (bins-1 - bin) so that in every
+    column larger = better.
+    """
+    from hbase_indexer_spark.pipeline.corpus_stats import unigram_logprob
+    from hbase_indexer_spark.pipeline.text import (
+        char_entropy,
+        quality_score,
+        token_count,
+    )
+
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    n_tok = token_count(F.col("text"))
+    q = docs.filter(n_tok > 0).select(
+        "doc_id",
+        F.floor(quality_score(F.col("text"), n_tok) * F.lit(1_000_000.0)
+                + F.lit(0.5)).cast("long").alias("q_micro"))
+    ent = char_entropy(docs).select(
+        "doc_id", F.col("entropy_micro_per_char").alias("ent_micro"))
+    nll = unigram_logprob(docs).select(
+        "doc_id", F.col("nll_micro_per_token").alias("nll_micro"))
+    sig = (q.join(ent, "doc_id").join(nll, "doc_id")
+           .filter(F.col("ent_micro").isNotNull()
+                   & F.col("nll_micro").isNotNull()))
+    ranges = sig.agg(
+        F.min("q_micro").alias("q_lo"), F.max("q_micro").alias("q_hi"),
+        F.min("ent_micro").alias("e_lo"), F.max("ent_micro").alias("e_hi"),
+        F.min("nll_micro").alias("n_lo"), F.max("nll_micro").alias("n_hi"))
+    j = sig.crossJoin(F.broadcast(ranges))
+
+    def bin_of(v: str, lo: str, hi: str):
+        return F.expr(f"(({v} - {lo}) * {bins}) div ({hi} - {lo} + 1)")
+
+    binned = j.select(
+        "doc_id",
+        bin_of("q_micro", "q_lo", "q_hi").alias("q_bin"),
+        bin_of("ent_micro", "e_lo", "e_hi").alias("ent_bin"),
+        (F.lit(bins - 1) - bin_of("nll_micro", "n_lo", "n_hi"))
+        .alias("typ_bin"),
+    )
+    return binned.select(
+        "doc_id", "q_bin", "ent_bin", "typ_bin",
+        F.expr(f"((q_bin + ent_bin + typ_bin) * 1000000)"
+               f" div (3 * {bins - 1})").alias("ensemble_micro"))
+
+
+def quality_ensemble_sql(bins: int = 256) -> str:
+    from hbase_indexer_spark.pipeline.corpus_stats import unigram_logprob_sql
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+    from hbase_indexer_spark.pipeline.text import QUALITY_SQL, char_entropy_sql
+
+    return f"""
+        WITH t0 AS (
+            SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents
+        ),
+        t1 AS (
+            SELECT doc_id, text, toks, len(toks) AS n_tokens FROM t0
+            WHERE len(toks) > 0
+        ),
+        q AS (
+            SELECT doc_id,
+                   CAST(floor(({QUALITY_SQL}) * 1000000.0 + 0.5) AS BIGINT)
+                       AS q_micro
+            FROM t1
+        ),
+        ce AS ({char_entropy_sql()}),
+        ul AS ({unigram_logprob_sql()}),
+        sig AS (
+            SELECT q.doc_id, q.q_micro,
+                   ce.entropy_micro_per_char AS ent_micro,
+                   ul.nll_micro_per_token AS nll_micro
+            FROM q
+            JOIN ce ON q.doc_id = ce.doc_id
+            JOIN ul ON q.doc_id = ul.doc_id
+            WHERE ce.entropy_micro_per_char IS NOT NULL
+              AND ul.nll_micro_per_token IS NOT NULL
+        ),
+        rg AS (
+            SELECT min(q_micro) AS q_lo, max(q_micro) AS q_hi,
+                   min(ent_micro) AS e_lo, max(ent_micro) AS e_hi,
+                   min(nll_micro) AS n_lo, max(nll_micro) AS n_hi
+            FROM sig
+        ),
+        binned AS (
+            SELECT doc_id,
+                   ((q_micro - rg.q_lo) * {bins}) // (rg.q_hi - rg.q_lo + 1)
+                       AS q_bin,
+                   ((ent_micro - rg.e_lo) * {bins}) // (rg.e_hi - rg.e_lo + 1)
+                       AS ent_bin,
+                   {bins - 1} - ((nll_micro - rg.n_lo) * {bins})
+                       // (rg.n_hi - rg.n_lo + 1) AS typ_bin
+            FROM sig, rg
+        )
+        SELECT doc_id, CAST(q_bin AS BIGINT) AS q_bin,
+               CAST(ent_bin AS BIGINT) AS ent_bin,
+               CAST(typ_bin AS BIGINT) AS typ_bin,
+               CAST(((q_bin + ent_bin + typ_bin) * 1000000)
+                    // (3 * {bins - 1}) AS BIGINT) AS ensemble_micro
+        FROM binned
+    """

@@ -90,3 +90,26 @@ def test_repetition_stats_hand_computed(spark):
     assert r["n_bigrams"] == 2 and r["dup_bigram_count"] == 0
     r = rows[3]
     assert (r["n_words"], r["n_bigrams"]) == (1, 0)
+
+
+def test_quality_ensemble_bins_and_bounds(spark):
+    from hbase_indexer_spark.pipeline.curation import quality_ensemble
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog and runs far"),
+        (2, "aaa aaa aaa aaa aaa aaa aaa aaa"),            # repetitive
+        (3, "zq xv wk jm pf bd gh tn rs lc yw qe rt"),      # high entropy
+        (4, ""),                                            # no tokens
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_ensemble(docs, bins=16).collect()}
+    assert 4 not in out  # token-less docs carry no signals
+    for r in out.values():
+        for c in ("q_bin", "ent_bin", "typ_bin"):
+            assert 0 <= r[c] <= 15, r
+        assert 0 <= r["ensemble_micro"] <= 1_000_000, r
+    # repetitive doc has the lowest entropy bin
+    assert out[2]["ent_bin"] == min(r["ent_bin"] for r in out.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        quality_ensemble(docs, bins=1)
