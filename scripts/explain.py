@@ -729,6 +729,25 @@ CHECKS = {
         [r"SortMergeJoin Inner|BroadcastHashJoin Inner"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # BM25 (r6): the tiny query-term side must BROADCAST into the
+    # postings join (inverted-index probe, never a corpus-shuffle), the
+    # postings/df builds stay partial-aggregated, no Python anywhere
+    "bm25_topk": (
+        [r"BroadcastHashJoin", r"partial_"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # skew profile (r6): top-k must be TakeOrderedAndProject (O(k) per
+    # partition), never a range-partitioned global sort of the key table
+    "key_skew_report": (
+        [r"TakeOrderedAndProject", r"partial_count"],
+        [r"rangepartitioning", *NO_PYTHON],
+    ),
+    # ensemble (r6): combinable (min,max) broadcast + map-only binning;
+    # no window, no global sort, no Python
+    "quality_ensemble": (
+        [r"partial_min", r"partial_max"],
+        [r"Window", r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

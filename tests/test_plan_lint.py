@@ -63,6 +63,16 @@ ALLOW_BNLJ = {
     # F2 report: crossJoin of TWO single-row aggregates (exact stats x
     # sketch estimate) — a 1x1 loop, not a data join.
     "selfjoin_size",
+    # hybrid fusion's dense leg IS brute_force_topk (the declared
+    # verifier baseline, same O(K)-broadcast scan as ann_bruteforce_topk);
+    # the fusion itself is an equi-groupBy over top-k-truncated inputs.
+    "hybrid_rrf",
+    # skew profile: crossJoin of the per-key counts with ONE broadcast
+    # (total, n_keys) aggregate row — a 1-row loop, not a data join.
+    "key_skew_report",
+    # ensemble: crossJoin of the signal table with ONE broadcast
+    # (min,max)-per-signal aggregate row — same 1-row-loop shape.
+    "quality_ensemble",
 }
 
 
