@@ -1157,6 +1157,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
 
 
+def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (new r6): train n-gram counts
+    on the doc_id%2==0 half, score the held-out half — unseen trigrams
+    genuinely back off (KenLM-shaped cross-corpus perplexity filter).
+    Fixed-point micro-nats, token-keyed combinable joins."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        backoff_trigram_logprob,
+    )
+
+    return backoff_trigram_logprob(_docs(spark, sf_dir))
+
+
 def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal quality ensemble (new r6): heuristic quality +
     char entropy + unigram-LM typicality, each equi-width binned against
@@ -2341,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "key_skew_report": q_key_skew_report,
         "quality_ensemble": q_quality_ensemble,
+        "trigram_backoff": q_trigram_backoff,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -2981,6 +2994,11 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.curation import quality_ensemble_sql
 
     out["quality_ensemble"] = quality_ensemble_sql(bins=256)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        backoff_trigram_logprob_sql,
+    )
+
+    out["trigram_backoff"] = backoff_trigram_logprob_sql()
     out["unigram_logprob"] = unigram_logprob_sql()
     out["dsir_selection"] = dsir_selection_sql(
         target_pred="doc_id % 7 = 0", k=100)

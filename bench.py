@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "key_skew_report",
     "quality_ensemble",
+    "trigram_backoff",
 ]
 
 

@@ -280,6 +280,219 @@ def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     """
 
 
+def trigram_freqs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, w1, w2, w3, tf)`` — adjacent-token trigrams, one
+    combinable aggregation; docs with < 3 tokens emit nothing (sequence
+    guard as in :func:`bigram_freqs`)."""
+    toked = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("_toks"))
+    t = F.col("_toks")  # bound attribute — no per-gram re-tokenize
+    tris = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+                F.element_at(t, i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    return (
+        toked.select("doc_id", F.explode(tris).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"),
+                 F.col("p.w2").alias("w2"), F.col("p.w3").alias("w3"))
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+# floor(1e6 * ln(1/0.4)) — one backoff level's nll penalty in micro-nats
+BACKOFF_MICRO = 916_290
+
+
+def backoff_trigram_logprob(docs: DataFrame,
+                            train_pred: str = "doc_id % 2 = 0"
+                            ) -> DataFrame:
+    """Stupid-backoff trigram LM scoring of a HELD-OUT split against a
+    train split — the cross-corpus perplexity filter (KenLM-shaped):
+    train n-gram counts on ``train_pred`` docs, score the rest.  Unlike
+    :func:`bigram_logprob` (corpus as its own training set, every
+    n-gram has support), held-out docs genuinely contain unseen
+    trigrams, so the backoff chain does real work:
+
+    - trigram seen in train:  ``nll += floor(1e6 * ln(c12 / c123))``
+    - else bigram seen:       ``nll += B + floor(1e6 * ln(c2 / c23))``
+    - else unigram seen:      ``nll += 2B + floor(1e6 * ln(C / c3))``
+    - else (OOV ``w3``):      position counted in ``n_oov``, not scored
+
+    with ``B = floor(1e6 * ln(1/0.4)) = 916290`` (stupid backoff's 0.4,
+    Brants et al. 2007) and context counts from the train split.  One
+    float ``ln`` per distinct train n-gram, integer sums after — the
+    module's fixed-point discipline, exactly replayable in SQL.
+
+    Returns ``(doc_id, n_scored, n_oov, nll_micro_total,
+    nll_micro_per_gram)`` for every held-out doc (docs with < 3 tokens
+    score 0/0/0/NULL).
+
+    Scale: n-gram tables are combinable aggregations over the train
+    split; the scoring stream joins them token-keyed (inverted-index
+    shape, AQE-skew-safe) — never a per-doc loop, never Python."""
+    train = docs.filter(F.expr(train_pred))
+    held = docs.filter(~F.expr(train_pred))
+
+    tri = (trigram_freqs(train).groupBy("w1", "w2", "w3")
+           .agg(F.sum("tf").alias("c123")))
+    trictx = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    tri_w = tri.join(trictx, ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        F.floor(MICRO * F.log(F.col("c12").cast("double")
+                              / F.col("c123").cast("double")))
+        .alias("tri_w"))
+    bi = (bigram_freqs(train).groupBy("w1", "w2")
+          .agg(F.sum("tf").alias("c23"))
+          .select(F.col("w1").alias("b2"), F.col("w2").alias("b3"), "c23"))
+    bictx = bi.groupBy("b2").agg(F.sum("c23").alias("c2"))
+    bi_w = bi.join(bictx, "b2").select(
+        "b2", "b3",
+        F.floor(MICRO * F.log(F.col("c2").cast("double")
+                              / F.col("c23").cast("double")))
+        .alias("bi_w"))
+    uni = (train.select(F.explode(tokens(F.col("text"))).alias("u3"))
+           .groupBy("u3").agg(F.count("*").alias("c3")))
+    total = uni.agg(F.sum("c3")).first()[0] or 0
+    uni_w = uni.select(
+        "u3",
+        F.floor(MICRO * F.log(F.lit(float(total))
+                              / F.col("c3").cast("double")))
+        .alias("uni_w"))
+
+    pos = trigram_freqs(held)
+    scored = (
+        pos.join(tri_w, ["w1", "w2", "w3"], "left")
+        .join(bi_w, (F.col("w2") == F.col("b2"))
+              & (F.col("w3") == F.col("b3")), "left")
+        .join(uni_w, F.col("w3") == F.col("u3"), "left")
+        .withColumn(
+            "gram_w",
+            F.when(F.col("tri_w").isNotNull(), F.col("tri_w"))
+            .when(F.col("bi_w").isNotNull(),
+                  F.lit(BACKOFF_MICRO) + F.col("bi_w"))
+            .when(F.col("uni_w").isNotNull(),
+                  F.lit(2 * BACKOFF_MICRO) + F.col("uni_w")))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("gram_w").isNotNull(), F.col("tf"))
+              .otherwise(F.lit(0))).alias("n_scored"),
+        F.sum(F.when(F.col("gram_w").isNull(), F.col("tf"))
+              .otherwise(F.lit(0))).alias("n_oov"),
+        F.sum(F.when(F.col("gram_w").isNotNull(),
+                     F.col("tf") * F.col("gram_w"))
+              .otherwise(F.lit(0))).alias("nll_micro_total"),
+    )
+    return (
+        held.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.coalesce("nll_micro_total", F.lit(0))
+            .alias("nll_micro_total"),
+            F.expr("nll_micro_total div nullif(n_scored, 0)")
+            .alias("nll_micro_per_gram"),
+        )
+    )
+
+
+def backoff_trigram_logprob_sql(train_pred: str = "doc_id % 2 = 0") -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH tr AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+                    WHERE {train_pred}),
+        hd AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+               WHERE NOT ({train_pred})),
+        tr_tri AS (
+            SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+                   count(*) AS c123
+            FROM tr, UNNEST(range(1, len(toks) - 1)) AS g(i)
+            WHERE len(toks) >= 3 GROUP BY 1, 2, 3
+        ),
+        tr_trictx AS (SELECT w1, w2, sum(c123) AS c12
+                      FROM tr_tri GROUP BY 1, 2),
+        tri_w AS (
+            SELECT t.w1, t.w2, t.w3,
+                   CAST(floor({MICRO} * ln(CAST(x.c12 AS DOUBLE)
+                        / CAST(t.c123 AS DOUBLE))) AS BIGINT) AS tri_w
+            FROM tr_tri t JOIN tr_trictx x ON t.w1 = x.w1 AND t.w2 = x.w2
+        ),
+        tr_bi AS (
+            SELECT toks[i] AS b2, toks[i+1] AS b3, count(*) AS c23
+            FROM tr, UNNEST(range(1, len(toks))) AS g(i)
+            WHERE len(toks) >= 2 GROUP BY 1, 2
+        ),
+        tr_bictx AS (SELECT b2, sum(c23) AS c2 FROM tr_bi GROUP BY 1),
+        bi_w AS (
+            SELECT b.b2, b.b3,
+                   CAST(floor({MICRO} * ln(CAST(x.c2 AS DOUBLE)
+                        / CAST(b.c23 AS DOUBLE))) AS BIGINT) AS bi_w
+            FROM tr_bi b JOIN tr_bictx x ON b.b2 = x.b2
+        ),
+        tr_uni AS (
+            SELECT t.u3, count(*) AS c3
+            FROM (SELECT unnest(toks) AS u3 FROM tr) t GROUP BY 1
+        ),
+        uni_w AS (
+            SELECT u3,
+                   CAST(floor({MICRO} * ln(
+                        CAST((SELECT sum(c3) FROM tr_uni) AS DOUBLE)
+                        / CAST(c3 AS DOUBLE))) AS BIGINT) AS uni_w
+            FROM tr_uni
+        ),
+        pos AS (
+            SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+                   toks[i+2] AS w3, count(*) AS tf
+            FROM hd, UNNEST(range(1, len(toks) - 1)) AS g(i)
+            WHERE len(toks) >= 3 GROUP BY 1, 2, 3, 4
+        ),
+        g AS (
+            SELECT p.doc_id, p.tf,
+                   CASE WHEN t.tri_w IS NOT NULL THEN t.tri_w
+                        WHEN b.bi_w IS NOT NULL
+                            THEN {BACKOFF_MICRO} + b.bi_w
+                        WHEN u.uni_w IS NOT NULL
+                            THEN {2 * BACKOFF_MICRO} + u.uni_w
+                   END AS gram_w
+            FROM pos p
+            LEFT JOIN tri_w t ON p.w1 = t.w1 AND p.w2 = t.w2
+                 AND p.w3 = t.w3
+            LEFT JOIN bi_w b ON p.w2 = b.b2 AND p.w3 = b.b3
+            LEFT JOIN uni_w u ON p.w3 = u.u3
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   sum(CASE WHEN gram_w IS NOT NULL THEN tf ELSE 0 END)
+                       AS n_scored,
+                   sum(CASE WHEN gram_w IS NULL THEN tf ELSE 0 END)
+                       AS n_oov,
+                   sum(CASE WHEN gram_w IS NOT NULL THEN tf * gram_w
+                        ELSE 0 END) AS nll_micro_total
+            FROM g GROUP BY doc_id
+        )
+        SELECT h.doc_id,
+               CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(coalesce(p.nll_micro_total, 0) AS BIGINT)
+                   AS nll_micro_total,
+               CAST(coalesce(p.nll_micro_total, 0)
+                    // NULLIF(coalesce(p.n_scored, 0), 0) AS BIGINT)
+                   AS nll_micro_per_gram
+        FROM (SELECT DISTINCT doc_id FROM hd) h
+        LEFT JOIN per_doc p ON h.doc_id = p.doc_id
+    """
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 
 

@@ -218,3 +218,37 @@ def test_key_skew_report_shares_and_mean_multiple(spark):
         [(None,)] * 3 + [("x",)], "k string")
     top = key_skew_report(dn, "k", k=1).collect()[0]
     assert top["key"] is None and top["n_rows"] == 3
+
+
+def test_trigram_backoff_chain(spark):
+    """Each backoff level fires where expected: trigram hit scores
+    ln(c12/c123); unseen trigram with seen bigram adds one BACKOFF
+    penalty; unseen bigram with seen unigram adds two; OOV w3 counts in
+    n_oov and is never scored."""
+    import math
+
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        BACKOFF_MICRO,
+        backoff_trigram_logprob,
+    )
+
+    docs = spark.createDataFrame([
+        (0, "a b c d"),            # train: trigrams (a,b,c) (b,c,d)
+        (1, "a b c"),              # held: trigram hit
+        (3, "x b c"),              # held: tri miss, bigram (b,c) hit
+        (5, "x y c"),              # held: tri+bi miss, unigram c hit
+        (7, "x y zz"),             # held: zz OOV
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in backoff_trigram_logprob(docs).collect()}
+
+    # doc 1: trigram (a,b,c): c123=1, context (a,b) total=1 -> ln(1)=0
+    assert (out[1]["n_scored"], out[1]["nll_micro_total"]) == (1, 0)
+    # doc 3: bigram (b,c): c23=1, context b total=1 -> B + 0
+    assert out[3]["nll_micro_total"] == BACKOFF_MICRO
+    # doc 5: unigram c: c3=1, C=4 -> 2B + floor(1e6 ln 4)
+    assert out[5]["nll_micro_total"] == \
+        2 * BACKOFF_MICRO + math.floor(1e6 * math.log(4.0))
+    # doc 7: w3=zz not in train vocab -> OOV, unscored
+    assert (out[7]["n_scored"], out[7]["n_oov"]) == (0, 1)
+    assert out[7]["nll_micro_per_gram"] is None
