@@ -1157,6 +1157,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted index (new r6): the corpus
+    arrives as 3 chunks folded into a postings IndexStore
+    (postings_upsert), one chunk RE-upserted to prove idempotent
+    replacement, then BM25 answers from the STORE — end state
+    hash-equal to the one-shot oracle over the full corpus.  The
+    reference's incremental index-maintenance contract applied to text
+    retrieval."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        bm25_topk_indexed,
+        postings_upsert,
+    )
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+
+    docs = _docs(spark, sf_dir)
+    store = IndexStore(
+        os.path.join(tempfile.mkdtemp(prefix="hbis_bm25_"), "postings"),
+        key="pk")
+    for chunk in (0, 1, 1, 2):  # chunk 1 folded twice: replace, not dup
+        postings_upsert(store, docs.filter(F.col("doc_id") % 3 == chunk))
+    return bm25_topk_indexed(spark, store, BM25_QUERIES, k=10)
+
+
 def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram LM scoring (new r6): train n-gram counts
     on the doc_id%2==0 half, score the held-out half — unseen trigrams
@@ -2354,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": q_key_skew_report,
         "quality_ensemble": q_quality_ensemble,
         "trigram_backoff": q_trigram_backoff,
+        "bm25_incremental": q_bm25_incremental,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -2999,6 +3023,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["trigram_backoff"] = backoff_trigram_logprob_sql()
+    out["bm25_incremental"] = bm25_topk_sql(BM25_QUERIES, k=10,
+                                            n_docs_from_postings=True)
     out["unigram_logprob"] = unigram_logprob_sql()
     out["dsir_selection"] = dsir_selection_sql(
         target_pred="doc_id % 7 = 0", k=100)

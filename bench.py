@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "key_skew_report",
     "quality_ensemble",
     "trigram_backoff",
+    "bm25_incremental",
 ]
 
 

@@ -163,9 +163,15 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]],
     scan); top-k windows by query — partitioned, no global sort.
     Corpus scalars (N, total_len) are one auxiliary aggregate."""
     spark = docs.sparkSession
-    tf = term_freqs(docs)
+    return _bm25_from_tf(spark, term_freqs(docs), docs.count(), queries, k)
+
+
+def _bm25_from_tf(spark, tf: DataFrame, n_docs: int,
+                  queries: list[tuple[int, str]], k: int) -> DataFrame:
+    """Shared BM25 scoring core over a ``(doc_id, term, tf)`` postings
+    frame — used by the ad-hoc path (tf built from the docs scan) and
+    the indexed path (tf read from the postings store)."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs = docs.count()
     total_len = tf.agg(F.sum("tf")).first()[0] or 0
     if total_len == 0:
         return spark.createDataFrame(
@@ -210,15 +216,64 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]],
             .select("query_id", "doc_id", "rank", "score_micro"))
 
 
-def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+def postings_upsert(store, batch_docs: DataFrame) -> None:
+    """Fold a document batch into a persistent postings index (an
+    ``IndexStore`` keyed by ``pk = term\\x1fdoc_id``): RE-ingesting a
+    document REPLACES all its postings (anti-join on doc_id via the
+    store's set-oriented delete), so upserts are idempotent and edits
+    never leave stale terms behind — the reference's incremental
+    index-maintenance contract applied to an inverted text index.
+
+    Scale: per batch the cost is one combinable (doc_id, term)
+    aggregation over the batch + the store's bounded merge (old view ⋈
+    batch doc set); document frequency / corpus length are NOT
+    materialized — they derive from the postings at query time, so no
+    global statistic needs transactional maintenance."""
+    posts = term_freqs(batch_docs).select(
+        F.concat_ws("\x1f", F.col("term"), F.col("doc_id").cast("string"))
+        .alias("pk"),
+        "term", "doc_id", "tf")
+    store.merge(
+        batch_docs.sparkSession,
+        adds=posts,
+        delete_match=[batch_docs.select("doc_id").distinct()],
+    )
+
+
+def bm25_topk_indexed(spark, store, queries: list[tuple[int, str]],
+                      k: int = 10) -> DataFrame:
+    """BM25 over a :func:`postings_upsert`-maintained store: corpus
+    statistics (N, total length, document frequencies) derive from the
+    stored postings — N counts docs with >= 1 token, the one definitional
+    difference from the ad-hoc :func:`bm25_topk` (mirrored by
+    ``bm25_topk_sql(n_docs_from_postings=True)``)."""
+    tf = store.read(spark)
+    if tf is None:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank int, score_micro long")
+    tf = tf.select("doc_id", "term", "tf")
+    n_docs = tf.select("doc_id").distinct().count()
+    return _bm25_from_tf(spark, tf, n_docs, queries, k)
+
+
+def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                  n_docs_from_postings: bool = False) -> str:
     """DuckDB mirror of :func:`bm25_topk` — query literals as VALUES
-    rows tokenized with the shared recipe, identical integer ops."""
+    rows tokenized with the shared recipe, identical integer ops.
+
+    ``n_docs_from_postings``: mirror of the INDEXED path
+    (:func:`bm25_topk_indexed`), whose corpus statistics come from the
+    postings store itself — N counts docs with >= 1 token (a token-less
+    doc writes no postings), vs the ad-hoc path's raw document count."""
     from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
 
     values = ", ".join(
         f"({qid}, {qtext!r})" for qid, qtext in queries)
     q_toks = TOKS_SQL.replace("text", "qtext")
     k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    n_docs_expr = ("(SELECT count(DISTINCT doc_id) FROM tf)"
+                   if n_docs_from_postings
+                   else "(SELECT count(*) FROM documents)")
     return f"""
         WITH tf AS (
             SELECT doc_id, t.term, count(*) AS tf
@@ -229,7 +284,7 @@ def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
                FROM tf GROUP BY doc_id),
         scal AS (
-            SELECT (SELECT count(*) FROM documents) AS n_docs,
+            SELECT {n_docs_expr} AS n_docs,
                    (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS total_len
         ),
         idf AS (

@@ -252,3 +252,38 @@ def test_trigram_backoff_chain(spark):
     # doc 7: w3=zz not in train vocab -> OOV, unscored
     assert (out[7]["n_scored"], out[7]["n_oov"]) == (0, 1)
     assert out[7]["nll_micro_per_gram"] is None
+
+
+def test_postings_upsert_replaces_document(spark, tmp_path):
+    """Re-ingesting a CHANGED document replaces all its postings — no
+    stale terms, no duplicates — and the indexed BM25 equals the ad-hoc
+    BM25 over the final corpus (modulo the documented N definition)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        bm25_topk,
+        bm25_topk_indexed,
+        postings_upsert,
+    )
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+
+    store = IndexStore(str(tmp_path / "p"), key="pk")
+    v1 = spark.createDataFrame(
+        [(1, "apple banana"), (2, "cherry date")], "doc_id long, text string")
+    postings_upsert(store, v1)
+    # doc 1 edited: 'banana' disappears, 'elderberry' appears
+    v2 = spark.createDataFrame(
+        [(1, "apple elderberry elderberry")], "doc_id long, text string")
+    postings_upsert(store, v2)
+
+    rows = {(r["doc_id"], r["term"]): r["tf"]
+            for r in store.read(spark).collect()}
+    assert rows == {(1, "apple"): 1, (1, "elderberry"): 2,
+                    (2, "cherry"): 1, (2, "date"): 1}
+
+    final = spark.createDataFrame(
+        [(1, "apple elderberry elderberry"), (2, "cherry date")],
+        "doc_id long, text string")
+    queries = [(1, "apple"), (2, "elderberry date")]
+    got = sorted(map(tuple, bm25_topk_indexed(
+        spark, store, queries, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(final, queries, k=5).collect()))
+    assert got == want  # no token-less docs here, so N definitions agree
