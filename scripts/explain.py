@@ -748,6 +748,21 @@ CHECKS = {
         [r"partial_min", r"partial_max"],
         [r"Window", r"rangepartitioning", r"CartesianProduct", *NO_PYTHON],
     ),
+    # backoff LM (r6): n-gram tables are combinable aggregations; the
+    # scoring stream joins them with equi-joins only — no cross join,
+    # no Python, no global sort
+    "trigram_backoff": (
+        [r"partial_", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"rangepartitioning", *NO_PYTHON],
+    ),
+    # store-backed BM25 (r6): same inverted-index probe contract as
+    # bm25_topk — the query-term side broadcasts, postings stay
+    # partial-aggregated
+    "bm25_incremental": (
+        [r"BroadcastHashJoin", r"partial_"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
 }
 
 
