@@ -1157,6 +1157,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
 
 
+def q_media_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header introspection (new r6): REAL PNG/WAV headers are
+    built byte-for-byte in Catalyst over the documents table, then
+    parse_media_headers reads the typed metadata back out of the raw
+    bytes (BE dims / LE rate+channels) — whole-stage codegen, zero
+    Python, zero codecs.  The oracle predicts the encode→parse round
+    trip analytically from n_chars."""
+    from hbase_indexer_spark.pipeline.multimodal import (
+        media_headers_fixture,
+        parse_media_headers,
+    )
+
+    return parse_media_headers(media_headers_fixture(spark, sf_dir))
+
+
 def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained inverted index (new r6): the corpus
     arrives as 3 chunks folded into a postings IndexStore
@@ -2378,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ensemble": q_quality_ensemble,
         "trigram_backoff": q_trigram_backoff,
         "bm25_incremental": q_bm25_incremental,
+        "media_header_parse": q_media_header_parse,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3025,6 +3041,9 @@ def oracle_sql() -> dict[str, str]:
     out["trigram_backoff"] = backoff_trigram_logprob_sql()
     out["bm25_incremental"] = bm25_topk_sql(BM25_QUERIES, k=10,
                                             n_docs_from_postings=True)
+    from hbase_indexer_spark.pipeline.multimodal import media_header_parse_sql
+
+    out["media_header_parse"] = media_header_parse_sql()
     out["unigram_logprob"] = unigram_logprob_sql()
     out["dsir_selection"] = dsir_selection_sql(
         target_pred="doc_id % 7 = 0", k=100)

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "quality_ensemble",
     "trigram_backoff",
     "bm25_incremental",
+    "media_header_parse",
 ]
 
 

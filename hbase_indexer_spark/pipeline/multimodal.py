@@ -195,3 +195,148 @@ def media_dedup_sql() -> str:
                (m.doc_id = k.keeper_id) AS is_canonical
         FROM m JOIN k USING (media_type, h, blen)
     """
+
+
+# ---------------------------------------------------------------------------
+# Container-header introspection (r6): REAL byte-level parsing, no codecs
+# ---------------------------------------------------------------------------
+
+PNG_SIG_HEX = "89504e470d0a1a0a"  # \x89PNG\r\n\x1a\n
+
+
+def _be32(payload, off1: int):
+    """Big-endian uint32 at 1-based byte offset (PNG ints are BE)."""
+    return F.conv(F.hex(F.substring(payload, off1, 4)), 16, 10).cast("long")
+
+
+def _le(payload, off1: int, nbytes: int):
+    """Little-endian uint at 1-based byte offset (RIFF/WAV ints are LE)."""
+    total = F.lit(0).cast("long")
+    for i in range(nbytes):
+        byte = F.conv(F.hex(F.substring(payload, off1 + i, 1)), 16, 10) \
+            .cast("long")
+        total = total + byte * F.lit(1 << (8 * i)).cast("long")
+    return total
+
+
+def media_headers_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads carry REAL container headers built
+    byte-for-byte in Catalyst: PNG signature + IHDR (big-endian dims),
+    or a RIFF/WAVE fmt chunk (little-endian rate/channels), followed by
+    the text bytes as the 'encoded stream'.  Header fields derive
+    deterministically from n_chars so an external oracle can predict
+    exactly what a correct parser must read back."""
+    from hbase_indexer_spark.functions.bytes_codec import encode_int
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    width = (F.lit(1) + F.col("n_chars") % 640).cast("int")
+    height = (F.lit(1) + F.col("n_chars") % 480).cast("int")
+    rate = (F.lit(16000) * (F.lit(1) + F.col("n_chars") % 3)).cast("int")
+    channels = (F.lit(1) + F.col("n_chars") % 2).cast("int")
+
+    def le_bytes(col, nbytes: int):
+        # little-endian byte string of an int column: per-byte unhex
+        parts = [
+            F.unhex(F.lpad(F.hex((col.cast("long") / F.lit(1 << (8 * i)))
+                                 .cast("long") % 256), 2, "0"))
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    png = F.concat(
+        F.unhex(F.lit(PNG_SIG_HEX)),
+        F.unhex(F.lit("0000000d")),          # IHDR length 13
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        encode_int(width), encode_int(height),
+        F.unhex(F.lit("08")),                # bit depth 8
+        F.unhex(F.lit("06")),                # color type RGBA
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        F.unhex(F.lit("00000000")),          # riff size (unused here)
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le_bytes(F.lit(16), 4),              # fmt chunk size
+        le_bytes(F.lit(1), 2),               # PCM
+        le_bytes(channels, 2),
+        le_bytes(rate, 4),
+        le_bytes(rate * channels * 2, 4),    # byte rate
+        le_bytes(channels * 2, 2),           # block align
+        le_bytes(F.lit(16), 2),              # bits per sample
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, wav)
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+        .alias("payload"),
+    )
+
+
+def parse_media_headers(df: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL container-header introspection in pure Catalyst (whole-stage
+    codegen, zero Python): detect PNG (8-byte signature + IHDR) and
+    RIFF/WAVE, and read the typed metadata out of the raw bytes —
+    big-endian dims for PNG, little-endian rate/channels/bits for WAV.
+    Unknown containers yield ``container='unknown'`` with NULL fields.
+
+    This is the metadata-extraction stage a multimodal pipeline runs
+    BEFORE any decoder: predicate pushdown on (width, sample_rate, ...)
+    then prunes which payloads a real codec ever touches.  The decode
+    stage itself stays stubbed (`decode_media`) — header introspection
+    needs no codec, so it is implemented for real.
+
+    Returns ``(doc_id, container, width, height, bit_depth, channels,
+    sample_rate, bits_per_sample, payload_bytes)``."""
+    p = F.col(payload_col)
+    is_png = (F.length(p) >= 26) & (
+        F.hex(F.substring(p, 1, 8)) == PNG_SIG_HEX.upper())
+    is_wav = (F.length(p) >= 36) & \
+        (F.substring(p, 1, 4) == F.encode(F.lit("RIFF"), "UTF-8")) & \
+        (F.substring(p, 9, 4) == F.encode(F.lit("WAVE"), "UTF-8"))
+    return df.select(
+        "doc_id",
+        F.when(is_png, "png").when(is_wav, "wav").otherwise("unknown")
+        .alias("container"),
+        F.when(is_png, _be32(p, 17)).cast("long").alias("width"),
+        F.when(is_png, _be32(p, 21)).cast("long").alias("height"),
+        F.when(is_png, F.conv(F.hex(F.substring(p, 25, 1)), 16, 10)
+               .cast("long")).alias("bit_depth"),
+        F.when(is_wav, _le(p, 23, 2)).alias("channels"),
+        F.when(is_wav, _le(p, 25, 4)).alias("sample_rate"),
+        F.when(is_wav, _le(p, 35, 2)).alias("bits_per_sample"),
+        F.length(p).cast("long").alias("payload_bytes"),
+    )
+
+
+def media_header_parse_sql() -> str:
+    """Oracle: predicts what a CORRECT parser must read back from the
+    fixture's generated headers — the analytic ground truth of the
+    encode→parse round trip (header fields are functions of n_chars;
+    payload length = header size + utf-8 text bytes)."""
+    return """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'png'
+                    WHEN doc_id % 3 = 1 THEN 'wav'
+                    ELSE 'unknown' END AS container,
+               CASE WHEN doc_id % 3 = 0
+                    THEN CAST(1 + n_chars % 640 AS BIGINT) END AS width,
+               CASE WHEN doc_id % 3 = 0
+                    THEN CAST(1 + n_chars % 480 AS BIGINT) END AS height,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(8 AS BIGINT) END
+                   AS bit_depth,
+               CASE WHEN doc_id % 3 = 1
+                    THEN CAST(1 + n_chars % 2 AS BIGINT) END AS channels,
+               CASE WHEN doc_id % 3 = 1
+                    THEN CAST(16000 * (1 + n_chars % 3) AS BIGINT) END
+                   AS sample_rate,
+               CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS BIGINT) END
+                   AS bits_per_sample,
+               CAST(octet_length(encode(text))
+                    + CASE WHEN doc_id % 3 = 0 THEN 26
+                           WHEN doc_id % 3 = 1 THEN 36
+                           ELSE 0 END AS BIGINT) AS payload_bytes
+        FROM documents
+    """

@@ -325,3 +325,33 @@ def test_ivf_index_upsert_incremental(emb, spark, tmp_path):
     n_inc = spark.read.parquet(inc_path).count()
     n_full = spark.read.parquet(full_path).count()
     assert n_inc == n_full
+
+
+def test_parse_media_headers_real_bytes(spark):
+    """The parser reads metadata out of genuine container bytes: a real
+    PNG header (as PIL would write it) and a real WAV header (as the
+    stdlib wave module writes it) — built here byte-for-byte in Python,
+    independently of the Catalyst fixture builder."""
+    import struct
+
+    from hbase_indexer_spark.pipeline.multimodal import parse_media_headers
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 800, 600) + bytes([8, 6])
+           + b"rest-of-stream")
+    wav = (b"RIFF" + struct.pack("<I", 0) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+           + b"data...")
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"plain"))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in parse_media_headers(df).collect()}
+    assert out[1]["container"] == "png"
+    assert (out[1]["width"], out[1]["height"], out[1]["bit_depth"]) == \
+        (800, 600, 8)
+    assert out[2]["container"] == "wav"
+    assert (out[2]["channels"], out[2]["sample_rate"],
+            out[2]["bits_per_sample"]) == (2, 44100, 16)
+    assert out[3]["container"] == "unknown"
+    assert out[3]["width"] is None and out[3]["sample_rate"] is None
