@@ -763,6 +763,13 @@ CHECKS = {
         [r"BroadcastHashJoin", r"partial_"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # header introspection (r6): header build + parse is ONE map-only
+    # projection — no join, no shuffle, no Python (the whole point:
+    # metadata extraction without a codec or a Python row loop)
+    "media_header_parse": (
+        [r"Scan parquet", r"Project"],
+        [r"Join", r"Exchange", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 
