@@ -38,7 +38,11 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICAS = 10
-KEY_OFF = 1_000_000_000  # disjoint key spaces per replica
+# disjoint key spaces per replica: larger than any base key (~6M max at
+# sf0.1) but small enough that replica-9 keys stay far inside int32 —
+# the typed-decode fixtures cast keys to int, and ANSI Spark would throw
+# on a 9e9 key where a 9.6e7 one is fine
+KEY_OFF = 10_000_000
 
 
 def build_session():
@@ -99,9 +103,60 @@ def timed(spark, fn):
     return n, round(wall, 2), round((r1 - r0) / 1e6, 1), round((w1 - w0) / 1e6, 1)
 
 
+# key columns to offset per table so FK relationships stay consistent
+# across replicas (each replica is a disjoint copy of the whole schema;
+# nation/region are small shared dims and stay un-offset, so un-offset
+# FK columns like c_nationkey remain valid)
+REPLICATE_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": None,   # copy once
+    "region": None,
+}
+
+# headline queries re-run at the sf1-shaped dir through the REAL
+# entry.queries() surface — batch index build, typed decode, incremental
+# apply, analytics, dedup, packing, LM scoring, retrieval
+SF1_QUERIES = [
+    "row_index_customer",
+    "typed_decode_matrix",
+    "incremental_row_index",
+    "pricing_summary",
+    "top_revenue_supplier",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "pack_sequences",
+    "unigram_logprob",
+    "gopher_rules",
+    "bm25_topk",
+    "event_time_rollup",
+    "hll_daily_users",
+]
+
+
+def build_sf1_dir(spark, base: str, tmp: str) -> str:
+    """Materialize a full FK-consistent 10x replica of every table —
+    a ~sf1 dataset the entry queries can run against unchanged."""
+    out = os.path.join(tmp, "sf1")
+    os.makedirs(out, exist_ok=True)
+    for table, keys in REPLICATE_KEYS.items():
+        src = spark.read.parquet(f"{base}/{table}.parquet")
+        df = src if keys is None else replicate(src, keys)
+        df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--skip-queries", action="store_true",
+                    help="only the iterative-loop probes, no sf1 bench")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json"))
@@ -202,6 +257,34 @@ def main() -> None:
         "shuffle_write_mb": w_bm,
     }
     print(f"# bm25_topk: {json.dumps(out['bm25_topk'])}", file=sys.stderr)
+
+    # ---- headline entry queries against a FULL sf1-shaped replica ----
+    # the real driver surface (entry.queries()) run unchanged at 10x —
+    # "would this plan still work at the next scale-up" measured, not
+    # argued.  Each query best-of-2 (codegen warm-up cancels).
+    if not args.skip_queries:
+        import __spark_entry__ as entry
+
+        sf1 = build_sf1_dir(spark, args.base, tmp)
+        qs = entry.queries()
+        sf1_out = {}
+        for name in SF1_QUERIES:
+            runs, metrics = [], None
+            for _ in range(2):
+                n, wall, rmb, wmb = timed(
+                    spark, lambda: qs[name](spark, sf1).count())
+                runs.append(wall)
+                if metrics is None or wall < metrics[0]:
+                    metrics = (wall, rmb, wmb, n)
+            sf1_out[name] = {
+                "wall_s": metrics[0],
+                "shuffle_read_mb": metrics[1],
+                "shuffle_write_mb": metrics[2],
+                "rows": metrics[3],
+            }
+            print(f"# sf1 {name}: {json.dumps(sf1_out[name])}",
+                  file=sys.stderr)
+        out["sf1_queries"] = sf1_out
 
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
