@@ -1207,6 +1207,27 @@ def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backoff_trigram_logprob(_docs(spark, sf_dir))
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (new r6): NDCG@10 + recall@10 of the sparse
+    BM25 ranking against the exact dense cosine ranking as graded truth
+    — the eval leg of the retrieval family, aggregate-sized end to end
+    (both inputs are top-k truncated)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        bm25_topk,
+        retrieval_eval,
+    )
+    from hbase_indexer_spark.pipeline.similarity import brute_force_topk
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    bm = bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+    truth = brute_force_topk(
+        load(spark, sf_dir, "embeddings"),
+        [qid for qid, _ in BM25_QUERIES], k=10,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval_eval(bm, truth, k=10)
+
+
 def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal quality ensemble (new r6): heuristic quality +
     char entropy + unigram-LM typicality, each equi-width binned against
@@ -2394,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_backoff": q_trigram_backoff,
         "bm25_incremental": q_bm25_incremental,
         "media_header_parse": q_media_header_parse,
+        "retrieval_eval": q_retrieval_eval,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3044,6 +3066,14 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.multimodal import media_header_parse_sql
 
     out["media_header_parse"] = media_header_parse_sql()
+    from hbase_indexer_spark.pipeline.corpus_stats import retrieval_eval_sql
+
+    out["retrieval_eval"] = retrieval_eval_sql(
+        bm25_topk_sql(BM25_QUERIES, k=10),
+        "SELECT query_id, neighbor_id AS doc_id, rank FROM ("
+        + brute_force_topk_sql([qid for qid, _ in BM25_QUERIES], k=10)
+        + ")",
+        k=10)
     out["unigram_logprob"] = unigram_logprob_sql()
     out["dsir_selection"] = dsir_selection_sql(
         target_pred="doc_id % 7 = 0", k=100)

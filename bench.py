@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "trigram_backoff",
     "bm25_incremental",
     "media_header_parse",
+    "retrieval_eval",
 ]
 
 

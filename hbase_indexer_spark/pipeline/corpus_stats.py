@@ -630,6 +630,98 @@ def rrf_fuse_sql(ranking_ctes: list[str], k: int = 10,
     """
 
 
+def _ndcg_weights_micro(k: int) -> list[int]:
+    """Position weights ``floor(1e6 / log2(i+1))`` for i = 1..k, computed
+    ONCE in Python and embedded as literals in both engines — no
+    cross-engine float risk."""
+    import math
+
+    return [int(MICRO // math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_eval(ranking: DataFrame, truth: DataFrame,
+                   k: int = 10) -> DataFrame:
+    """Ranking-quality report: NDCG@k and recall@k of ``ranking``
+    against ``truth`` (both ``(query_id, doc_id, rank)`` top-k frames,
+    e.g. BM25 evaluated against the exact dense ranking) — the eval leg
+    of the retrieval family (search → fusion → EVAL).
+
+    Graded relevance is derived from the truth ranks (``rel = k+1 -
+    truth_rank``; absent docs are irrelevant), so the ideal DCG is the
+    CONSTANT ``sum_i (k+1-i) * W[i]`` and every number is integer micro
+    fixed point: ``dcg_micro = sum over ranking positions of rel *
+    W[pos]`` with ``W[pos] = floor(1e6 / log2(pos+1))`` (literal table,
+    see :func:`_ndcg_weights_micro`), ``ndcg_micro = (1e6 * dcg) div
+    idcg``, ``recall_micro = (1e6 * overlap) div k``.
+
+    Returns ``(query_id, overlap, recall_micro, dcg_micro, idcg_micro,
+    ndcg_micro)`` — one row per query present in either frame.
+
+    Scale: both inputs are top-k truncated (queries x k rows), so the
+    whole evaluation is aggregate-sized."""
+    w = _ndcg_weights_micro(k)
+    idcg = sum((k + 1 - i) * w[i - 1] for i in range(1, k + 1))
+    w_expr = F.element_at(
+        F.array(*[F.lit(x).cast("long") for x in w]), F.col("rank"))
+    t = truth.select(
+        "query_id", "doc_id",
+        (F.lit(k + 1) - F.col("rank")).cast("long").alias("rel"))
+    r = ranking.select("query_id", "doc_id", F.col("rank").cast("int")
+                       .alias("rank"))
+    joined = (r.join(t, ["query_id", "doc_id"], "full")
+              .select("query_id",
+                      F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+                      "rank"))
+    per_q = joined.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rank").isNotNull() & (F.col("rel") > 0),
+                     F.lit(1)).otherwise(F.lit(0))).alias("overlap"),
+        F.sum(F.when(F.col("rank").isNotNull(),
+                     F.col("rel") * w_expr).otherwise(F.lit(0)))
+        .alias("dcg_micro"),
+    )
+    return per_q.select(
+        "query_id", "overlap",
+        F.expr(f"(1000000 * overlap) div {k}").alias("recall_micro"),
+        "dcg_micro",
+        F.lit(idcg).cast("long").alias("idcg_micro"),
+        F.expr(f"(1000000 * dcg_micro) div {idcg}").alias("ndcg_micro"),
+    )
+
+
+def retrieval_eval_sql(ranking_cte: str, truth_cte: str,
+                       k: int = 10) -> str:
+    """DuckDB mirror: same literal weight table, same integer ops."""
+    w = _ndcg_weights_micro(k)
+    idcg = sum((k + 1 - i) * w[i - 1] for i in range(1, k + 1))
+    w_list = ", ".join(str(x) for x in w)
+    return f"""
+        WITH r AS ({ranking_cte}),
+        t AS ({truth_cte}),
+        j AS (
+            SELECT coalesce(r.query_id, t.query_id) AS query_id,
+                   coalesce({k + 1} - t.rank, 0) AS rel,
+                   r.rank AS pos
+            FROM r FULL JOIN t
+              ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        ),
+        per_q AS (
+            SELECT query_id,
+                   CAST(sum(CASE WHEN pos IS NOT NULL AND rel > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+                   CAST(sum(CASE WHEN pos IS NOT NULL
+                            THEN rel * ([{w_list}])[pos] ELSE 0 END)
+                        AS BIGINT) AS dcg_micro
+            FROM j GROUP BY query_id
+        )
+        SELECT query_id, overlap,
+               (1000000 * overlap) // {k} AS recall_micro,
+               dcg_micro,
+               CAST({idcg} AS BIGINT) AS idcg_micro,
+               (1000000 * dcg_micro) // {idcg} AS ndcg_micro
+        FROM per_q
+    """
+
+
 def key_skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     """Per-key skew profile for a prospective join/groupBy key: the
     top-``k`` heaviest keys with their row count, corpus share in

@@ -289,3 +289,36 @@ def test_postings_upsert_replaces_document(spark, tmp_path):
         spark, store, queries, k=5).collect()))
     want = sorted(map(tuple, bm25_topk(final, queries, k=5).collect()))
     assert got == want  # no token-less docs here, so N definitions agree
+
+
+def test_retrieval_eval_perfect_and_disjoint(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import retrieval_eval
+
+    k = 3
+    perfect = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    out = retrieval_eval(perfect, perfect, k=k).collect()[0]
+    assert out["overlap"] == 3
+    assert out["recall_micro"] == 1_000_000
+    assert out["dcg_micro"] == out["idcg_micro"]
+    assert out["ndcg_micro"] == 1_000_000
+
+    disjoint = spark.createDataFrame(
+        [(1, 90, 1), (1, 91, 2), (1, 92, 3)],
+        "query_id long, doc_id long, rank int")
+    out = retrieval_eval(disjoint, perfect, k=k).collect()[0]
+    assert (out["overlap"], out["recall_micro"], out["dcg_micro"],
+            out["ndcg_micro"]) == (0, 0, 0, 0)
+
+    # partial, reordered: truth doc 10 (rel 3) found at rank 2
+    partial = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2), (1, 98, 3)],
+        "query_id long, doc_id long, rank int")
+    out = retrieval_eval(partial, perfect, k=k).collect()[0]
+    assert out["overlap"] == 1
+    # dcg = rel(10) * W[2] = 3 * floor(1e6/log2(3))
+    import math
+
+    assert out["dcg_micro"] == 3 * int(1_000_000 // math.log2(3))
+    assert 0 < out["ndcg_micro"] < 1_000_000
