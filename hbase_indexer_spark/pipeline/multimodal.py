@@ -11,6 +11,12 @@ oracle-tested.
 At 100 TB: payloads stay columnar (parquet binary), metadata predicates
 prune at scan time (e.g. ``width >= 64`` never touches payload bytes), and
 mapInPandas streams Arrow batches without materializing a partition.
+
+Container-HEADER introspection, unlike decode, needs no codec and is
+implemented for real (r6): :func:`parse_media_headers` reads PNG/IHDR
+and RIFF/WAVE metadata straight out of the payload bytes in pure
+Catalyst — the stage that populates the typed metadata those pruning
+predicates run on.
 """
 
 from __future__ import annotations

@@ -73,6 +73,11 @@ ALLOW_BNLJ = {
     # ensemble: crossJoin of the signal table with ONE broadcast
     # (min,max)-per-signal aggregate row — same 1-row-loop shape.
     "quality_ensemble",
+    # eval's TRUTH leg is brute_force_topk by definition (ground truth =
+    # the exact dense ranking — same declared O(K)-broadcast verifier
+    # scan as ann_bruteforce_topk); the evaluation itself is an
+    # aggregate-sized equi-join of two top-k frames.
+    "retrieval_eval",
 }
 
 
