@@ -1207,6 +1207,16 @@ def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backoff_trigram_logprob(_docs(spark, sf_dir))
 
 
+def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (new r6): banded minhash candidates
+    verified by Levenshtein over the first 256 chars (early-exit 3-arg
+    form) — the fuzzy short-field linkage metric next to the Jaccard
+    verify.  Same no-all-pairs scale shape as minhash_lsh_dedup."""
+    from hbase_indexer_spark.pipeline.dedup import edit_distance_dedup
+
+    return edit_distance_dedup(_docs(spark, sf_dir), max_dist=40)
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation (new r6): NDCG@10 + recall@10 of the sparse
     BM25 ranking against the exact dense cosine ranking as graded truth
@@ -2416,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": q_bm25_incremental,
         "media_header_parse": q_media_header_parse,
         "retrieval_eval": q_retrieval_eval,
+        "edit_distance_dedup": q_edit_distance_dedup,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -2979,6 +2990,9 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import minhash_lsh_pairs_sql
 
     out["minhash_lsh_dedup"] = minhash_lsh_pairs_sql(threshold=0.7)
+    from hbase_indexer_spark.pipeline.dedup import edit_distance_dedup_sql
+
+    out["edit_distance_dedup"] = edit_distance_dedup_sql(max_dist=40)
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)

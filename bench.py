@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "bm25_incremental",
     "media_header_parse",
     "retrieval_eval",
+    "edit_distance_dedup",
 ]
 
 

@@ -65,3 +65,24 @@ def test_doc_spans_positions_are_contiguous(spark):
     sp = doc_spans(_docs(spark, [(1, "a b c d e f g")]), span=2).collect()
     assert [(r["pos"], r["span"]) for r in sorted(sp)] == [
         (0, "a b"), (1, "c d"), (2, "e f"), (3, "g")]
+
+
+def test_edit_distance_dedup_semantics(spark):
+    """Near-identical docs (1 typo in a shared template) pair with their
+    true distance; unrelated docs never become candidates; the early-exit
+    -1 path drops candidates above max_dist."""
+    from hbase_indexer_spark.pipeline.dedup import edit_distance_dedup
+
+    tmpl = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame([
+        (1, tmpl),
+        (2, tmpl.replace("gamma", "gamla").replace("kappa", "kappu")),  # 2 edits
+        (3, "completely different text about other things entirely ok"),
+    ], "doc_id long, text string")
+    out = {(r["x"], r["y"]): r["lev"]
+           for r in edit_distance_dedup(docs, max_dist=10).collect()}
+    assert out == {(1, 2): 2}
+    # tighten the bound below the true distance: the pair early-exits
+    none = edit_distance_dedup(docs, max_dist=1).collect()
+    assert none == []
