@@ -1207,6 +1207,41 @@ def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backoff_trigram_logprob(_docs(spark, sf_dir))
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (new r6) over the classic FK chain:
+    lineitem→orders, lineitem→supplier, lineitem→part, orders→customer,
+    customer→nation — orphan counts + ppm per relation, the pre-join
+    sanity report that decides whether an inner join silently drops
+    rows."""
+    from hbase_indexer_spark.pipeline.corpus_stats import fk_integrity_report
+
+    from hbase_indexer_spark.sources.fixtures import load
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    n = load(spark, sf_dir, "nation")
+    return fk_integrity_report([
+        ("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.suppkey", li, "l_suppkey", s, "s_suppkey"),
+        ("lineitem.partkey", li, "l_partkey", p, "p_partkey"),
+        ("orders.custkey", o, "o_custkey", c, "c_custkey"),
+        ("customer.nationkey", c, "c_nationkey", n, "n_nationkey"),
+    ])
+
+
+FK_RELATIONS_SQL = [
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+]
+
+
 def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (new r6): banded minhash candidates
     verified by Levenshtein over the first 256 chars (early-exit 3-arg
@@ -2427,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_header_parse": q_media_header_parse,
         "retrieval_eval": q_retrieval_eval,
         "edit_distance_dedup": q_edit_distance_dedup,
+        "fk_integrity": q_fk_integrity,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -2993,6 +3029,11 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import edit_distance_dedup_sql
 
     out["edit_distance_dedup"] = edit_distance_dedup_sql(max_dist=40)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        fk_integrity_report_sql,
+    )
+
+    out["fk_integrity"] = fk_integrity_report_sql(FK_RELATIONS_SQL)
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)

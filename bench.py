@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "media_header_parse",
     "retrieval_eval",
     "edit_distance_dedup",
+    "fk_integrity",
 ]
 
 

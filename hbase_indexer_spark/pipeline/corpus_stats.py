@@ -630,6 +630,68 @@ def rrf_fuse_sql(ranking_ctes: list[str], k: int = 10,
     """
 
 
+def fk_integrity_report(relations: list[tuple[str, DataFrame, str,
+                                              DataFrame, str]]) -> DataFrame:
+    """Referential-integrity audit: for each ``(name, child_df,
+    child_key, parent_df, parent_key)`` relation, count child rows whose
+    key has no parent (left anti-join) — the pre-join sanity check that
+    decides whether an inner join silently drops data.  NULL child keys
+    are counted separately (``n_null_keys``): they vanish from any
+    equi-join but are not orphans in the FK sense.
+
+    Returns one row per relation: ``(relation, n_child, n_null_keys,
+    n_orphans, orphan_ppm)``.
+
+    Scale: per relation one anti-join (parent keys distinct — usually
+    broadcast-sized after distinct) + combinable counts; the report is
+    len(relations) rows."""
+    spark = relations[0][1].sparkSession
+    out = None
+    for name, child, ck, parent, pk in relations:
+        keys = child.select(F.col(ck).alias("_k"))
+        pkeys = parent.select(F.col(pk).alias("_k")).distinct()
+        n_child = keys.count()
+        n_null = keys.filter(F.col("_k").isNull()).count()
+        n_orphan = (keys.filter(F.col("_k").isNotNull())
+                    .join(pkeys, "_k", "left_anti").count())
+        row = spark.createDataFrame(
+            [(name, n_child, n_null, n_orphan,
+              (1_000_000 * n_orphan) // n_child if n_child else 0)],
+            "relation string, n_child long, n_null_keys long, "
+            "n_orphans long, orphan_ppm long")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def fk_integrity_report_sql(
+        relations: list[tuple[str, str, str, str, str]]) -> str:
+    """Mirror over table names: ``(name, child_table, child_key,
+    parent_table, parent_key)``."""
+    parts = []
+    for name, ct, ck, pt, pk in relations:
+        parts.append(f"""
+            SELECT '{name}' AS relation,
+                   (SELECT count(*) FROM {ct}) AS n_child,
+                   (SELECT count(*) FROM {ct} WHERE {ck} IS NULL)
+                       AS n_null_keys,
+                   (SELECT count(*) FROM {ct}
+                    WHERE {ck} IS NOT NULL
+                      AND {ck} NOT IN (SELECT {pk} FROM {pt}
+                                       WHERE {pk} IS NOT NULL))
+                       AS n_orphans
+        """)
+    uni = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"""
+        SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+               CAST(n_null_keys AS BIGINT) AS n_null_keys,
+               CAST(n_orphans AS BIGINT) AS n_orphans,
+               CAST(CASE WHEN n_child > 0
+                    THEN (1000000 * n_orphans) // n_child
+                    ELSE 0 END AS BIGINT) AS orphan_ppm
+        FROM ({uni})
+    """
+
+
 def _ndcg_weights_micro(k: int) -> list[int]:
     """Position weights ``floor(1e6 / log2(i+1))`` for i = 1..k, computed
     ONCE in Python and embedded as literals in both engines — no

@@ -322,3 +322,15 @@ def test_retrieval_eval_perfect_and_disjoint(spark):
 
     assert out["dcg_micro"] == 3 * int(1_000_000 // math.log2(3))
     assert 0 < out["ndcg_micro"] < 1_000_000
+
+
+def test_fk_integrity_orphans_and_nulls(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import fk_integrity_report
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = fk_integrity_report(
+        [("child.fk", child, "fk", parent, "pk")]).collect()[0]
+    assert (out["n_child"], out["n_null_keys"], out["n_orphans"]) == (4, 1, 1)
+    assert out["orphan_ppm"] == 250_000  # 1 of 4
