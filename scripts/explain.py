@@ -770,6 +770,18 @@ CHECKS = {
         [r"Scan parquet", r"Project"],
         [r"Join", r"Exchange", r"CartesianProduct", *NO_PYTHON],
     ),
+    # edit-distance verify (r6): banded candidates are EQUALITY joins
+    # (partial_min = the signature build); never a cross join / Python
+    "edit_distance_dedup": (
+        [r"partial_min", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # FK audit (r6): anti-joins + combinable counts in ONE lazy plan
+    # (the 1x1 scalar crossJoins are the allowlisted BNLJ shape)
+    "fk_integrity": (
+        [r"LeftAnti", r"partial_count"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

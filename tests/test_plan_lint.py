@@ -78,6 +78,9 @@ ALLOW_BNLJ = {
     # scan as ann_bruteforce_topk); the evaluation itself is an
     # aggregate-sized equi-join of two top-k frames.
     "retrieval_eval",
+    # FK audit: per relation a 1x1 crossJoin of two single-row
+    # aggregates (counts x orphan count) — the scalar-join shape.
+    "fk_integrity",
 }
 
 
