@@ -56,6 +56,20 @@ _EXPORTS = {
     "tfidf_topk": "hbase_indexer_spark.pipeline.corpus_stats",
     "unigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",
     "bigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",
+    # r6: retrieval family + data-quality profilers
+    "bm25_topk": "hbase_indexer_spark.pipeline.corpus_stats",
+    "bm25_topk_indexed": "hbase_indexer_spark.pipeline.corpus_stats",
+    "postings_upsert": "hbase_indexer_spark.pipeline.corpus_stats",
+    "rrf_fuse": "hbase_indexer_spark.pipeline.corpus_stats",
+    "retrieval_eval": "hbase_indexer_spark.pipeline.corpus_stats",
+    "backoff_trigram_logprob": "hbase_indexer_spark.pipeline.corpus_stats",
+    "key_skew_report": "hbase_indexer_spark.pipeline.corpus_stats",
+    "fk_integrity_report": "hbase_indexer_spark.pipeline.corpus_stats",
+    "quality_ensemble": "hbase_indexer_spark.pipeline.curation",
+    "edit_distance_dedup": "hbase_indexer_spark.pipeline.dedup",
+    "parse_media_headers": "hbase_indexer_spark.pipeline.multimodal",
+    "build_ivf_index_pinned": "hbase_indexer_spark.pipeline.similarity",
+    "ivf_topk_indexed_pinned": "hbase_indexer_spark.pipeline.similarity",
     "gopher_rules": "hbase_indexer_spark.pipeline.text",
     "char_entropy": "hbase_indexer_spark.pipeline.text",
     "normalize_text": "hbase_indexer_spark.pipeline.text",
