@@ -28,6 +28,25 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+_TMP_ROOT: str | None = None
+
+
+def _mkdtemp(prefix: str) -> str:
+    """Session-scoped scratch dirs: store-backed gate queries materialize
+    under one root that is removed at process exit (atexit), instead of
+    leaking one /tmp dir per invocation (~1000 dirs per full sweep).
+    Cleanup must be deferred to exit — the returned DataFrames read the
+    stores lazily until the caller collects."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        import atexit
+        import shutil
+
+        _TMP_ROOT = tempfile.mkdtemp(prefix="hbis_session_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT)
+
+
 # ---------------------------------------------------------------------------
 # Indexer definitions under test (user_indexer.xml / message_indexer.xml
 # analogs — FIXTURES.md §§1-2)
@@ -333,7 +352,7 @@ def q_incremental_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_indexer_spark.plans.incremental import IncrementalIndexer
     from hbase_indexer_spark.sources.fixtures import event_cells
 
-    tmp = tempfile.mkdtemp(prefix="hbis_inc_")
+    tmp = _mkdtemp("hbis_inc_")
     ix = IncrementalIndexer(
         spark, _conf(EVENTS_CONF),
         state_path=os.path.join(tmp, "state"),
@@ -369,7 +388,7 @@ def q_incremental_row_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     from hbase_indexer_spark.plans.incremental import IncrementalIndexer
     from hbase_indexer_spark.sources.fixtures import event_cells
 
-    tmp = tempfile.mkdtemp(prefix="hbis_binc_")
+    tmp = _mkdtemp("hbis_binc_")
     ix = IncrementalIndexer(
         spark, _conf(EVENTS_CONF),
         state_path=os.path.join(tmp, "state"),
@@ -394,7 +413,7 @@ def q_incremental_column_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_family_field": "cf_s",
         "fields": [{"name": "value_d", "value": "info:*", "type": "double"}],
     })
-    tmp = tempfile.mkdtemp(prefix="hbis_colinc_")
+    tmp = _mkdtemp("hbis_colinc_")
     ix = IncrementalIndexer(
         spark, conf,
         state_path=os.path.join(tmp, "state"),
@@ -428,7 +447,7 @@ def q_streaming_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream,
     )
 
-    tmp = tempfile.mkdtemp(prefix="hbis_stream_")
+    tmp = _mkdtemp("hbis_stream_")
     src = os.path.join(tmp, "events")
     os.makedirs(src)
     ev = event_cells(spark, sf_dir).cache()
@@ -921,7 +940,7 @@ def _stage_stream_chunks(df: DataFrame, id_col: str, prefix: str,
     membership = id mod n, file names ordered so maxFilesPerTrigger=1
     replays them deterministically) and return the source directory —
     the staging step shared by every streaming gate query."""
-    tmp = tempfile.mkdtemp(prefix=prefix)
+    tmp = _mkdtemp(prefix)
     src = os.path.join(tmp, "chunks")
     os.makedirs(src)
     for b in range(n_chunks):
@@ -1188,7 +1207,7 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     store = IndexStore(
-        os.path.join(tempfile.mkdtemp(prefix="hbis_bm25_"), "postings"),
+        os.path.join(_mkdtemp("hbis_bm25_"), "postings"),
         key="pk")
     for chunk in (0, 1, 1, 2):  # chunk 1 folded twice: replace, not dup
         postings_upsert(store, docs.filter(F.col("doc_id") % 3 == chunk))
@@ -1911,7 +1930,7 @@ def q_dedup_store_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the overhead amortizes at real batch sizes."""
     from hbase_indexer_spark.pipeline.dedup_store import screen_batches
 
-    tmp = tempfile.mkdtemp(prefix="hbis_dstore_")
+    tmp = _mkdtemp("hbis_dstore_")
     return screen_batches(
         spark, _docs(spark, sf_dir), os.path.join(tmp, "state"),
         threshold=0.7, n_batches=3)
@@ -2042,7 +2061,7 @@ def _roundtrip_ingest(spark: SparkSession, sf_dir: str,
     from hbase_indexer_spark.sources import corpus
 
     docs = _docs(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix=f"hbis_{fmt}_")
+    tmp = _mkdtemp(f"hbis_{fmt}_")
     path = os.path.join(tmp, "docs")
     if fmt == "jsonl":
         corpus.write_jsonl(docs, path)
@@ -2288,7 +2307,7 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_indexer_spark.sources.fixtures import load
 
     emb = load(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.mkdtemp(prefix="hbis_ivf_"), "index")
+    path = os.path.join(_mkdtemp("hbis_ivf_"), "index")
     build_ivf_index(emb, path, n_cells=16)
     queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -2313,7 +2332,7 @@ def q_ann_ivf_indexed_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_indexer_spark.sources.fixtures import load
 
     emb = load(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.mkdtemp(prefix="hbis_ivfp_"), "index")
+    path = os.path.join(_mkdtemp("hbis_ivfp_"), "index")
     build_ivf_index_pinned(emb, path, n_cells=16)
     queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
