@@ -1226,6 +1226,16 @@ def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backoff_trigram_logprob(_docs(spark, sf_dir))
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (new r6): deterministic position-hash
+    masking, contiguous runs collapsed to <extra_id_k> sentinels,
+    input/target denoising pairs — replay-safe (same doc corrupts
+    identically on any cluster layout)."""
+    from hbase_indexer_spark.pipeline.pack import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir), mask_milli=150)
+
+
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (new r6) over the classic FK chain:
     lineitem→orders, lineitem→supplier, lineitem→part, orders→customer,
@@ -2482,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "edit_distance_dedup": q_edit_distance_dedup,
         "fk_integrity": q_fk_integrity,
+        "span_corruption": q_span_corruption,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3053,6 +3064,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["fk_integrity"] = fk_integrity_report_sql(FK_RELATIONS_SQL)
+    from hbase_indexer_spark.pipeline.pack import span_corruption_sql
+
+    out["span_corruption"] = span_corruption_sql(mask_milli=150)
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)

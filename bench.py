@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "edit_distance_dedup",
     "fk_integrity",
+    "span_corruption",
 ]
 
 

@@ -626,3 +626,150 @@ def length_buckets_sql(boundaries: tuple[int, ...] | None = None,
         FROM r
         GROUP BY bucket, batch_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (T5-style denoising pairs), r6
+# ---------------------------------------------------------------------------
+
+def span_corruption(docs: DataFrame, mask_milli: int = 150) -> DataFrame:
+    """Deterministic T5-style span corruption: each token masks with
+    probability ``mask_milli``/1000 decided by a CONTENT-INDEPENDENT
+    position hash (``token_hash60(doc_id || ':' || pos) % 1000``), so
+    the same doc always corrupts identically on any cluster layout —
+    the replay-safe substitute for the PRNG the original objective uses.
+    Contiguous masked tokens collapse into ONE sentinel:
+
+        input : tokens with each masked RUN replaced by ``<extra_id_k>``
+        target: ``<extra_id_k>`` followed by that run's tokens, in order
+
+    (k = 0-based run index in position order — exactly the denoising
+    pair shape for span-corruption pretraining.)  Returns ``(doc_id,
+    n_tokens, n_masked, n_spans, input_text, target_text)``; token-less
+    docs emit empty strings.  Tokens rejoin with single spaces (the
+    tokenizer's whitespace normalization).
+
+    Scale: posexplode -> ONE window per doc (run starts + run ids) ->
+    one combinable-ish groupBy(doc) rebuild; everything downstream of
+    the window is ordinary aggregation — no Python, no per-row UDFs."""
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    m = (F.pmod(token_hash60(F.concat(F.col("doc_id").cast("string"),
+                                      F.lit(":"),
+                                      F.col("pos").cast("string"))),
+                F.lit(1000)) < mask_milli)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = tok.withColumn("m", m).withColumn(
+        "run_start",
+        F.col("m") & ~F.coalesce(F.lag("m").over(w), F.lit(False)))
+    cum = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = flagged.withColumn(
+        "k", F.sum(F.col("run_start").cast("int")).over(cum) - 1)
+    sent = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"),
+                    F.lit(">"))
+    pieces = ranked.select(
+        "doc_id", "pos", "m", "run_start",
+        F.when(~F.col("m"), F.col("tok"))
+        .when(F.col("run_start"), sent).alias("in_piece"),
+        F.when(F.col("m") & F.col("run_start"),
+               F.concat(sent, F.lit(" "), F.col("tok")))
+        .when(F.col("m"), F.col("tok")).alias("tg_piece"),
+    )
+
+    def joined(col: str):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col(col).isNotNull(),
+                           F.struct(F.col("pos").alias("pos"),
+                                    F.col(col).alias("p"))))),
+                lambda s: s["p"]),
+            " ")
+
+    per_doc = pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("m").cast("long")).alias("n_masked"),
+        F.sum(F.col("run_start").cast("long")).alias("n_spans"),
+        joined("in_piece").alias("input_text"),
+        joined("tg_piece").alias("target_text"),
+    )
+    return (
+        docs.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("input_text", F.lit("")).alias("input_text"),
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+        )
+    )
+
+
+def span_corruption_sql(mask_milli: int = 150) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+            FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+                 UNNEST(range(1, len(toks) + 1)) AS g(i)
+        ),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CAST(('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000 < {mask_milli} AS m
+            FROM tok
+        ),
+        runs AS (
+            SELECT doc_id, pos, tok, m,
+                   m AND NOT coalesce(
+                       lag(m) OVER (PARTITION BY doc_id ORDER BY pos),
+                       FALSE) AS run_start
+            FROM flagged
+        ),
+        ranked AS (
+            SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) - 1 AS k
+            FROM runs
+        ),
+        pieces AS (
+            SELECT doc_id, pos, m, run_start,
+                   CASE WHEN NOT m THEN tok
+                        WHEN run_start
+                            THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                   END AS in_piece,
+                   CASE WHEN m AND run_start
+                            THEN '<extra_id_' || CAST(k AS VARCHAR)
+                                 || '> ' || tok
+                        WHEN m THEN tok
+                   END AS tg_piece
+            FROM ranked
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_masked,
+                   CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_spans,
+                   string_agg(in_piece, ' ' ORDER BY pos) AS input_text,
+                   string_agg(tg_piece, ' ' ORDER BY pos) AS target_text
+            FROM pieces GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_masked, 0) AS n_masked,
+               coalesce(p.n_spans, 0) AS n_spans,
+               coalesce(p.input_text, '') AS input_text,
+               coalesce(p.target_text, '') AS target_text
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
