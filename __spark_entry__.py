@@ -1236,6 +1236,15 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corruption(_docs(spark, sf_dir), mask_milli=150)
 
 
+def q_prefix_lm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 S-denoiser / PrefixLM pairs (new r6): one deterministic
+    hash-chosen split per doc into (context, generation target) —
+    map-only, zero shuffle, replay-safe across cluster layouts."""
+    from hbase_indexer_spark.pipeline.pack import prefix_lm_pairs
+
+    return prefix_lm_pairs(_docs(spark, sf_dir))
+
+
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (new r6) over the classic FK chain:
     lineitem→orders, lineitem→supplier, lineitem→part, orders→customer,
@@ -2493,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_dedup": q_edit_distance_dedup,
         "fk_integrity": q_fk_integrity,
         "span_corruption": q_span_corruption,
+        "prefix_lm_pairs": q_prefix_lm_pairs,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3064,9 +3074,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["fk_integrity"] = fk_integrity_report_sql(FK_RELATIONS_SQL)
-    from hbase_indexer_spark.pipeline.pack import span_corruption_sql
+    from hbase_indexer_spark.pipeline.pack import (prefix_lm_pairs_sql,
+                                                   span_corruption_sql)
 
     out["span_corruption"] = span_corruption_sql(mask_milli=150)
+    out["prefix_lm_pairs"] = prefix_lm_pairs_sql()
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "edit_distance_dedup",
     "fk_integrity",
     "span_corruption",
+    "prefix_lm_pairs",
 ]
 
 

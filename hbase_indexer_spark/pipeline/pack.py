@@ -773,3 +773,71 @@ def span_corruption_sql(mask_milli: int = 150) -> str:
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Prefix-LM pairs (UL2 S-denoiser), r6
+# ---------------------------------------------------------------------------
+
+def prefix_lm_pairs(docs: DataFrame) -> DataFrame:
+    """UL2 S-denoiser / PrefixLM objective: split each doc's token
+    stream at ONE deterministic point into (context prefix, generation
+    target).  The split position is a content-independent hash
+    (``token_hash60(doc_id || ':plm') % n_tokens``), the replay-safe
+    substitute for the sampler's PRNG — the same doc splits identically
+    on any cluster layout, so epochs are reproducible and resumable.
+
+    ``split_pos`` ranges 0..n-1, so the TARGET is always non-empty for a
+    non-empty doc (the prefix may be empty — a pure-LM sample), matching
+    the objective's "always something to predict" invariant.  Returns
+    ``(doc_id, n_tokens, split_pos, input_text, target_text)``; empty
+    docs emit (0, 0, '', '').
+
+    Scale: map-only — tokenize, one hash, two array slices per row.  No
+    shuffle, no window, no Python; at 100 TB this is a pure scan whose
+    cost is the read itself."""
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    split = F.when(
+        n > 0,
+        F.pmod(token_hash60(F.concat(F.col("doc_id").cast("string"),
+                                     F.lit(":plm"))), n),
+    ).otherwise(F.lit(0).cast("long"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        split.alias("split_pos"),
+        F.array_join(F.slice(toks, F.lit(1), split.cast("int")), " ")
+        .alias("input_text"),
+        F.array_join(
+            F.slice(toks, (split + 1).cast("int"),
+                    (n - split).cast("int")), " ").alias("target_text"),
+    )
+
+
+def prefix_lm_pairs_sql() -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || ':plm'), 1, 15))
+                           AS BIGINT) % CAST(len(toks) AS BIGINT)
+                   ELSE 0 END AS split_pos
+            FROM t
+        )
+        SELECT doc_id, n_tokens, split_pos,
+               coalesce(array_to_string(toks[1:split_pos], ' '), '')
+                   AS input_text,
+               coalesce(array_to_string(toks[split_pos + 1:], ' '), '')
+                   AS target_text
+        FROM s
+    """

@@ -782,6 +782,22 @@ CHECKS = {
         [r"LeftAnti", r"partial_count"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # span corruption (r6): ONE window pass per doc (lag + running sum)
+    # then a combinable groupBy rebuild — never Python, never a join
+    "span_corruption": (
+        [r"Window", r"HashAggregate|ObjectHashAggregate|SortAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # prefix-LM pairs (r6): pure map-only projection — scan + Project.
+    # The only Exchange allowed is the fixture loader's round-robin
+    # respread (REPARTITION_BY_NUM, the local analog of region splits);
+    # an operator-induced shuffle (ENSURE_REQUIREMENTS /
+    # hashpartitioning) would mean the op stopped being map-only.
+    "prefix_lm_pairs": (
+        [r"Scan parquet", r"Project"],
+        [r"Join", r"ENSURE_REQUIREMENTS", r"hashpartitioning", r"Window",
+         r"Aggregate", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

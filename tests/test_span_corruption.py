@@ -91,3 +91,37 @@ def test_deterministic_across_layout(spark):
          for r in span_corruption(df.repartition(7), mask_milli=300)
          .collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Prefix-LM pairs (UL2 S-denoiser)
+# ---------------------------------------------------------------------------
+
+def test_prefix_lm_reconstruction_and_bounds(spark):
+    from hbase_indexer_spark.pipeline.pack import prefix_lm_pairs
+
+    rows = {r["doc_id"]: r.asDict()
+            for r in prefix_lm_pairs(_docs(spark, ROWS)).collect()}
+    for doc_id, text in [(r[0], r[1]) for r in ROWS]:
+        row = rows[doc_id]
+        norm = " ".join(text.split())
+        glued = (row["input_text"] + " " + row["target_text"]).strip()
+        assert glued == norm
+        assert row["n_tokens"] == len(norm.split())
+        if row["n_tokens"] > 0:
+            # split in [0, n): target is never empty
+            assert 0 <= row["split_pos"] < row["n_tokens"]
+            assert row["target_text"] != ""
+            assert len(row["input_text"].split()) == row["split_pos"]
+        else:
+            assert row["split_pos"] == 0
+            assert row["input_text"] == "" == row["target_text"]
+
+
+def test_prefix_lm_deterministic_across_layout(spark):
+    from hbase_indexer_spark.pipeline.pack import prefix_lm_pairs
+
+    df = _docs(spark, ROWS)
+    a = sorted(map(tuple, prefix_lm_pairs(df).collect()))
+    b = sorted(map(tuple, prefix_lm_pairs(df.repartition(5)).collect()))
+    assert a == b
