@@ -210,7 +210,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     runs_out: dict[str, list[float]] = {}
-    gc_out: dict[str, int] = {}
+    gc_out: dict[str, int | None] = {}
     errors: dict[str, str] = {}
     load_start = os.getloadavg()[0]
     for name in BENCH_QUERIES:
@@ -228,7 +228,10 @@ def main() -> None:
                 runs.append(time.time() - t0)
             times[name] = round(min(runs), 3)
             runs_out[name] = [round(r, 3) for r in runs]
-            gc_out[name] = jvm_gc_millis() - gc0
+            gc1 = jvm_gc_millis()
+            # -1 = MXBean read failed; a delta against it would publish
+            # a nonsense (negative or inflated) number as real GC time
+            gc_out[name] = gc1 - gc0 if gc0 >= 0 and gc1 >= 0 else None
             print(f"# {name}: {n} rows in {times[name]}s "
                   f"(runs: {[round(r, 2) for r in runs]}, "
                   f"gc: {gc_out[name]}ms)", file=sys.stderr)

@@ -118,19 +118,23 @@ def decode_double(col: Column) -> Column:
     return _guard(col, 8, out)
 
 
+def _decode_bigdecimal_bytes(b):
+    """HBase Bytes.toBigDecimal contract: 4-byte BE scale + BE unscaled
+    two's-complement — shared by the scalar and array UDFs so the bound
+    and sign handling can't drift between them."""
+    if b is None or len(b) < 5:
+        return None
+    scale = int.from_bytes(b[:4], "big", signed=True)
+    unscaled = int.from_bytes(b[4:], "big", signed=True)
+    try:
+        return decimal.Decimal(unscaled).scaleb(-scale)
+    except decimal.InvalidOperation:
+        return None
+
+
 @F.pandas_udf(DecimalType(38, 18))
 def _decode_bigdecimal_udf(s: pd.Series) -> pd.Series:
-    def dec(b):
-        if b is None or len(b) < 5:
-            return None
-        scale = int.from_bytes(b[:4], "big", signed=True)
-        unscaled = int.from_bytes(b[4:], "big", signed=True)
-        try:
-            return decimal.Decimal(unscaled).scaleb(-scale)
-        except decimal.InvalidOperation:
-            return None
-
-    return s.map(dec)
+    return s.map(_decode_bigdecimal_bytes)
 
 
 def decode_bigdecimal(col: Column) -> Column:
@@ -144,18 +148,9 @@ def _decode_bigdecimal_array_udf(s: pd.Series) -> pd.Series:
     wildcards): decode each element of an array<binary> column.  One Arrow
     batch per partition-chunk — the per-element loop is python-side but the
     transfer is columnar, same budget as the scalar UDF."""
-    def dec(b):
-        if b is None or len(b) < 5:
-            return None
-        scale = int.from_bytes(b[:4], "big", signed=True)
-        unscaled = int.from_bytes(b[4:], "big", signed=True)
-        try:
-            return decimal.Decimal(unscaled).scaleb(-scale)
-        except decimal.InvalidOperation:
-            return None
-
     return s.map(
-        lambda arr: None if arr is None else [dec(b) for b in arr])
+        lambda arr: None if arr is None
+        else [_decode_bigdecimal_bytes(b) for b in arr])
 
 
 def decode_bigdecimal_array(col: Column) -> Column:

@@ -280,8 +280,12 @@ def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
     doc writes no postings), vs the ad-hoc path's raw document count."""
     from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
 
+    # SQL-escape via '' doubling: Python repr switches to double quotes
+    # when the text contains an apostrophe, which DuckDB reads as an
+    # identifier, not a string literal
     values = ", ".join(
-        f"({qid}, {qtext!r})" for qid, qtext in queries)
+        "({}, '{}')".format(qid, qtext.replace("'", "''"))
+        for qid, qtext in queries)
     q_toks = TOKS_SQL.replace("text", "qtext")
     k1, b = BM25_K1_MILLI, BM25_B_MILLI
     n_docs_expr = ("(SELECT count(DISTINCT doc_id) FROM tf)"
@@ -655,8 +659,11 @@ def fk_integrity_report(relations: list[tuple[str, DataFrame, str,
                  .filter(F.col("_k").isNotNull()).distinct())
         base = keys.agg(
             F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
-            .cast("long").alias("n_null_keys"))
+            # coalesce: SUM over zero rows is NULL, but the oracle's
+            # COUNT(*) WHERE ... over an empty child is 0
+            F.coalesce(
+                F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)),
+                F.lit(0)).cast("long").alias("n_null_keys"))
         orph = (keys.filter(F.col("_k").isNotNull())
                 .join(pkeys, "_k", "left_anti")
                 .agg(F.count(F.lit(1)).alias("n_orphans")))
@@ -1944,12 +1951,21 @@ def histogram_quantiles(df: DataFrame, value_col: str, group: str,
     snapped = (df.filter(F.col(value_col).isNotNull())
                .select(F.col(group).alias("grp"), v.alias("v")))
     span_max = (1 << 63) // HQ_BINS  # (v - lo + 1) * HQ_BINS stays in int64
+    # The guard itself must not overflow: hi and lo are each bounded by
+    # ~9.2e18 micro, so hi - lo in int64 can wrap (or throw under ANSI)
+    # before the comparison happens — compare in double instead.  The
+    # ~ulp imprecision near the 3.6e16 boundary can only flip WHICH side
+    # of the loud error a pathological span lands on, never a published
+    # value.
     stats = snapped.groupBy("grp").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
         F.count(F.lit(1)).alias("n")
     ).select(
         "grp",
-        F.when(F.col("hi") - F.col("lo") + 1 <= span_max, F.col("lo"))
+        F.when(
+            F.col("hi").cast("double") - F.col("lo").cast("double")
+            < F.lit(float(span_max)),
+            F.col("lo"))
         .otherwise(F.raise_error(F.lit(
             f"histogram_quantiles: group span exceeds {span_max} "
             "micro-units (bucket product would wrap int64)"))).alias("lo"),

@@ -113,31 +113,38 @@ def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
     # from their groupBy — co-partitioned, the nodes⋈contribs join adds
     # no extra exchange
     nodes = nodes.repartition("node").persist()
-    edges.count()      # materialize the joined static side...
-    nodes.count()
-    edges_raw.unpersist()  # ...then drop the pre-join copy
-    ranks = nodes.select(
-        "node",
-        (F.col("is_seed") * ONE_MICRO).cast("long").alias("rank_micro"))
-    for _ in range(iters):
-        contribs = (
-            ranks.join(edges, ranks.node == edges.src)
-            .groupBy("dst")
-            .agg(F.sum(F.expr("rank_micro div outdeg")).alias("s"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (F.col("is_seed") * BASE_MICRO
-                 + F.expr(f"({DAMP_PCT} * coalesce(s, 0)) div 100"))
-                .cast("long").alias("rank_micro"))
-        ).localCheckpoint(eager=True)
-    # the final ranks are a materialized checkpoint independent of the
-    # static sides — release their cached blocks so repeated calls in a
-    # long-lived session (benchmarks, sweeps) don't pile up storage
-    edges.unpersist()
-    nodes.unpersist()
+    # try/finally: a mid-loop failure (OOM, cancelled sweep job) must
+    # still release the cached static sides, or retries in a long-lived
+    # session pile up storage — the exact leak the unpersists prevent
+    try:
+        edges.count()      # materialize the joined static side...
+        nodes.count()
+        edges_raw.unpersist()  # ...then drop the pre-join copy
+        ranks = nodes.select(
+            "node",
+            (F.col("is_seed") * ONE_MICRO).cast("long")
+            .alias("rank_micro"))
+        for _ in range(iters):
+            contribs = (
+                ranks.join(edges, ranks.node == edges.src)
+                .groupBy("dst")
+                .agg(F.sum(F.expr("rank_micro div outdeg")).alias("s"))
+            )
+            ranks = (
+                nodes.join(contribs, nodes.node == contribs.dst, "left")
+                .select(
+                    "node",
+                    (F.col("is_seed") * BASE_MICRO
+                     + F.expr(f"({DAMP_PCT} * coalesce(s, 0)) div 100"))
+                    .cast("long").alias("rank_micro"))
+            ).localCheckpoint(eager=True)
+    finally:
+        # the final ranks are a materialized checkpoint independent of
+        # the static sides — release their cached blocks (unpersist is
+        # idempotent, so re-dropping edges_raw on the happy path is fine)
+        edges_raw.unpersist()
+        edges.unpersist()
+        nodes.unpersist()
     return ranks
 
 

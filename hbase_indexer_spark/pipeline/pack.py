@@ -798,7 +798,10 @@ def prefix_lm_pairs(docs: DataFrame) -> DataFrame:
     cost is the read itself."""
     from hbase_indexer_spark.pipeline.text import token_hash60
 
-    toks = tokens(F.col("text"))
+    # coalesce text first: a NULL doc must behave exactly like an empty
+    # one (the SQL mirror's coalesce(array_to_string(...), '') would
+    # otherwise diverge from NULL-propagating slice/array_join here)
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
     n = F.size(toks).cast("long")
     split = F.when(
         n > 0,
@@ -822,7 +825,11 @@ def prefix_lm_pairs_sql() -> str:
 
     return f"""
         WITH t AS (
-            SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+            -- coalesce text: NULL docs behave exactly like empty ones
+            -- (len(NULL toks) would otherwise emit NULL n_tokens)
+            SELECT doc_id, {TOKS_SQL} AS toks
+            FROM (SELECT doc_id, coalesce(text, '') AS text
+                  FROM documents)
         ),
         s AS (
             SELECT doc_id, toks,

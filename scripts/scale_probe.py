@@ -61,6 +61,11 @@ def build_session():
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # REST status API is the shuffle-byte source (get_spark disables it)
         .config("spark.ui.enabled", "true")
+        # shuffle_totals sums /stages cumulatively; the default 1000-stage
+        # retention evicts early stages mid-probe, silently shrinking the
+        # totals and turning later deltas negative — keep every stage
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
         .getOrCreate()
     )
 
@@ -100,7 +105,11 @@ def timed(spark, fn):
     n = fn()
     wall = time.time() - t0
     r1, w1 = shuffle_totals(spark)
-    return n, round(wall, 2), round((r1 - r0) / 1e6, 1), round((w1 - w0) / 1e6, 1)
+    # negative deltas mean the status store evicted stages mid-probe
+    # (retention misconfigured) — publish None, never a garbage number
+    dr = round((r1 - r0) / 1e6, 1) if r1 >= r0 else None
+    dw = round((w1 - w0) / 1e6, 1) if w1 >= w0 else None
+    return n, round(wall, 2), dr, dw
 
 
 # key columns to offset per table so FK relationships stay consistent

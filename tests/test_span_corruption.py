@@ -48,12 +48,13 @@ ROWS = [
     (2, "single"),
     (3, ""),
     (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (5, None),  # NULL text must behave exactly like an empty doc
 ]
 
 
 def test_reconstruction_and_counts(spark):
     out = _run(spark, ROWS, mask_milli=300)
-    for doc_id, text, *_ in [(r[0], r[1]) for r in ROWS]:
+    for doc_id, text in [(r[0], r[1] or "") for r in ROWS]:
         row = out[doc_id]
         norm = " ".join(text.split())
         assert _reconstruct(row["input_text"], row["target_text"]) == norm
@@ -73,7 +74,7 @@ def test_empty_doc(spark):
 
 def test_mask_rate_extremes(spark):
     none = _run(spark, ROWS, mask_milli=0)
-    for doc_id, text in [(r[0], r[1]) for r in ROWS]:
+    for doc_id, text in [(r[0], r[1] or "") for r in ROWS]:
         assert none[doc_id]["input_text"] == " ".join(text.split())
         assert none[doc_id]["n_masked"] == 0
         assert none[doc_id]["target_text"] == ""
@@ -102,7 +103,7 @@ def test_prefix_lm_reconstruction_and_bounds(spark):
 
     rows = {r["doc_id"]: r.asDict()
             for r in prefix_lm_pairs(_docs(spark, ROWS)).collect()}
-    for doc_id, text in [(r[0], r[1]) for r in ROWS]:
+    for doc_id, text in [(r[0], r[1] or "") for r in ROWS]:
         row = rows[doc_id]
         norm = " ".join(text.split())
         glued = (row["input_text"] + " " + row["target_text"]).strip()
