@@ -91,6 +91,8 @@ _EXPORTS = {
     "source_overlap_matrix": "hbase_indexer_spark.pipeline.dedup",
     "dup_size_histogram": "hbase_indexer_spark.pipeline.dedup",
     "chunk_documents": "hbase_indexer_spark.pipeline.pack",
+    "span_corruption": "hbase_indexer_spark.pipeline.pack",
+    "prefix_lm_pairs": "hbase_indexer_spark.pipeline.pack",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",
     "epoch_expand": "hbase_indexer_spark.pipeline.curation",
