@@ -1245,6 +1245,15 @@ def q_prefix_lm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_lm_pairs(_docs(spark, sf_dir))
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM reordering (new r6): two deterministic
+    hash-chosen cut points per doc -> prefix/middle/suffix segments and
+    the <fim_*>-sentinel training text — map-only, zero shuffle."""
+    from hbase_indexer_spark.pipeline.pack import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir))
+
+
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (new r6) over the classic FK chain:
     lineitem→orders, lineitem→supplier, lineitem→part, orders→customer,
@@ -2503,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity": q_fk_integrity,
         "span_corruption": q_span_corruption,
         "prefix_lm_pairs": q_prefix_lm_pairs,
+        "fim_transform": q_fim_transform,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3074,11 +3084,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["fk_integrity"] = fk_integrity_report_sql(FK_RELATIONS_SQL)
-    from hbase_indexer_spark.pipeline.pack import (prefix_lm_pairs_sql,
+    from hbase_indexer_spark.pipeline.pack import (fim_transform_sql,
+                                                   prefix_lm_pairs_sql,
                                                    span_corruption_sql)
 
     out["span_corruption"] = span_corruption_sql(mask_milli=150)
     out["prefix_lm_pairs"] = prefix_lm_pairs_sql()
+    out["fim_transform"] = fim_transform_sql()
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters_sql
 
     out["dedup_clusters"] = dedup_clusters_sql(threshold=0.7)

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "fk_integrity",
     "span_corruption",
     "prefix_lm_pairs",
+    "fim_transform",
 ]
 
 

@@ -93,6 +93,7 @@ _EXPORTS = {
     "chunk_documents": "hbase_indexer_spark.pipeline.pack",
     "span_corruption": "hbase_indexer_spark.pipeline.pack",
     "prefix_lm_pairs": "hbase_indexer_spark.pipeline.pack",
+    "fim_transform": "hbase_indexer_spark.pipeline.pack",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",
     "epoch_expand": "hbase_indexer_spark.pipeline.curation",

@@ -848,3 +848,101 @@ def prefix_lm_pairs_sql() -> str:
                    AS target_text
         FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform (PSM reordering), r6
+# ---------------------------------------------------------------------------
+
+def fim_transform(docs: DataFrame) -> DataFrame:
+    """Fill-in-the-middle pretraining transform: cut each doc's token
+    stream at two deterministic points 0 <= a <= b <= n into
+    (prefix, middle, suffix) and emit the PSM reordering
+
+        <fim_prefix> P <fim_suffix> S <fim_middle> M
+
+    so an autoregressive model learns infilling.  Cut points are
+    content-independent hashes (``a = h(doc_id||':fim_a') % (n+1)``,
+    ``b = a + h(doc_id||':fim_b') % (n-a+1)``) — the replay-safe PRNG
+    substitute: the same doc transforms identically on any cluster
+    layout, so epochs are reproducible and resumable.  Empty segments
+    are dropped from ``fim_text`` (sentinels always kept), keeping the
+    join single-spaced on both engines.  Returns ``(doc_id, n_tokens,
+    split_a, split_b, prefix_text, middle_text, suffix_text,
+    fim_text)``; NULL text behaves exactly like an empty doc.
+
+    Scale: map-only — tokenize, two hashes, three slices per row.  No
+    shuffle, no window, no Python; the 100 TB cost is the scan itself."""
+    from hbase_indexer_spark.pipeline.text import token_hash60
+
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(toks).cast("long")
+
+    def h(tag: str):
+        return token_hash60(F.concat(F.col("doc_id").cast("string"),
+                                     F.lit(tag)))
+
+    a = F.pmod(h(":fim_a"), n + 1)
+    b = a + F.pmod(h(":fim_b"), n - a + 1)
+    pre = F.array_join(F.slice(toks, F.lit(1), a.cast("int")), " ")
+    mid = F.array_join(
+        F.slice(toks, (a + 1).cast("int"), (b - a).cast("int")), " ")
+    suf = F.array_join(
+        F.slice(toks, (b + 1).cast("int"), (n - b).cast("int")), " ")
+    fim = F.array_join(
+        F.filter(
+            F.array(F.lit("<fim_prefix>"), pre, F.lit("<fim_suffix>"),
+                    suf, F.lit("<fim_middle>"), mid),
+            lambda x: x != ""),
+        " ")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        a.alias("split_a"),
+        b.alias("split_b"),
+        pre.alias("prefix_text"),
+        mid.alias("middle_text"),
+        suf.alias("suffix_text"),
+        fim.alias("fim_text"),
+    )
+
+
+def fim_transform_sql() -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    h = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{tag}'),"
+         " 1, 15)) AS BIGINT)")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {TOKS_SQL} AS toks
+            FROM (SELECT doc_id, coalesce(text, '') AS text
+                  FROM documents)
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   {h.format(tag=':fim_a')}
+                       % (CAST(len(toks) AS BIGINT) + 1) AS a
+            FROM t
+        ),
+        s2 AS (
+            SELECT *, a + {h.format(tag=':fim_b')}
+                       % (n_tokens - a + 1) AS b
+            FROM s
+        ),
+        cut AS (
+            SELECT doc_id, n_tokens, a, b,
+                   coalesce(array_to_string(toks[1:a], ' '), '') AS pre,
+                   coalesce(array_to_string(toks[a + 1:b], ' '), '')
+                       AS mid,
+                   coalesce(array_to_string(toks[b + 1:], ' '), '') AS suf
+            FROM s2
+        )
+        SELECT doc_id, n_tokens,
+               a AS split_a, b AS split_b,
+               pre AS prefix_text, mid AS middle_text, suf AS suffix_text,
+               array_to_string(list_filter(
+                   ['<fim_prefix>', pre, '<fim_suffix>', suf,
+                    '<fim_middle>', mid], x -> x <> ''), ' ') AS fim_text
+        FROM cut
+    """

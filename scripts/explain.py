@@ -798,6 +798,12 @@ CHECKS = {
         [r"Join", r"ENSURE_REQUIREMENTS", r"hashpartitioning", r"Window",
          r"Aggregate", r"CartesianProduct", *NO_PYTHON],
     ),
+    # FIM transform (r6): same map-only shape as prefix_lm_pairs
+    "fim_transform": (
+        [r"Scan parquet", r"Project"],
+        [r"Join", r"ENSURE_REQUIREMENTS", r"hashpartitioning", r"Window",
+         r"Aggregate", r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

@@ -80,3 +80,27 @@ def test_prefix_lm_matches_model(spark, texts):
         assert row["split_pos"] == split
         assert row["input_text"] == " ".join(toks[:split])
         assert row["target_text"] == " ".join(toks[split:])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus_st)
+def test_fim_matches_model(spark, texts):
+    from hbase_indexer_spark.pipeline.pack import fim_transform
+
+    out = {r["doc_id"]: r.asDict()
+           for r in fim_transform(_df(spark, texts)).collect()}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        n = len(toks)
+        a = _hash60(f"{doc_id}:fim_a") % (n + 1)
+        b = a + _hash60(f"{doc_id}:fim_b") % (n - a + 1)
+        pre, mid, suf = (" ".join(toks[:a]), " ".join(toks[a:b]),
+                         " ".join(toks[b:]))
+        row = out[doc_id]
+        assert (row["n_tokens"], row["split_a"], row["split_b"]) == (n, a, b)
+        assert (row["prefix_text"], row["middle_text"],
+                row["suffix_text"]) == (pre, mid, suf)
+        assert row["fim_text"] == " ".join(p for p in (
+            "<fim_prefix>", pre, "<fim_suffix>", suf,
+            "<fim_middle>", mid) if p)

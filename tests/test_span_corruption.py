@@ -126,3 +126,39 @@ def test_prefix_lm_deterministic_across_layout(spark):
     a = sorted(map(tuple, prefix_lm_pairs(df).collect()))
     b = sorted(map(tuple, prefix_lm_pairs(df.repartition(5)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform (PSM)
+# ---------------------------------------------------------------------------
+
+def test_fim_segments_tile_and_bounds(spark):
+    from hbase_indexer_spark.pipeline.pack import fim_transform
+
+    rows = {r["doc_id"]: r.asDict()
+            for r in fim_transform(_docs(spark, ROWS)).collect()}
+    for doc_id, text in [(r[0], r[1] or "") for r in ROWS]:
+        row = rows[doc_id]
+        norm = " ".join(text.split())
+        glued = " ".join(p for p in (row["prefix_text"],
+                                     row["middle_text"],
+                                     row["suffix_text"]) if p)
+        assert glued == norm
+        assert 0 <= row["split_a"] <= row["split_b"] <= row["n_tokens"]
+        assert len(row["prefix_text"].split()) == row["split_a"]
+        assert (len(row["middle_text"].split())
+                == row["split_b"] - row["split_a"])
+        # PSM ordering with empty segments dropped, sentinels kept
+        want = " ".join(p for p in (
+            "<fim_prefix>", row["prefix_text"], "<fim_suffix>",
+            row["suffix_text"], "<fim_middle>", row["middle_text"]) if p)
+        assert row["fim_text"] == want
+
+
+def test_fim_deterministic_across_layout(spark):
+    from hbase_indexer_spark.pipeline.pack import fim_transform
+
+    df = _docs(spark, ROWS)
+    a = sorted(map(tuple, fim_transform(df).collect()))
+    b = sorted(map(tuple, fim_transform(df.repartition(3)).collect()))
+    assert a == b
