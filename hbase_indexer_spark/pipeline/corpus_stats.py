@@ -1953,10 +1953,10 @@ def histogram_quantiles(df: DataFrame, value_col: str, group: str,
     span_max = (1 << 63) // HQ_BINS  # (v - lo + 1) * HQ_BINS stays in int64
     # The guard itself must not overflow: hi and lo are each bounded by
     # ~9.2e18 micro, so hi - lo in int64 can wrap (or throw under ANSI)
-    # before the comparison happens — compare in double instead.  The
-    # ~ulp imprecision near the 3.6e16 boundary can only flip WHICH side
-    # of the loud error a pathological span lands on, never a published
-    # value.
+    # before the comparison happens — compare in double instead, with a
+    # 4096-micro safety margin absorbing the cast rounding (ulp near
+    # 9.2e18 is 2048): a borderline span always lands on the LOUD-error
+    # side, never through to a wrapped bucket product.
     stats = snapped.groupBy("grp").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"),
         F.count(F.lit(1)).alias("n")
@@ -1964,7 +1964,7 @@ def histogram_quantiles(df: DataFrame, value_col: str, group: str,
         "grp",
         F.when(
             F.col("hi").cast("double") - F.col("lo").cast("double")
-            < F.lit(float(span_max)),
+            < F.lit(float(span_max - 4096)),
             F.col("lo"))
         .otherwise(F.raise_error(F.lit(
             f"histogram_quantiles: group span exceeds {span_max} "

@@ -72,6 +72,13 @@ def shingles(text: Column, n: int = 3) -> Column:
 TOKS_SQL = "list_filter(string_split_regex(text,'\\s+'), x -> x <> '')"
 
 
+def hash60_sql(expr: str) -> str:
+    """DuckDB mirror of ``text.token_hash60`` over a VARCHAR expression:
+    the 60-bit md5-derived hash both engines share.  One template so the
+    oracle builders can't drift from the Spark-side recipe."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def shingles_sql(n: int = 3, toks: str = "toks") -> str:
     """DuckDB expression over a ``toks`` list column (pair of shingles())."""
     parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))

@@ -711,8 +711,10 @@ def span_corruption(docs: DataFrame, mask_milli: int = 150) -> DataFrame:
 
 
 def span_corruption_sql(mask_milli: int = 150) -> str:
-    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL, hash60_sql
 
+    pos_hash = hash60_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
     return f"""
         WITH tok AS (
             SELECT doc_id, i - 1 AS pos, toks[i] AS tok
@@ -721,10 +723,7 @@ def span_corruption_sql(mask_milli: int = 150) -> str:
         ),
         flagged AS (
             SELECT doc_id, pos, tok,
-                   CAST(('0x' || substr(md5(
-                       CAST(doc_id AS VARCHAR) || ':'
-                       || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT)
-                       % 1000 < {mask_milli} AS m
+                   {pos_hash} % 1000 < {mask_milli} AS m
             FROM tok
         ),
         runs AS (
@@ -821,8 +820,9 @@ def prefix_lm_pairs(docs: DataFrame) -> DataFrame:
 
 
 def prefix_lm_pairs_sql() -> str:
-    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL, hash60_sql
 
+    plm_hash = hash60_sql("CAST(doc_id AS VARCHAR) || ':plm'")
     return f"""
         WITH t AS (
             -- coalesce text: NULL docs behave exactly like empty ones
@@ -835,9 +835,7 @@ def prefix_lm_pairs_sql() -> str:
             SELECT doc_id, toks,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
                    CASE WHEN len(toks) > 0 THEN
-                       CAST(('0x' || substr(md5(
-                           CAST(doc_id AS VARCHAR) || ':plm'), 1, 15))
-                           AS BIGINT) % CAST(len(toks) AS BIGINT)
+                       {plm_hash} % CAST(len(toks) AS BIGINT)
                    ELSE 0 END AS split_pos
             FROM t
         )
@@ -908,10 +906,11 @@ def fim_transform(docs: DataFrame) -> DataFrame:
 
 
 def fim_transform_sql() -> str:
-    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL, hash60_sql
 
-    h = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{tag}'),"
-         " 1, 15)) AS BIGINT)")
+    def h(tag: str) -> str:
+        return hash60_sql(f"CAST(doc_id AS VARCHAR) || '{tag}'")
+
     return f"""
         WITH t AS (
             SELECT doc_id, {TOKS_SQL} AS toks
@@ -921,12 +920,12 @@ def fim_transform_sql() -> str:
         s AS (
             SELECT doc_id, toks,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   {h.format(tag=':fim_a')}
+                   {h(':fim_a')}
                        % (CAST(len(toks) AS BIGINT) + 1) AS a
             FROM t
         ),
         s2 AS (
-            SELECT *, a + {h.format(tag=':fim_b')}
+            SELECT *, a + {h(':fim_b')}
                        % (n_tokens - a + 1) AS b
             FROM s
         ),

@@ -219,8 +219,14 @@ def main() -> None:
         "iters2_wall_s": t2,
         "iters7_wall_s": t7,
         "per_round_wall_s": round((t7 - t2) / 5, 2),
-        "per_round_shuffle_write_mb": round((w7 - w2) / 5, 1),
-        "per_round_shuffle_read_mb": round((r7 - r2) / 5, 1),
+        # timed() reports None when the status store evicted stages —
+        # propagate it instead of crashing the probe on the subtraction
+        "per_round_shuffle_write_mb": (
+            round((w7 - w2) / 5, 1)
+            if w7 is not None and w2 is not None else None),
+        "per_round_shuffle_read_mb": (
+            round((r7 - r2) / 5, 1)
+            if r7 is not None and r2 is not None else None),
     }
     print(f"# pagerank: {json.dumps(out['pagerank'])}", file=sys.stderr)
 
