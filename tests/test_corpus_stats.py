@@ -334,3 +334,29 @@ def test_fk_integrity_orphans_and_nulls(spark):
         [("child.fk", child, "fk", parent, "pk")]).collect()[0]
     assert (out["n_child"], out["n_null_keys"], out["n_orphans"]) == (4, 1, 1)
     assert out["orphan_ppm"] == 250_000  # 1 of 4
+
+
+def test_bm25_oracle_escapes_quoted_query_text(spark):
+    """Spark path and DuckDB mirror agree on a query containing an
+    apostrophe (regression: repr-built VALUES literals switched to
+    double quotes, which DuckDB binds as an identifier)."""
+    import duckdb
+
+    from hbase_indexer_spark.pipeline.corpus_stats import (bm25_topk,
+                                                           bm25_topk_sql)
+
+    rows = [(1, "the engine's join planner"),
+            (2, "apple banana cherry"),
+            (3, "join planner internals guide")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = [(1, "engine's planner")]
+    got = sorted(map(tuple, bm25_topk(docs, q, k=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')".replace("engine's",
+                                                    "engine''s")
+                            for i, t in rows)
+                + ") v(doc_id, text)")
+    want = sorted(map(tuple, con.execute(
+        bm25_topk_sql(q, k=3)).fetchall()))
+    assert got == want and len(got) > 0
