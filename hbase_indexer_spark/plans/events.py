@@ -77,6 +77,9 @@ def event_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
 
 def event_funnel_sql(steps: list[str]) -> str:
     us = "epoch_us(ts)"
+    # SQL-escape step names by '' doubling — an apostrophe in an
+    # event_type must not truncate the literal
+    steps = [s.replace("'", "''") for s in steps]
     mins = ", ".join(
         f"min(CASE WHEN event_type = '{s}' THEN {us} END) AS t{i}"
         for i, s in enumerate(steps))
