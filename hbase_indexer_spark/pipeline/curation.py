@@ -88,7 +88,8 @@ def stratified_sample_sql(fracs: dict[str, float], strat_col: str = "lang",
                           default_frac: float = 0.0,
                           salt: str = "sample-v1") -> str:
     cases = " ".join(
-        f"WHEN {strat_col} = '{v}' THEN {int(f * SPLIT_BUCKETS)}"
+        "WHEN {} = '{}' THEN {}".format(
+            strat_col, v.replace("'", "''"), int(f * SPLIT_BUCKETS))
         for v, f in sorted(fracs.items())
     )
     cut = f"CASE {cases} ELSE {int(default_frac * SPLIT_BUCKETS)} END"
@@ -595,7 +596,8 @@ def epoch_expand_sql(targets: dict[str, int], group_col: str = "lang",
 
     h = (f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'),"
          f" 1, 15) AS BIGINT)")
-    tgt = " ".join(f"WHEN '{g}' THEN {t}" for g, t in targets.items())
+    tgt = " ".join("WHEN '{}' THEN {}".format(g.replace("'", "''"), t)
+                   for g, t in targets.items())
     return f"""
         WITH tk AS (
             SELECT doc_id, {group_col},

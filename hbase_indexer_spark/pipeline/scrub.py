@@ -109,7 +109,9 @@ def blocklist_filter_sql(words: list[str] | None = None,
     from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
 
     words = [w.lower() for w in (words or DEFAULT_BLOCKLIST)]
-    lst = ", ".join(f"'{w}'" for w in words)
+    # '' doubling: a blocklist term containing an apostrophe must not
+    # truncate the IN-list literal
+    lst = ", ".join("'{}'".format(w.replace("'", "''")) for w in words)
     return f"""
         WITH c AS (
             SELECT doc_id,
