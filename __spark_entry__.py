@@ -1759,6 +1759,17 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(e, FUNNEL_STEPS)
 
 
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload key profile (new r6): per-key coverage + distinct
+    value counts over events.props — one from_json->explode pass, one
+    combinable aggregation, profile is keys-sized."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.events import json_key_profile
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return json_key_profile(e, "props")
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention grid (first-seen week x activity offset)."""
     _ensure_session_confs(spark)
@@ -2513,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "prefix_lm_pairs": q_prefix_lm_pairs,
         "fim_transform": q_fim_transform,
+        "json_key_profile": q_json_key_profile,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3348,6 +3360,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["event_funnel"] = event_funnel_sql(FUNNEL_STEPS)
+    from hbase_indexer_spark.plans.events import json_key_profile_sql
+
+    out["json_key_profile"] = json_key_profile_sql()
     out["retention_cohorts"] = retention_cohorts_sql()
     from hbase_indexer_spark.pipeline.curation import curation_lineage_sql
 

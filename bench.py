@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "span_corruption",
     "prefix_lm_pairs",
     "fim_transform",
+    "json_key_profile",
 ]
 
 

@@ -94,6 +94,7 @@ _EXPORTS = {
     "span_corruption": "hbase_indexer_spark.pipeline.pack",
     "prefix_lm_pairs": "hbase_indexer_spark.pipeline.pack",
     "fim_transform": "hbase_indexer_spark.pipeline.pack",
+    "json_key_profile": "hbase_indexer_spark.plans.events",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",
     "epoch_expand": "hbase_indexer_spark.pipeline.curation",

@@ -164,3 +164,65 @@ def retention_cohorts_sql() -> str:
         FROM weeks w JOIN first f USING (user_id)
         GROUP BY 1, 2
     """
+
+
+def json_key_profile(events: DataFrame, json_col: str = "props") -> DataFrame:
+    """Per-key profile of a semi-structured JSON payload column — the
+    data-quality report that decides whether a props key is promotable
+    to a real column: for every key appearing anywhere in the corpus,
+    how many rows carry it, its coverage in ppm of all rows, and how
+    many distinct (stringified) values it takes.
+
+    Returns ``(key, n_present, present_ppm, n_distinct_values)`` —
+    keys sorted by the caller.  Contract: FLAT JSON objects (scalar
+    values); rows with NULL / unparseable payloads count toward the
+    denominator but contribute no keys (both engines drop them the
+    same way).
+
+    Scale: one ``from_json -> map -> explode`` pass (map-side, no
+    Python) into ONE combinable count + count(distinct) aggregation
+    keyed by (key) — the profile is keys-sized. The total-rows scalar
+    joins back as the allowlisted 1x1 broadcast. At 100 TB the payload
+    column is scanned once; nothing driver-side."""
+    kv = events.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>"))
+        .alias("key", "val"))
+    total = events.agg(F.count(F.lit(1)).alias("n_rows"))
+    prof = kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.countDistinct("val").alias("n_distinct_values"))
+    return prof.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_present",
+        F.expr("(1000000 * n_present) div n_rows").alias("present_ppm"),
+        "n_distinct_values",
+    )
+
+
+def json_key_profile_sql(json_col: str = "props",
+                         table: str = "events") -> str:
+    return f"""
+        WITH ok AS (
+            -- Spark's from_json silently NULLs malformed / non-object
+            -- payloads; DuckDB's json_keys throws — pre-filter to the
+            -- same surviving set
+            SELECT {json_col} FROM {table}
+            WHERE {json_col} IS NOT NULL
+              AND json_valid({json_col})
+              AND json_type({json_col}) = 'OBJECT'
+        ),
+        kv AS (
+            SELECT k.key AS key,
+                   json_extract_string({json_col}, '$.' || k.key) AS val
+            FROM ok, UNNEST(json_keys({json_col})) AS k(key)
+        ),
+        total AS (SELECT count(*) AS n_rows FROM {table})
+        SELECT kv.key,
+               CAST(count(*) AS BIGINT) AS n_present,
+               CAST((1000000 * count(*)) // t.n_rows AS BIGINT)
+                   AS present_ppm,
+               CAST(count(DISTINCT kv.val) AS BIGINT)
+                   AS n_distinct_values
+        FROM kv CROSS JOIN total t
+        GROUP BY kv.key, t.n_rows
+    """

@@ -804,6 +804,12 @@ CHECKS = {
         [r"Join", r"ENSURE_REQUIREMENTS", r"hashpartitioning", r"Window",
          r"Aggregate", r"CartesianProduct", *NO_PYTHON],
     ),
+    # JSON key profile (r6): explode + ONE combinable agg; the 1x1
+    # total-rows scalar is the allowlisted BNLJ shape — never Python
+    "json_key_profile": (
+        [r"Generate", r"partial_count"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

@@ -814,3 +814,22 @@ def test_media_dedup_codec_free(spark):
     # identical bytes in a different modality dedup independently
     assert out[3]["is_canonical"] and out[3]["keeper_id"] == 3
     assert out[4]["is_canonical"]
+
+
+def test_json_key_profile_counts_and_edge_payloads(spark):
+    """Key coverage/distincts over flat JSON; NULL, malformed and
+    non-object payloads count in the denominator but emit no keys —
+    the same silent-NULL surviving set as the DuckDB oracle."""
+    from hbase_indexer_spark.plans.events import json_key_profile
+
+    e = spark.createDataFrame(
+        [('{"k": 87, "m": "x"}',), ('{"k": 0}',), (None,),
+         ("not json",), ("[1,2]",)],
+        "props string")
+    out = {r["key"]: r.asDict() for r in json_key_profile(e).collect()}
+    assert set(out) == {"k", "m"}
+    assert (out["k"]["n_present"], out["k"]["n_distinct_values"]) == (2, 2)
+    assert (out["m"]["n_present"], out["m"]["n_distinct_values"]) == (1, 1)
+    # denominator is ALL rows (5), including the three key-less ones
+    assert out["k"]["present_ppm"] == 1_000_000 * 2 // 5
+    assert out["m"]["present_ppm"] == 1_000_000 // 5
