@@ -81,6 +81,9 @@ ALLOW_BNLJ = {
     # FK audit: per relation a 1x1 crossJoin of two single-row
     # aggregates (counts x orphan count) — the scalar-join shape.
     "fk_integrity",
+    # JSON key profile: keys-sized aggregate x the single-row total-rows
+    # scalar (the ppm denominator) — the same 1x1 scalar-join shape.
+    "json_key_profile",
 }
 
 
