@@ -1254,6 +1254,21 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(_docs(spark, sf_dir))
 
 
+def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (new r6): Morton-interleave (l_partkey,
+    l_suppkey), split the key space into 64 arithmetic z-ranges (what 64
+    output files would each cover) and report per-range min/max of BOTH
+    raw columns against the same count of single-column sort ranges —
+    the data-skipping report behind `OPTIMIZE ZORDER BY`.  One bounds
+    aggregate (1-row broadcast), one map-only key projection, two
+    combinable groupBy(bucket) aggs; deterministic (no sampled
+    boundaries)."""
+    from hbase_indexer_spark.pipeline.layout import zorder_bucket_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return zorder_bucket_stats(li, "l_partkey", "l_suppkey")
+
+
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (new r6) over the classic FK chain:
     lineitem→orders, lineitem→supplier, lineitem→part, orders→customer,
@@ -2525,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_lm_pairs": q_prefix_lm_pairs,
         "fim_transform": q_fim_transform,
         "json_key_profile": q_json_key_profile,
+        "zorder_bucket_stats": q_zorder_bucket_stats,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3091,6 +3107,10 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import edit_distance_dedup_sql
 
     out["edit_distance_dedup"] = edit_distance_dedup_sql(max_dist=40)
+    from hbase_indexer_spark.pipeline.layout import zorder_bucket_stats_sql
+
+    out["zorder_bucket_stats"] = zorder_bucket_stats_sql(
+        "l_partkey", "l_suppkey", "lineitem")
     from hbase_indexer_spark.pipeline.corpus_stats import (
         fk_integrity_report_sql,
     )

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "prefix_lm_pairs",
     "fim_transform",
     "json_key_profile",
+    "zorder_bucket_stats",
 ]
 
 

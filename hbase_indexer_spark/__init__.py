@@ -95,6 +95,9 @@ _EXPORTS = {
     "prefix_lm_pairs": "hbase_indexer_spark.pipeline.pack",
     "fim_transform": "hbase_indexer_spark.pipeline.pack",
     "json_key_profile": "hbase_indexer_spark.plans.events",
+    "zorder_key": "hbase_indexer_spark.pipeline.layout",
+    "zorder_bucket_stats": "hbase_indexer_spark.pipeline.layout",
+    "zorder_write": "hbase_indexer_spark.pipeline.layout",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",
     "epoch_expand": "hbase_indexer_spark.pipeline.curation",

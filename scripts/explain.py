@@ -810,6 +810,13 @@ CHECKS = {
         [r"Generate", r"partial_count"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # z-order audit: one bounds aggregate broadcast back (partial_min
+    # proves map-side combine), two combinable bucket aggs — no sort, no
+    # SMJ, nothing Python
+    "zorder_bucket_stats": (
+        [r"partial_min", r"partial_count"],
+        [r"CartesianProduct", r"SortMergeJoin", *NO_PYTHON],
+    ),
 }
 
 

@@ -84,6 +84,9 @@ ALLOW_BNLJ = {
     # JSON key profile: keys-sized aggregate x the single-row total-rows
     # scalar (the ppm denominator) — the same 1x1 scalar-join shape.
     "json_key_profile",
+    # z-order audit: the scan x ONE broadcast per-column (min,max) bounds
+    # row (the fixed-point scaling denominators) — the scalar-join shape.
+    "zorder_bucket_stats",
 }
 
 
