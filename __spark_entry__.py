@@ -955,6 +955,63 @@ def _stage_stream_chunks(df: DataFrame, id_col: str, prefix: str,
     return src
 
 
+def _stage_stream_chunks_by_ts(df: DataFrame, prefix: str,
+                               n_chunks: int = 3) -> str:
+    """Event-TIME-ordered file drops (vs ``_stage_stream_chunks``'s
+    id-mod split): chunk b holds the b-th epoch-range slice, so a
+    watermarked consumer never sees late data and the stream result
+    stays bit-equal to the batch oracle.  The (lo, hi) bounds collect is
+    one 1-row aggregate — staging, not plan."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+
+    us = ts_micros(df, "ts")
+    b0 = df.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, span = b0["lo"], max(b0["hi"] - b0["lo"] + 1, 1)
+    tmp = _mkdtemp(prefix)
+    src = os.path.join(tmp, "chunks")
+    os.makedirs(src)
+    keyed = df.withColumn(
+        "_chunk", ((us - F.lit(lo)) * n_chunks / F.lit(span)).cast("long"))
+    for b in range(n_chunks):
+        chunk = keyed.filter(F.col("_chunk") == b).drop("_chunk")
+        stage = os.path.join(tmp, f"tstage{b}")
+        chunk.coalesce(1).write.parquet(stage)
+        for f_ in os.listdir(stage):
+            if f_.endswith(".parquet"):
+                os.rename(os.path.join(stage, f_),
+                          os.path.join(src, f"chunk{b}.parquet"))
+    return src
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (new r6, §2.8 T7
+    extension): click and purchase events of the same user joined within
+    a 1-hour event-time window, both sides live streams split from one
+    readStream source (3 time-ordered file drops, maxFilesPerTrigger=1,
+    checkpointed parquet sink).  State is bounded by
+    rate x (watermark + delay), not stream length; in-order delivery
+    makes the result bit-equal to the batch interval join the oracle
+    runs."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.streaming.joins import stream_attribution_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = _stage_stream_chunks_by_ts(e, "hbis_ssjoin_")
+    tmp = os.path.dirname(src)
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    joined = stream_attribution_join(stream, "click", "purchase")
+    sink = os.path.join(tmp, "sink")
+    q = (joined.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, lang-id heuristic, quality, fingerprint."""
     from hbase_indexer_spark.pipeline.text import text_profile
@@ -2541,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "json_key_profile": q_json_key_profile,
         "zorder_bucket_stats": q_zorder_bucket_stats,
+        "stream_stream_join": q_stream_stream_join,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3111,6 +3169,12 @@ def oracle_sql() -> dict[str, str]:
 
     out["zorder_bucket_stats"] = zorder_bucket_stats_sql(
         "l_partkey", "l_suppkey", "lineitem")
+    from hbase_indexer_spark.streaming.joins import (
+        stream_attribution_join_sql,
+    )
+
+    out["stream_stream_join"] = stream_attribution_join_sql(
+        "click", "purchase")
     from hbase_indexer_spark.pipeline.corpus_stats import (
         fk_integrity_report_sql,
     )

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "fim_transform",
     "json_key_profile",
     "zorder_bucket_stats",
+    "stream_stream_join",
 ]
 
 

@@ -98,6 +98,7 @@ _EXPORTS = {
     "zorder_key": "hbase_indexer_spark.pipeline.layout",
     "zorder_bucket_stats": "hbase_indexer_spark.pipeline.layout",
     "zorder_write": "hbase_indexer_spark.pipeline.layout",
+    "stream_attribution_join": "hbase_indexer_spark.streaming.joins",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",
     "epoch_expand": "hbase_indexer_spark.pipeline.curation",

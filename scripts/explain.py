@@ -817,6 +817,13 @@ CHECKS = {
         [r"partial_min", r"partial_count"],
         [r"CartesianProduct", r"SortMergeJoin", *NO_PYTHON],
     ),
+    # stream-stream join end state: the returned frame is the parquet
+    # SINK of the finished availableNow run — a bare scan; the
+    # symmetric-hash join state work ran inside the micro-batches
+    "stream_stream_join": (
+        [r"Scan parquet"],
+        [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
 }
 
 
