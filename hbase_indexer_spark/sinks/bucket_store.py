@@ -49,11 +49,17 @@ class BucketedIndexStore:
     """
 
     def __init__(self, path: str, key: str = "id", n_buckets: int = 16,
-                 bucket_field: str | None = None):
+                 bucket_field: str | None = None,
+                 evolve_schema: bool = False):
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
         self.bucket_field = bucket_field or key
+        # opt-in schema evolution on merge (see IndexStore): because only
+        # TOUCHED buckets are rewritten, evolution here also turns on
+        # mergeSchema for reads — untouched buckets legitimately carry the
+        # older schema until their next copy-on-write
+        self.evolve_schema = bool(evolve_schema)
 
     def bucket_of(self, col: Column) -> Column:
         return F.pmod(F.xxhash64(col.cast("string")), F.lit(self.n_buckets))
@@ -123,6 +129,7 @@ class BucketedIndexStore:
         # of a row is re-derivable from its key when needed
         return (
             spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true" if self.evolve_schema else "false")
             .parquet(*[os.path.join(self.path, d) for d in sorted(set(dirs))])
         )
 
@@ -225,6 +232,24 @@ class BucketedIndexStore:
                 self.overwrite(adds)
             return
 
+        if adds is not None and not self.evolve_schema:
+            # drift must fail LOUDLY here: unlike the plain store, adds
+            # landing in previously-empty buckets never pass through a
+            # unionByName, so without this check a new column would write
+            # silently and strict (mergeSchema=false) reads would then
+            # drop it depending on which bucket's footer wins
+            cur = self.read()
+            if cur is not None:
+                want = {(f.name, f.dataType.simpleString())
+                        for f in cur.schema.fields}
+                got = {(f.name, f.dataType.simpleString())
+                       for f in adds.schema.fields}
+                if want != got:
+                    raise ValueError(
+                        "adds schema drift on a non-evolving store: "
+                        f"store={sorted(want)} adds={sorted(got)} — pass "
+                        "evolve_schema=True to evolve the schema instead")
+
         def _apply_dbq(df: DataFrame) -> DataFrame:
             for pred in (delete_predicates or []):
                 df = df.filter(~F.coalesce(pred, F.lit(False)))
@@ -284,7 +309,8 @@ class BucketedIndexStore:
                     out = out.observe(
                         adds_observation, F.count(F.lit(1)).alias("adds"))
             else:
-                out = union_adds_observed(out, adds, adds_observation)
+                out = union_adds_observed(out, adds, adds_observation,
+                                          evolve=self.evolve_schema)
         if out is None:
             return
         written = self._write_version(out, self.current_version() + 1)

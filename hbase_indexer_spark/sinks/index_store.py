@@ -29,7 +29,7 @@ _NEW_TAG = "_hbis_is_add"
 
 
 def union_adds_observed(out: DataFrame, adds: DataFrame,
-                        observation=None) -> DataFrame:
+                        observation=None, *, evolve: bool = False) -> DataFrame:
     """Union the changeset onto the surviving rows; with an ``Observation``,
     tag the adds, count them in a ROOT-level observe, and drop the tag.
 
@@ -38,11 +38,16 @@ def union_adds_observed(out: DataFrame, adds: DataFrame,
     empty-relation propagation may prune (all-delete batches), and a pruned
     metrics node never fires — ``Observation.get`` then blocks forever.
     The root of the written plan always executes.
+
+    ``evolve``: schema evolution on MERGE (the Solr dynamic-field analog
+    for first-class columns) — a changeset may add columns (existing rows
+    get NULL) or omit columns (new rows get NULL).  Off by default so a
+    drifted upstream schema stays a loud AnalysisException.
     """
     if observation is None:
-        return out.unionByName(adds)
+        return out.unionByName(adds, allowMissingColumns=evolve)
     tagged = out.withColumn(_NEW_TAG, F.lit(False)).unionByName(
-        adds.withColumn(_NEW_TAG, F.lit(True)))
+        adds.withColumn(_NEW_TAG, F.lit(True)), allowMissingColumns=evolve)
     return tagged.observe(
         observation,
         F.count(F.when(F.col(_NEW_TAG), F.lit(1))).alias("adds"),
@@ -52,9 +57,14 @@ def union_adds_observed(out: DataFrame, adds: DataFrame,
 class IndexStore:
     """A keyed, versioned materialized view with upsert/delete merge."""
 
-    def __init__(self, path: str, key: str = "id", retain: int = 2):
+    def __init__(self, path: str, key: str = "id", retain: int = 2,
+                 evolve_schema: bool = False):
         self.path = path
         self.key = key
+        # opt-in schema evolution on merge: adds may introduce new columns
+        # (old rows read NULL) or omit existing ones (new rows get NULL);
+        # off = schema drift fails loudly (see union_adds_observed)
+        self.evolve_schema = bool(evolve_schema)
         # versions kept on disk after each publish (>=1).  Older versions
         # stay readable via read(version=...) — the audit/time-travel
         # surface a go-live flip gives for free (GoLive keeps the previous
@@ -206,7 +216,8 @@ class IndexStore:
                 on=self.key, how="left_anti",
             )
             if adds is not None:
-                out = union_adds_observed(out, adds, adds_observation)
+                out = union_adds_observed(out, adds, adds_observation,
+                                          evolve=self.evolve_schema)
             self._publish(out, spark)
             return
         if delete_ids is not None:
@@ -218,7 +229,8 @@ class IndexStore:
             out = out.join(
                 F.broadcast(adds.select(self.key).distinct()), on=self.key, how="left_anti"
             )
-            out = union_adds_observed(out, adds, adds_observation)
+            out = union_adds_observed(out, adds, adds_observation,
+                                          evolve=self.evolve_schema)
         self._publish(out, spark)
 
     def overwrite(self, df: DataFrame, spark: SparkSession) -> None:
