@@ -2191,3 +2191,206 @@ def column_profile_sql(cols: list[str], table: str = "events") -> str:
             JOIN ({hll}) d ON c.col_name = d.col_name
         """)
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (the audit-grade sibling of histogram_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def exact_group_quantiles(df: DataFrame, group: str, value_col: str,
+                          qs: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """EXACT discontinuous quantiles per group: for each percent q, the
+    smallest value whose cumulative count reaches ``ceil(q*n/100)`` —
+    type-1/disc semantics, pure integer arithmetic, so Spark and the
+    oracle agree bit-for-bit (no interpolation, no floats).
+
+    Plan: one combinable ``groupBy(group, value)`` count (the only
+    full-data shuffle), a running sum over the DISTINCT values windowed
+    ``partitionBy(group)`` (parallel across groups; within a group the
+    sort is over distinct values, not rows), the G-row totals broadcast
+    back, and a q-literal explode + combinable ``min`` per (group, q).
+
+    Scale honesty: cost is bounded by distinct values per group — the
+    right tool for audit passes and bounded domains (lengths, scores,
+    day buckets).  For unbounded/continuous domains at 100 TB use
+    :func:`histogram_quantiles` (constant-size mergeable sketch) and
+    keep this as its spot-check."""
+    counts = (df.groupBy(F.col(group).alias("g"),
+                         F.col(value_col).cast("long").alias("v"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("g").orderBy("v")
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    qlit = F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q")
+    return (cum.join(F.broadcast(totals), "g")
+            .select("g", "v", "cum", "n", qlit)
+            .filter(F.lit(100) * F.col("cum") >= F.col("q") * F.col("n"))
+            .groupBy("g", "q", "n")
+            .agg(F.min("v").alias("value"))
+            .select(F.col("g").alias(group), "q", "value", "n")
+            .orderBy(group, "q"))
+
+
+def exact_group_quantiles_sql(group: str, value_col: str, table: str,
+                              qs: tuple[int, ...] = (50, 90, 99)) -> str:
+    vals = ", ".join(f"({int(q)})" for q in qs)
+    return f"""
+        WITH counts AS (
+            SELECT {group} AS g, CAST({value_col} AS BIGINT) AS v,
+                   count(*) AS c
+            FROM {table} GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT g, v, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+            FROM counts
+        ),
+        tot AS (SELECT g, sum(c) AS n FROM counts GROUP BY g),
+        qs(q) AS (VALUES {vals})
+        SELECT g AS {group}, q, MIN(v) AS value, n
+        FROM cum JOIN tot USING (g) CROSS JOIN qs
+        WHERE 100 * cum >= q * n
+        GROUP BY g, q, n
+        ORDER BY {group}, q
+    """
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch ALGEBRA: pairwise segment overlap via union-merge +
+# inclusion-exclusion (the composability argument for sketches at scale)
+# ---------------------------------------------------------------------------
+
+
+def hll_overlap(df: DataFrame, key: Column, group: str) -> DataFrame:
+    """Pairwise distinct-key overlap between segments, estimated from
+    sketch algebra alone: the union of two HLL sketches is the
+    register-wise MAX, so ``|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)``
+    (inclusion-exclusion) — no re-scan of the data per pair, which is
+    the whole point at 100 TB: one register build, then G² arithmetic
+    over 64-row sketches.
+
+    Returns ``(seg_a, seg_b, true_overlap, est_overlap)`` for every
+    unordered pair (seg_a < seg_b), estimate clamped at 0.  The exact
+    side is the audit column (the hll_distinct / cms_estimates
+    pattern) — at 100 TB drop it and keep the sketch.
+
+    Scale: ONE combinable register build (64 rows/group), pair
+    expansion over the G-row group list (aggregate-sized theta join),
+    register-wise max + the fixed-point estimator per pair; the exact
+    side is one (key-distinct) self-join keyed by key."""
+    regs = hll_registers(df, key, group)
+
+    def est(frame: DataFrame, grp_cols: list[str], out: str) -> DataFrame:
+        return (
+            frame.groupBy(*grp_cols)
+            .agg(F.sum(F.expr("CAST(1 AS BIGINT) << (33 - mr)")).alias("sp"),
+                 F.count(F.lit(1)).alias("nr"))
+            .select(*grp_cols,
+                    F.expr(f"sp + ({HLL_M} - nr) * CAST({_HLL_SCALE} AS BIGINT)")
+                    .alias("s_total"))
+            .select(*grp_cols,
+                    F.expr(f"({HLL_ALPHA_MICRO} * ({_HLL_INNER} div s_total))"
+                           f" div 1000000").cast("long").alias(out)))
+
+    singles = est(regs, ["grp"], "est")
+    groups = regs.select("grp").distinct()
+    pairs = (groups.select(F.col("grp").alias("seg_a"))
+             .join(groups.select(F.col("grp").alias("seg_b")),
+                   F.col("seg_a") < F.col("seg_b")))
+    a = regs.select(F.col("grp").alias("seg_a"), "reg",
+                    F.col("mr").alias("mr"))
+    b = regs.select(F.col("grp").alias("seg_b"), "reg",
+                    F.col("mr").alias("mr"))
+    union_regs = (
+        pairs.join(a, "seg_a").select("seg_a", "seg_b", "reg", "mr")
+        .unionByName(
+            pairs.join(b, "seg_b").select("seg_a", "seg_b", "reg", "mr"))
+        .groupBy("seg_a", "seg_b", "reg").agg(F.max("mr").alias("mr")))
+    union_est = est(union_regs, ["seg_a", "seg_b"], "est_union")
+
+    ea = singles.select(F.col("grp").alias("seg_a"), F.col("est").alias("ea"))
+    eb = singles.select(F.col("grp").alias("seg_b"), F.col("est").alias("eb"))
+    sketch = (union_est.join(F.broadcast(ea), "seg_a")
+              .join(F.broadcast(eb), "seg_b")
+              .select("seg_a", "seg_b",
+                      F.greatest(F.col("ea") + F.col("eb")
+                                 - F.col("est_union"),
+                                 F.lit(0).cast("long")).alias("est_overlap")))
+
+    dk = (df.filter(key.isNotNull())
+          .select(F.col(group).alias("g"), key.alias("k")).distinct())
+    true_pairs = (
+        dk.select(F.col("g").alias("seg_a"), "k")
+        .join(dk.select(F.col("g").alias("seg_b"), "k"), "k")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_overlap")))
+
+    return (pairs.join(true_pairs, ["seg_a", "seg_b"], "left")
+            .join(sketch, ["seg_a", "seg_b"], "left")
+            .select("seg_a", "seg_b",
+                    F.coalesce("true_overlap", F.lit(0)).cast("long")
+                    .alias("true_overlap"),
+                    F.coalesce("est_overlap", F.lit(0)).cast("long")
+                    .alias("est_overlap"))
+            .orderBy("seg_a", "seg_b"))
+
+
+def hll_overlap_sql(key_expr: str, group: str,
+                    table: str = "events") -> str:
+    regs = hll_registers_sql(key_expr, group, table)
+    s_total = (f"CAST(sum(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT) "
+               f"+ ({HLL_M} - count(*)) * CAST({_HLL_SCALE} AS BIGINT)")
+    est = (f"CAST(({HLL_ALPHA_MICRO} * ({_HLL_INNER} // ({s_total}))) "
+           f"// 1000000 AS BIGINT)")
+    return f"""
+        WITH regs AS ({regs}),
+        singles AS (
+            SELECT grp, {est} AS est
+            FROM regs GROUP BY grp
+        ),
+        pairs AS (
+            SELECT a.grp AS seg_a, b.grp AS seg_b
+            FROM (SELECT DISTINCT grp FROM regs) a
+            JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+        ),
+        union_regs AS (
+            SELECT seg_a, seg_b, reg, max(mr) AS mr FROM (
+                SELECT p.seg_a, p.seg_b, r.reg, r.mr
+                FROM pairs p JOIN regs r ON r.grp = p.seg_a
+                UNION ALL
+                SELECT p.seg_a, p.seg_b, r.reg, r.mr
+                FROM pairs p JOIN regs r ON r.grp = p.seg_b
+            ) GROUP BY seg_a, seg_b, reg
+        ),
+        union_est AS (
+            SELECT seg_a, seg_b, {est} AS est_union
+            FROM union_regs GROUP BY seg_a, seg_b
+        ),
+        sk AS (
+            SELECT u.seg_a, u.seg_b,
+                   greatest(ea.est + eb.est - u.est_union,
+                            CAST(0 AS BIGINT)) AS est_overlap
+            FROM union_est u
+            JOIN singles ea ON ea.grp = u.seg_a
+            JOIN singles eb ON eb.grp = u.seg_b
+        ),
+        dk AS (
+            SELECT DISTINCT {group} AS g, {key_expr} AS k
+            FROM {table} WHERE {key_expr} IS NOT NULL
+        ),
+        tru AS (
+            SELECT a.g AS seg_a, b.g AS seg_b,
+                   CAST(count(*) AS BIGINT) AS true_overlap
+            FROM dk a JOIN dk b ON a.k = b.k AND a.g < b.g
+            GROUP BY a.g, b.g
+        )
+        SELECT p.seg_a, p.seg_b,
+               CAST(COALESCE(t.true_overlap, 0) AS BIGINT) AS true_overlap,
+               CAST(COALESCE(s.est_overlap, 0) AS BIGINT) AS est_overlap
+        FROM pairs p
+        LEFT JOIN tru t ON t.seg_a = p.seg_a AND t.seg_b = p.seg_b
+        LEFT JOIN sk s ON s.seg_a = p.seg_a AND s.seg_b = p.seg_b
+        ORDER BY p.seg_a, p.seg_b
+    """

@@ -166,6 +166,28 @@ def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface (§2.6 extension, the arbitrary-sets sibling
+    of CUBE/ROLLUP): exactly {(priority, year), (priority), ()} — note the
+    (year) marginal is deliberately absent, which no cube/rollup can
+    express — in ONE expand + aggregation; ``grouping_id()`` (``gid``)
+    distinguishes a genuinely-NULL key from an aggregated-out column."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.withColumn("o_year", F.year("o_orderdate"))
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_year"], ["o_orderpriority"], []],
+            "o_orderpriority", "o_year")
+        .agg(F.grouping_id().alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_dec(F.col("o_totalprice"))).cast("double")
+             .alias("revenue"))
+        .select("gid", "o_orderpriority", "o_year", "n_orders", "revenue")
+        .orderBy("gid", F.asc_nulls_first("o_orderpriority"),
+                 F.asc_nulls_first("o_year"))
+    )
+
+
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: per-year order counts spread across status columns —
     pivot with an explicit value list compiles to ONE conditional
@@ -892,6 +914,18 @@ ORACLES = {
         FROM orders
         GROUP BY CUBE (year(o_orderdate), o_orderpriority)
         ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "priority_grouping_sets": """
+        SELECT GROUPING(o_orderpriority, year(o_orderdate)) AS gid,
+               o_orderpriority,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+                                (o_orderpriority), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_year NULLS FIRST
     """,
     "order_status_pivot": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
