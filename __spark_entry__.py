@@ -1311,6 +1311,54 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(_docs(spark, sf_dir))
 
 
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located fact-fact join (new r6): lineitem and orders
+    written ONCE as same-bucketed catalog tables (bucketBy 8 on the join
+    key, sorted, 1 file/bucket), then joined with zero exchanges — the
+    write-time shuffle amortized over every later join.  The only
+    shuffle left is the 5-row priority aggregation; the no-exchange SMJ
+    property is pinned in tests/test_bucketed.py.  Oracle = the plain
+    join (layout changes the plan, never the answer)."""
+    from hbase_indexer_spark.operators.bucketed import (
+        bucketed_revenue_by_priority,
+        write_bucketed_table,
+    )
+
+    tmp = _mkdtemp("hbis_bucketed_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed_table(li, "hbis_bkt_lineitem", "l_orderkey",
+                         path=os.path.join(tmp, "li"))
+    write_bucketed_table(o, "hbis_bkt_orders", "o_orderkey",
+                         path=os.path.join(tmp, "ord"))
+    return bucketed_revenue_by_priority(
+        spark, "hbis_bkt_lineitem", "hbis_bkt_orders")
+
+
+def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA (new r6): pairwise distinct-user overlap
+    between event-type segments from register-wise max (union) +
+    inclusion-exclusion — one register build, then pure arithmetic over
+    64-row sketches per pair; the exact overlap rides along as the audit
+    column."""
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_overlap
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_overlap(e, F.col("user_id"), "event_type")
+
+
+def q_exact_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (new r6): type-1/disc
+    semantics in pure integer arithmetic — the audit-grade spot-check of
+    the mergeable `quantile_sketch` path.  One combinable (lang, length)
+    count, a per-group window over DISTINCT lengths, broadcast totals."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        exact_group_quantiles,
+    )
+
+    return exact_group_quantiles(_docs(spark, sf_dir), "lang", "n_chars")
+
+
 def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit (new r6): Morton-interleave (l_partkey,
     l_suppkey), split the key space into 64 arithmetic z-ranges (what 64
@@ -2571,9 +2619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
         "regional_revenue": _analytics("regional_revenue"),
         # ------------- 50-query gate window ends here -------------
-        # r7 rotation pool: the LAST 8 never-driver-checked queries.
-        # Once these are gated, every oracled entry has been
-        # driver-hash-checked at least once.
+        # r7 rotation pool (29 never-driver-checked): the LAST 8
+        # never-gated analytics, then the 21 r6-built operators below
+        # (all local-3-SF-green on arrival).  Once these are gated,
+        # every oracled entry has been driver-hash-checked at least
+        # once.
         "promo_part_revenue": _analytics("promo_part_revenue"),
         "supplier_nation_balance": _analytics("supplier_nation_balance"),
         "order_priority_check": _analytics("order_priority_check"),
@@ -2599,6 +2649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_profile": q_json_key_profile,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "stream_stream_join": q_stream_stream_join,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
+        "priority_grouping_sets": _analytics("priority_grouping_sets"),
+        "exact_quantiles_by_lang": q_exact_quantiles_by_lang,
+        "segment_overlap_sketch": q_segment_overlap_sketch,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3175,6 +3229,21 @@ def oracle_sql() -> dict[str, str]:
 
     out["stream_stream_join"] = stream_attribution_join_sql(
         "click", "purchase")
+    from hbase_indexer_spark.operators.bucketed import (
+        bucketed_revenue_by_priority_sql,
+    )
+
+    out["bucketed_join_revenue"] = bucketed_revenue_by_priority_sql()
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        exact_group_quantiles_sql,
+    )
+
+    out["exact_quantiles_by_lang"] = exact_group_quantiles_sql(
+        "lang", "n_chars", "documents")
+    from hbase_indexer_spark.pipeline.corpus_stats import hll_overlap_sql
+
+    out["segment_overlap_sketch"] = hll_overlap_sql(
+        "user_id", "event_type", "events")
     from hbase_indexer_spark.pipeline.corpus_stats import (
         fk_integrity_report_sql,
     )

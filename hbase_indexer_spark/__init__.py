@@ -99,6 +99,11 @@ _EXPORTS = {
     "zorder_bucket_stats": "hbase_indexer_spark.pipeline.layout",
     "zorder_write": "hbase_indexer_spark.pipeline.layout",
     "stream_attribution_join": "hbase_indexer_spark.streaming.joins",
+    "write_bucketed_table": "hbase_indexer_spark.operators.bucketed",
+    "bucketed_revenue_by_priority": "hbase_indexer_spark.operators.bucketed",
+    "exact_group_quantiles": "hbase_indexer_spark.pipeline.corpus_stats",
+    "hll_overlap": "hbase_indexer_spark.pipeline.corpus_stats",
+    "priority_grouping_sets": "hbase_indexer_spark.plans.analytics",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",
     "epoch_expand": "hbase_indexer_spark.pipeline.curation",

@@ -824,6 +824,34 @@ CHECKS = {
         [r"Scan parquet"],
         [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
     ),
+    # bucketed fact-fact join: the gate plan is join + ONE agg exchange
+    # (at toy SF AQE may broadcast the small side — either shape is
+    # exchange-free on the fact scan); the strict zero-Exchange SMJ
+    # property is pinned under controlled confs in tests/test_bucketed.py
+    "bucketed_join_revenue": (
+        [r"partial_sum"],
+        [r"CartesianProduct", r"hashpartitioning(.|\n)*hashpartitioning",
+         *NO_PYTHON],
+    ),
+    # grouping sets: ONE Expand feeding ONE partial+final aggregation —
+    # never a re-scan or union of per-set aggregates
+    "priority_grouping_sets": (
+        [r"Expand", r"partial_sum"],
+        [r"Union", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # exact quantiles: combinable (g,v) count, per-group window over
+    # distinct values, broadcast totals — no SMJ, no global sort before
+    # the final 12-row orderBy
+    "exact_quantiles_by_lang": (
+        [r"partial_count", r"Window"],
+        [r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # sketch-algebra overlap: ONE combinable register build (partial_max
+    # proves map-side combine); pair work is over 64-row sketches
+    "segment_overlap_sketch": (
+        [r"partial_max"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

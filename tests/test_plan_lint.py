@@ -87,6 +87,11 @@ ALLOW_BNLJ = {
     # z-order audit: the scan x ONE broadcast per-column (min,max) bounds
     # row (the fixed-point scaling denominators) — the scalar-join shape.
     "zorder_bucket_stats",
+    # sketch-algebra overlap: the `seg_a < seg_b` pair expansion is a
+    # theta-join over the G-row DISTINCT group list (aggregate-sized,
+    # like vocab_overlap); data is touched only by the register build
+    # and the equi-keyed exact-audit join.
+    "segment_overlap_sketch",
 }
 
 
