@@ -130,11 +130,17 @@ def zorder_bucket_stats(df: DataFrame, col_x: str, col_y: str,
     zkey = _interleave([sx, sy], bits)
     z_width = max((1 << (2 * bits)) // n_buckets, 1)
     l_width = max((1 << bits) // n_buckets, 1)
+    # bucket via integer `div`, not a double `/`+cast: zkey reaches
+    # 2^(2*bits) and a double division would round above 2^53 (bits>26),
+    # silently disagreeing with the oracle's integer `//`
     keyed = b.select(
         F.col(col_x).cast("long").alias("_x"),
         F.col(col_y).cast("long").alias("_y"),
-        (zkey / F.lit(z_width)).cast("long").alias("_zb"),
-        (sx / F.lit(l_width)).cast("long").alias("_lb"),
+        zkey.alias("_z"), sx.alias("_sx"),
+    ).select(
+        "_x", "_y",
+        F.expr(f"_z div {z_width}").alias("_zb"),
+        F.expr(f"_sx div {l_width}").alias("_lb"),
     )
 
     def stats(bucket_col: str, tag: str) -> DataFrame:

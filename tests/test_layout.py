@@ -110,3 +110,21 @@ def test_zorder_files_skip_on_both_dims(spark, sf_dir, tmp_path):
     # and a conjunctive predicate's expected scan volume (range-product
     # proxy) is far smaller under z-order
     assert z_pk * z_sk < 0.5 * l_sk
+
+
+def test_bucket_stats_high_bits_match_duckdb(spark):
+    """bits=30 pushes zkey past 2^53: bucket assignment must stay integer
+    `div` (a double division would round and mis-bucket vs the oracle)."""
+    duckdb = pytest.importorskip("duckdb")
+    rows = [(i * 37 % 1000, i * 91 % 777) for i in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = sorted(tuple(r) for r in
+                 zorder_bucket_stats(df, "a", "b", bits=30,
+                                     n_buckets=32).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        zorder_bucket_stats_sql("a", "b", "t", bits=30,
+                                n_buckets=32)).fetchall())
+    assert got == want
