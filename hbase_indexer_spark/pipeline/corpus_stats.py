@@ -2216,8 +2216,13 @@ def exact_group_quantiles(df: DataFrame, group: str, value_col: str,
     day buckets).  For unbounded/continuous domains at 100 TB use
     :func:`histogram_quantiles` (constant-size mergeable sketch) and
     keep this as its spot-check."""
-    counts = (df.groupBy(F.col(group).alias("g"),
-                         F.col(value_col).cast("long").alias("v"))
+    # NULL values are dropped (quantile-of-what semantics, and the
+    # engines ORDER them differently: Spark windows put NULLS FIRST
+    # ascending, DuckDB NULLS LAST — keeping them would silently shift
+    # every cumulative count)
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(F.col(group).alias("g"),
+                       F.col(value_col).cast("long").alias("v"))
               .agg(F.count(F.lit(1)).alias("c")))
     w = Window.partitionBy("g").orderBy("v")
     cum = counts.withColumn("cum", F.sum("c").over(w))
@@ -2239,7 +2244,7 @@ def exact_group_quantiles_sql(group: str, value_col: str, table: str,
         WITH counts AS (
             SELECT {group} AS g, CAST({value_col} AS BIGINT) AS v,
                    count(*) AS c
-            FROM {table} GROUP BY 1, 2
+            FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
         ),
         cum AS (
             SELECT g, v, c,
