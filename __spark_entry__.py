@@ -1335,6 +1335,35 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "hbis_bkt_lineitem", "hbis_bkt_orders")
 
 
+def q_store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store change feed (new r6, Delta-CDF analog): publish customers
+    as v0, apply one merge (every %5 key re-added with upper-cased name
+    = updates; %11 keys cloned to new ids = inserts; %7-and-not-%5 keys
+    deleted), then diff the two retained versions — one full-outer join
+    on the key, change-sized output.  The oracle replays the merge and
+    the diff in CTEs."""
+    from hbase_indexer_spark.sinks.index_store import IndexStore, change_feed
+
+    tmp = _mkdtemp("hbis_cdf_")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"))
+    store = IndexStore(os.path.join(tmp, "store"), key="id")
+    store.overwrite(cust, spark)
+    adds = (cust.filter(F.col("id") % 5 == 0)
+            .select("id", F.upper("name").alias("name"), "nat")
+            .unionByName(cust.filter(F.col("id") % 11 == 0)
+                         .select((F.col("id") + F.lit(1_000_000)).alias("id"),
+                                 "name", "nat")))
+    dels = cust.filter((F.col("id") % 7 == 0) & (F.col("id") % 5 != 0)) \
+               .select("id")
+    store.merge(spark, adds=adds, delete_ids=dels)
+    feed = change_feed(store, spark)
+    assert feed is not None
+    return feed.orderBy("id")
+
+
 def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch ALGEBRA (new r6): pairwise distinct-user overlap
     between event-type segments from register-wise max (union) +
@@ -2653,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_grouping_sets": _analytics("priority_grouping_sets"),
         "exact_quantiles_by_lang": q_exact_quantiles_by_lang,
         "segment_overlap_sketch": q_segment_overlap_sketch,
+        "store_changefeed": q_store_changefeed,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3244,6 +3274,42 @@ def oracle_sql() -> dict[str, str]:
 
     out["segment_overlap_sketch"] = hll_overlap_sql(
         "user_id", "event_type", "events")
+    out["store_changefeed"] = """
+        WITH oldv AS (
+            SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat
+            FROM customer
+        ),
+        adds AS (
+            SELECT c_custkey AS id, upper(c_name) AS name,
+                   c_nationkey AS nat
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey
+            FROM customer WHERE c_custkey % 11 = 0
+        ),
+        dels AS (
+            SELECT c_custkey AS id FROM customer
+            WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+        ),
+        newv AS (
+            SELECT * FROM oldv
+            WHERE id NOT IN (SELECT id FROM dels)
+              AND id NOT IN (SELECT id FROM adds)
+            UNION ALL SELECT * FROM adds
+        ),
+        diff AS (
+            SELECT COALESCE(n.id, o.id) AS id,
+                   COALESCE(n.name, o.name) AS name,
+                   COALESCE(n.nat, o.nat) AS nat,
+                   CASE WHEN o.id IS NULL THEN 'insert'
+                        WHEN n.id IS NULL THEN 'delete'
+                        WHEN (o.name IS DISTINCT FROM n.name)
+                          OR (o.nat IS DISTINCT FROM n.nat) THEN 'update'
+                   END AS _change_type
+            FROM oldv o FULL JOIN newv n ON o.id = n.id
+        )
+        SELECT * FROM diff WHERE _change_type IS NOT NULL ORDER BY id
+    """
     from hbase_indexer_spark.pipeline.corpus_stats import (
         fk_integrity_report_sql,
     )

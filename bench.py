@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "priority_grouping_sets",
     "exact_quantiles_by_lang",
     "segment_overlap_sketch",
+    "store_changefeed",
 ]
 
 

@@ -236,3 +236,64 @@ class IndexStore:
     def overwrite(self, df: DataFrame, spark: SparkSession) -> None:
         """Full rebuild publish (batch reindex 'go-live', K6)."""
         self._publish(df, spark)
+
+
+def change_feed(store: "IndexStore", spark: SparkSession,
+                from_version: int | None = None,
+                to_version: int | None = None) -> DataFrame | None:
+    """Change feed between two retained store versions (the Delta CDF /
+    Iceberg changelog analog): every key whose row was added, deleted,
+    or updated between ``from_version`` (default: previous) and
+    ``to_version`` (default: current), tagged ``_change_type`` in
+    {'insert', 'delete', 'update'} with the TO-side row values (FROM-side
+    for deletes).
+
+    This is what turns the versioned store into a source for downstream
+    consumers: instead of re-reading the whole view per cycle, they read
+    the keys that changed — the reference's SEP contract, re-emitted on
+    the OUTPUT side.
+
+    Update detection compares the full row column-wise null-safe over
+    the UNION of the two versions' schemas (a column absent on one side
+    reads NULL there) — so a re-add of an identical row is NOT an update
+    (idempotent replays produce an empty feed), while an evolved column
+    going NULL -> value IS one.
+
+    Scale: ONE full-outer join keyed on the store key between two
+    version scans; at 100 TB both sides are the view (bounded), never
+    the history, and the output is change-sized.  Returns None when the
+    store holds fewer than two readable versions and no explicit pair
+    was named."""
+    have = store.versions()
+    to_v = store.current_version() if to_version is None else to_version
+    if from_version is None:
+        prior = [v for v in have if v < to_v]
+        if not prior:
+            return None
+        from_version = prior[-1]
+    old = store.read(spark, version=from_version)
+    new = store.read(spark, version=to_v)
+    if old is None or new is None:
+        return None
+    key = store.key
+    o = old.select([F.col(c).alias(f"_o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"_n_{c}") for c in new.columns])
+    j = o.join(n, F.col(f"_o_{key}").eqNullSafe(F.col(f"_n_{key}")), "full")
+    same = F.lit(True)
+    for c in dict.fromkeys([*new.columns, *old.columns]):
+        o_side = (F.col(f"_o_{c}") if c in set(old.columns)
+                  else F.lit(None))
+        n_side = (F.col(f"_n_{c}") if c in set(new.columns)
+                  else F.lit(None))
+        same = same & o_side.eqNullSafe(n_side)
+    change = (F.when(F.col(f"_o_{key}").isNull(), F.lit("insert"))
+              .when(F.col(f"_n_{key}").isNull(), F.lit("delete"))
+              .when(~same, F.lit("update")))
+    out_cols = [
+        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        if c in set(old.columns) else F.col(f"_n_{c}").alias(c)
+        for c in new.columns
+    ]
+    return (j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type"))

@@ -852,6 +852,12 @@ CHECKS = {
         [r"partial_max"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # change feed: ONE full-outer key join between two version scans —
+    # change-sized output, no Python, no cross join
+    "store_changefeed": (
+        [r"(SortMergeJoin FullOuter|Join FullOuter)"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

@@ -63,3 +63,44 @@ def test_default_bucket_store_keeps_strict_reads(spark, tmp_path):
     with pytest.raises(ValueError, match="schema drift"):
         store.merge(spark, adds=_df(spark, [(2, "b", 9)],
                                     "id long, a string, b long"))
+
+
+def test_change_feed_classifies_and_is_idempotent(spark, tmp_path):
+    from hbase_indexer_spark.sinks.index_store import change_feed
+
+    store = IndexStore(str(tmp_path / "s"), key="id")
+    store.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")],
+                        "id long, v string"), spark)
+    # update 1, delete 2, insert 4, re-add 3 unchanged (must NOT appear)
+    store.merge(spark,
+                adds=_df(spark, [(1, "a2"), (3, "c"), (4, "d")],
+                         "id long, v string"),
+                delete_ids=_df(spark, [(2,)], "id long"))
+    feed = {r["id"]: (r["v"], r["_change_type"])
+            for r in change_feed(store, spark).collect()}
+    assert feed == {1: ("a2", "update"), 2: ("b", "delete"),
+                    4: ("d", "insert")}
+
+
+def test_change_feed_across_evolved_schema(spark, tmp_path):
+    from hbase_indexer_spark.sinks.index_store import change_feed
+
+    store = IndexStore(str(tmp_path / "s"), key="id", evolve_schema=True)
+    store.overwrite(_df(spark, [(1, "a"), (2, "b")], "id long, v string"),
+                    spark)
+    store.merge(spark, adds=_df(spark, [(2, "b", 9)],
+                                "id long, v string, w long"))
+    feed = {r["id"]: (r["v"], r["w"], r["_change_type"])
+            for r in change_feed(store, spark).collect()}
+    # row 1 gained a NULL w by evolution -> not a content change on the
+    # shared columns; only row 2's real update appears
+    assert feed == {2: ("b", 9, "update")}
+
+
+def test_change_feed_needs_two_versions(spark, tmp_path):
+    from hbase_indexer_spark.sinks.index_store import change_feed
+
+    store = IndexStore(str(tmp_path / "s"), key="id")
+    assert change_feed(store, spark) is None
+    store.overwrite(_df(spark, [(1, "a")], "id long, v string"), spark)
+    assert change_feed(store, spark) is None
