@@ -104,6 +104,7 @@ _EXPORTS = {
     "exact_group_quantiles": "hbase_indexer_spark.pipeline.corpus_stats",
     "hll_overlap": "hbase_indexer_spark.pipeline.corpus_stats",
     "change_feed": "hbase_indexer_spark.sinks.index_store",
+    "apply_change_feed": "hbase_indexer_spark.sinks.index_store",
     "priority_grouping_sets": "hbase_indexer_spark.plans.analytics",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",

@@ -297,3 +297,21 @@ def change_feed(store: "IndexStore", spark: SparkSession,
     return (j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
             .select(*out_cols, "_change_type"))
+
+
+def apply_change_feed(feed: DataFrame, target: "IndexStore",
+                      spark: SparkSession) -> None:
+    """Replicate a :func:`change_feed` onto another store: inserts and
+    updates become adds, deletes become delete_ids — ONE merge, so the
+    downstream copy advances exactly one version per consumed feed and
+    converges to the upstream view (the replication contract the
+    reference exposes as replication-status/-wait, re-expressed as
+    store-to-store change shipping).
+
+    Idempotent like every merge: re-applying the same feed yields the
+    same view (and, via change_feed, an empty next diff)."""
+    adds = (feed.filter(F.col("_change_type") != "delete")
+            .drop("_change_type"))
+    dels = (feed.filter(F.col("_change_type") == "delete")
+            .select(target.key))
+    target.merge(spark, adds=adds, delete_ids=dels)

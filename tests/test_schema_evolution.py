@@ -104,3 +104,29 @@ def test_change_feed_needs_two_versions(spark, tmp_path):
     assert change_feed(store, spark) is None
     store.overwrite(_df(spark, [(1, "a")], "id long, v string"), spark)
     assert change_feed(store, spark) is None
+
+
+def test_apply_change_feed_replicates_store(spark, tmp_path):
+    from hbase_indexer_spark.sinks.index_store import (
+        apply_change_feed,
+        change_feed,
+    )
+
+    up = IndexStore(str(tmp_path / "up"), key="id")
+    down = IndexStore(str(tmp_path / "down"), key="id")
+    v0 = _df(spark, [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    up.overwrite(v0, spark)
+    down.overwrite(v0, spark)  # bootstrapped replica
+    up.merge(spark,
+             adds=_df(spark, [(1, "a2"), (4, "d")], "id long, v string"),
+             delete_ids=_df(spark, [(3,)], "id long"))
+    feed = change_feed(up, spark)
+    apply_change_feed(feed, down, spark)
+    want = sorted(tuple(r) for r in up.read(spark).collect())
+    got = sorted(tuple(r) for r in down.read(spark).collect())
+    assert got == want == [(1, "a2"), (2, "b"), (4, "d")]
+    # re-applying the same feed is a no-op (idempotent merge) and the
+    # up-vs-down diff is empty
+    apply_change_feed(feed, down, spark)
+    got2 = sorted(tuple(r) for r in down.read(spark).collect())
+    assert got2 == want
