@@ -1335,6 +1335,16 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "hbis_bkt_lineitem", "hbis_bkt_orders")
 
 
+def q_low_quality_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level boilerplate detector (new r6): each doc's
+    lowest-surprise 20-token window under the corpus unigram LM —
+    weights one combinable term agg, sliding sum a per-doc ROWS-frame
+    window, arg-min via (score, pos) struct min (deterministic)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import low_quality_spans
+
+    return low_quality_spans(_docs(spark, sf_dir), window=20)
+
+
 def q_store_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store change feed (new r6, Delta-CDF analog): publish customers
     as v0, apply one merge (every %5 key re-added with upper-cased name
@@ -2683,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles_by_lang": q_exact_quantiles_by_lang,
         "segment_overlap_sketch": q_segment_overlap_sketch,
         "store_changefeed": q_store_changefeed,
+        "low_quality_spans": q_low_quality_spans,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3270,6 +3281,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["exact_quantiles_by_lang"] = exact_group_quantiles_sql(
         "lang", "n_chars", "documents")
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        low_quality_spans_sql,
+    )
+
+    out["low_quality_spans"] = low_quality_spans_sql(window=20)
     from hbase_indexer_spark.pipeline.corpus_stats import hll_overlap_sql
 
     out["segment_overlap_sketch"] = hll_overlap_sql(

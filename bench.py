@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "exact_quantiles_by_lang",
     "segment_overlap_sketch",
     "store_changefeed",
+    "low_quality_spans",
 ]
 
 

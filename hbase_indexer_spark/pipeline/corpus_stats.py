@@ -2399,3 +2399,105 @@ def hll_overlap_sql(key_expr: str, group: str,
         LEFT JOIN sk s ON s.seg_a = p.seg_a AND s.seg_b = p.seg_b
         ORDER BY p.seg_a, p.seg_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Span-level quality: the sliding-window unigram-NLL boilerplate detector
+# ---------------------------------------------------------------------------
+
+
+def low_quality_spans(docs: DataFrame, window: int = 20) -> DataFrame:
+    """Per-document WORST (lowest-surprise) token span under the corpus
+    unigram LM: the C4/Dolma-style span-level cleaning signal — a doc
+    whose minimum ``window``-token mean NLL is near zero carries
+    boilerplate (navigation chrome, repeated filler) even when its
+    whole-doc NLL looks healthy.
+
+    For every position p with ``p + window <= n_tokens``, the span score
+    is ``sum over the window of floor(1e6 * ln(C / c_t))`` (the
+    :func:`unigram_logprob` weights, integer micro-nats); the emitted
+    row is the doc's MINIMUM span, tie-broken to the smallest start —
+    deterministic via min over a (score, pos) struct, never ``min_by``.
+    Docs shorter than ``window`` tokens are absent (no full span).
+
+    Returns ``(doc_id, n_tokens, span_start, span_nll_micro)`` with
+    1-based ``span_start``.
+
+    Scale: weights are one combinable term aggregation (vocab-sized,
+    AQE-broadcast when small); the per-token frame joins weights on the
+    term key, and the sliding sum is a ``rowsBetween`` frame window
+    partitioned BY DOC — parallel across docs, never a global sort.
+    The corpus token total is a 1-row aggregate (same bounded collect
+    as unigram_logprob)."""
+    total = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("c")).first()[0] or 0
+    tf = term_freqs(docs)
+    weights = tf.groupBy("term").agg(
+        F.floor(
+            MICRO * F.log(F.lit(float(total)) / F.sum("tf").cast("double"))
+        ).alias("w_micro"))
+    toks_col = tokens(F.col("text"))
+    pos = docs.select(
+        "doc_id", F.size(toks_col).alias("n_tokens"),
+        F.posexplode(toks_col).alias("pos0", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos0") \
+              .rowsBetween(Window.currentRow, window - 1)
+    spans = (pos.join(weights, "term")
+             .withColumn("span_nll_micro", F.sum("w_micro").over(w))
+             .filter(F.col("pos0") + window <= F.col("n_tokens")))
+    best = (spans.groupBy("doc_id", "n_tokens")
+            .agg(F.min(F.struct(F.col("span_nll_micro"),
+                                F.col("pos0"))).alias("b")))
+    return best.select(
+        "doc_id", "n_tokens",
+        (F.col("b.pos0") + 1).cast("long").alias("span_start"),
+        F.col("b.span_nll_micro").cast("long").alias("span_nll_micro"),
+    ).orderBy("doc_id")
+
+
+def low_quality_spans_sql(window: int = 20) -> str:
+    from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
+
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, t.term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term
+                  FROM documents) t
+            GROUP BY doc_id, t.term
+        ),
+        tot AS (SELECT sum(tf) AS c FROM tf),
+        w AS (
+            SELECT term,
+                   CAST(floor({MICRO} * ln(
+                       (SELECT c FROM tot) / CAST(sum(tf) AS DOUBLE)))
+                        AS BIGINT) AS w_micro
+            FROM tf GROUP BY term
+        ),
+        tok AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   generate_subscripts(toks, 1) AS pos1,
+                   unnest(toks) AS term
+            FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+        ),
+        spans AS (
+            SELECT doc_id, n_tokens, pos1,
+                   sum(w_micro) OVER (
+                       PARTITION BY doc_id ORDER BY pos1
+                       ROWS BETWEEN CURRENT ROW
+                                AND {window - 1} FOLLOWING
+                   ) AS span_nll_micro
+            FROM tok JOIN w USING (term)
+            QUALIFY pos1 - 1 + {window} <= n_tokens
+        ),
+        best AS (
+            SELECT doc_id, n_tokens, pos1, span_nll_micro,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY span_nll_micro, pos1) AS rn
+            FROM spans
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(pos1 AS BIGINT) AS span_start,
+               CAST(span_nll_micro AS BIGINT) AS span_nll_micro
+        FROM best WHERE rn = 1 ORDER BY doc_id
+    """

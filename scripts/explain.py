@@ -858,6 +858,12 @@ CHECKS = {
         [r"(SortMergeJoin FullOuter|Join FullOuter)"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # span detector: combinable weight agg + per-doc ROWS-frame window —
+    # the Window must be partitioned (never a global single-reducer sort)
+    "low_quality_spans": (
+        [r"Window", r"partial_count"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 
