@@ -2251,7 +2251,8 @@ def exact_group_quantiles_sql(group: str, value_col: str, table: str,
                    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
             FROM counts
         ),
-        tot AS (SELECT g, sum(c) AS n FROM counts GROUP BY g),
+        tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+                FROM counts GROUP BY g),
         qs(q) AS (VALUES {vals})
         SELECT g AS {group}, q, MIN(v) AS value, n
         FROM cum JOIN tot USING (g) CROSS JOIN qs
