@@ -1335,6 +1335,19 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "hbis_bkt_lineitem", "hbis_bkt_orders")
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users (new r6): DAU + trailing-7-day distinct via
+    HLL register algebra — rolling union = per-register RANGE-frame max
+    over days, one register build, no window re-scan; exact sides ride
+    along as audit columns."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        rolling_active_users,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_active_users(e)
+
+
 def q_low_quality_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level boilerplate detector (new r6): each doc's
     lowest-surprise 20-token window under the corpus unigram LM —
@@ -2694,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_overlap_sketch": q_segment_overlap_sketch,
         "store_changefeed": q_store_changefeed,
         "low_quality_spans": q_low_quality_spans,
+        "rolling_active_users": q_rolling_active_users,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3286,6 +3300,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["low_quality_spans"] = low_quality_spans_sql(window=20)
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        rolling_active_users_sql,
+    )
+
+    out["rolling_active_users"] = rolling_active_users_sql()
     from hbase_indexer_spark.pipeline.corpus_stats import hll_overlap_sql
 
     out["segment_overlap_sketch"] = hll_overlap_sql(

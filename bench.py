@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "segment_overlap_sketch",
     "store_changefeed",
     "low_quality_spans",
+    "rolling_active_users",
 ]
 
 

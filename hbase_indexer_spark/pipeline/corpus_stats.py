@@ -2502,3 +2502,172 @@ def low_quality_spans_sql(window: int = 20) -> str:
                CAST(span_nll_micro AS BIGINT) AS span_nll_micro
         FROM best WHERE rn = 1 ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users: DAU + trailing-window union, sketch-only rolling
+# ---------------------------------------------------------------------------
+
+
+def rolling_active_users(events: DataFrame, key: str = "user_id",
+                         ts_col: str = "ts",
+                         window_days: int = 7) -> DataFrame:
+    """Daily active users AND the trailing ``window_days`` rolling
+    distinct count, from HLL register algebra: a rolling distinct is the
+    union of the window's daily sketches, and union = register-wise max
+    — so the rolling metric needs ONE register build plus a per-register
+    RANGE-frame window over days, never a re-scan of the window's raw
+    events (the classic metric that is quadratic done exactly, linear
+    done with sketches).
+
+    Returns one row per active day: ``(day, dau_true, dau_est,
+    rolling_true, rolling_est)`` — ``day`` is the epoch-day bucket; the
+    exact sides are the audit columns (drop them at 100 TB, keep the
+    sketch).
+
+    Scale: registers are ``(day, 64)``-sized; the day x 64 grid is
+    aggregate-sized; the rolling max rides a RANGE frame partitioned BY
+    REGISTER (parallel, gap-correct over missing days).  The exact
+    rolling side explodes each (day, user) into its <= ``window_days``
+    target days — combinable, bounded by activity x window."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+
+    DAY_US = 86_400_000_000
+    # integer `div`, not `/`+cast: epoch_us (~1.7e15 for 2024) sits close
+    # enough to 2^53 that a double quotient could floor differently than
+    # the oracle's integer `//`
+    base = (events.withColumn("_us", ts_micros(events, ts_col))
+            .withColumn("_day", F.expr(f"_us div {DAY_US}"))
+            .drop("_us"))
+    regs = hll_registers(base, F.col(key), "_day")  # (grp=day, reg, mr)
+
+    days = regs.select(F.col("grp").alias("day")).distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            regs.sparkSession.range(HLL_M).select(
+                F.col("id").cast("int").alias("reg"))))
+    g = grid.join(regs.withColumnRenamed("grp", "day"),
+                  ["day", "reg"], "left")
+    w = (Window.partitionBy("reg").orderBy("day")
+         .rangeBetween(-(window_days - 1), 0))
+    rolled = (g.withColumn("mr_roll", F.max("mr").over(w))
+              .groupBy("day")
+              .agg(_hll_sum("mr").alias("s_day"),
+                   _hll_sum("mr_roll").alias("s_roll")))
+    est = rolled.select(
+        "day", _hll_est("s_day").alias("dau_est"),
+        _hll_est("s_roll").alias("rolling_est"))
+
+    du = (base.filter(F.col(key).isNotNull())
+          .select("_day", F.col(key).alias("_k")).distinct())
+    dau_true = du.groupBy(F.col("_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau_true"))
+    lo_hi = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    targets = (du.crossJoin(F.broadcast(lo_hi))
+               .select(F.explode(F.sequence(
+                   F.col("_day"),
+                   F.least(F.col("_day") + (window_days - 1),
+                           F.col("hi")))).alias("day"), "_k")
+               .distinct())
+    roll_true = (targets.join(F.broadcast(days), "day")
+                 .groupBy("day")
+                 .agg(F.count(F.lit(1)).cast("long").alias("rolling_true")))
+
+    return (days.join(dau_true, "day", "left")
+            .join(roll_true, "day", "left")
+            .join(est, "day", "left")
+            .select("day",
+                    F.coalesce("dau_true", F.lit(0)).cast("long")
+                    .alias("dau_true"),
+                    F.coalesce("dau_est", F.lit(0)).cast("long")
+                    .alias("dau_est"),
+                    F.coalesce("rolling_true", F.lit(0)).cast("long")
+                    .alias("rolling_true"),
+                    F.coalesce("rolling_est", F.lit(0)).cast("long")
+                    .alias("rolling_est"))
+            .orderBy("day"))
+
+
+def _hll_sum(mr_col: str):
+    """S = sum over the 64 grid rows of 2^(33 - rho), absent register
+    (NULL mr) contributing 2^33 — grid callers guarantee 64 rows/day."""
+    return F.sum(F.when(F.col(mr_col).isNull(),
+                        F.lit(_HLL_SCALE).cast("long"))
+                 .otherwise(F.expr(f"CAST(1 AS BIGINT) << (33 - {mr_col})")))
+
+
+def _hll_est(s_col: str):
+    return F.expr(f"({HLL_ALPHA_MICRO} * ({_HLL_INNER} div {s_col}))"
+                  f" div 1000000").cast("long")
+
+
+def rolling_active_users_sql(key_expr: str = "user_id",
+                             table: str = "events",
+                             window_days: int = 7) -> str:
+    day = "epoch_us(ts) // 86400000000"
+    regs = hll_registers_sql(key_expr, f"({day})", table)
+    s_day = (f"CAST(sum(CASE WHEN mr IS NULL THEN CAST({_HLL_SCALE} AS BIGINT) "
+             f"ELSE CAST(1 AS BIGINT) << (33 - mr) END) AS BIGINT)")
+    est = (f"CAST(({HLL_ALPHA_MICRO} * ({_HLL_INNER} // s)) // 1000000 "
+           f"AS BIGINT)")
+    return f"""
+        WITH regs AS ({regs}),
+        days AS (SELECT DISTINCT grp AS day FROM regs),
+        grid AS (
+            SELECT d.day, r.reg
+            FROM days d CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS reg) r
+        ),
+        g AS (
+            SELECT grid.day, grid.reg, regs.mr
+            FROM grid LEFT JOIN regs
+              ON regs.grp = grid.day AND regs.reg = grid.reg
+        ),
+        rolled AS (
+            SELECT day, reg, mr,
+                   max(mr) OVER (PARTITION BY reg ORDER BY day
+                                 RANGE BETWEEN {window_days - 1} PRECEDING
+                                           AND CURRENT ROW) AS mr_roll
+            FROM g
+        ),
+        sums AS (
+            SELECT day,
+                   {s_day} AS s_day,
+                   {s_day.replace('mr IS NULL', 'mr_roll IS NULL').replace('(33 - mr)', '(33 - mr_roll)')} AS s_roll
+            FROM rolled GROUP BY day
+        ),
+        est AS (
+            SELECT day,
+                   {est.replace('s)', 's_day)')} AS dau_est,
+                   {est.replace('s)', 's_roll)')} AS rolling_est
+            FROM sums
+        ),
+        du AS (
+            SELECT DISTINCT ({day}) AS d, {key_expr} AS k
+            FROM {table} WHERE {key_expr} IS NOT NULL
+        ),
+        dt AS (
+            SELECT d AS day, CAST(count(*) AS BIGINT) AS dau_true
+            FROM du GROUP BY d
+        ),
+        bounds AS (SELECT max(day) AS hi FROM days),
+        tgt AS (
+            SELECT DISTINCT t.day, du.k
+            FROM du, bounds,
+                 LATERAL (SELECT unnest(range(du.d,
+                     least(du.d + {window_days}, bounds.hi + 1))) AS day) t
+        ),
+        rt AS (
+            SELECT t.day, CAST(count(*) AS BIGINT) AS rolling_true
+            FROM tgt t JOIN days USING (day) GROUP BY t.day
+        )
+        SELECT days.day,
+               CAST(COALESCE(dt.dau_true, 0) AS BIGINT) AS dau_true,
+               CAST(COALESCE(e.dau_est, 0) AS BIGINT) AS dau_est,
+               CAST(COALESCE(rt.rolling_true, 0) AS BIGINT) AS rolling_true,
+               CAST(COALESCE(e.rolling_est, 0) AS BIGINT) AS rolling_est
+        FROM days
+        LEFT JOIN dt ON dt.day = days.day
+        LEFT JOIN rt ON rt.day = days.day
+        LEFT JOIN est e ON e.day = days.day
+        ORDER BY days.day
+    """

@@ -864,6 +864,13 @@ CHECKS = {
         [r"Window", r"partial_count"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # rolling sketch: one combinable register build (partial_max), the
+    # RANGE-frame window partitioned by register — never a cross join of
+    # raw data, never Python
+    "rolling_active_users": (
+        [r"partial_max", r"Window"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

@@ -92,6 +92,11 @@ ALLOW_BNLJ = {
     # like vocab_overlap); data is touched only by the register build
     # and the equi-keyed exact-audit join.
     "segment_overlap_sketch",
+    # rolling sketch: the (days x 64-register) grid crossJoin and the
+    # 1-row (lo,hi) bounds broadcast are both aggregate-sized loops;
+    # raw events are touched only by the register build and the
+    # combinable exact-audit explode.
+    "rolling_active_users",
 }
 
 
