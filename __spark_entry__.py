@@ -1335,6 +1335,39 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "hbis_bkt_lineitem", "hbis_bkt_orders")
 
 
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (new r6): a priority revenue
+    aggregate maintained from the store's change feed — retractions
+    against OLD groups (group-moving updates included), additions to
+    NEW, one combinable delta agg + one aggregate-sized join; the base
+    view is never re-read.  The oracle aggregates the new view directly,
+    so the hash proves maintained == recomputed."""
+    from hbase_indexer_spark.plans.ivm import maintain_grouped_sums
+    from hbase_indexer_spark.sinks.index_store import IndexStore, change_feed
+
+    tmp = _mkdtemp("hbis_ivm_")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    store = IndexStore(os.path.join(tmp, "store"), key="id")
+    store.overwrite(o, spark)
+    agg0 = (store.read(spark).groupBy("pri")
+            .agg(F.sum("cents").alias("sum_cents"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows")))
+    adds = (o.filter(F.col("id") % 5 == 0)
+            .select("id", F.lit("9-MOVED").alias("pri"),
+                    (F.col("cents") * 2).alias("cents")))
+    dels = o.filter((F.col("id") % 7 == 0) & (F.col("id") % 5 != 0)) \
+            .select("id")
+    store.merge(spark, adds=adds, delete_ids=dels)
+    feed = change_feed(store, spark, include_old=True)
+    assert feed is not None
+    return maintain_grouped_sums(agg0, feed, ["pri"],
+                                 {"sum_cents": "cents"}).orderBy("pri")
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling active users (new r6): DAU + trailing-7-day distinct via
     HLL register algebra — rolling union = per-register RANGE-frame max
@@ -2708,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_changefeed": q_store_changefeed,
         "low_quality_spans": q_low_quality_spans,
         "rolling_active_users": q_rolling_active_users,
+        "incremental_agg_maintenance": q_incremental_agg_maintenance,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
         "corpus_report": q_corpus_report,
         "pack_sequences": q_pack_sequences,
@@ -3305,6 +3339,30 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["rolling_active_users"] = rolling_active_users_sql()
+    out["incremental_agg_maintenance"] = """
+        WITH o AS (
+            SELECT o_orderkey AS id, o_orderpriority AS pri,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        adds AS (
+            SELECT id, '9-MOVED' AS pri, cents * 2 AS cents
+            FROM o WHERE id % 5 = 0
+        ),
+        dels AS (
+            SELECT id FROM o WHERE id % 7 = 0 AND id % 5 <> 0
+        ),
+        newv AS (
+            SELECT * FROM o
+            WHERE id NOT IN (SELECT id FROM dels)
+              AND id NOT IN (SELECT id FROM adds)
+            UNION ALL SELECT * FROM adds
+        )
+        SELECT pri, CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM newv GROUP BY pri ORDER BY pri
+    """
     from hbase_indexer_spark.pipeline.corpus_stats import hll_overlap_sql
 
     out["segment_overlap_sketch"] = hll_overlap_sql(

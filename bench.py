@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "store_changefeed",
     "low_quality_spans",
     "rolling_active_users",
+    "incremental_agg_maintenance",
 ]
 
 

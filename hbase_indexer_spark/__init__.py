@@ -107,6 +107,7 @@ _EXPORTS = {
     "apply_change_feed": "hbase_indexer_spark.sinks.index_store",
     "low_quality_spans": "hbase_indexer_spark.pipeline.corpus_stats",
     "rolling_active_users": "hbase_indexer_spark.pipeline.corpus_stats",
+    "maintain_grouped_sums": "hbase_indexer_spark.plans.ivm",
     "priority_grouping_sets": "hbase_indexer_spark.plans.analytics",
     "token_budget_sample": "hbase_indexer_spark.pipeline.curation",
     "fixed_k_sample": "hbase_indexer_spark.pipeline.curation",

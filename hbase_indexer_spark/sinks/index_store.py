@@ -240,7 +240,8 @@ class IndexStore:
 
 def change_feed(store: "IndexStore", spark: SparkSession,
                 from_version: int | None = None,
-                to_version: int | None = None) -> DataFrame | None:
+                to_version: int | None = None,
+                include_old: bool = False) -> DataFrame | None:
     """Change feed between two retained store versions (the Delta CDF /
     Iceberg changelog analog): every key whose row was added, deleted,
     or updated between ``from_version`` (default: previous) and
@@ -294,6 +295,14 @@ def change_feed(store: "IndexStore", spark: SparkSession,
         if c in set(old.columns) else F.col(f"_n_{c}").alias(c)
         for c in new.columns
     ]
+    if include_old:
+        # FROM-side values for downstream RETRACTION (incremental
+        # aggregate maintenance subtracts the old row on update/delete);
+        # NULL on inserts and on columns the old version lacked
+        out_cols += [
+            (F.col(f"_o_{c}") if c in set(old.columns) else F.lit(None))
+            .alias(f"_old_{c}") for c in new.columns
+        ]
     return (j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
             .select(*out_cols, "_change_type"))

@@ -871,6 +871,13 @@ CHECKS = {
         [r"partial_max", r"Window"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # IVM: combinable delta agg over the change-sized feed + one
+    # full-outer join of aggregate-sized tables — the base view is never
+    # re-scanned (its only scans are v0/v1 inside the feed diff)
+    "incremental_agg_maintenance": (
+        [r"partial_sum", r"FullOuter"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
 }
 
 

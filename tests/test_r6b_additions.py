@@ -50,3 +50,34 @@ def test_hll_overlap_exact_side_and_bounds(spark):
     # on tiny sets, so only the ordering is asserted)
     assert (out[("A", "B")]["est_overlap"]
             >= out[("A", "C")]["est_overlap"])
+
+
+def test_maintain_grouped_sums_matches_recompute(spark, tmp_path):
+    """Group-moving updates retract from the OLD group; groups drained to
+    zero rows disappear; the maintained aggregate is bit-equal to
+    re-aggregating the new view."""
+    from hbase_indexer_spark.plans.ivm import maintain_grouped_sums
+    from hbase_indexer_spark.sinks.index_store import IndexStore, change_feed
+
+    store = IndexStore(str(tmp_path / "s"), key="id")
+    v0 = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 20), (3, "y", 30), (4, "z", 40)],
+        "id long, g string, v long")
+    store.overwrite(v0, spark)
+    agg0 = (v0.groupBy("g").agg(F.sum("v").alias("sum_v"),
+                                F.count(F.lit(1)).cast("long")
+                                .alias("n_rows")))
+    # move 3 from y->x (value change too), delete 4 (drains z), insert 5
+    store.merge(
+        spark,
+        adds=spark.createDataFrame([(3, "x", 31), (5, "w", 50)],
+                                   "id long, g string, v long"),
+        delete_ids=spark.createDataFrame([(4,)], "id long"))
+    feed = change_feed(store, spark, include_old=True)
+    got = sorted(tuple(r) for r in maintain_grouped_sums(
+        agg0, feed, ["g"], {"sum_v": "v"}).collect())
+    want = sorted(tuple(r) for r in store.read(spark).groupBy("g").agg(
+        F.sum("v").alias("sum_v"),
+        F.count(F.lit(1)).cast("long").alias("n_rows")).collect())
+    assert got == want
+    assert ("z", 40, 1) not in got  # drained group dropped
