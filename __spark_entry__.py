@@ -2704,8 +2704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
         "regional_revenue": _analytics("regional_revenue"),
         # ------------- 50-query gate window ends here -------------
-        # r7 rotation pool (30 never-driver-checked): the LAST 8
-        # never-gated analytics, then the 22 r6-built operators below
+        # r7 rotation pool (32 never-driver-checked): the LAST 8
+        # never-gated analytics, then the 24 r6-built operators below
         # (all local-3-SF-green on arrival).  Once these are gated,
         # every oracled entry has been driver-hash-checked at least
         # once.
