@@ -128,3 +128,22 @@ def test_bucket_stats_high_bits_match_duckdb(spark):
         zorder_bucket_stats_sql("a", "b", "t", bits=30,
                                 n_buckets=32)).fetchall())
     assert got == want
+
+
+def test_zorder_key_randomized_against_model(spark):
+    """200 seeded-random (x, y) pairs in one frame: the Catalyst key
+    equals the pure-Python Morton interleave of the min-max scaling."""
+    import random
+    rng = random.Random(406)
+    rows = [(rng.randint(-500, 10_000), rng.randint(0, 3_000))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["zkey"]
+           for r in zorder_key(df, ["x", "y"]).collect()}
+    lox, hix = min(r[0] for r in rows), max(r[0] for r in rows)
+    loy, hiy = min(r[1] for r in rows), max(r[1] for r in rows)
+    mask = (1 << 16) - 1
+    for x, y in rows:
+        sx = (x - lox) * mask // max(hix - lox, 1)
+        sy = (y - loy) * mask // max(hiy - loy, 1)
+        assert got[(x, y)] == _morton2(sx, sy), (x, y)

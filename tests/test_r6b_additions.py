@@ -81,3 +81,39 @@ def test_maintain_grouped_sums_matches_recompute(spark, tmp_path):
         F.count(F.lit(1)).cast("long").alias("n_rows")).collect())
     assert got == want
     assert ("z", 40, 1) not in got  # drained group dropped
+
+
+def test_maintain_grouped_sums_randomized_against_recompute(spark, tmp_path):
+    """Seeded random base + random changeset (inserts, deletes, updates
+    incl. group moves): maintained aggregate == direct re-aggregation."""
+    import random
+
+    from hbase_indexer_spark.plans.ivm import maintain_grouped_sums
+    from hbase_indexer_spark.sinks.index_store import IndexStore, change_feed
+
+    rng = random.Random(1406)
+    groups = ["g0", "g1", "g2", "g3"]
+    v0 = [(i, rng.choice(groups), rng.randint(-50, 50)) for i in range(80)]
+    store = IndexStore(str(tmp_path / "s"), key="id")
+    base = spark.createDataFrame(v0, "id long, g string, v long")
+    store.overwrite(base, spark)
+    agg0 = base.groupBy("g").agg(
+        F.sum("v").alias("sum_v"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    upd = [(i, rng.choice(groups), rng.randint(-50, 50))
+           for i in rng.sample(range(80), 25)]
+    ins = [(i, rng.choice(groups), rng.randint(-50, 50))
+           for i in range(100, 115)]
+    del_ids = [(i,) for i in rng.sample(range(80), 20)
+               if i not in {u[0] for u in upd}]
+    store.merge(spark,
+                adds=spark.createDataFrame(upd + ins,
+                                           "id long, g string, v long"),
+                delete_ids=spark.createDataFrame(del_ids, "id long"))
+    feed = change_feed(store, spark, include_old=True)
+    got = sorted(tuple(r) for r in maintain_grouped_sums(
+        agg0, feed, ["g"], {"sum_v": "v"}).collect())
+    want = sorted(tuple(r) for r in store.read(spark).groupBy("g").agg(
+        F.sum("v").alias("sum_v"),
+        F.count(F.lit(1)).cast("long").alias("n_rows")).collect())
+    assert got == want
