@@ -2633,20 +2633,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries.
     #
-    # r6 rotation (VERDICT r5 "Next round" #1): the r5 window recorded
-    # 50/50 green (CORRECTNESS_r05 — the first fully-green gate), so all
-    # 50 moved below the line and the window now holds 50 of the
-    # never-driver-checked pool: 42 pipeline/analysis rows in line order
-    # (the r5 pool minus the rows-only ann_ivf_topk, which moved to
-    # bench_only()), the NEW ann_ivf_indexed_verified (VERDICT r5 #3:
-    # the store-backed IVF read path, now with a pinned-centroid full
-    # SQL oracle), and the first 7 of the 15 never-gated TPC-H analytics.
-    # The remaining 8 analytics sit immediately after the window — the
-    # r7 rotation finishes the sweep and makes every oracled query
-    # driver-hash-checked at least once.
+    # r7 rotation (VERDICT r6 "Next round" #1): the r6 window recorded
+    # 50/50 green (CORRECTNESS_r06), so all 50 moved below the line.
+    # This window holds the FINAL 32 never-driver-checked entries
+    # (the last 8 TPC-H analytics + the 24 r6-built operators, all
+    # local-3-SF-green on arrival, CHECK_LOCAL_r06*) plus 18 re-checks
+    # of historically hash-sensitive greens (typed decode, incremental
+    # state, packing, streaming — the classes where r4 proved the
+    # driver's type-sensitive hash catches what value sweeps miss).
+    # Once this gate is green, every one of the 202 oracled queries has
+    # been driver-hash-checked at least once.
     return {name: _pinned(fn) for name, fn in {
-        # ------------- 50-query driver gate window -------------
-        # never-driver-checked: curation / decontamination / quality
+        # ------------- 50-query driver gate window (r7) -------------
+        # never-driver-checked analytics, last 8 of 15
+        "promo_part_revenue": _analytics("promo_part_revenue"),
+        "supplier_nation_balance": _analytics("supplier_nation_balance"),
+        "order_priority_check": _analytics("order_priority_check"),
+        "customer_order_distribution": _analytics("customer_order_distribution"),
+        "large_orders": _analytics("large_orders"),
+        "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
+        "priority_shipping_stats": _analytics("priority_shipping_stats"),
+        "part_supplier_variety": _analytics("part_supplier_variety"),
+        # never-driver-checked: the 24 r6-built operators
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "key_skew_report": q_key_skew_report,
+        "quality_ensemble": q_quality_ensemble,
+        "trigram_backoff": q_trigram_backoff,
+        "bm25_incremental": q_bm25_incremental,
+        "media_header_parse": q_media_header_parse,
+        "retrieval_eval": q_retrieval_eval,
+        "edit_distance_dedup": q_edit_distance_dedup,
+        "fk_integrity": q_fk_integrity,
+        "span_corruption": q_span_corruption,
+        "prefix_lm_pairs": q_prefix_lm_pairs,
+        "fim_transform": q_fim_transform,
+        "json_key_profile": q_json_key_profile,
+        "zorder_bucket_stats": q_zorder_bucket_stats,
+        "stream_stream_join": q_stream_stream_join,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
+        "priority_grouping_sets": _analytics("priority_grouping_sets"),
+        "exact_quantiles_by_lang": q_exact_quantiles_by_lang,
+        "segment_overlap_sketch": q_segment_overlap_sketch,
+        "store_changefeed": q_store_changefeed,
+        "low_quality_spans": q_low_quality_spans,
+        "rolling_active_users": q_rolling_active_users,
+        "incremental_agg_maintenance": q_incremental_agg_maintenance,
+        # re-checks of historical hash-sensitive greens (VERDICT r6 #1)
+        "typed_decode_matrix": q_typed_decode_matrix,
+        "bigdecimal_decode": q_bigdecimal_decode,
+        "scan_time_range": q_scan_time_range,
+        "incremental_row_index": q_incremental_row_index,
+        "streaming_row_index": q_streaming_row_index,
+        "stream_static_join": q_stream_static_join,
+        "morphline_chain": q_morphline_chain,
+        "avro_container_decode": q_avro_container_decode,
+        "shard_routing": q_shard_routing,
+        "event_time_rollup": q_event_time_rollup,
+        "asof_click_attribution": q_asof_click_attribution,
+        "session_windows": q_session_windows,
+        "udaf_event_stats": q_udaf_event_stats,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "pack_sequences": q_pack_sequences,
+        "corpus_report": q_corpus_report,
+        "snapshot_diff": q_snapshot_diff,
+        "embedding_cosine_lsh": q_embedding_cosine_lsh,
+        # ------------- 50-query gate window ends here -------------
+        # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
         "embedding_lsh_recall": q_embedding_lsh_recall,
@@ -2703,48 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast": _analytics("revenue_forecast"),
         "top_unshipped_orders": _analytics("top_unshipped_orders"),
         "regional_revenue": _analytics("regional_revenue"),
-        # ------------- 50-query gate window ends here -------------
-        # r7 rotation pool (32 never-driver-checked): the LAST 8
-        # never-gated analytics, then the 24 r6-built operators below
-        # (all local-3-SF-green on arrival).  Once these are gated,
-        # every oracled entry has been driver-hash-checked at least
-        # once.
-        "promo_part_revenue": _analytics("promo_part_revenue"),
-        "supplier_nation_balance": _analytics("supplier_nation_balance"),
-        "order_priority_check": _analytics("order_priority_check"),
-        "customer_order_distribution": _analytics("customer_order_distribution"),
-        "large_orders": _analytics("large_orders"),
-        "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
-        "priority_shipping_stats": _analytics("priority_shipping_stats"),
-        "part_supplier_variety": _analytics("part_supplier_variety"),
-        # new r6 operators — local 3-SF sweeps on arrival, r7 window next
-        "bm25_topk": q_bm25_topk,
-        "hybrid_rrf": q_hybrid_rrf,
-        "key_skew_report": q_key_skew_report,
-        "quality_ensemble": q_quality_ensemble,
-        "trigram_backoff": q_trigram_backoff,
-        "bm25_incremental": q_bm25_incremental,
-        "media_header_parse": q_media_header_parse,
-        "retrieval_eval": q_retrieval_eval,
-        "edit_distance_dedup": q_edit_distance_dedup,
-        "fk_integrity": q_fk_integrity,
-        "span_corruption": q_span_corruption,
-        "prefix_lm_pairs": q_prefix_lm_pairs,
-        "fim_transform": q_fim_transform,
-        "json_key_profile": q_json_key_profile,
-        "zorder_bucket_stats": q_zorder_bucket_stats,
-        "stream_stream_join": q_stream_stream_join,
-        "bucketed_join_revenue": q_bucketed_join_revenue,
-        "priority_grouping_sets": _analytics("priority_grouping_sets"),
-        "exact_quantiles_by_lang": q_exact_quantiles_by_lang,
-        "segment_overlap_sketch": q_segment_overlap_sketch,
-        "store_changefeed": q_store_changefeed,
-        "low_quality_spans": q_low_quality_spans,
-        "rolling_active_users": q_rolling_active_users,
-        "incremental_agg_maintenance": q_incremental_agg_maintenance,
         # --- driver-green r5 (CORRECTNESS_r05, 50/50) ---
-        "corpus_report": q_corpus_report,
-        "pack_sequences": q_pack_sequences,
         "corpus_summary": q_corpus_summary,
         "training_corpus": q_training_corpus,
         "decontaminate": q_decontaminate,
@@ -2755,7 +2767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_k_sample": q_fixed_k_sample,
         "curriculum_order": q_curriculum_order,
         "epoch_expand": q_epoch_expand,
-        "snapshot_diff": q_snapshot_diff,
         "bloom_screen": q_bloom_screen,
         "dedup_keep_best": q_dedup_keep_best,
         "cdc_dedup": q_cdc_dedup,
@@ -2764,7 +2775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_store_screen": q_dedup_store_screen,
         "ngram_novelty": q_ngram_novelty,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "embedding_cosine_lsh": q_embedding_cosine_lsh,
         "sequence_manifest": q_sequence_manifest,
         "packed_sequence_text": q_packed_sequence_text,
         "shuffle_order": q_shuffle_order,
@@ -2801,33 +2811,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_values": q_prefix_values,
         "dynamic_fields": q_dynamic_fields,
         "payload_extraction": q_payload_extraction,
-        "typed_decode_matrix": q_typed_decode_matrix,
-        "bigdecimal_decode": q_bigdecimal_decode,
         "scan_range_pushdown": q_scan_range_pushdown,
-        "scan_time_range": q_scan_time_range,
         "multi_table_union": q_multi_table_union,
         "subscription_gate": q_subscription_gate,
-        "incremental_row_index": q_incremental_row_index,
         "incremental_row_index_bucketed": q_incremental_row_index_bucketed,
         "incremental_column_index": q_incremental_column_index,
-        "streaming_row_index": q_streaming_row_index,
-        "stream_static_join": q_stream_static_join,
-        "morphline_chain": q_morphline_chain,
         "etl_enrichment_chain": q_etl_enrichment_chain,
-        "avro_container_decode": q_avro_container_decode,
         "branching_chain": q_branching_chain,
         "custom_value_mapper": q_custom_value_mapper,
         "row_mapper_udtf": q_row_mapper_udtf,
         "doc_extract_prefix": q_doc_extract_prefix,
-        "shard_routing": q_shard_routing,
-        "event_time_rollup": q_event_time_rollup,
-        "asof_click_attribution": q_asof_click_attribution,
-        "session_windows": q_session_windows,
         "skew_salted_user_stats": q_skew_salted_user_stats,
-        "udaf_event_stats": q_udaf_event_stats,
         # --- LLM pipeline rows, driver-green in an earlier round ---
         "exact_dedup": q_exact_dedup,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
         "span_dedup": q_span_dedup,
