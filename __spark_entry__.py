@@ -3388,8 +3388,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         diff AS (
             SELECT COALESCE(n.id, o.id) AS id,
-                   COALESCE(n.name, o.name) AS name,
-                   COALESCE(n.nat, o.nat) AS nat,
+                   CASE WHEN n.id IS NULL THEN o.name ELSE n.name END AS name,
+                   CASE WHEN n.id IS NULL THEN o.nat ELSE n.nat END AS nat,
                    CASE WHEN o.id IS NULL THEN 'insert'
                         WHEN n.id IS NULL THEN 'delete'
                         WHEN (o.name IS DISTINCT FROM n.name)

@@ -87,7 +87,17 @@ def _interleave(scaled: list[Column], bits: int) -> Column:
 def _with_bounds(df: DataFrame, cols: list[str]) -> DataFrame:
     """Attach per-column (min, max) as broadcast scalar columns —
     one combinable aggregate, a 1-row broadcast back (the allowlisted
-    scalar-join shape)."""
+    scalar-join shape).
+
+    Raises on helper-name collisions: withColumn would silently REPLACE
+    a user column named ``_lo_<col>``/``_hi_<col>`` and the epilogue
+    would then drop it from the output."""
+    taken = ([f"_lo_{c}" for c in cols] + [f"_hi_{c}" for c in cols])
+    clash = sorted(set(taken) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns collide with z-order helper names: {clash}; "
+            "rename them before layout")
     aggs = []
     for c in cols:
         aggs.append(F.min(F.col(c).cast("long")).alias(f"_lo_{c}"))
@@ -99,8 +109,13 @@ def _with_bounds(df: DataFrame, cols: list[str]) -> DataFrame:
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     """Add a ``zkey`` column: the Morton interleave of `cols`, each
     min-max scaled to ``bits`` bits.  One aggregate + one map-only
-    projection; at 100 TB the cost is the scan itself."""
+    projection; at 100 TB the cost is the scan itself.  Raises when the
+    input already has a ``zkey`` (or bounds-helper) column — silently
+    replacing user data is worse than failing."""
     _check_dims(len(cols), bits)
+    if "zkey" in df.columns:
+        raise ValueError(
+            "input already has a 'zkey' column; rename it before layout")
     b = _with_bounds(df, cols)
     z = _interleave([_scaled(c, bits) for c in cols], bits)
     drop = [f"_lo_{c}" for c in cols] + [f"_hi_{c}" for c in cols]

@@ -36,6 +36,11 @@ from hbase_indexer_spark.sinks.index_store import union_adds_observed
 BUCKET_COL = "_b"
 
 
+def _schema_list(df: DataFrame) -> list[list[str]]:
+    """JSON-serializable ``[name, simple_type]`` pairs, field order kept."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
 class BucketedIndexStore:
     """A keyed materialized view with bucket-granular copy-on-write MERGE.
 
@@ -87,11 +92,28 @@ class BucketedIndexStore:
         v = self.current_version()
         return {} if v < 0 else self._read_manifest(v)
 
-    def _publish(self, buckets: dict[int, str]) -> None:
+    def expected_schema(self) -> list[tuple[str, str]] | None:
+        """The logical ``(name, simple_type)`` schema of the current view,
+        as recorded at publish time.  The AUTHORITATIVE drift reference:
+        on a store whose buckets hold mixed on-disk schemas (earlier
+        evolve_schema merges), inferring from parquet footers picks an
+        arbitrary winner — the manifest does not.  None on manifests
+        written before schemas were recorded (drift checks then fall
+        back to a footer read)."""
+        v = self.current_version()
+        if v < 0:
+            return None
+        with open(self._manifest_file(v)) as f:
+            schema = json.load(f).get("schema")
+        return None if schema is None else [tuple(p) for p in schema]
+
+    def _publish(self, buckets: dict[int, str],
+                 schema: list[list[str]] | None = None) -> None:
         v = self.current_version() + 1
         tmp = self._manifest_file(v) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"key": self.key, "n_buckets": self.n_buckets,
+                       "schema": schema,
                        "buckets": {str(k): d for k, d in buckets.items()}}, f)
         os.replace(tmp, self._manifest_file(v))
         ctmp = self._current_file() + ".tmp"
@@ -162,7 +184,8 @@ class BucketedIndexStore:
 
     def overwrite(self, df: DataFrame, spark: SparkSession | None = None) -> None:
         """Full rebuild publish (K6)."""
-        self._publish(self._write_version(df, self.current_version() + 1))
+        self._publish(self._write_version(df, self.current_version() + 1),
+                      schema=_schema_list(df))
 
     def compact(self, spark: SparkSession | None = None) -> int:
         """Version-sprawl compaction: after many bucket-granular merges
@@ -237,17 +260,25 @@ class BucketedIndexStore:
             # landing in previously-empty buckets never pass through a
             # unionByName, so without this check a new column would write
             # silently and strict (mergeSchema=false) reads would then
-            # drop it depending on which bucket's footer wins
-            cur = self.read()
-            if cur is not None:
-                want = {(f.name, f.dataType.simpleString())
-                        for f in cur.schema.fields}
-                got = {(f.name, f.dataType.simpleString())
-                       for f in adds.schema.fields}
-                if want != got:
+            # drop it depending on which bucket's footer wins.  The
+            # reference schema comes from the MANIFEST (recorded at
+            # publish), so the check is deterministic even on stores
+            # whose buckets hold mixed on-disk schemas, and costs no
+            # footer scan; a pre-schema manifest falls back to one read.
+            # Comparison is an order-insensitive (name, type) SET by
+            # design: the merge unions by NAME, so column order is not
+            # part of the contract.
+            want = self.expected_schema()
+            if want is None:
+                cur = self.read()
+                want = None if cur is None else _schema_list(cur)
+            if want is not None:
+                got = _schema_list(adds)
+                if set(map(tuple, want)) != set(map(tuple, got)):
                     raise ValueError(
                         "adds schema drift on a non-evolving store: "
-                        f"store={sorted(want)} adds={sorted(got)} — pass "
+                        f"store={sorted(map(tuple, want))} "
+                        f"adds={sorted(map(tuple, got))} — pass "
                         "evolve_schema=True to evolve the schema instead")
 
         def _apply_dbq(df: DataFrame) -> DataFrame:
@@ -314,4 +345,4 @@ class BucketedIndexStore:
         if out is None:
             return
         written = self._write_version(out, self.current_version() + 1)
-        self._publish({**untouched_dirs, **written})
+        self._publish({**untouched_dirs, **written}, schema=_schema_list(out))

@@ -290,9 +290,15 @@ def change_feed(store: "IndexStore", spark: SparkSession,
     change = (F.when(F.col(f"_o_{key}").isNull(), F.lit("insert"))
               .when(F.col(f"_n_{key}").isNull(), F.lit("delete"))
               .when(~same, F.lit("update")))
+    # TO-side values for inserts/updates, FROM-side only for deletes.
+    # A per-column coalesce(_n_c, _o_c) would be WRONG here: an update
+    # that sets a column value -> NULL would emit the stale old value as
+    # the post-image, permanently diverging replicas and breaking IVM.
+    is_delete = F.col(f"_n_{key}").isNull()
     out_cols = [
-        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
-        if c in set(old.columns) else F.col(f"_n_{c}").alias(c)
+        (F.when(is_delete,
+                F.col(f"_o_{c}") if c in set(old.columns) else F.lit(None))
+         .otherwise(F.col(f"_n_{c}"))).alias(c)
         for c in new.columns
     ]
     if include_old:
@@ -318,9 +324,13 @@ def apply_change_feed(feed: DataFrame, target: "IndexStore",
     store-to-store change shipping).
 
     Idempotent like every merge: re-applying the same feed yields the
-    same view (and, via change_feed, an empty next diff)."""
+    same view (and, via change_feed, an empty next diff).  Feeds built
+    with ``include_old=True`` are accepted: the ``_old_*`` retraction
+    columns are for aggregate maintenance only and are stripped before
+    the merge (a strict replica would otherwise see schema drift)."""
     adds = (feed.filter(F.col("_change_type") != "delete")
             .drop("_change_type"))
+    adds = adds.drop(*[c for c in adds.columns if c.startswith("_old_")])
     dels = (feed.filter(F.col("_change_type") == "delete")
             .select(target.key))
     target.merge(spark, adds=adds, delete_ids=dels)
