@@ -2540,19 +2540,51 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, ANN_QUERY_IDS, k=5, n_cells=16, n_probe=4)
 
 
-def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over the materialized inverted-file store: build once (the one
-    full corpus pass), then query via partition-pruned scans of probed
-    cells only (no SQL oracle; indexed==ad-hoc is unit-tested)."""
-    from hbase_indexer_spark.pipeline.similarity import (
-        build_ivf_index,
-        ivf_topk_indexed,
-    )
+# one store per (process, sf_dir): "query latency" must time the READ
+# path (partition-pruned scan + broadcast re-rank), not k-means training
+# + a full store rewrite per run — the build is a once-per-corpus job and
+# is benched separately as ann_ivf_build (VERDICT r6 "what's wrong" #2)
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from hbase_indexer_spark.pipeline.similarity import build_ivf_index
+        from hbase_indexer_spark.sources.fixtures import load
+
+        path = os.path.join(_mkdtemp("hbis_ivf_"), "index")
+        build_ivf_index(load(spark, sf_dir, "embeddings"), path, n_cells=16)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def q_ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index BUILD leg, timed on its own: k-means training + the
+    one full corpus pass that writes the cell-partitioned inverted file.
+    Returns the per-cell row counts (forces the write).  Amortized over
+    every subsequent query — never part of per-query latency."""
+    from hbase_indexer_spark.pipeline.similarity import build_ivf_index
     from hbase_indexer_spark.sources.fixtures import load
 
     emb = load(spark, sf_dir, "embeddings")
-    path = os.path.join(_mkdtemp("hbis_ivf_"), "index")
+    path = os.path.join(_mkdtemp("hbis_ivfb_"), "index")
     build_ivf_index(emb, path, n_cells=16)
+    return (spark.read.parquet(path)
+            .groupBy("cell").count().orderBy("cell"))
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF READ path over the materialized inverted-file store:
+    partition-pruned scans of probed cells only (no SQL oracle;
+    indexed==ad-hoc is unit-tested).  The store build is cached per
+    process (first call / warm-up run pays it; see q_ann_ivf_build for
+    the timed build leg)."""
+    from hbase_indexer_spark.pipeline.similarity import ivf_topk_indexed
+    from hbase_indexer_spark.sources.fixtures import load
+
+    path = _ivf_index_for(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -2597,6 +2629,40 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_indexer_spark.pipeline.multimodal import frame_sample, media_fixture
 
     return frame_sample(media_fixture(spark, sf_dir), every_n_bytes=64)
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip (new r7, VERDICT r6 #7): encode every doc
+    as an actual PNG (zlib + scanline filters) or PCM WAV, then DECODE
+    the bytes back and report pixel/sample facts.  The oracle never
+    touches the payload — it predicts analytically what a correct
+    decoder must read (pixels/samples are closed forms of doc_id), so a
+    single flipped bit anywhere in encode, inflate, unfilter, or the
+    chunk walk hash-mismatches."""
+    from hbase_indexer_spark.pipeline.multimodal import (
+        decode_media,
+        real_media_fixture,
+    )
+
+    return decode_media(real_media_fixture(spark, sf_dir), codec="real")
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round trip (new r7): decode PNG -> nearest-neighbor
+    resample to 4x4 (integer index arithmetic) -> re-encode -> decode
+    again; the oracle computes every output pixel from the closed-form
+    input image."""
+    from hbase_indexer_spark.pipeline.multimodal import (
+        decode_media,
+        real_media_fixture,
+        resize_media,
+    )
+
+    png = real_media_fixture(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    resized = resize_media(png, target_w=4, target_h=4,
+                           backend="png-nearest")
+    return decode_media(resized, codec="real").select(
+        "doc_id", "width", "height", "pixel_sum")
 
 
 def _analytics(name: str):
@@ -2699,6 +2765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "embedding_cosine_lsh": q_embedding_cosine_lsh,
         # ------------- 50-query gate window ends here -------------
+        # new r7 operators — local 3-SF sweeps on arrival, r8 window next
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -2875,6 +2944,7 @@ def bench_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _pinned(fn) for name, fn in {
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_build": q_ann_ivf_build,
         "ann_ivf_indexed": q_ann_ivf_indexed,
     }.items()}
 
@@ -3498,6 +3568,13 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.multimodal import media_header_parse_sql
 
     out["media_header_parse"] = media_header_parse_sql()
+    from hbase_indexer_spark.pipeline.multimodal import (
+        MEDIA_DECODE_SQL,
+        media_resize_sql,
+    )
+
+    out["media_decode"] = MEDIA_DECODE_SQL
+    out["media_resize"] = media_resize_sql(4, 4)
     from hbase_indexer_spark.pipeline.corpus_stats import retrieval_eval_sql
 
     out["retrieval_eval"] = retrieval_eval_sql(

@@ -2,21 +2,27 @@
 
 Model (BASELINE.json north-star): media travels as ``binary`` columns with
 a metadata struct; decode / feature-extract / resize / frame-sample are
-Arrow-batched ``mapInPandas`` stages.  The container has no image/audio
-codecs, so the *decode* step is stubbed (NotImplementedError for real
-codecs, a deterministic byte-level fake for tests) — but the Spark-side
-plumbing (schema, batching, partitioning, UDF signatures) is real and
-oracle-tested.
+Arrow-batched ``mapInPandas`` stages.
 
 At 100 TB: payloads stay columnar (parquet binary), metadata predicates
 prune at scan time (e.g. ``width >= 64`` never touches payload bytes), and
 mapInPandas streams Arrow batches without materializing a partition.
 
-Container-HEADER introspection, unlike decode, needs no codec and is
-implemented for real (r6): :func:`parse_media_headers` reads PNG/IHDR
-and RIFF/WAVE metadata straight out of the payload bytes in pure
-Catalyst — the stage that populates the typed metadata those pruning
-predicates run on.
+Container-HEADER introspection needs no codec and is pure Catalyst
+(r6): :func:`parse_media_headers` reads PNG/IHDR and RIFF/WAVE metadata
+straight out of the payload bytes — the stage that populates the typed
+metadata those pruning predicates run on.
+
+REAL decode (r7, closing VERDICT r6 #7): PNG and WAV are decodable
+without any native media library — PNG is zlib (stdlib) + per-scanline
+filters, WAV is a RIFF chunk walk — so ``decode_media(codec='real')``
+and ``resize_media(backend='png-nearest')`` now run actual
+encode→decode round trips via
+:mod:`~hbase_indexer_spark.pipeline.codecs`, oracle-checked
+analytically (the fixture's pixels/samples are closed-form functions of
+doc_id).  Formats beyond the declared scope (JPEG, MP3, ...) raise
+``ValueError`` — an unsupported-input error; there is no stubbed seam
+left.
 """
 
 from __future__ import annotations
@@ -53,13 +59,16 @@ def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode stage.  ``codec='fake'`` extracts deterministic byte-level
-    features (length, byte-sum, first byte); any real codec name raises —
-    the hook is where PIL/ffmpeg-backed decoders plug in on a real cluster.
+    features (length, byte-sum, first byte) without touching container
+    structure; ``codec='real'`` (see :func:`decode_media_real`) runs the
+    pure-Python PNG/WAV decoders.  Other codec names raise ValueError.
     """
+    if codec == "real":
+        return decode_media_real(df)
     if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r} requires media libraries not present in this "
-            "environment; plug a decoder into decode_media()"
+        raise ValueError(
+            f"codec {codec!r} not supported: 'fake' (byte features) or "
+            "'real' (PNG/WAV via pipeline.codecs)"
         )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,10 +99,12 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224,
     Scale note: runs inside mapInPandas over Arrow batches — payload bytes
     never leave the executor, and the stage preserves partitioning (no
     shuffle)."""
+    if backend == "png-nearest":
+        return resize_png_nearest(df, target_w, target_h)
     if backend != "fake":
-        raise NotImplementedError(
-            f"backend {backend!r} requires media libraries not present in "
-            "this environment; plug a resampler into resize_media()"
+        raise ValueError(
+            f"backend {backend!r} not supported: 'fake' (byte tiling) or "
+            "'png-nearest' (real decode -> resample -> re-encode)"
         )
     target = target_w * target_h
 
@@ -315,6 +326,214 @@ def parse_media_headers(df: DataFrame,
         F.when(is_wav, _le(p, 35, 2)).alias("bits_per_sample"),
         F.length(p).cast("long").alias("payload_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path (r7): encode -> decode round trips, analytically oracled
+# ---------------------------------------------------------------------------
+
+def real_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL files: tiny grayscale PNGs
+    (doc_id % 3 == 0), PCM-16 WAVs (% 3 == 1), or raw utf-8 text bytes
+    (else).  Every pixel/sample is a closed-form function of doc_id, so
+    an external oracle can predict exactly what a CORRECT decoder must
+    read back:
+
+    - PNG: w = 4 + doc_id % 5, h = 3 + doc_id % 4, row-major pixel
+      i -> (doc_id * 31 + i) % 256; the scanline filter rotates through
+      None/Sub/Up by doc_id (it must not change decoded pixels);
+    - WAV: n = 8 + doc_id % 9 samples at rate 8000 * (1 + doc_id % 3),
+      sample i -> ((doc_id * 17 + i * 7) % 512) - 256.
+
+    Scale: map-only mapInPandas encode; payload bytes are born and stay
+    on executors."""
+    import numpy as np
+
+    from hbase_indexer_spark.pipeline.codecs import png_encode, wav_encode
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 3 == 0:
+                    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                    px = ((doc_id * 31 + np.arange(w * h)) % 256) \
+                        .astype(np.uint8).reshape(h, w)
+                    payloads.append(png_encode(px, (doc_id // 3) % 3))
+                elif doc_id % 3 == 1:
+                    n = 8 + doc_id % 9
+                    s = (((doc_id * 17 + np.arange(n) * 7) % 512) - 256) \
+                        .astype(np.int16)
+                    payloads.append(wav_encode(s, 8000 * (1 + doc_id % 3)))
+                else:
+                    payloads.append((text or "").encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return d.mapInPandas(build, "doc_id long, payload binary")
+
+
+_DECODE_REAL_SCHEMA = (
+    "doc_id long, container string, width long, height long, "
+    "n_pixels long, pixel_sum long, sample_rate long, n_samples long, "
+    "sample_abs_sum long"
+)
+
+
+def decode_media_real(df: DataFrame,
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL decode: sniff the container, run the pure-Python PNG/WAV
+    decoder, and report decode-derived facts — pixel dims + exact pixel
+    sum for images, rate + sample count + exact |sample| sum for audio;
+    unknown containers yield NULLs.  Decoding happens inside Arrow
+    batches; only the scalar facts leave the executor.
+
+    Scale: map-only (no shuffle); the per-row cost is one zlib inflate
+    + one numpy filter pass, the floor for any PNG decode anywhere."""
+    from hbase_indexer_spark.pipeline.codecs import (
+        PNG_SIG,
+        png_decode,
+        wav_decode,
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "container", "width", "height", "n_pixels",
+                "pixel_sum", "sample_rate", "n_samples", "sample_abs_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                vals = dict.fromkeys(rows)
+                vals["doc_id"] = int(doc_id)
+                if b[:8] == PNG_SIG:
+                    px = png_decode(b)
+                    vals.update(container="png",
+                                width=px.shape[1], height=px.shape[0],
+                                n_pixels=px.shape[0] * px.shape[1],
+                                pixel_sum=int(px.astype("int64").sum()))
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    s, rate, _ = wav_decode(b)
+                    vals.update(container="wav", sample_rate=rate,
+                                n_samples=len(s),
+                                sample_abs_sum=int(
+                                    abs(s.astype("int64")).sum()))
+                else:
+                    vals["container"] = "unknown"
+                for k, v in vals.items():
+                    rows[k].append(v)
+            out = pd.DataFrame({
+                "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                "container": rows["container"],
+                **{k: pd.array(rows[k], dtype="Int64")
+                   for k in ("width", "height", "n_pixels", "pixel_sum",
+                             "sample_rate", "n_samples", "sample_abs_sum")},
+            })
+            yield out
+
+    return df.mapInPandas(decode, _DECODE_REAL_SCHEMA)
+
+
+def resize_png_nearest(df: DataFrame, target_w: int,
+                       target_h: int) -> DataFrame:
+    """REAL resize: decode PNG payloads, nearest-neighbor resample
+    (integer index arithmetic — oracle-predictable), re-encode as PNG.
+    Non-PNG payloads pass through untouched with their original dims
+    NULL.  Map-only; bytes never leave the executor."""
+    from hbase_indexer_spark.pipeline.codecs import (
+        PNG_SIG,
+        png_decode,
+        png_encode,
+        png_resize_nearest,
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if b[:8] == PNG_SIG:
+                    out = png_resize_nearest(png_decode(b),
+                                             target_w, target_h)
+                    payloads.append(png_encode(out))
+                    widths.append(target_w)
+                    heights.append(target_h)
+                else:
+                    payloads.append(b)
+                    widths.append(None)
+                    heights.append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+            })
+
+    return df.mapInPandas(
+        resize, "doc_id long, payload binary, width int, height int")
+
+
+MEDIA_DECODE_SQL = """
+    WITH g AS (SELECT unnest(range(0, 48)) AS i),
+    png AS (
+        SELECT d.doc_id,
+               CAST(4 + d.doc_id % 5 AS BIGINT) AS width,
+               CAST(3 + d.doc_id % 4 AS BIGINT) AS height,
+               CAST(sum((d.doc_id * 31 + g.i) % 256) AS BIGINT) AS pixel_sum
+        FROM documents d CROSS JOIN g
+        WHERE d.doc_id % 3 = 0
+          AND g.i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+        GROUP BY d.doc_id
+    ),
+    wav AS (
+        SELECT d.doc_id,
+               CAST(8000 * (1 + d.doc_id % 3) AS BIGINT) AS sample_rate,
+               CAST(8 + d.doc_id % 9 AS BIGINT) AS n_samples,
+               CAST(sum(abs(((d.doc_id * 17 + g.i * 7) % 512) - 256))
+                    AS BIGINT) AS sample_abs_sum
+        FROM documents d CROSS JOIN g
+        WHERE d.doc_id % 3 = 1 AND g.i < 8 + d.doc_id % 9
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'png'
+                WHEN d.doc_id % 3 = 1 THEN 'wav'
+                ELSE 'unknown' END AS container,
+           p.width, p.height, p.width * p.height AS n_pixels, p.pixel_sum,
+           w.sample_rate, w.n_samples, w.sample_abs_sum
+    FROM documents d
+    LEFT JOIN png p USING (doc_id)
+    LEFT JOIN wav w USING (doc_id)
+"""
+
+
+def media_resize_sql(target_w: int, target_h: int) -> str:
+    """Oracle for the decode -> nearest-resample -> re-encode -> decode
+    round trip: out(x, y) = in((x*w) // target_w, (y*h) // target_h),
+    every input pixel a closed form of doc_id."""
+    return f"""
+        WITH o AS (
+            SELECT ox.i AS ox, oy.i AS oy
+            FROM (SELECT unnest(range(0, {target_w})) AS i) ox
+            CROSS JOIN (SELECT unnest(range(0, {target_h})) AS i) oy
+        ),
+        dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT d.doc_id,
+               CAST({target_w} AS BIGINT) AS width,
+               CAST({target_h} AS BIGINT) AS height,
+               CAST(sum((d.doc_id * 31
+                         + ((o.oy * d.h) // {target_h}) * d.w
+                         + ((o.ox * d.w) // {target_w})) % 256)
+                    AS BIGINT) AS pixel_sum
+        FROM dims d CROSS JOIN o
+        GROUP BY d.doc_id
+    """
 
 
 def media_header_parse_sql() -> str:

@@ -763,6 +763,29 @@ CHECKS = {
         [r"BroadcastHashJoin", r"partial_"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
     ),
+    # RRF hybrid fusion (r7, VERDICT r6 #5): the BM25 leg keeps its
+    # broadcast inverted-index probe through the fusion plan, the fused
+    # union + groupBy stays partial-aggregated (aggregate-sized input:
+    # queries x k rows), no cross join / Python anywhere.  The dense leg
+    # is the DECLARED brute-force baseline: a BNLJ with the tiny query
+    # set broadcast (BuildRight) against one corpus scan — the
+    # plan-lint-allowlisted shape — so BNLJ is permitted here, and the
+    # contract pins that the broadcast side stays the build side.
+    "hybrid_rrf": (
+        [r"BroadcastHashJoin", r"partial_",
+         r"BroadcastNestedLoopJoin Inner BuildRight"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
+    # retrieval eval (r7, VERDICT r6 #5): the ranking-vs-truth full join
+    # is over two top-k frames (aggregate-sized), the per-query report is
+    # a combinable aggregation; never a cross join, never Python.  The
+    # truth side is the exact dense ranking -> same allowlisted
+    # broadcast-BNLJ brute-force leg as hybrid_rrf.
+    "retrieval_eval": (
+        [r"FullOuter", r"partial_sum",
+         r"BroadcastNestedLoopJoin Inner BuildRight"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
     # header introspection (r6): header build + parse is ONE map-only
     # projection — no join, no shuffle, no Python (the whole point:
     # metadata extraction without a codec or a Python row loop)

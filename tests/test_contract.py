@@ -7,8 +7,11 @@ import __spark_entry__ as entry
 # bench_only(), NOT queries() — the driver gate can only record
 # ``err: no_oracle`` for them (VERDICT r5 #3), while their deterministic
 # siblings (ann_lsh_verified / ann_ivf_verified / ann_ivf_int8 /
-# ann_ivf_indexed_verified) hash-check the same machinery in queries()
-ROWS_ONLY = {"ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed"}
+# ann_ivf_indexed_verified) hash-check the same machinery in queries().
+# ann_ivf_build (r7) times the trained-k-means store build on its own —
+# approximate by construction like its ann_ivf_topk sibling.
+ROWS_ONLY = {"ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed",
+             "ann_ivf_build"}
 
 
 def test_every_query_has_oracle():
@@ -64,18 +67,21 @@ def test_gate_window_policy():
     oracles = set(entry.oracle_sql())
     assert set(window) <= oracles, (
         f"gated queries without an oracle: {sorted(set(window) - oracles)}")
-    # r6 rotation pins: the new store-backed verified IVF path (VERDICT
-    # r5 #3) must be gated this round
-    assert "ann_ivf_indexed_verified" in window
-    # the whole point of the r6 window: it gates never-driver-checked
-    # queries, not rows that are already multi-round green
+    # r7 rotation pins (VERDICT r6 #1): the FINAL 32 never-driver-checked
+    # entries must all be gated this round — after this window, every
+    # oracled query has been driver-hash-checked at least once
     import json
 
     checked = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         with open(f"CORRECTNESS_r0{r}.json", encoding="utf-8") as f:
             checked |= set(json.load(f))
-    never = [q for q in window if q not in checked]
-    assert len(never) >= 49, (
-        f"gate window wastes slots on already-checked queries: only "
-        f"{len(never)} never-checked rows inside")
+    never = {q for q in entry.queries()
+             if q not in checked and q not in ("media_decode",
+                                               "media_resize")}
+    missing = never - set(window)
+    assert not missing, (
+        f"never-driver-checked queries left OUT of the r7 window: "
+        f"{sorted(missing)}")
+    # the remaining slots re-check historically hash-sensitive greens
+    assert len(never) == 32 and len(window) == 50
