@@ -1368,6 +1368,82 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
                                  {"sum_cents": "cents"}).orderBy("pri")
 
 
+def q_incremental_minmax_maintenance(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MIN/MAX (new r7): the r6 IVM honestly
+    declared scalar min/max non-maintainable (a retracted extreme loses
+    its runner-up); this closes it with the sorted-index reduction —
+    maintain the (group, value) COUNT multiset (pure SUM ring, always
+    maintainable) and re-derive min/max from the multiset, never the
+    base.  The merge deletes several per-nation extremes, so the
+    retraction path is what the hash checks.  One O(changes) delta agg +
+    one aggregate-sized join + one aggregate over the distinct-values-
+    sized multiset."""
+    from hbase_indexer_spark.plans.ivm import (
+        maintain_value_counts,
+        minmax_from_counts,
+    )
+    from hbase_indexer_spark.sinks.index_store import IndexStore, change_feed
+
+    tmp = _mkdtemp("hbis_ivmm_")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    store = IndexStore(os.path.join(tmp, "store"), key="id")
+    store.overwrite(cust, spark)
+    counts0 = (store.read(spark).groupBy("nat", "cents")
+               .agg(F.count(F.lit(1)).alias("n")))
+    adds = (cust.filter(F.col("id") % 5 == 0)
+            .select("id", "nat", (F.col("cents") + 1000).alias("cents"))
+            .unionByName(cust.filter(F.col("id") % 11 == 0)
+                         .select((F.col("id") + F.lit(1_000_000))
+                                 .alias("id"), "nat", "cents")))
+    dels = cust.filter((F.col("id") % 7 == 0) & (F.col("id") % 5 != 0)) \
+               .select("id")
+    store.merge(spark, adds=adds, delete_ids=dels)
+    feed = change_feed(store, spark, include_old=True)
+    assert feed is not None
+    counts1 = maintain_value_counts(counts0, feed, ["nat"], "cents")
+    return minmax_from_counts(counts1, ["nat"], "cents").orderBy("nat")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication (new r7, §2.8 extension):
+    every event arrives TWICE inside its chunk (at-least-once delivery,
+    staged deterministically), and ``dropDuplicatesWithinWatermark`` on
+    event_id emits each exactly once — state holds ids only within the
+    watermark horizon, so it is rate-bounded, not stream-length-bounded.
+    In-order delivery makes the stream result bit-equal to the batch
+    DISTINCT the oracle runs."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.functions.timeutil import ts_micros, ts_timestamp
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doubled = e.unionByName(e)  # duplicates co-located in each chunk
+    src = _stage_stream_chunks_by_ts(doubled, "hbis_sdedup_")
+    tmp = os.path.dirname(src)
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    ts = ts_timestamp(stream, "ts")
+    deduped = (stream.withColumn("_ts", ts)
+               .withWatermark("_ts", "2 hours")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    out = deduped.select(
+        "event_id", "user_id", "event_type",
+        ts_micros(deduped, "_ts").alias("ts_us"))
+    sink = os.path.join(tmp, "sink")
+    q = (out.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling active users (new r6): DAU + trailing-7-day distinct via
     HLL register algebra — rolling union = per-register RANGE-frame max
@@ -2768,6 +2844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r7 operators — local 3-SF sweeps on arrival, r8 window next
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
+        "incremental_minmax_maintenance": q_incremental_minmax_maintenance,
+        "stream_dedup": q_stream_dedup,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3575,6 +3653,39 @@ def oracle_sql() -> dict[str, str]:
 
     out["media_decode"] = MEDIA_DECODE_SQL
     out["media_resize"] = media_resize_sql(4, 4)
+    out["incremental_minmax_maintenance"] = """
+        WITH oldv AS (
+            SELECT c_custkey AS id, c_nationkey AS nat,
+                   CAST(c_acctbal * 100 AS BIGINT) AS cents
+            FROM customer
+        ),
+        adds AS (
+            SELECT c_custkey AS id, c_nationkey AS nat,
+                   CAST(c_acctbal * 100 AS BIGINT) + 1000 AS cents
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_nationkey,
+                   CAST(c_acctbal * 100 AS BIGINT)
+            FROM customer WHERE c_custkey % 11 = 0
+        ),
+        dels AS (
+            SELECT c_custkey AS id FROM customer
+            WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+        ),
+        newv AS (
+            SELECT * FROM oldv
+            WHERE id NOT IN (SELECT id FROM dels)
+              AND id NOT IN (SELECT id FROM adds)
+            UNION ALL SELECT * FROM adds
+        )
+        SELECT nat, min(cents) AS min_cents, max(cents) AS max_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM newv GROUP BY nat ORDER BY nat
+    """
+    out["stream_dedup"] = """
+        SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    """
     from hbase_indexer_spark.pipeline.corpus_stats import retrieval_eval_sql
 
     out["retrieval_eval"] = retrieval_eval_sql(

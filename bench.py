@@ -193,10 +193,13 @@ BENCH_QUERIES = [
     "low_quality_spans",
     "rolling_active_users",
     "incremental_agg_maintenance",
-    # r7 additions: real codec round trips + the IVF build leg
+    # r7 additions: real codec round trips, the IVF build leg, IVM
+    # min/max, watermarked stream dedup
     "media_decode",
     "media_resize",
     "ann_ivf_build",
+    "incremental_minmax_maintenance",
+    "stream_dedup",
 ]
 
 

@@ -36,7 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["maintain_grouped_sums", "MaintainedAggregate"]
+__all__ = ["maintain_grouped_sums", "maintain_value_counts",
+           "minmax_from_counts", "MaintainedAggregate"]
 
 
 def _nn(col: str) -> str:
@@ -123,6 +124,43 @@ def maintain_grouped_sums(agg: DataFrame, feed: DataFrame,
     return (joined.select(*out_groups, *out_vals,
                           new_count.alias(count_col))
             .filter(F.col(count_col) > 0))
+
+
+def maintain_value_counts(counts: DataFrame, feed: DataFrame,
+                          group_cols: list[str], val_col: str,
+                          count_col: str = "n") -> DataFrame:
+    """Maintain a per-(group, value) multiplicity table from a change
+    feed — the classic reduction that makes MIN/MAX incrementally
+    maintainable after all: a retracted extreme cannot be repaired from
+    a scalar min/max (the runner-up is gone), but the VALUE-COUNT
+    multiset is pure SUM-ring state, so it maintains exactly like any
+    grouped count, and min/max re-derive from it without ever touching
+    the base table (:func:`minmax_from_counts`).  This is the sorted-
+    index/arrangement strategy Materialize and Flink use for retractable
+    extremes, re-expressed as two DataFrame ops.
+
+    ``counts`` has schema ``(*group_cols, val_col, count_col)`` (seed it
+    with ``base.groupBy(*group_cols, val_col).count()``).  NULL values
+    are tracked like any other value (they never win min/max).
+
+    Scale: the auxiliary table is DISTINCT-VALUES-sized per group (worst
+    case the group's row count, typical far less); each maintenance
+    cycle is O(changes) map-side + one join of aggregate-sized tables —
+    the base is never read."""
+    return maintain_grouped_sums(
+        counts, feed, [*group_cols, val_col], {}, count_col=count_col)
+
+
+def minmax_from_counts(counts: DataFrame, group_cols: list[str],
+                       val_col: str,
+                       count_col: str = "n") -> DataFrame:
+    """Derive ``(group, min_v, max_v, n_rows)`` from a maintained
+    value-count table — one combinable aggregation over the auxiliary
+    (aggregate-sized) table, never the base."""
+    return (counts.groupBy(*group_cols)
+            .agg(F.min(val_col).alias(f"min_{val_col}"),
+                 F.max(val_col).alias(f"max_{val_col}"),
+                 F.sum(count_col).alias("n_rows")))
 
 
 class MaintainedAggregate:

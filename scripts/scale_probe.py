@@ -273,6 +273,92 @@ def main() -> None:
     }
     print(f"# bm25_topk: {json.dumps(out['bm25_topk'])}", file=sys.stderr)
 
+    # ---- streaming legs at sf1 (VERDICT r6 #6) ----
+    # stream_stream_join: the claim is state bounded by
+    # rate x (watermark + delay), NOT stream length — so record the
+    # per-trigger state-store rows from the query's own progress events
+    # alongside wall + shuffle at the 10x replica.
+    events = replicate(
+        spark.read.parquet(f"{args.base}/events.parquet"),
+        ["event_id", "user_id"])
+    events.write.mode("overwrite").parquet(f"{tmp}/events")
+    events = spark.read.parquet(f"{tmp}/events")
+    n_events = events.count()
+
+    from __spark_entry__ import _stage_stream_chunks_by_ts
+    from hbase_indexer_spark.streaming.joins import stream_attribution_join
+
+    src = _stage_stream_chunks_by_ts(events, "hbis_probe_ssj_")
+    sink = os.path.join(tmp, "ssj_sink")
+    r0, w0 = shuffle_totals(spark)
+    t0 = time.time()
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    joined = stream_attribution_join(stream, "click", "purchase")
+    q = (joined.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", os.path.join(tmp, "ssj_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall_ssj = round(time.time() - t0, 2)
+    progress = [json.loads(p) if isinstance(p, str) else p
+                for p in q.recentProgress]
+    state_rows = [
+        sum(int(op["numRowsTotal"]) for op in p["stateOperators"])
+        for p in progress if p.get("stateOperators")
+    ]
+    r1, w1 = shuffle_totals(spark)
+    out["stream_stream_join"] = {
+        "events": n_events,
+        "result_rows": spark.read.parquet(sink).count(),
+        "wall_s": wall_ssj,
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        # per-trigger totals: bounded (and shrinking once the watermark
+        # passes) proves cleanup works; monotone growth would mean state
+        # leaks with stream length
+        "state_rows_per_trigger": state_rows,
+    }
+    print(f"# stream_stream_join: {json.dumps(out['stream_stream_join'])}",
+          file=sys.stderr)
+
+    # bm25_incremental: the claim is each postings fold costs
+    # O(new docs + postings view), independent of how many folds came
+    # before — record the per-fold wall/shuffle curve over 6 equal
+    # chunks at 10x docs (a growing curve would falsify it).
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        bm25_topk_indexed,
+        postings_upsert,
+    )
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+
+    from pyspark.sql import functions as F
+
+    store = IndexStore(os.path.join(tmp, "postings"), key="pk")
+    folds = []
+    for chunk in range(6):
+        _, t_f, r_f, w_f = timed(
+            spark, lambda: postings_upsert(
+                store, docs.filter(F.col("doc_id") % 6 == chunk)) or 1)
+        folds.append({"wall_s": t_f, "shuffle_read_mb": r_f,
+                      "shuffle_write_mb": w_f})
+    bm_queries = [(1, "spark fast join"), (2, "stream window agg"),
+                  (3, "customer order query table")]
+    n_hits2, t_q, r_q, w_q = timed(
+        spark,
+        lambda: bm25_topk_indexed(spark, store, bm_queries, k=10).count())
+    out["bm25_incremental"] = {
+        "docs": out["dedup_clusters"]["docs"],
+        "folds": folds,
+        "query_wall_s": t_q,
+        "query_shuffle_read_mb": r_q,
+        "query_shuffle_write_mb": w_q,
+        "result_rows": n_hits2,
+    }
+    print(f"# bm25_incremental: {json.dumps(out['bm25_incremental'])}",
+          file=sys.stderr)
+
     # ---- headline entry queries against a FULL sf1-shaped replica ----
     # the real driver surface (entry.queries()) run unchanged at 10x —
     # "would this plan still work at the next scale-up" measured, not

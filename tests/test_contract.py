@@ -76,9 +76,12 @@ def test_gate_window_policy():
     for r in (1, 2, 3, 4, 5, 6):
         with open(f"CORRECTNESS_r0{r}.json", encoding="utf-8") as f:
             checked |= set(json.load(f))
+    # queries BUILT in r7 (after the window froze) gate in r8, like
+    # every round's arrivals
+    r7_arrivals = {"media_decode", "media_resize",
+                   "incremental_minmax_maintenance", "stream_dedup"}
     never = {q for q in entry.queries()
-             if q not in checked and q not in ("media_decode",
-                                               "media_resize")}
+             if q not in checked and q not in r7_arrivals}
     missing = never - set(window)
     assert not missing, (
         f"never-driver-checked queries left OUT of the r7 window: "

@@ -113,6 +113,64 @@ def test_ivm_null_counts_matches_recompute_on_all_null_group(
     assert ("g1", None, 2) in got  # all-NULL group reads NULL, not 0
 
 
+def test_minmax_maintenance_survives_extreme_retraction(spark, tmp_path):
+    """The sorted-index reduction: deleting a group's min AND max must
+    re-derive the runner-ups from the maintained multiset — the exact
+    case scalar min/max state cannot repair."""
+    from hbase_indexer_spark.plans.ivm import (
+        maintain_value_counts,
+        minmax_from_counts,
+    )
+
+    store = IndexStore(str(tmp_path / "s"), key="id")
+    base = _df(spark, [(1, "g", 5), (2, "g", 1), (3, "g", 9),
+                       (4, "g", 5), (5, "h", 2)],
+               "id long, g string, x long")
+    store.overwrite(base, spark)
+    counts0 = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("n"))
+    # delete g's min (id=2) and max (id=3); duplicate value 5 survives
+    store.merge(spark, delete_ids=_df(spark, [(2,), (3,)], "id long"))
+    feed = change_feed(store, spark, include_old=True)
+    counts1 = maintain_value_counts(counts0, feed, ["g"], "x")
+    got = sorted(tuple(r) for r in
+                 minmax_from_counts(counts1, ["g"], "x").collect())
+    assert got == [("g", 5, 5, 2), ("h", 2, 2, 1)]
+    # fully-retracted values leave the multiset (no ghost rows)
+    assert counts1.filter(F.col("x").isin(1, 9)).count() == 0
+
+
+def test_minmax_maintenance_randomized_equals_recompute(spark, tmp_path):
+    from hbase_indexer_spark.plans.ivm import (
+        maintain_value_counts,
+        minmax_from_counts,
+    )
+    import random
+
+    rng = random.Random(77)
+    rows = [(i, f"g{rng.randrange(4)}", rng.randrange(10))
+            for i in range(60)]
+    base = _df(spark, rows, "id long, g string, x long")
+    store = IndexStore(str(tmp_path / "s"), key="id")
+    store.overwrite(base, spark)
+    counts0 = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("n"))
+    upd = [(i, f"g{rng.randrange(4)}", rng.randrange(10))
+           for i in range(60) if rng.random() < 0.4]
+    ins = [(100 + i, f"g{rng.randrange(4)}", rng.randrange(10))
+           for i in range(15)]
+    dels = [(i,) for i in range(60) if rng.random() < 0.3]
+    store.merge(spark,
+                adds=_df(spark, upd + ins, "id long, g string, x long"),
+                delete_ids=_df(spark, dels, "id long"))
+    feed = change_feed(store, spark, include_old=True)
+    counts1 = maintain_value_counts(counts0, feed, ["g"], "x")
+    got = sorted(tuple(r) for r in
+                 minmax_from_counts(counts1, ["g"], "x").collect())
+    want = sorted(tuple(r) for r in store.read(spark).groupBy("g").agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.count(F.lit(1)).cast("long").alias("n_rows")).collect())
+    assert got == want
+
+
 def test_maintained_aggregate_replay_guard(spark, tmp_path):
     from hbase_indexer_spark.plans.ivm import MaintainedAggregate
 
