@@ -1271,6 +1271,19 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, store, BM25_QUERIES, k=10)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (new r7): 6 merge rounds over the
+    corpus vocabulary — per round one combinable pair aggregation + a
+    1-row argmax + a map-only literal merge; the corpus itself is read
+    once.  The oracle unrolls the same 6 rounds as CTEs (identical
+    wrapped-symbol encoding and replace semantics), so every round's
+    winning merge AND count are hash-checked, not just the first
+    (bpe_merge_candidates covers round 1's full top-k)."""
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
 def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram LM scoring (new r6): train n-gram counts
     on the doc_id%2==0 half, score the held-out half — unseen trigrams
@@ -2846,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "incremental_minmax_maintenance": q_incremental_minmax_maintenance,
         "stream_dedup": q_stream_dedup,
+        "bpe_train": q_bpe_train,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3686,6 +3700,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         FROM events
     """
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_train_sql
+
+    out["bpe_train"] = bpe_train_sql(n_merges=6)
     from hbase_indexer_spark.pipeline.corpus_stats import retrieval_eval_sql
 
     out["retrieval_eval"] = retrieval_eval_sql(

@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "ann_ivf_build",
     "incremental_minmax_maintenance",
     "stream_dedup",
+    "bpe_train",
 ]
 
 

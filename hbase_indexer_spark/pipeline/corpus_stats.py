@@ -1105,6 +1105,118 @@ def bpe_merge_candidates(docs: DataFrame, k: int = 20) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+_BPE_WORD_RE = "[a-z0-9]+"
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """FULL corpus-scale BPE tokenizer training (extends
+    :func:`bpe_merge_candidates`, which is this loop's first round):
+    iterate ``n_merges`` rounds of count-adjacent-symbol-pairs ->
+    argmax -> merge-everywhere, producing the merge table a tokenizer
+    ships (``(round, left, right, n_occ)``, ranked by count desc with
+    (left, right) tie-break — fully deterministic).
+
+    Words (lowercased ``[a-z0-9]+`` runs — BPE's standard pre-tokenize)
+    are carried as paren-wrapped symbol strings ``(h)(e)(l)(l)(o)``;
+    merging (l, r) is the LITERAL replace ``(l)(r) -> (lr)``, whose
+    left-to-right non-overlapping semantics are identical in Spark's
+    ``replace`` and DuckDB's ``replace`` — so greedy BPE merge order
+    (``(a)(a)(a) -> (aa)(a)``) is bit-equal cross-engine and the whole
+    trainer is SQL-oracle-checkable round for round.
+
+    Scale: the corpus is read ONCE (word-frequency count, combinable);
+    every round after that runs on the VOCAB-sized word table — one
+    combinable pair aggregation, one TakeOrdered(1) argmax (a 1-row
+    driver collect, the allowlisted fixed-point shape), one map-only
+    literal replace.  Per-round cost is independent of corpus size and
+    of how many merges came before.  n_merges is tokenizer-sized
+    (100s-10000s); each round's plan is vocab-scan + agg."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_BPE_WORD_RE}', 0)")
+        ).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+        .select(F.regexp_replace("w", "(.)", r"($1)").alias("s"), "wf")
+    )
+    # vocab-sized; rounds iterate over it — pin it once
+    cur = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        syms = F.split(F.expr("substring(s, 2, length(s) - 2)"),
+                       r"\)\(")
+        pairs = (
+            cur.select("wf", syms.alias("y"))
+            .filter(F.size("y") >= 2)
+            .select("wf", F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("y") - 1),
+                lambda i: F.struct(
+                    F.element_at("y", i).alias("l"),
+                    F.element_at("y", i + F.lit(1)).alias("r")),
+            )).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wf").alias("n_occ"))
+        )
+        best = pairs.orderBy(F.desc("n_occ"), F.asc("l"),
+                             F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        l, r, n_occ = best[0]["l"], best[0]["r"], int(best[0]["n_occ"])
+        merges.append((rnd, l, r, n_occ))
+        cur = cur.withColumn("s", F.replace(
+            F.col("s"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")))
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, n_occ long")
+
+
+def bpe_train_sql(n_merges: int = 6) -> str:
+    """DuckDB mirror: the same rounds unrolled as CTEs — same wrapped
+    encoding, same literal replace, same (count desc, l, r) argmax.
+    Every chained CTE is AS MATERIALIZED: DuckDB inlines CTEs by
+    default, and best{i} is referenced four times inside words{i}, so
+    un-materialized the recomputation compounds ~4^n across rounds (the
+    6-round oracle never finished before this)."""
+    parts = [f"""
+        words0 AS MATERIALIZED (
+            SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s,
+                   CAST(count(*) AS BIGINT) AS wf
+            FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '{_BPE_WORD_RE}')) AS w
+                FROM documents
+            ) GROUP BY 1
+        )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+        syms{i} AS (
+            SELECT string_split(s[2:-2], ')(') AS y, wf
+            FROM words{i - 1} WHERE len(s) > 3
+        ),
+        pairs{i} AS (
+            SELECT y[i] AS l, y[i + 1] AS r, sum(wf) AS n_occ
+            FROM (SELECT y, wf, unnest(range(1, len(y))) AS i
+                  FROM syms{i} WHERE len(y) >= 2)
+            GROUP BY 1, 2
+        ),
+        best{i} AS MATERIALIZED (
+            SELECT {i} AS round, l, r, CAST(n_occ AS BIGINT) AS n_occ
+            FROM pairs{i} ORDER BY n_occ DESC, l ASC, r ASC LIMIT 1
+        ),
+        words{i} AS MATERIALIZED (
+            SELECT replace(s,
+                           '(' || (SELECT l FROM best{i}) || ')(' ||
+                           (SELECT r FROM best{i}) || ')',
+                           '(' || (SELECT l FROM best{i}) ||
+                           (SELECT r FROM best{i}) || ')') AS s, wf
+            FROM words{i - 1}
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT round, l AS left, r AS right, n_occ FROM best{i}"
+        for i in range(1, n_merges + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\n        SELECT * FROM ({union}) ORDER BY round")
+
+
 def bpe_merge_candidates_sql(k: int = 20) -> str:
     from hbase_indexer_spark.pipeline.dedup import TOKS_SQL
 

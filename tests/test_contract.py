@@ -79,7 +79,8 @@ def test_gate_window_policy():
     # queries BUILT in r7 (after the window froze) gate in r8, like
     # every round's arrivals
     r7_arrivals = {"media_decode", "media_resize",
-                   "incremental_minmax_maintenance", "stream_dedup"}
+                   "incremental_minmax_maintenance", "stream_dedup",
+                   "bpe_train"}
     never = {q for q in entry.queries()
              if q not in checked and q not in r7_arrivals}
     missing = never - set(window)

@@ -195,10 +195,12 @@ def test_numpy_topk_matches_bruteforce(emb):
     assert a == b
 
 
-def test_media_decode_stub_rejects_real_codecs(spark, sf_dir):
+def test_media_decode_rejects_out_of_scope_codecs(spark, sf_dir):
+    """r7: 'fake' and 'real' (PNG/WAV via pipeline.codecs) are the two
+    supported codecs; anything else is an unsupported-input error."""
     from hbase_indexer_spark.pipeline.multimodal import decode_media, media_fixture
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not supported"):
         decode_media(media_fixture(spark, sf_dir), codec="jpeg")
 
 
@@ -249,7 +251,7 @@ def test_resize_media_plumbing(spark, sf_dir):
         r = resize_media(short, 4, 4).first()
         assert len(r["payload"]) == 16
     assert "Exchange" not in resize_media(media, 4, 4)._jdf.queryExecution().executedPlan().toString()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not supported"):
         resize_media(media, backend="pil")
 
 

@@ -229,6 +229,51 @@ def test_maintained_aggregate_raises_when_cursor_expired(spark, tmp_path):
         view.advance(spark, src)
 
 
+def test_bpe_train_matches_pure_python_model(spark):
+    """6 rounds of distributed BPE == the textbook greedy algorithm
+    (randomized corpus, same lowercase [a-z0-9]+ pre-tokenize, same
+    (count desc, left, right) tie-break, same left-to-right
+    non-overlapping merge)."""
+    import random
+    import re
+    from collections import Counter
+
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_train
+
+    rng = random.Random(41)
+    vocab = ["low", "lower", "lowest", "new", "newer", "wide", "widest",
+             "aaaa", "aaab", "banana", "bandana"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randrange(3, 12)))
+             for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["round"], r["left"], r["right"], r["n_occ"])
+           for r in bpe_train(df, n_merges=6).collect()]
+
+    words = Counter(w for t in texts
+                    for w in re.findall(r"[a-z0-9]+", t.lower()))
+    syms = {w: list(w) for w in words}
+    want = []
+    for rnd in range(1, 7):
+        pc: Counter = Counter()
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        (l, r), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append((rnd, l, r, n))
+        for w, ss in syms.items():
+            out = []
+            for x in ss:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+    assert got == want
+
+
 def test_zorder_raises_on_helper_column_collision(spark):
     from hbase_indexer_spark.pipeline.layout import zorder_key
 
