@@ -1143,22 +1143,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     cur = words.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
-        syms = F.split(F.expr("substring(s, 2, length(s) - 2)"),
-                       r"\)\(")
-        pairs = (
-            cur.select("wf", syms.alias("y"))
-            .filter(F.size("y") >= 2)
-            .select("wf", F.explode(F.transform(
-                F.sequence(F.lit(1), F.size("y") - 1),
-                lambda i: F.struct(
-                    F.element_at("y", i).alias("l"),
-                    F.element_at("y", i + F.lit(1)).alias("r")),
-            )).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("wf").alias("n_occ"))
-        )
-        best = pairs.orderBy(F.desc("n_occ"), F.asc("l"),
-                             F.asc("r")).limit(1).collect()
+        best = bpe_pair_counts(cur).orderBy(
+            F.desc("n_occ"), F.asc("l"), F.asc("r")).limit(1).collect()
         if not best:
             break
         l, r, n_occ = best[0]["l"], best[0]["r"], int(best[0]["n_occ"])
@@ -1167,6 +1153,28 @@ def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
             F.col("s"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")))
     return spark.createDataFrame(
         merges, "round int, left string, right string, n_occ long")
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """One BPE round's pair aggregation over a wrapped-symbol word table
+    ``(s, wf)`` -> ``(l, r, n_occ)``.  Exposed so the per-round plan
+    shape is pinnable by tests (the trainer's RESULT is a driver-sized
+    local relation, which carries no plan): one map-only split+explode,
+    one combinable HashAggregate; the argmax downstream must compile to
+    TakeOrderedAndProject, never a global sort."""
+    syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\)\(")
+    return (
+        words.select("wf", syms.alias("y"))
+        .filter(F.size("y") >= 2)
+        .select("wf", F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("y") - 1),
+            lambda i: F.struct(
+                F.element_at("y", i).alias("l"),
+                F.element_at("y", i + F.lit(1)).alias("r")),
+        )).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("wf").alias("n_occ"))
+    )
 
 
 def bpe_train_sql(n_merges: int = 6) -> str:

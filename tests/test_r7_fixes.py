@@ -274,6 +274,24 @@ def test_bpe_train_matches_pure_python_model(spark):
     assert got == want
 
 
+def test_bpe_round_plan_shape(spark):
+    """The per-round plan (the part that runs 100s-10000s of times at
+    tokenizer scale): combinable HashAggregate over the exploded pairs,
+    argmax via TakeOrderedAndProject — never a global sort, never
+    Python."""
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_pair_counts
+
+    words = spark.createDataFrame(
+        [("(l)(o)(w)", 3), ("(n)(e)(w)", 2)], "s string, wf long")
+    pairs = bpe_pair_counts(words)
+    argmax = pairs.orderBy(F.desc("n_occ"), F.asc("l"), F.asc("r")).limit(1)
+    plan = argmax._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_zorder_raises_on_helper_column_collision(spark):
     from hbase_indexer_spark.pipeline.layout import zorder_key
 
