@@ -786,6 +786,15 @@ CHECKS = {
          r"BroadcastNestedLoopJoin Inner BuildRight"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # IVM min/max (r7): the maintained multiset merge is a combinable
+    # delta aggregation + one full-outer join of aggregate-sized tables;
+    # the derived extremes are one more combinable agg — no Python, no
+    # cross join, no global sort anywhere
+    "incremental_minmax_maintenance": (
+        [r"FullOuter", r"partial_min", r"partial_max"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"rangepartitioning(.|\n)*rangepartitioning", *NO_PYTHON],
+    ),
     # header introspection (r6): header build + parse is ONE map-only
     # projection — no join, no shuffle, no Python (the whole point:
     # metadata extraction without a codec or a Python row loop)
