@@ -1284,6 +1284,37 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_sorted_neighborhood_pairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (new r7): the classical third
+    candidate family (alongside exact hashing and LSH banding) — rank
+    by a text-prefix sort key via a two-phase distributed global rank
+    (range partition + broadcast offsets, NO single-partition window),
+    pair each doc with its 4 successors through an equi-join on
+    rank+gap, score with distinct-token Jaccard (integer micro)."""
+    from hbase_indexer_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_docs(spark, sf_dir), window=4)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-ENCODE (new r7): learn 6 BPE merges, apply them to
+    the whole corpus, report per-language fertility (BPE tokens per
+    word, integer micro) — the metric that decides whether a tokenizer
+    suits a language mix.  The oracle replays the same merge chain and
+    the same vocab join, so training AND encoding are hash-checked
+    end-to-end."""
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        bpe_encode_stats,
+        bpe_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(docs, n_merges=6).collect()]
+    return bpe_encode_stats(docs, merges)
+
+
 def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram LM scoring (new r6): train n-gram counts
     on the doc_id%2==0 half, score the held-out half — unseen trigrams
@@ -2860,6 +2891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minmax_maintenance": q_incremental_minmax_maintenance,
         "stream_dedup": q_stream_dedup,
         "bpe_train": q_bpe_train,
+        "bpe_fertility": q_bpe_fertility,
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3700,9 +3733,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         FROM events
     """
-    from hbase_indexer_spark.pipeline.corpus_stats import bpe_train_sql
+    from hbase_indexer_spark.pipeline.corpus_stats import (
+        bpe_fertility_sql,
+        bpe_train_sql,
+    )
 
     out["bpe_train"] = bpe_train_sql(n_merges=6)
+    out["bpe_fertility"] = bpe_fertility_sql(n_merges=6)
+    from hbase_indexer_spark.pipeline.dedup import sorted_neighborhood_sql
+
+    out["sorted_neighborhood_pairs"] = sorted_neighborhood_sql(window=4)
     from hbase_indexer_spark.pipeline.corpus_stats import retrieval_eval_sql
 
     out["retrieval_eval"] = retrieval_eval_sql(

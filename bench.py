@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "incremental_minmax_maintenance",
     "stream_dedup",
     "bpe_train",
+    "bpe_fertility",
+    "sorted_neighborhood_pairs",
 ]
 
 

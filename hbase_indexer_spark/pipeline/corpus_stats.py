@@ -1155,6 +1155,42 @@ def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
         merges, "round int, left string, right string, n_occ long")
 
 
+def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
+                     lang_col: str = "lang") -> DataFrame:
+    """ENCODE under a learned merge list (the other half of the
+    tokenizer story: :func:`bpe_train` learns, this applies): re-derive
+    the vocabulary, apply the merges as the same chained literal
+    replaces, and report per-language token statistics —
+    ``(lang, n_words, n_chars, n_bpe_tokens, fertility_micro)`` where
+    fertility is BPE tokens per word in integer micro units (the
+    metric that decides whether a tokenizer suits a language mix).
+
+    Scale: the merge chain is applied ONCE PER DISTINCT WORD (map-only
+    over the vocab, never per occurrence), then one equi-join back to
+    the (doc, word) stream and one combinable per-language aggregate."""
+    word_arr = F.expr(
+        f"regexp_extract_all(lower(text), '{_BPE_WORD_RE}', 0)")
+    dwords = docs.select(F.col(lang_col).alias("lang"),
+                         F.explode(word_arr).alias("w"))
+    s = F.regexp_replace("w", "(.)", r"($1)")
+    for l, r in merges:
+        s = F.replace(s, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+    vocab = (dwords.select("w").distinct()
+             .withColumn("_s", s)
+             .select("w", F.size(F.split(
+                 F.expr("substring(_s, 2, length(_s) - 2)"),
+                 r"\)\(")).cast("long").alias("n_sym")))
+    joined = dwords.join(vocab, "w")
+    return (joined.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("w")).cast("long").alias("n_chars"),
+                 F.sum("n_sym").alias("n_bpe_tokens"))
+            .select("lang", "n_words", "n_chars", "n_bpe_tokens",
+                    F.expr("(1000000 * n_bpe_tokens) div n_words")
+                    .alias("fertility_micro"))
+            .orderBy("lang"))
+
+
 def bpe_pair_counts(words: DataFrame) -> DataFrame:
     """One BPE round's pair aggregation over a wrapped-symbol word table
     ``(s, wf)`` -> ``(l, r, n_occ)``.  Exposed so the per-round plan
@@ -1177,22 +1213,23 @@ def bpe_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_sql(n_merges: int = 6) -> str:
-    """DuckDB mirror: the same rounds unrolled as CTEs — same wrapped
-    encoding, same literal replace, same (count desc, l, r) argmax.
-    Every chained CTE is AS MATERIALIZED: DuckDB inlines CTEs by
-    default, and best{i} is referenced four times inside words{i}, so
-    un-materialized the recomputation compounds ~4^n across rounds (the
-    6-round oracle never finished before this)."""
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The shared CTE chain both BPE oracles build on: words0 (wrapped
+    symbols + frequency + the raw word) and n_merges rounds of
+    pair-count -> argmax -> merge-everywhere.  Every chained CTE is
+    AS MATERIALIZED: DuckDB inlines CTEs by default, and best{i} is
+    referenced four times inside words{i}, so un-materialized the
+    recomputation compounds ~4^n across rounds (the 6-round oracle
+    never finished before this)."""
     parts = [f"""
         words0 AS MATERIALIZED (
-            SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s,
+            SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s,
                    CAST(count(*) AS BIGINT) AS wf
             FROM (
                 SELECT unnest(regexp_extract_all(lower(text),
                                                  '{_BPE_WORD_RE}')) AS w
                 FROM documents
-            ) GROUP BY 1
+            ) GROUP BY 1, 2
         )"""]
     for i in range(1, n_merges + 1):
         parts.append(f"""
@@ -1211,18 +1248,54 @@ def bpe_train_sql(n_merges: int = 6) -> str:
             FROM pairs{i} ORDER BY n_occ DESC, l ASC, r ASC LIMIT 1
         ),
         words{i} AS MATERIALIZED (
-            SELECT replace(s,
+            SELECT w, replace(s,
                            '(' || (SELECT l FROM best{i}) || ')(' ||
                            (SELECT r FROM best{i}) || ')',
                            '(' || (SELECT l FROM best{i}) ||
                            (SELECT r FROM best{i}) || ')') AS s, wf
             FROM words{i - 1}
         )""")
+    return "WITH " + ",".join(parts)
+
+
+def bpe_train_sql(n_merges: int = 6) -> str:
+    """DuckDB mirror of :func:`bpe_train`: the same rounds unrolled as
+    CTEs — same wrapped encoding, same literal replace, same
+    (count desc, l, r) argmax."""
     union = "\n            UNION ALL ".join(
         f"SELECT round, l AS left, r AS right, n_occ FROM best{i}"
         for i in range(1, n_merges + 1))
-    return ("WITH " + ",".join(parts)
+    return (_bpe_chain_sql(n_merges)
             + f"\n        SELECT * FROM ({union}) ORDER BY round")
+
+
+def bpe_fertility_sql(n_merges: int = 6) -> str:
+    """DuckDB mirror of :func:`bpe_encode_stats` over the trained
+    merges: the final words{n} table maps each word to its symbol
+    count; per-language sums come from re-tokenizing the docs and
+    joining that vocab table."""
+    return _bpe_chain_sql(n_merges) + f""",
+        vocab AS (
+            SELECT w,
+                   CAST(len(string_split(s[2:-2], ')(')) AS BIGINT)
+                       AS n_sym
+            FROM words{n_merges}
+        ),
+        dwords AS (
+            SELECT d.doc_id, d.lang, t.w
+            FROM documents d,
+                 unnest(regexp_extract_all(lower(d.text),
+                                           '{_BPE_WORD_RE}')) AS t(w)
+        )
+        SELECT dw.lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(dw.w)) AS BIGINT) AS n_chars,
+               CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+               CAST((1000000 * sum(v.n_sym)) // count(*) AS BIGINT)
+                   AS fertility_micro
+        FROM dwords dw JOIN vocab v USING (w)
+        GROUP BY dw.lang ORDER BY dw.lang
+    """
 
 
 def bpe_merge_candidates_sql(k: int = 20) -> str:

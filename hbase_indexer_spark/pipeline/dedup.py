@@ -2664,3 +2664,116 @@ def line_dedup_sql(max_freq: int = 2, table: str = "documents") -> str:
                coalesce(r.clean_text, '') AS clean_text
         FROM l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (r7): the third classical candidate family
+# ---------------------------------------------------------------------------
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                rank_col: str = "rank", n_parts: int = 32) -> DataFrame:
+    """Global dense 1-based ranking WITHOUT a single-partition window:
+    range-partition + sort on the order columns, count rows per
+    partition (one tiny aggregate), broadcast the cumulative offsets,
+    then rank = offset(partition) + per-partition row_number — every
+    window runs partition-local, so the sort parallelism survives.
+
+    The rank is determined by the total order alone: range-partition
+    boundaries are sampled, but moving a boundary never changes any
+    row's global position, so the output is deterministic.
+
+    Scale: this is THE distributed ranking recipe — one range exchange
+    (inherent to any global order), one count aggregate, no
+    single-task stage."""
+    from pyspark.sql import Window
+
+    parted = (df.repartitionByRange(n_parts, *order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    parted = parted.localCheckpoint(eager=True)  # pin sampled boundaries
+    sizes = {r["_pid"]: r["n"] for r in
+             parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (parted.withColumn(
+        rank_col, (off[F.col("_pid")] + F.row_number().over(w))
+        .cast("long")).drop("_pid"))
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
+                              key_len: int = 24) -> DataFrame:
+    """Sorted-neighborhood method (SNM): order the corpus by a sort key
+    (lowercased ``key_len``-char text prefix, doc_id tie-break) and pair
+    each doc with its ``window`` successors — the classical blocking
+    family alongside exact hashing and LSH banding: O(n·w) candidates,
+    catches near-dups whose edits are BEYOND a shared prefix ... as long
+    as the key sorts them together (its documented blind spot; rotate
+    keys across passes in practice).  Each candidate pair carries its
+    distinct-token Jaccard in integer micro units as the verification
+    score.
+
+    Returns ``(x, y, gap, jaccard_micro)`` with x the lower-ranked doc.
+
+    Scale: one range exchange (the sort — inherent), offsets via
+    :func:`global_rank` (no single-task window), candidates via an
+    EQUI-join on rank+gap (the gap explode is window-sized, never a
+    range join / BNLJ), token arrays ride the join (distinct tokens,
+    vocab-bounded per doc)."""
+    base = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, key_len).alias("k"),
+        F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    ranked = global_rank(base, ["k", "doc_id"])
+    left = ranked.select(
+        F.col("doc_id").alias("x"), F.col("toks").alias("tx"),
+        F.col("rank").alias("r1"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("g"))
+    right = ranked.select(F.col("doc_id").alias("y"),
+                          F.col("toks").alias("ty"),
+                          F.col("rank").alias("r2"))
+    cand = left.join(right, left["r1"] + left["g"] == right["r2"])
+    inter = F.size(F.array_intersect("tx", "ty"))
+    union = F.size("tx") + F.size("ty") - inter
+    return (cand.select(
+        "x", "y", F.col("g").cast("int").alias("gap"),
+        F.when(union > 0, F.expr("1000000") * inter)
+        .otherwise(F.lit(0)).alias("_num"), union.alias("_den"))
+        .select("x", "y", "gap",
+                F.when(F.col("_den") > 0,
+                       F.expr("_num div _den")).otherwise(F.lit(0))
+                .cast("long").alias("jaccard_micro"))
+        .orderBy("x", "gap"))
+
+
+def sorted_neighborhood_sql(window: int = 4, key_len: int = 24) -> str:
+    """DuckDB mirror: row_number over the same (prefix, doc_id) order,
+    self-join on rank distance 1..window, list_distinct Jaccard."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   substr(lower(text), 1, {key_len}) AS k,
+                   list_distinct({TOKS_SQL}) AS toks
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, toks,
+                   row_number() OVER (ORDER BY k, doc_id) AS rank
+            FROM base
+        )
+        SELECT a.doc_id AS x, b.doc_id AS y,
+               CAST(b.rank - a.rank AS INTEGER) AS gap,
+               CAST(CASE WHEN len(a.toks) + len(b.toks)
+                              - len(list_intersect(a.toks, b.toks)) > 0
+                    THEN (1000000 * len(list_intersect(a.toks, b.toks)))
+                         // (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks)))
+                    ELSE 0 END AS BIGINT) AS jaccard_micro
+        FROM ranked a JOIN ranked b
+          ON b.rank BETWEEN a.rank + 1 AND a.rank + {window}
+        ORDER BY x, gap
+    """

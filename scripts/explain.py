@@ -786,6 +786,16 @@ CHECKS = {
          r"BroadcastNestedLoopJoin Inner BuildRight"],
         [r"CartesianProduct", *NO_PYTHON],
     ),
+    # sorted-neighborhood (r7): candidates must come from an EQUI-join
+    # on rank+gap (BHJ at toy scale, SMJ at scale) — a range join here
+    # would BNLJ; the global rank must not use a single-partition
+    # window (two-phase offsets instead: the only SinglePartition is
+    # the tiny offsets aggregate, pinned absent below)
+    "sorted_neighborhood_pairs": (
+        [r"BroadcastHashJoin|SortMergeJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"Window.*\n.*SinglePartition", *NO_PYTHON],
+    ),
     # IVM min/max (r7): the maintained multiset merge is a combinable
     # delta aggregation + one full-outer join of aggregate-sized tables;
     # the derived extremes are one more combinable agg — no Python, no

@@ -274,6 +274,44 @@ def test_bpe_train_matches_pure_python_model(spark):
     assert got == want
 
 
+def test_global_rank_matches_single_partition_window(spark):
+    """Two-phase distributed ranking == the naive single-partition
+    row_number, including ties broken by the trailing order column and
+    values that straddle range-partition boundaries."""
+    import random
+
+    from hbase_indexer_spark.pipeline.dedup import global_rank
+
+    rng = random.Random(5)
+    rows = [(i, f"k{rng.randrange(7)}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {(r["k"], r["doc_id"]): r["rank"]
+           for r in global_rank(df, ["k", "doc_id"], n_parts=8).collect()}
+    want = {(k, i): rank + 1
+            for rank, (k, i) in enumerate(
+                sorted((k, i) for i, k in rows))}
+    assert got == want
+
+
+def test_sorted_neighborhood_finds_prefix_near_dups(spark):
+    from hbase_indexer_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different content entirely"),
+         (4, "zzz unrelated trailing doc")],
+        "doc_id long, text string")
+    pairs = {(r["x"], r["y"]): r["jaccard_micro"]
+             for r in sorted_neighborhood_pairs(docs, window=2).collect()}
+    # the two near-dups sort adjacent on their shared 24-char prefix:
+    # 7 shared distinct tokens of a 9-token union -> 777777 micro
+    assert pairs[(1, 2)] == 1_000_000 * 7 // 9
+    # disjoint neighbors score 0, and every pair is within the window
+    assert pairs[(3, 1)] == 0
+    assert all(0 <= v <= 1_000_000 for v in pairs.values())
+
+
 def test_bpe_round_plan_shape(spark):
     """The per-round plan (the part that runs 100s-10000s of times at
     tokenizer scale): combinable HashAggregate over the exploded pairs,
