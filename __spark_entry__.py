@@ -1284,6 +1284,62 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_asof_forward_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (new r7): for every view, the
+    NEXT purchase of the same user within 2 hours — completes the
+    pandas-merge_asof direction surface (backward was r4's
+    asof_click_attribution).  Same one-shuffle union-tag recipe, sorted
+    descending; tolerance nulls far matches, keeping left-join
+    semantics.  Oracle: DuckDB ASOF LEFT JOIN with v_us <= p_us + the
+    same tolerance CASE."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+    from hbase_indexer_spark.operators.joins import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = ts_micros(e, "ts")
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     us.alias("v_us")))
+    buys = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    us.alias("p_us")))
+    j = asof_join(views, buys, ["user_id"], "v_us", "p_us",
+                  payload=["purchase_id", "p_us"], suffix="_m",
+                  direction="forward", tolerance=7_200_000_000)
+    return j.select(
+        "user_id", "view_id",
+        F.col("purchase_id_m").alias("next_purchase_id"),
+        (F.col("p_us_m") - F.col("v_us")).alias("delay_us"),
+    ).orderBy("view_id")
+
+
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (new r7): for every error event, the closest
+    click of the same user in either time direction (exact ties prefer
+    the backward match — documented).  One shuffle, two per-partition
+    window passes; the oracle combines a backward and a forward DuckDB
+    ASOF JOIN with the same tie-break."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+    from hbase_indexer_spark.operators.joins import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = ts_micros(e, "ts")
+    errs = (e.filter(F.col("event_type") == "error")
+            .select("user_id", F.col("event_id").alias("error_id"),
+                    us.alias("e_us")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      us.alias("c_us")))
+    j = asof_join(errs, clicks, ["user_id"], "e_us", "c_us",
+                  payload=["click_id", "c_us"], suffix="_m",
+                  direction="nearest")
+    return j.select(
+        "user_id", "error_id",
+        F.col("click_id_m").alias("nearest_click_id"),
+        (F.col("c_us_m") - F.col("e_us")).alias("delta_us"),
+    ).orderBy("error_id")
+
+
 def q_sorted_neighborhood_pairs(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (new r7): the classical third
@@ -2893,6 +2949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_fertility": q_bpe_fertility,
         "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "asof_forward_purchase": q_asof_forward_purchase,
+        "asof_nearest_click": q_asof_nearest_click,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3743,6 +3801,59 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.dedup import sorted_neighborhood_sql
 
     out["sorted_neighborhood_pairs"] = sorted_neighborhood_sql(window=4)
+    out["asof_forward_purchase"] = """
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (  -- deterministic right-side dedup on (key, ts): max id
+            SELECT user_id, epoch_us(ts) AS p_us,
+                   max(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT v.user_id, v.view_id, v.v_us, p.purchase_id, p.p_us
+            FROM v ASOF LEFT JOIN p
+              ON v.user_id = p.user_id AND v.v_us <= p.p_us
+        )
+        SELECT user_id, view_id,
+               CASE WHEN p_us - v_us <= 7200000000
+                    THEN purchase_id END AS next_purchase_id,
+               CASE WHEN p_us - v_us <= 7200000000
+                    THEN p_us - v_us END AS delay_us
+        FROM j ORDER BY view_id
+    """
+    out["asof_nearest_click"] = """
+        WITH e AS (
+            SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+            FROM events WHERE event_type = 'error'
+        ),
+        c AS (
+            SELECT user_id, epoch_us(ts) AS c_us, max(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT e.error_id, c.click_id AS b_id, c.c_us AS b_us
+            FROM e ASOF LEFT JOIN c
+              ON e.user_id = c.user_id AND e.e_us >= c.c_us
+        ),
+        f AS (
+            SELECT e.error_id, c.click_id AS f_id, c.c_us AS f_us
+            FROM e ASOF LEFT JOIN c
+              ON e.user_id = c.user_id AND e.e_us <= c.c_us
+        )
+        SELECT e.user_id, e.error_id,
+               CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+                         OR e_us - b_us <= f_us - e_us)
+                    THEN b_id ELSE f_id END AS nearest_click_id,
+               CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+                         OR e_us - b_us <= f_us - e_us)
+                    THEN b_us - e_us ELSE f_us - e_us END AS delta_us
+        FROM e
+        LEFT JOIN b USING (error_id)
+        LEFT JOIN f USING (error_id)
+        ORDER BY error_id
+    """
     from hbase_indexer_spark.pipeline.corpus_stats import retrieval_eval_sql
 
     out["retrieval_eval"] = retrieval_eval_sql(

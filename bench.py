@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_fertility",
     "sorted_neighborhood_pairs",
+    "asof_forward_purchase",
+    "asof_nearest_click",
 ]
 
 

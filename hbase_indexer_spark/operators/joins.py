@@ -30,15 +30,35 @@ from pyspark.sql.window import Window
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str,
-              payload: list[str], suffix: str = "_r") -> DataFrame:
-    """For every left row, attach the payload of the right row with the
-    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key group
-    (backward, inclusive — DuckDB/pandas ``ASOF JOIN`` semantics).  Left
-    rows with no prior right row keep NULL payloads.
+              payload: list[str], suffix: str = "_r",
+              direction: str = "backward",
+              tolerance=None) -> DataFrame:
+    """For every left row, attach the payload of ONE right row in the
+    same ``on`` key group chosen by ``direction`` — the full pandas
+    ``merge_asof`` surface:
+
+    - ``backward`` (default): greatest ``right_ts`` <= ``left_ts``
+      (inclusive — DuckDB/pandas ASOF semantics);
+    - ``forward``: smallest ``right_ts`` >= ``left_ts``;
+    - ``nearest``: whichever of the two is closer by |Δts|; exact ties
+      prefer the backward match (documented tie-break).
+
+    ``tolerance`` (same units as the ts columns, which must be numeric
+    when it or ``nearest`` is used): matches farther than the tolerance
+    are nulled out, keeping left-join semantics.  Left rows with no
+    admissible right row keep NULL payloads.
 
     Right rows with duplicate (key, ts) are pre-deduped deterministically
     (max over the payload tuple) so results never depend on partitioning.
-    """
+
+    Scale: still ONE shuffle on the join key — each direction is a
+    running ``last(ignorenulls)`` over the union-tagged stream (the
+    forward pass is the same window sorted descending); ``nearest``
+    costs one extra per-partition sort, never an extra exchange or a
+    range join."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction {direction!r}: use "
+                         "backward | forward | nearest")
     l_cols = left.columns
     pay_out = [p + suffix for p in payload]
 
@@ -47,22 +67,65 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         .agg(F.max(F.struct(*payload)).alias("_p"))
         .select(*on, "_ts", *[F.col(f"_p.{p}").alias(p + suffix) for p in payload])
     )
+    mts_t = r_dedup.schema["_ts"].dataType
     l_tagged = left.select(
         *l_cols, F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
         *[F.lit(None).cast(r_dedup.schema[p].dataType).alias(p) for p in pay_out],
+        F.lit(None).cast(mts_t).alias("_mts"),
     )
     r_tagged = r_dedup.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in on else F.col(c) for c in l_cols],
         "_ts", F.lit(0).alias("_side"), *pay_out,
+        F.col("_ts").alias("_mts"),
     )
-    w = (Window.partitionBy(*on).orderBy("_ts", "_side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = l_tagged.unionByName(r_tagged).select(
-        *l_cols, "_side",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in pay_out],
-    )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    uni = l_tagged.unionByName(r_tagged)
+
+    def spec(backward: bool):
+        # at equal ts the right row (side 0) must precede the left row
+        # in scan order for inclusivity — true in both sort directions
+        # with _side ascending
+        order = [F.col("_ts").asc(), F.col("_side").asc()] if backward \
+            else [F.col("_ts").desc(), F.col("_side").asc()]
+        return (Window.partitionBy(*on).orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    def filled(tag: str, backward: bool):
+        w = spec(backward)
+        cols = [F.last(p, ignorenulls=True).over(w).alias(f"{p}__{tag}")
+                for p in pay_out]
+        cols.append(F.last("_mts", ignorenulls=True).over(w)
+                    .alias(f"_mts__{tag}"))
+        return cols
+
+    if direction == "nearest":
+        fill_cols = filled("b", True) + filled("f", False)
+    else:
+        fill_cols = filled("d", direction == "backward")
+    st = uni.select(*l_cols, "_ts", "_side", *fill_cols) \
+            .filter(F.col("_side") == 1)
+
+    def admissible(tag: str):
+        ok = F.col(f"_mts__{tag}").isNotNull()
+        if tolerance is not None:
+            ok = ok & (F.abs(F.col("_ts") - F.col(f"_mts__{tag}"))
+                       <= F.lit(tolerance))
+        return ok
+
+    if direction == "nearest":
+        db = F.abs(F.col("_ts") - F.col("_mts__b"))
+        df_ = F.abs(F.col("_ts") - F.col("_mts__f"))
+        use_b = admissible("b") & (
+            ~admissible("f") | (db <= df_))  # tie -> backward
+        out = [
+            F.when(use_b, F.col(f"{p}__b"))
+            .when(admissible("f"), F.col(f"{p}__f")).alias(p)
+            for p in pay_out
+        ]
+    else:
+        out = [F.when(admissible("d"), F.col(f"{p}__d")).alias(p)
+               for p in pay_out]
+    return st.select(*l_cols, *out)
 
 
 def interval_join(points: DataFrame, intervals: DataFrame,

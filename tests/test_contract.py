@@ -81,7 +81,8 @@ def test_gate_window_policy():
     r7_arrivals = {"media_decode", "media_resize",
                    "incremental_minmax_maintenance", "stream_dedup",
                    "bpe_train", "bpe_fertility",
-                   "sorted_neighborhood_pairs"}
+                   "sorted_neighborhood_pairs",
+                   "asof_forward_purchase", "asof_nearest_click"}
     never = {q for q in entry.queries()
              if q not in checked and q not in r7_arrivals}
     missing = never - set(window)

@@ -274,6 +274,36 @@ def test_bpe_train_matches_pure_python_model(spark):
     assert got == want
 
 
+def test_asof_directions_tolerance_and_tie_break(spark):
+    """merge_asof surface pins: forward picks the next row, nearest
+    prefers backward on an exact tie, tolerance nulls far matches while
+    keeping left-join semantics."""
+    from hbase_indexer_spark.operators.joins import asof_join
+
+    left = _df(spark, [(1, 100), (1, 205), (2, 50)],
+               "k long, lts long")
+    right = _df(spark, [(1, 90, 9), (1, 110, 11), (1, 300, 30)],
+                "k long, rts long, pid long")
+    fwd = {(r["k"], r["lts"]): r["pid_m"] for r in asof_join(
+        left, right, ["k"], "lts", "rts", ["pid"], suffix="_m",
+        direction="forward").collect()}
+    assert fwd == {(1, 100): 11, (1, 205): 30, (2, 50): None}
+    # nearest: lts=100 ties 90 vs 110 at |10| -> backward (9);
+    # lts=205 -> 110 (|95|) beats 300 (|95|)? exact tie -> backward (11)
+    near = {(r["k"], r["lts"]): r["pid_m"] for r in asof_join(
+        left, right, ["k"], "lts", "rts", ["pid"], suffix="_m",
+        direction="nearest").collect()}
+    assert near == {(1, 100): 9, (1, 205): 11, (2, 50): None}
+    # tolerance 15: lts=205 has no match within 15 either way
+    tol = {(r["k"], r["lts"]): r["pid_m"] for r in asof_join(
+        left, right, ["k"], "lts", "rts", ["pid"], suffix="_m",
+        direction="nearest", tolerance=15).collect()}
+    assert tol == {(1, 100): 9, (1, 205): None, (2, 50): None}
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "lts", "rts", ["pid"],
+                  direction="sideways")
+
+
 def test_global_rank_matches_single_partition_window(spark):
     """Two-phase distributed ranking == the naive single-partition
     row_number, including ties broken by the trailing order column and
