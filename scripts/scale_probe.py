@@ -146,6 +146,12 @@ SF1_QUERIES = [
     "bm25_topk",
     "event_time_rollup",
     "hll_daily_users",
+    # r7 arrivals: the global-rank sort path, the iterated trainer, and
+    # the real-codec decode at 10x
+    "sorted_neighborhood_pairs",
+    "bpe_train",
+    "media_decode",
+    "asof_nearest_click",
 ]
 
 
