@@ -590,6 +590,39 @@ def q_avro_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro WRITE leg (new r7, closes the MORPHLINES.md 'no analog'
+    entry for toAvro/writeAvroToByteArray): serialize customer fields
+    into per-row single-record OCF containers through the write stage,
+    then decode them back through the r4 read pair — the oracle is the
+    identity projection, so one flipped bit anywhere in the varint
+    encode, union framing, or container metadata hash-mismatches."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").alias("bal_cents"))
+    chain = TransformChain.from_config([
+        {"stage": "write_avro_container", "codec": "deflate",
+         "fields": {"id": "long", "name": "string",
+                    "bal_cents": "long"},
+         "into": "body"},
+        {"stage": "read_avro_container", "field": "body"},
+        {"stage": "extract_avro_paths",
+         "paths": {"rt_id": "/id", "rt_name": "/name",
+                   "rt_bal": "/bal_cents"},
+         "types": {"rt_id": "long", "rt_bal": "long"}},
+    ])
+    out = chain(cust.select("id", "name", "bal_cents"))
+    return (out.select(F.col("rt_id").alias("id"),
+                       F.col("rt_name").alias("name"),
+                       F.col("rt_bal").alias("bal_cents"))
+            .orderBy("id"))
+
+
 def q_branching_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """if/tryRules branch stage, oracle-checked: high-value events get a
     computed score, the rest a flag; streams re-unite with null-fill and
@@ -2951,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
         "asof_forward_purchase": q_asof_forward_purchase,
         "asof_nearest_click": q_asof_nearest_click,
+        "avro_write_roundtrip": q_avro_write_roundtrip,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3822,6 +3856,11 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN p_us - v_us <= 7200000000
                     THEN p_us - v_us END AS delay_us
         FROM j ORDER BY view_id
+    """
+    out["avro_write_roundtrip"] = """
+        SELECT c_custkey AS id, c_name AS name,
+               CAST(c_acctbal * 100 AS BIGINT) AS bal_cents
+        FROM customer ORDER BY id
     """
     out["asof_nearest_click"] = """
         WITH e AS (

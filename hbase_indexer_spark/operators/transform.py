@@ -20,6 +20,7 @@ from __future__ import annotations
 import re
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -276,6 +277,49 @@ def _read_avro_container(params: dict) -> Stage:
         return out if keep_source else out.drop(name)
 
     return stage
+
+
+@register_stage("write_avro_container")
+def _write_avro_container(params: dict) -> Stage:
+    """``toAvro`` + ``writeAvroToByteArray`` analog — closes the
+    declared-missing Avro WRITE leg (MORPHLINES.md previously listed it
+    under "no analog"): serialize the named fields of every row into a
+    single-record Avro Object Container File (the byte shape Kite's
+    writeAvroToByteArray emits per record) using the same pure-Python
+    OCF codec the read leg decodes with, so write→read is a bit-level
+    identity the gate can check.
+
+    ``fields`` maps field name -> Avro primitive type (``long``,
+    ``string``, ``double``, ``boolean``, ...); every field is written as
+    the nullable union ``["null", type]``.  ``into`` (default
+    ``_attachment_body``) receives the container bytes; ``codec`` is
+    ``null`` or ``deflate``; ``record_name`` names the Avro record.
+
+    Scale: one Arrow-batched pandas UDF (map-only, no shuffle); the
+    per-row cost is the varint encode itself."""
+    fields: dict[str, str] = params["fields"]
+    into = params.get("into", "_attachment_body")
+    rec_name = params.get("record_name", "record")
+    codec = params.get("codec", "null")
+    schema = {"type": "record", "name": rec_name,
+              "fields": [{"name": n, "type": ["null", t]}
+                         for n, t in fields.items()]}
+    names = list(fields)
+
+    @F.pandas_udf("binary")
+    def enc(s: pd.DataFrame) -> pd.Series:
+        from hbase_indexer_spark.functions.avro_codec import encode_container
+
+        out = []
+        for rec in s.to_dict("records"):
+            clean = {n: (None if v is None or (isinstance(v, float)
+                                               and pd.isna(v)) else v)
+                     for n, v in rec.items()}
+            out.append(encode_container(schema, [clean], codec=codec))
+        return pd.Series(out)
+
+    return lambda df: df.withColumn(
+        into, enc(F.struct(*[F.col(n) for n in names])))
 
 
 @register_stage("extract_avro_paths")
