@@ -2904,23 +2904,11 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries.
-    #
-    # r7 rotation (VERDICT r6 "Next round" #1): the r6 window recorded
-    # 50/50 green (CORRECTNESS_r06), so all 50 moved below the line.
-    # This window holds the FINAL 32 never-driver-checked entries
-    # (the last 8 TPC-H analytics + the 24 r6-built operators, all
-    # local-3-SF-green on arrival, CHECK_LOCAL_r06*) plus 18 re-checks
-    # of historically hash-sensitive greens (typed decode, incremental
-    # state, packing, streaming — the classes where r4 proved the
-    # driver's type-sensitive hash catches what value sweeps miss).
-    # Once this gate is green, every one of the 202 oracled queries has
-    # been driver-hash-checked at least once.
-    return {name: _pinned(fn) for name, fn in {
-        # ------------- 50-query driver gate window (r7) -------------
-        # never-driver-checked analytics, last 8 of 15
+# The full oracled-query registry. Insertion order here is historical
+# grouping only — the driver-gate ordering is _GATE_WINDOW_R8 below.
+_ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- driver-green r7 (CORRECTNESS_r07, 50/50) ---
+        # analytics, last 8 of 15
         "promo_part_revenue": _analytics("promo_part_revenue"),
         "supplier_nation_balance": _analytics("supplier_nation_balance"),
         "order_priority_check": _analytics("order_priority_check"),
@@ -2929,7 +2917,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_high_balance_customers": _analytics("idle_high_balance_customers"),
         "priority_shipping_stats": _analytics("priority_shipping_stats"),
         "part_supplier_variety": _analytics("part_supplier_variety"),
-        # never-driver-checked: the 24 r6-built operators
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "key_skew_report": q_key_skew_report,
@@ -2954,7 +2941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "low_quality_spans": q_low_quality_spans,
         "rolling_active_users": q_rolling_active_users,
         "incremental_agg_maintenance": q_incremental_agg_maintenance,
-        # re-checks of historical hash-sensitive greens (VERDICT r6 #1)
         "typed_decode_matrix": q_typed_decode_matrix,
         "bigdecimal_decode": q_bigdecimal_decode,
         "scan_time_range": q_scan_time_range,
@@ -2973,8 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "snapshot_diff": q_snapshot_diff,
         "embedding_cosine_lsh": q_embedding_cosine_lsh,
-        # ------------- 50-query gate window ends here -------------
-        # new r7 operators — local 3-SF sweeps on arrival, r8 window next
+        # --- built r7, never driver-checked: gate in the r8 window ---
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "incremental_minmax_maintenance": q_incremental_minmax_maintenance,
@@ -3008,8 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "length_buckets": q_length_buckets,
         "psi_drift": q_psi_drift,
-        # never-driver-checked: r5b additions (each oracle-green at 3 SFs
-        # on arrival, CHECK_LOCAL_r05*)
+        # --- r5b additions, driver-green r6 ---
         "kmeans_cells": q_kmeans_cells,
         "semdedup": q_semdedup,
         "dsir_selection": q_dsir_selection,
@@ -3021,7 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cms_stream": q_cms_stream,
         "ann_pq_adc": q_ann_pq_adc,
-        # never-driver-checked: r5-continuation (graph + sketches + IO)
+        # --- r5-continuation (graph + sketches + IO), driver-green r6 ---
         "pagerank_trade": q_pagerank_trade,
         "trustrank_seeds": q_trustrank_seeds,
         "hll_daily_users": q_hll_daily_users,
@@ -3031,10 +3015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "jsonl_ingest": q_jsonl_ingest,
         "csv_ingest": q_csv_ingest,
-        # NEW r6 (VERDICT r5 #3): store-backed IVF read with full oracle
+        # r6 (VERDICT r5 #3): store-backed IVF read with full oracle
         "ann_ivf_indexed_verified": q_ann_ivf_indexed_verified,
-        # never-driver-checked analytics, first 7 of 15 (their 12 siblings
-        # were r1+r2 driver-green, same DECIMAL-intermediate recipe)
+        # analytics, first 7 of 15, driver-green r7
         "top_revenue_supplier": _analytics("top_revenue_supplier"),
         "pricing_summary": _analytics("pricing_summary"),
         "top_customers_per_nation": _analytics("top_customers_per_nation"),
@@ -3147,7 +3130,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": _analytics("waiting_suppliers"),
         "min_cost_supplier": _analytics("min_cost_supplier"),
         "disjunctive_promo_revenue": _analytics("disjunctive_promo_revenue"),
-    }.items()}
+}
+
+# ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+# queries() entries, so this list IS the audit policy (round-3 ADVICE).
+#
+# r8 rotation: the r7 window recorded 50/50 green (CORRECTNESS_r07) —
+# with it, every query that existed at the r7 freeze has been
+# driver-hash-checked at least once. This window holds (a) the 10
+# r7-built arrivals that landed after the freeze (all local-3-SF-green
+# on arrival, CHECK_LOCAL_r07*), (b) operators built this round, and
+# (c) re-checks of the oldest driver-green entries (r1–r4 core parity +
+# early LLM-pipeline rows — the classes the driver's type-sensitive
+# hash guards best, unchecked since r4).
+_GATE_WINDOW_R8: list[str] = [
+    # (a) r7 arrivals, never driver-checked
+    "media_decode",
+    "media_resize",
+    "incremental_minmax_maintenance",
+    "stream_dedup",
+    "bpe_train",
+    "bpe_fertility",
+    "sorted_neighborhood_pairs",
+    "asof_forward_purchase",
+    "asof_nearest_click",
+    "avro_write_roundtrip",
+    # (b) r8-built operators gate immediately (inserted as they land)
+    # (c) re-checks: r1–r4 reference-parity core, unchecked since r4
+    "row_index_customer",
+    "xml_conf_index",
+    "column_index_orders",
+    "column_index_orders_hex",
+    "prefix_values",
+    "dynamic_fields",
+    "payload_extraction",
+    "scan_range_pushdown",
+    "multi_table_union",
+    "subscription_gate",
+    "incremental_row_index_bucketed",
+    "incremental_column_index",
+    "etl_enrichment_chain",
+    "branching_chain",
+    "custom_value_mapper",
+    "row_mapper_udtf",
+    "doc_extract_prefix",
+    "skew_salted_user_stats",
+    "prefix_qualifiers",
+    "positional_fields",
+    # (c) re-checks: early LLM-pipeline rows, unchecked since r4/r5
+    "exact_dedup",
+    "simhash",
+    "dedup_clusters",
+    "span_dedup",
+    "embedding_cosine_dedup",
+    "deduped_corpus",
+    "curated_corpus",
+    "ann_bruteforce_topk",
+    "ann_lsh_verified",
+    "ann_ivf_verified",
+    "tfidf_topk",
+    "train_test_split",
+    "text_profile",
+    "token_stats",
+    "repetition_filter",
+    "ngram_jaccard_dedup",
+    "minhash_signatures",
+    "event_value_percentiles",
+    "event_value_bands",
+    "dedup_against",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    window = set(_GATE_WINDOW_R8)
+    ordered = [*_GATE_WINDOW_R8,
+               *(n for n in _ALL_QUERIES if n not in window)]
+    return {n: _pinned(_ALL_QUERIES[n]) for n in ordered}
 
 
 def bench_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

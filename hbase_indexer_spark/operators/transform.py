@@ -305,6 +305,7 @@ def _write_avro_container(params: dict) -> Stage:
               "fields": [{"name": n, "type": ["null", t]}
                          for n, t in fields.items()]}
     names = list(fields)
+    int_fields = {n for n, t in fields.items() if t in ("long", "int")}
 
     @F.pandas_udf("binary")
     def enc(s: pd.DataFrame) -> pd.Series:
@@ -312,14 +313,30 @@ def _write_avro_container(params: dict) -> Stage:
 
         out = []
         for rec in s.to_dict("records"):
-            clean = {n: (None if v is None or (isinstance(v, float)
-                                               and pd.isna(v)) else v)
-                     for n, v in rec.items()}
+            clean = {}
+            for n, v in rec.items():
+                # pd.isna catches None, NaN, NaT AND pd.NA (r7 ADVICE:
+                # the old float-only check let pd.NA crash int())
+                if v is None or (not isinstance(v, (list, dict))
+                                 and pd.isna(v)):
+                    clean[n] = None
+                elif n in int_fields:
+                    # arrives as a decimal string (see struct below):
+                    # exact at any magnitude, unlike the float64 a
+                    # nullable long column is promoted to by Arrow
+                    clean[n] = int(v)
+                else:
+                    clean[n] = v
             out.append(encode_container(schema, [clean], codec=codec))
         return pd.Series(out)
 
+    # ship long/int fields as strings: Arrow->pandas promotes nullable
+    # integer columns to float64, which silently loses precision above
+    # 2^53 — a decimal string round-trips bit-exactly (r7 ADVICE)
     return lambda df: df.withColumn(
-        into, enc(F.struct(*[F.col(n) for n in names])))
+        into, enc(F.struct(*[
+            F.col(n).cast("string").alias(n) if n in int_fields
+            else F.col(n) for n in names])))
 
 
 @register_stage("extract_avro_paths")

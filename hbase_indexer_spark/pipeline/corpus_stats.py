@@ -1108,6 +1108,11 @@ def bpe_merge_candidates(docs: DataFrame, k: int = 20) -> DataFrame:
 _BPE_WORD_RE = "[a-z0-9]+"
 
 
+# re-materialize the BPE symbol table every K merge rounds so chained
+# literal replaces never stack into an unboundedly deep plan
+_BPE_CHECKPOINT_EVERY = 25
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     """FULL corpus-scale BPE tokenizer training (extends
     :func:`bpe_merge_candidates`, which is this loop's first round):
@@ -1128,9 +1133,14 @@ def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     every round after that runs on the VOCAB-sized word table — one
     combinable pair aggregation, one TakeOrdered(1) argmax (a 1-row
     driver collect, the allowlisted fixed-point shape), one map-only
-    literal replace.  Per-round cost is independent of corpus size and
-    of how many merges came before.  n_merges is tokenizer-sized
-    (100s-10000s); each round's plan is vocab-scan + agg."""
+    literal replace.  The symbol table is re-materialized every
+    ``_BPE_CHECKPOINT_EVERY`` rounds (r7 ADVICE: the chained replaces
+    otherwise stack one plan node per round, so round i would replay
+    all i-1 prior replaces and Catalyst analysis cost would grow
+    linearly — at the stated tokenizer scale of 100s-10000s merges the
+    checkpoint keeps per-round plan depth bounded and per-round cost
+    genuinely independent of how many merges came before).  n_merges
+    is tokenizer-sized; each round's plan is vocab-scan + agg."""
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(
@@ -1151,6 +1161,10 @@ def bpe_train(docs: DataFrame, n_merges: int = 6) -> DataFrame:
         merges.append((rnd, l, r, n_occ))
         cur = cur.withColumn("s", F.replace(
             F.col("s"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")))
+        if rnd % _BPE_CHECKPOINT_EVERY == 0:
+            # collapse the stacked replaces: bounded plan depth no
+            # matter how many merge rounds run (r7 ADVICE)
+            cur = cur.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "round int, left string, right string, n_occ long")
 

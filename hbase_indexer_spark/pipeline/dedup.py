@@ -70,6 +70,10 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 TOKS_SQL = "list_filter(string_split_regex(text,'\\s+'), x -> x <> '')"
+# NULL-safe variant: coalesce the text first, so a NULL document tokens
+# to [] instead of NULL (keeps Spark/DuckDB parity under NULL text)
+TOKS_SQL_NN = ("list_filter(string_split_regex(coalesce(text, ''),"
+               "'\\s+'), x -> x <> '')")
 
 
 def hash60_sql(expr: str) -> str:
@@ -2682,13 +2686,19 @@ def global_rank(df: DataFrame, order_cols: list[str],
     boundaries are sampled, but moving a boundary never changes any
     row's global position, so the output is deterministic.
 
+    NULL ordering is pinned to NULLS LAST (r7 ADVICE: Spark's default
+    ascending sort is NULLS FIRST while DuckDB's row_number ORDER BY
+    defaults to NULLS LAST — unpinned, a NULL key ranks at opposite
+    ends of the two engines).
+
     Scale: this is THE distributed ranking recipe — one range exchange
     (inherent to any global order), one count aggregate, no
     single-task stage."""
     from pyspark.sql import Window
 
-    parted = (df.repartitionByRange(n_parts, *order_cols)
-              .sortWithinPartitions(*order_cols)
+    order = [F.asc_nulls_last(c) for c in order_cols]
+    parted = (df.repartitionByRange(n_parts, *order)
+              .sortWithinPartitions(*order)
               .withColumn("_pid", F.spark_partition_id()))
     parted = parted.localCheckpoint(eager=True)  # pin sampled boundaries
     sizes = {r["_pid"]: r["n"] for r in
@@ -2699,7 +2709,7 @@ def global_rank(df: DataFrame, order_cols: list[str],
         offsets[pid] = acc
         acc += sizes[pid]
     off = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    w = Window.partitionBy("_pid").orderBy(*order)
     return (parted.withColumn(
         rank_col, (off[F.col("_pid")] + F.row_number().over(w))
         .cast("long")).drop("_pid"))
@@ -2724,10 +2734,14 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
     EQUI-join on rank+gap (the gap explode is window-sized, never a
     range join / BNLJ), token arrays ride the join (distinct tokens,
     vocab-bounded per doc)."""
+    # coalesce to '' so a NULL text can never produce a NULL sort key /
+    # NULL token array (r7 ADVICE: NULL keys would rank NULLS-FIRST in
+    # Spark vs NULLS-LAST in the DuckDB oracle)
+    txt = F.coalesce(F.col("text"), F.lit(""))
     base = docs.select(
         "doc_id",
-        F.substring(F.lower("text"), 1, key_len).alias("k"),
-        F.array_distinct(tokens(F.col("text"))).alias("toks"))
+        F.substring(F.lower(txt), 1, key_len).alias("k"),
+        F.array_distinct(tokens(txt)).alias("toks"))
     ranked = global_rank(base, ["k", "doc_id"])
     left = ranked.select(
         F.col("doc_id").alias("x"), F.col("toks").alias("tx"),
@@ -2756,8 +2770,8 @@ def sorted_neighborhood_sql(window: int = 4, key_len: int = 24) -> str:
     return f"""
         WITH base AS (
             SELECT doc_id,
-                   substr(lower(text), 1, {key_len}) AS k,
-                   list_distinct({TOKS_SQL}) AS toks
+                   substr(lower(coalesce(text, '')), 1, {key_len}) AS k,
+                   list_distinct({TOKS_SQL_NN}) AS toks
             FROM documents
         ),
         ranked AS (

@@ -174,6 +174,16 @@ class MaintainedAggregate:
     exactly the range (cursor, to_version] and a repeated call is a
     no-op, so crash/retry loops converge instead of double-retracting.
 
+    Crash atomicity (r7 ADVICE): the aggregate publish and the cursor
+    commit are two files, so the cursor additionally records the agg
+    store version it corresponds to, and every advance() is preceded by
+    a write-ahead intent (``_ivm_intent.json``: the target source
+    version + the agg version the publish WILL create).  A crash between
+    publish and cursor commit leaves agg_version ahead of the cursor's
+    recorded one; recovery reads the intent and rolls the cursor forward
+    instead of re-applying the feed — the retry becomes the no-op it
+    should be.
+
     Scale: the aggregate is aggregate-sized (groups, not facts); init
     is the one full scan, every advance is O(changes)."""
 
@@ -192,22 +202,75 @@ class MaintainedAggregate:
         self.count_col = count_col
         self.null_counts = bool(null_counts)
         self._cursor_file = os.path.join(path, "_ivm_cursor.json")
+        self._intent_file = os.path.join(path, "_ivm_intent.json")
 
     # -- cursor ------------------------------------------------------------
 
-    def applied_version(self) -> int:
+    def _read_cursor(self) -> dict | None:
         try:
             with open(self._cursor_file) as f:
-                return int(json.load(f)["applied_to"])
+                return json.load(f)
         except FileNotFoundError:
-            return -1
+            return None
+
+    def applied_version(self) -> int:
+        self._recover()
+        cur = self._read_cursor()
+        return -1 if cur is None else int(cur["applied_to"])
 
     def _set_cursor(self, v: int) -> None:
         tmp = self._cursor_file + ".tmp"
         os.makedirs(os.path.dirname(self._cursor_file), exist_ok=True)
         with open(tmp, "w") as f:
-            json.dump({"applied_to": int(v)}, f)
+            json.dump({"applied_to": int(v),
+                       "agg_version": self.store.current_version()}, f)
         os.replace(tmp, self._cursor_file)
+        try:
+            os.remove(self._intent_file)
+        except FileNotFoundError:
+            pass
+
+    def _write_intent(self, to_v: int, agg_v: int) -> None:
+        tmp = self._intent_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"applying_to": int(to_v),
+                       "agg_version": int(agg_v)}, f)
+        os.replace(tmp, self._intent_file)
+
+    def _recover(self) -> None:
+        """Reconcile cursor vs agg store after a crash between the
+        aggregate publish and the cursor commit (r7 ADVICE: the two
+        writes are not atomic).  Roll the cursor forward when the intent
+        proves the publish landed; discard the intent when it did not."""
+        cur = self._read_cursor()
+        if cur is None:
+            return
+        agg_now = self.store.current_version()
+        # legacy cursors (pre-r8) carry no agg_version: adopt current
+        rec = int(cur.get("agg_version", agg_now))
+        if agg_now == rec:
+            # clean state; a leftover intent means the publish never ran
+            try:
+                os.remove(self._intent_file)
+            except FileNotFoundError:
+                pass
+            if "agg_version" not in cur:
+                self._set_cursor(int(cur["applied_to"]))
+            return
+        try:
+            with open(self._intent_file) as f:
+                intent = json.load(f)
+        except FileNotFoundError:
+            intent = None
+        if (agg_now > rec and intent is not None
+                and int(intent["agg_version"]) == agg_now):
+            # publish landed, cursor commit was lost: roll forward
+            self._set_cursor(int(intent["applying_to"]))
+            return
+        raise ValueError(
+            f"aggregate store version {agg_now} does not match the "
+            f"cursor's recorded version {rec} and no intent explains "
+            "the gap; re-init required")
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -262,6 +325,9 @@ class MaintainedAggregate:
         maintained = maintain_grouped_sums(
             agg, feed, self.group_cols, self.sum_cols,
             count_col=self.count_col, null_counts=self.null_counts)
+        # write-ahead intent so a crash between the publish and the
+        # cursor commit recovers by rolling forward, never re-applying
+        self._write_intent(to_v, self.store.current_version() + 1)
         self.store.overwrite(maintained, spark)
         self._set_cursor(to_v)
         return True

@@ -67,27 +67,18 @@ def test_gate_window_policy():
     oracles = set(entry.oracle_sql())
     assert set(window) <= oracles, (
         f"gated queries without an oracle: {sorted(set(window) - oracles)}")
-    # r7 rotation pins (VERDICT r6 #1): the FINAL 32 never-driver-checked
-    # entries must all be gated this round — after this window, every
-    # oracled query has been driver-hash-checked at least once
+    # r8 rotation: every query never seen by the driver's type-sensitive
+    # hash check (the r7-built arrivals + anything built this round)
+    # must occupy a gated slot; re-checks of old greens fill the rest.
     import json
 
     checked = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         with open(f"CORRECTNESS_r0{r}.json", encoding="utf-8") as f:
             checked |= set(json.load(f))
-    # queries BUILT in r7 (after the window froze) gate in r8, like
-    # every round's arrivals
-    r7_arrivals = {"media_decode", "media_resize",
-                   "incremental_minmax_maintenance", "stream_dedup",
-                   "bpe_train", "bpe_fertility",
-                   "sorted_neighborhood_pairs",
-                   "asof_forward_purchase", "asof_nearest_click"}
-    never = {q for q in entry.queries()
-             if q not in checked and q not in r7_arrivals}
+    never = {q for q in entry.queries() if q not in checked}
     missing = never - set(window)
     assert not missing, (
-        f"never-driver-checked queries left OUT of the r7 window: "
+        f"never-driver-checked queries left OUT of the r8 window: "
         f"{sorted(missing)}")
-    # the remaining slots re-check historically hash-sensitive greens
-    assert len(never) == 32 and len(window) == 50
+    assert len(window) == 50
