@@ -2874,6 +2874,118 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height", "pixel_sum")
 
 
+# ---------------------------------------------------------------------------
+# r8 operators
+# ---------------------------------------------------------------------------
+
+_IVL_US = 15 * 60 * 1_000_000  # 15-minute half-open interval
+
+
+def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join (r8): every error event opens a
+    15-minute window, every purchase opens one too; emit each
+    overlapping (error, purchase) pair once with its overlap length.
+    The grid-cell equi-join + first-shared-cell dedup means Catalyst
+    runs a hash join, never a BNLJ range join (the other classic range
+    shape next to event_value_bands' point-in-interval)."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+    from hbase_indexer_spark.operators.joins import interval_overlap_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = e.select("event_id", "event_type",
+                    ts_micros(e, "ts").alias("_us"))
+    errs = (base.filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("error_id"),
+                    F.col("_us").alias("e_lo"),
+                    (F.col("_us") + _IVL_US).alias("e_hi")))
+    purs = (base.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("_us").alias("p_lo"),
+                    (F.col("_us") + _IVL_US).alias("p_hi")))
+    j = interval_overlap_join(errs, purs, "e_lo", "e_hi", "p_lo", "p_hi",
+                              grid=_IVL_US)
+    return (j.select(
+        "error_id", "purchase_id",
+        (F.least("e_hi", "p_hi") - F.greatest("e_lo", "p_lo"))
+        .cast("long").alias("overlap_us"))
+        .orderBy("error_id", "purchase_id"))
+
+
+def q_gapfill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily gauge with LOCF (r8): the hypertable
+    time_bucket_gapfill + locf surface — grid from a 1-row min/max
+    broadcast, fill via ONE last(ignorenulls) window per group."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.events import gapfill_locf
+
+    return gapfill_locf(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                        min_value=200.0)
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (r8): quasi-identifier groups of fewer than 5
+    customers (nation x segment x account-balance-thousand) with their
+    re-identification risk — one combinable aggregate however wide the
+    table."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.pipeline.curation import k_anonymity_audit
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qi = c.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"))
+    return k_anonymity_audit(qi, ["nation", "segment", "bal_k"], k=5)
+
+
+def q_prefix_filter_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering all-pairs similarity join (r8): the
+    zero-false-negative candidate family (PPJoin/AllPairs) alongside
+    MinHash banding / SimHash / sorted-neighborhood — candidates meet
+    on globally-RARE prefix tokens, verified with exact Jaccard.  The
+    gate runs a 1-in-4 doc slice and projects the pair set to its
+    per-document summary (n_dups + max Jaccard): the synthetic corpus
+    carries giant near-dup clusters, so the FULL exact pair list is
+    cluster²-sized by definition (~3M rows at sf0.1) — that cost is the
+    answer's size, not the algorithm's, and the slice keeps the gate's
+    verify leg proportionate while exercising every stage."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    pairs = prefix_filter_pairs(docs, threshold_micro=800_000)
+    sym = (pairs.select(F.col("x").alias("doc_id"), "jaccard_micro")
+           .unionByName(pairs.select(F.col("y").alias("doc_id"),
+                                     "jaccard_micro")))
+    return (sym.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
+                 F.max("jaccard_micro").alias("max_jaccard_micro"))
+            .orderBy("doc_id"))
+
+
+def q_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-duplicate groups via dHash over REAL PNG decode (r8):
+    inflate + unfilter + 9x8 nearest resample + gradient-sign bits, all
+    predicted arithmetically by the oracle from the fixture's
+    closed-form pixels — then one combinable group-by on the hash."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.pipeline.multimodal import (
+        dhash_media,
+        real_media_fixture,
+    )
+
+    fx = real_media_fixture(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    return (dhash_media(fx)
+            .filter(F.col("dhash").isNotNull())
+            .groupBy("dhash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy("dhash"))
+
+
 def _analytics(name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hbase_indexer_spark.plans import analytics
@@ -2970,6 +3082,13 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "asof_forward_purchase": q_asof_forward_purchase,
         "asof_nearest_click": q_asof_nearest_click,
         "avro_write_roundtrip": q_avro_write_roundtrip,
+        # --- built r8: gate in the r8 window ---
+        "interval_overlap_pairs": q_interval_overlap_pairs,
+        "gapfill_daily_value": q_gapfill_daily_value,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "revenue_trend": _analytics("revenue_trend"),
+        "prefix_filter_dups": q_prefix_filter_dups,
+        "dhash_groups": q_dhash_groups,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3155,7 +3274,13 @@ _GATE_WINDOW_R8: list[str] = [
     "asof_forward_purchase",
     "asof_nearest_click",
     "avro_write_roundtrip",
-    # (b) r8-built operators gate immediately (inserted as they land)
+    # (b) r8-built operators gate immediately
+    "interval_overlap_pairs",
+    "gapfill_daily_value",
+    "k_anonymity_audit",
+    "revenue_trend",
+    "prefix_filter_dups",
+    "dhash_groups",
     # (c) re-checks: r1–r4 reference-parity core, unchecked since r4
     "row_index_customer",
     "xml_conf_index",
@@ -3192,12 +3317,6 @@ _GATE_WINDOW_R8: list[str] = [
     "train_test_split",
     "text_profile",
     "token_stats",
-    "repetition_filter",
-    "ngram_jaccard_dedup",
-    "minhash_signatures",
-    "event_value_percentiles",
-    "event_value_bands",
-    "dedup_against",
 ]
 
 
@@ -4247,5 +4366,82 @@ def oracle_sql() -> dict[str, str]:
 
     out["kmeans_cells"] = kmeans_cells_sql()
     out["semdedup"] = semdedup_sql(threshold=0.4)
+
+    # --- r8 operators ---
+    out["interval_overlap_pairs"] = f"""
+        WITH e AS (
+            SELECT event_id AS error_id, epoch_us(ts) AS e_lo,
+                   epoch_us(ts) + {_IVL_US} AS e_hi
+            FROM events WHERE event_type = 'error'
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, epoch_us(ts) AS p_lo,
+                   epoch_us(ts) + {_IVL_US} AS p_hi
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT error_id, purchase_id,
+               CAST(least(e_hi, p_hi) - greatest(e_lo, p_lo) AS BIGINT)
+                   AS overlap_us
+        FROM e JOIN p ON e_lo < p_hi AND p_lo < e_hi
+        ORDER BY error_id, purchase_id
+    """
+    from hbase_indexer_spark.plans.events import gapfill_locf_sql
+
+    out["gapfill_daily_value"] = gapfill_locf_sql(min_value=200.0)
+    from hbase_indexer_spark.pipeline.curation import k_anonymity_audit_sql
+
+    out["k_anonymity_audit"] = k_anonymity_audit_sql(
+        {"nation": "CAST(c_nationkey AS INTEGER)",
+         "segment": "c_mktsegment",
+         "bal_k": "CAST(floor(c_acctbal / 1000) AS BIGINT)"},
+        k=5, table="customer")
+    out["revenue_trend"] = """
+        WITH pts AS (
+            SELECT n_name,
+                   CAST((year(o_orderdate) - 1990) * 12
+                        + month(o_orderdate) - 1 AS BIGINT) AS x,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ),
+        s AS (
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy,
+                   CAST(sum(x * x) AS HUGEINT) AS sx2
+            FROM pts GROUP BY n_name
+        )
+        SELECT n_name, n AS n_orders,
+               CAST((CASE WHEN CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy < 0
+                     THEN -1 ELSE 1 END)
+                    * ((abs(CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy) * 1000000)
+                       // (CAST(n AS HUGEINT) * sx2
+                           - CAST(sx AS HUGEINT) * sx))
+                    AS BIGINT) AS slope_micro
+        FROM s ORDER BY n_name
+    """
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_sql
+
+    out["prefix_filter_dups"] = f"""
+        WITH pairs AS ({prefix_filter_sql(
+            800_000,
+            table="(SELECT * FROM documents WHERE doc_id % 4 = 0)")}),
+        sym AS (
+            SELECT x AS doc_id, jaccard_micro FROM pairs
+            UNION ALL
+            SELECT y AS doc_id, jaccard_micro FROM pairs
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+               max(jaccard_micro) AS max_jaccard_micro
+        FROM sym GROUP BY doc_id ORDER BY doc_id
+    """
+    from hbase_indexer_spark.pipeline.multimodal import dhash_fixture_sql
+
+    out["dhash_groups"] = dhash_fixture_sql()
     # ann_lsh_topk: intentionally no oracle (approximate); rows-only check
     return out

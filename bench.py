@@ -205,12 +205,31 @@ BENCH_QUERIES = [
     "sorted_neighborhood_pairs",
     "asof_forward_purchase",
     "asof_nearest_click",
+    "avro_write_roundtrip",
+    # r8 additions: range-join family completion, gapfill/LOCF, privacy
+    # audit, integer OLS, exact-recall all-pairs, perceptual hashing
+    "interval_overlap_pairs",
+    "gapfill_daily_value",
+    "k_anonymity_audit",
+    "revenue_trend",
+    "prefix_filter_dups",
+    "dhash_groups",
 ]
 
 
 def main() -> None:
     import __spark_entry__ as entry
     from hbase_indexer_spark.session import get_spark
+
+    # --only a,b,c: targeted idle re-timing of flagged queries (the JSON
+    # line keeps its shape; "value" covers only the selected queries)
+    names = list(BENCH_QUERIES)
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(names)
+        if unknown:
+            sys.exit(f"--only names unknown queries: {sorted(unknown)}")
+        names = [n for n in names if n in only]
 
     spark = get_spark("bench")
     qs = entry.queries()
@@ -243,7 +262,7 @@ def main() -> None:
     if os.path.exists(base_path):
         with open(base_path, encoding="utf-8") as f:
             baseline = json.load(f).get("queries", {})
-    for name in BENCH_QUERIES:
+    for name in names:
         # best-of-2: the first run pays Python-worker-pool fork, codegen
         # warmup, and any transient background load; the min of two runs is
         # the engine's plan cost.  Single-run timings swung 2-4x run-to-run
@@ -318,12 +337,23 @@ def main() -> None:
     if baseline:
         base = baseline
         ratios = {}
+        cpus = float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        loaded_box = os.getloadavg()[0] > cpus / 2
+
         # a regression needs BOTH a >1.5x ratio and a >2s absolute delta:
         # sub-second queries swing multiples under background load, and the
-        # first queries absorb codegen warmup — pure-ratio flags cried wolf
+        # first queries absorb codegen warmup — pure-ratio flags cried wolf.
+        # On a visibly loaded box, a flag whose own runs spread >1.5x is
+        # contention, not plan cost (r7: ann_ivf_build read 2.9x with
+        # spread 1.67 under load, 1.2x idle) — it lands in suspect_noise
+        # with its evidence instead of the regressions list.
         def regressed(name: str) -> bool:
-            return (ratios[name] > 1.5
-                    and times[name] - base.get(name, 0.0) > 2.0)
+            if not (ratios[name] > 1.5
+                    and times[name] - base.get(name, 0.0) > 2.0):
+                return False
+            rs = runs_out.get(name, [0.0])
+            spread = max(rs) / max(min(rs), 1e-9)
+            return not (loaded_box and spread > 1.5)
 
         for name, t in sorted(times.items()):
             b = base.get(name)
@@ -343,9 +373,6 @@ def main() -> None:
         # suspect_noise = queries over 1.3x baseline whose own runs show
         # contention markers (>2x run-to-run spread on an identical plan,
         # or the box visibly loaded) — a real plan regression times flat.
-        cpus = float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        loaded_box = os.getloadavg()[0] > cpus / 2
-
         def evidence(name: str) -> dict:
             rs = runs_out.get(name, [0.0])
             return {

@@ -128,6 +128,47 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     return st.select(*l_cols, *out)
 
 
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_lo: str, l_hi: str, r_lo: str, r_hi: str,
+                          grid: int) -> DataFrame:
+    """Interval x interval OVERLAP join: every (left, right) pair of
+    half-open intervals with ``l_lo < r_hi AND r_lo < l_hi`` produces
+    exactly ONE output row — the other classic range-join shape next to
+    :func:`interval_join`'s point-in-interval.
+
+    Bounds must be integral (e.g. epoch micros via ``ts_micros``) and
+    non-negative; ``grid`` is the cell width in the same units — pick it
+    near the median interval length so each interval covers O(1) cells.
+    Column names must not collide across the two sides (alias first).
+
+    Scale: both sides explode to the grid cells they cover and meet in a
+    plain EQUI-join on the cell — Catalyst sees a shuffle/broadcast hash
+    join, never a BNLJ range join.  A pair overlapping in several shared
+    cells is emitted once WITHOUT a distinct: only the first shared cell
+    ``max(cell(l_lo), cell(r_lo))`` keeps the match (the standard
+    dedup-free spatial-join trick — no second shuffle)."""
+    g = int(grid)
+    if g <= 0:
+        raise ValueError("grid must be a positive integer")
+
+    def cells(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        # half-open [lo, hi): last covered cell is (hi - 1) div g; empty
+        # or inverted intervals cover no cells and silently drop
+        return df.filter(F.col(lo) < F.col(hi)).withColumn(
+            "_cell", F.explode(F.sequence(
+                F.expr(f"{lo} div {g}"), F.expr(f"({hi} - 1) div {g}"))))
+
+    l_c = cells(left, l_lo, l_hi)
+    r_c = cells(right, r_lo, r_hi)
+    first_shared = F.greatest(F.expr(f"{l_lo} div {g}"),
+                              F.expr(f"{r_lo} div {g}"))
+    return (l_c.join(r_c, "_cell")
+            .filter((F.col(l_lo) < F.col(r_hi))
+                    & (F.col(r_lo) < F.col(l_hi))
+                    & (F.col("_cell") == first_shared))
+            .drop("_cell"))
+
+
 def interval_join(points: DataFrame, intervals: DataFrame,
                   point_col: str, lo_col: str, hi_col: str,
                   grid: float) -> DataFrame:

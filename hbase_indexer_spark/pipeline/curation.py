@@ -1306,3 +1306,49 @@ def quality_ensemble_sql(bins: int = 256) -> str:
                     // (3 * {bins - 1}) AS BIGINT) AS ensemble_micro
         FROM binned
     """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (r8): privacy-risk governance over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy-governance pass a training-data pipeline runs before
+    release: every row whose quasi-identifier tuple is shared by fewer
+    than ``k`` rows is re-identifiable at confidence 1/count.
+
+    Returns one row per quasi-identifier GROUP below the threshold:
+    ``(*quasi_cols, n_rows, risk_ppm)`` where ``risk_ppm`` is the
+    re-identification probability ``1e6 div n_rows``.  NULL identifier
+    values group together (they are still a linkable signature).
+
+    Scale: ONE combinable aggregation keyed by the quasi tuple and a
+    post-agg filter — map-side partials make this a single shuffle of
+    group-sized data however wide the table; no row-level output ever
+    leaves the executors."""
+    counts = (df.groupBy(*quasi_cols)
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    return (counts.filter(F.col("n_rows") < k)
+            .withColumn("risk_ppm",
+                        F.expr("1000000 div n_rows").cast("long"))
+            .orderBy(*quasi_cols))
+
+
+def k_anonymity_audit_sql(quasi_exprs: dict[str, str], k: int,
+                          table: str) -> str:
+    """DuckDB mirror: ``quasi_exprs`` maps output column -> SQL expr."""
+    sel = ", ".join(f"{e} AS {c}" for c, e in quasi_exprs.items())
+    cols = ", ".join(quasi_exprs)
+    return f"""
+        WITH q AS (SELECT {sel} FROM {table}),
+        g AS (
+            SELECT {cols}, CAST(count(*) AS BIGINT) AS n_rows
+            FROM q GROUP BY {cols}
+        )
+        SELECT {cols}, n_rows,
+               CAST(1000000 // n_rows AS BIGINT) AS risk_ppm
+        FROM g WHERE n_rows < {k}
+        ORDER BY {cols}
+    """

@@ -2791,3 +2791,117 @@ def sorted_neighborhood_sql(window: int = 4, key_len: int = 24) -> str:
           ON b.rank BETWEEN a.rank + 1 AND a.rank + {window}
         ORDER BY x, gap
     """
+
+
+# ---------------------------------------------------------------------------
+# Prefix filtering (PPJoin-lite, r8): the fourth classical candidate family
+# ---------------------------------------------------------------------------
+
+def prefix_filter_pairs(docs: DataFrame,
+                        threshold_micro: int = 600_000) -> DataFrame:
+    """All-pairs set-similarity join via PREFIX FILTERING (the
+    PPJoin/AllPairs family, Chaudhuri et al. / Xiao et al.): order every
+    document's distinct tokens by GLOBAL rarity (document frequency asc,
+    token asc), keep only the first ``m - ceil(t*m) + 1`` tokens as the
+    prefix, and generate candidates from prefix-token equality — any
+    pair with Jaccard >= t MUST share at least one prefix token (the
+    pigeonhole guarantee), so unlike MinHash banding this family has
+    ZERO false negatives.  Candidates then verify with exact Jaccard.
+
+    ``threshold_micro`` is the Jaccard threshold in integer micro units
+    (600000 = 0.6); the prefix length uses the integer form
+    ``m - (t_micro*m + 999999) div 1e6 + 1`` so both engines compute the
+    identical ceil with no float in sight.
+
+    Returns verified ``(x, y, jaccard_micro)`` pairs, x < y (unordered —
+    exact all-pairs output is cluster²-sized; don't global-sort it).
+
+    Scale: the join key is the PREFIX token — the globally rarest
+    tokens — so bucket sizes are the df of rare tokens, not corpus
+    hot-words; the length filter ``min(ma,mb) >= t*max(ma,mb)`` prunes
+    before verification; verification joins token arrays back by doc_id
+    (two hash joins), never recomputing them.  Candidate volume is
+    sum over prefix tokens of df², the quantity the rarity ordering
+    minimizes — the standard 100 TB all-pairs recipe when recall must
+    be exact."""
+    t = int(threshold_micro)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    tk = docs.select("doc_id", F.array_distinct(tokens(txt)).alias("toks"))
+    e = tk.select("doc_id", F.explode("toks").alias("tok"))
+    dfc = e.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))
+    sorted_ = (e.join(dfc, "tok")
+               .groupBy("doc_id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("dfn", "tok"))),
+                   lambda s: s["tok"]).alias("st")))
+    meta = sorted_.select(
+        "doc_id", "st", F.size("st").cast("long").alias("m"),
+        (F.size("st").cast("long")
+         - F.expr(f"(({t} * size(st)) + 999999) div 1000000")
+         + 1).alias("plen"))
+    pref = meta.select("doc_id", "m",
+                       F.explode(F.slice("st", 1, F.col("plen")))
+                       .alias("tok"))
+    a = pref.select(F.col("doc_id").alias("x"), F.col("m").alias("ma"),
+                    "tok")
+    b = pref.select(F.col("doc_id").alias("y"), F.col("m").alias("mb"),
+                    "tok")
+    cand = (a.join(b, "tok")
+            .filter((F.col("x") < F.col("y"))
+                    & (F.least("ma", "mb") * 1_000_000
+                       >= F.lit(t) * F.greatest("ma", "mb")))
+            .select("x", "y").distinct())
+    ta = meta.select(F.col("doc_id").alias("x"),
+                     F.col("st").alias("tx"), F.col("m").alias("mx"))
+    tb = meta.select(F.col("doc_id").alias("y"),
+                     F.col("st").alias("ty"), F.col("m").alias("my"))
+    inter = F.size(F.array_intersect("tx", "ty")).cast("long")
+    return (cand.join(ta, "x").join(tb, "y")
+            .withColumn("_i", inter)
+            .withColumn("jaccard_micro",
+                        F.expr("(1000000 * _i) div (mx + my - _i)"))
+            .filter(F.col("jaccard_micro") >= t)
+            .select("x", "y", "jaccard_micro"))
+
+
+def prefix_filter_sql(threshold_micro: int = 600_000,
+                      table: str = "documents") -> str:
+    t = int(threshold_micro)
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, list_distinct({TOKS_SQL_NN}) AS toks
+            FROM {table}
+        ),
+        e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        dfc AS (SELECT tok, count(*) AS dfn FROM e GROUP BY tok),
+        sorted_ AS (
+            SELECT e.doc_id,
+                   array_agg(e.tok ORDER BY dfc.dfn, e.tok) AS st
+            FROM e JOIN dfc USING (tok) GROUP BY e.doc_id
+        ),
+        meta AS (
+            SELECT doc_id, st, len(st) AS m,
+                   len(st) - (({t} * len(st)) + 999999) // 1000000 + 1
+                       AS plen
+            FROM sorted_
+        ),
+        pref AS (
+            SELECT doc_id, m, unnest(list_slice(st, 1, plen)) AS tok
+            FROM meta
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+            FROM pref a JOIN pref b ON a.tok = b.tok
+            WHERE a.doc_id < b.doc_id
+              AND least(a.m, b.m) * 1000000 >= {t} * greatest(a.m, b.m)
+        )
+        SELECT c.x, c.y,
+               CAST((1000000 * len(list_intersect(ma.st, mb.st)))
+                    // (ma.m + mb.m - len(list_intersect(ma.st, mb.st)))
+                    AS BIGINT) AS jaccard_micro
+        FROM cand c
+        JOIN meta ma ON c.x = ma.doc_id
+        JOIN meta mb ON c.y = mb.doc_id
+        WHERE (1000000 * len(list_intersect(ma.st, mb.st)))
+              // (ma.m + mb.m - len(list_intersect(ma.st, mb.st))) >= {t}
+    """

@@ -565,3 +565,99 @@ def media_header_parse_sql() -> str:
                            ELSE 0 END AS BIGINT) AS payload_bytes
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (r8): dHash over REAL decoded pixels
+# ---------------------------------------------------------------------------
+
+def dhash_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """dHash (difference hash) perceptual fingerprint over REAL PNG
+    decode: inflate + unfilter the payload, nearest-neighbor resample to
+    9x8 (the canonical dHash grid, integer index arithmetic), then bit
+    ``i = y*8+x`` is 1 iff ``pixel[y][x] > pixel[y][x+1]`` — 64 bits of
+    gradient signs, robust to uniform brightness shifts.  Returned as a
+    16-hex-char string (``dhash``); non-PNG payloads yield NULL.
+
+    Scale: map-only mapInPandas (one zlib inflate + one numpy comparison
+    per image); only doc_id + 16 chars leave the executor.  Downstream
+    grouping by the hash is a plain combinable aggregate; banded hamming
+    joins can reuse 16-bit substrings of the hex as equality keys."""
+    from hbase_indexer_spark.pipeline.codecs import (
+        PNG_SIG,
+        png_decode,
+        png_resize_nearest,
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                ids.append(int(doc_id))
+                if b[:8] != PNG_SIG:
+                    hashes.append(None)
+                    continue
+                px = png_decode(b)
+                r = png_resize_nearest(px, 9, 8).astype("int64")
+                bits = (r[:, :-1] > r[:, 1:]).astype("uint64")
+                val = 0
+                for y in range(8):
+                    for x in range(8):
+                        val |= int(bits[y, x]) << (y * 8 + x)
+                hashes.append(f"{val:016x}")
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                                "dhash": hashes})
+
+    return df.mapInPandas(hash_batches, "doc_id long, dhash string")
+
+
+def dhash_fixture_sql() -> str:
+    """Closed-form DuckDB mirror of ``dhash_media`` over
+    :func:`real_media_fixture`'s PNGs: the fixture's pixels are
+    ``(doc_id*31 + i) % 256`` at ``w = 4 + doc_id%5, h = 3 + doc_id%4``,
+    so the oracle PREDICTS every resampled pixel, every gradient bit,
+    and the exact 64-bit hash arithmetically — one flipped bit anywhere
+    in the PNG encode, inflate, unfilter, resample, or bit packing
+    hash-mismatches.  Emits per-hash duplicate groups (n >= 2)."""
+    return """
+        WITH png AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        cells AS (
+            SELECT p.doc_id, gy.y, gx.x,
+                   (p.doc_id * 31 + ((gy.y * p.h) // 8) * p.w
+                    + ((gx.x * p.w) // 9)) % 256 AS px
+            FROM png p,
+                 generate_series(0, 7) AS gy(y),
+                 generate_series(0, 8) AS gx(x)
+        ),
+        bits AS (
+            SELECT a.doc_id, a.y * 8 + a.x AS i,
+                   CASE WHEN a.px > b.px THEN 1 ELSE 0 END AS bit
+            FROM cells a JOIN cells b
+              ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+            WHERE a.x < 8
+        ),
+        bands AS (
+            SELECT doc_id, i // 16 AS band_id,
+                   CAST(sum(bit << (i % 16)) AS BIGINT) AS band
+            FROM bits GROUP BY doc_id, i // 16
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   printf('%04x%04x%04x%04x',
+                          max(CASE WHEN band_id = 3 THEN band END),
+                          max(CASE WHEN band_id = 2 THEN band END),
+                          max(CASE WHEN band_id = 1 THEN band END),
+                          max(CASE WHEN band_id = 0 THEN band END))
+                       AS dhash
+            FROM bands GROUP BY doc_id
+        )
+        SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM hashes GROUP BY dhash HAVING count(*) >= 2
+        ORDER BY dhash
+    """

@@ -987,3 +987,50 @@ ORACLES = {
         ORDER BY r_name, n_name
     """,
 }
+
+
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: ordinary-least-squares slope of order
+    value (cents) over the order's month index, computed from EXACT
+    integer sufficient statistics — n, Σx, Σy, Σxy, Σx² fold as BIGINTs
+    in one combinable pass, then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    assembles on aggregate-sized data in DECIMAL(38,0) (the products
+    overflow int64 beyond ~sf1).  The slope ships as micro-cents/month
+    with truncate-toward-zero sign handling so Spark ``div`` and DuckDB
+    ``//`` agree (both sides divide non-negative magnitudes).
+
+    This is the regr_slope surface done order-insensitively: float
+    covariance accumulation is summation-order-dependent, integer
+    sufficient statistics are not — the same answer on 1 partition or
+    10,000.
+
+    Scale: fact scan + two broadcast dim joins + ONE combinable
+    aggregate keyed by nation; the OLS assembly touches 25 rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    x = ((F.year("o_orderdate") - 1990) * 12
+         + F.month("o_orderdate") - 1).cast("long")
+    y = (_dec(F.col("o_totalprice")) * 100).cast("long")
+    pts = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .select("n_name", x.alias("x"), y.alias("y")))
+    s = (pts.groupBy("n_name")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sx2")))
+    big = "decimal(38,0)"
+    num = (F.col("n").cast(big) * F.col("sxy").cast(big)
+           - F.col("sx").cast(big) * F.col("sy").cast(big))
+    den = (F.col("n").cast(big) * F.col("sx2").cast(big)
+           - F.col("sx").cast(big) * F.col("sx").cast(big))
+    slope = (F.when(num < 0, -1).otherwise(1).cast(big)
+             * F.expr("_absnum div _den"))
+    return (s.withColumn("_absnum", F.abs(num) * 1_000_000)
+            .withColumn("_den", den)
+            .withColumn("slope_micro", slope.cast("long"))
+            .select("n_name", F.col("n").cast("long").alias("n_orders"),
+                    "slope_micro")
+            .orderBy("n_name"))

@@ -226,3 +226,96 @@ def json_key_profile_sql(json_col: str = "props",
         FROM kv CROSS JOIN total t
         GROUP BY kv.key, t.n_rows
     """
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled time buckets + last-observation-carried-forward (r8)
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def gapfill_locf(events: DataFrame, group_col: str = "event_type",
+                 ts_col: str = "ts", value_col: str = "value",
+                 min_value: float = 0.0) -> DataFrame:
+    """Gap-filled daily rollup with LOCF — the hypertable
+    ``time_bucket_gapfill + locf`` analog (TimescaleDB/InfluxDB surface)
+    re-expressed as three DataFrame ops: bucket, grid, window-fill.
+
+    Per ``(group, day)`` the gauge is the day's max ``value`` in integer
+    cents (``floor(value * 100)`` — IEEE multiply + floor agree
+    cross-engine) over events with ``value >= min_value`` (a pushed
+    scan predicate; raise it to thin dense streams into gauges with
+    real gaps); days inside the GLOBAL [min_day, max_day] span with no
+    observation appear with the PREVIOUS observed gauge
+    (last-observation-carried-forward) and ``is_gap = 1``; days before
+    a group's first observation stay NULL (nothing to carry).
+
+    Returns ``(group, day, gauge_cents, is_gap)``.
+
+    Scale: one combinable (group, day) aggregate over the events; the
+    grid is (groups x days)-sized — aggregate-scale, built from a
+    1-row min/max broadcast, never a re-scan; the LOCF fill is ONE
+    ``last(ignorenulls)`` window partitioned by group (parallel across
+    groups, no global sort).  At 100 TB the events pass stays the only
+    full-width stage."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+
+    daily = (events.filter(F.col(value_col) >= min_value)
+             .withColumn("_us", ts_micros(events, ts_col))
+             .withColumn("_day", F.expr(f"_us div {DAY_US}"))
+             .groupBy(F.col(group_col).alias("grp"), "_day")
+             .agg(F.max(F.floor(F.col(value_col) * 100)).cast("long")
+                  .alias("gauge_cents")))
+    bounds = daily.agg(F.min("_day").alias("lo"), F.max("_day").alias("hi"))
+    grid = (daily.select("grp").distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select("grp", F.explode(F.sequence("lo", "hi")).alias("_day")))
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("grp").orderBy("_day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (grid.join(daily, ["grp", "_day"], "left")
+              .withColumn("is_gap",
+                          F.col("gauge_cents").isNull().cast("int"))
+              .withColumn("fill",
+                          F.last("gauge_cents", ignorenulls=True).over(w)))
+    return (filled.select(
+        F.col("grp").alias(group_col),
+        F.col("_day").cast("long").alias("day"),
+        F.col("fill").alias("gauge_cents"), "is_gap")
+        .orderBy(group_col, "day"))
+
+
+def gapfill_locf_sql(group_col: str = "event_type",
+                     value_col: str = "value",
+                     table: str = "events",
+                     min_value: float = 0.0) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT {group_col} AS grp, epoch_us(ts) // {DAY_US} AS day,
+                   CAST(max(floor({value_col} * 100)) AS BIGINT)
+                       AS gauge_cents
+            FROM {table}
+            WHERE {value_col} >= {min_value}
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        grid AS (
+            -- scalar generate_series (list) + unnest: the table-function
+            -- form cannot take lateral column parameters in DuckDB
+            SELECT g.grp, unnest(generate_series(b.lo, b.hi)) AS day
+            FROM (SELECT DISTINCT grp FROM daily) g, bounds b
+        )
+        SELECT grid.grp AS {group_col},
+               CAST(grid.day AS BIGINT) AS day,
+               last_value(d.gauge_cents IGNORE NULLS) OVER (
+                   PARTITION BY grid.grp ORDER BY grid.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS gauge_cents,
+               CAST(CASE WHEN d.gauge_cents IS NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_gap
+        FROM grid LEFT JOIN daily d
+          ON grid.grp = d.grp AND grid.day = d.day
+        ORDER BY {group_col}, day
+    """

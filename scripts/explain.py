@@ -31,15 +31,15 @@ CHECKS = {
     # query -> (must-contain regexes, must-NOT-contain regexes)
     "row_index_customer": (
         [r"partial_max"],
-        [r"SortMergeJoin", r"hashpartitioning(.|\n)*hashpartitioning", *NO_PYTHON],
+        [r"SortMergeJoin", r"hashpartitioning.*hashpartitioning", *NO_PYTHON],
     ),
     "typed_decode_matrix": (
         [r"partial_max"],
-        [r"SortMergeJoin", r"hashpartitioning(.|\n)*hashpartitioning", *NO_PYTHON],
+        [r"SortMergeJoin", r"hashpartitioning.*hashpartitioning", *NO_PYTHON],
     ),
     "column_index_orders": (
         [r"partial_max"],
-        [r"SortMergeJoin", r"hashpartitioning(.|\n)*hashpartitioning", *NO_PYTHON],
+        [r"SortMergeJoin", r"hashpartitioning.*hashpartitioning", *NO_PYTHON],
     ),
     "stream_static_join": (
         [r"BroadcastHashJoin"],
@@ -803,7 +803,7 @@ CHECKS = {
     "incremental_minmax_maintenance": (
         [r"FullOuter", r"partial_min", r"partial_max"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
-         r"rangepartitioning(.|\n)*rangepartitioning", *NO_PYTHON],
+         r"rangepartitioning.*rangepartitioning", *NO_PYTHON],
     ),
     # header introspection (r6): header build + parse is ONE map-only
     # projection — no join, no shuffle, no Python (the whole point:
@@ -872,7 +872,7 @@ CHECKS = {
     # property is pinned under controlled confs in tests/test_bucketed.py
     "bucketed_join_revenue": (
         [r"partial_sum"],
-        [r"CartesianProduct", r"hashpartitioning(.|\n)*hashpartitioning",
+        [r"CartesianProduct", r"hashpartitioning.*hashpartitioning",
          *NO_PYTHON],
     ),
     # grouping sets: ONE Expand feeding ONE partial+final aggregation —
@@ -919,6 +919,51 @@ CHECKS = {
     "incremental_agg_maintenance": (
         [r"partial_sum", r"FullOuter"],
         [r"CartesianProduct", *NO_PYTHON],
+    ),
+    # interval-overlap join (r8): both sides explode to grid cells
+    # (Generate) and meet in an EQUI-join on the cell — a range join
+    # here would be the BNLJ this operator exists to avoid
+    "interval_overlap_pairs": (
+        [r"Generate",
+         r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # gapfill+LOCF (r8): one combinable daily agg (partial_max), the
+    # day grid from an exploded sequence (Generate), the fill via a
+    # PARTITIONED window — the 1-row bounds broadcast is the
+    # allowlisted scalar BNLJ shape
+    "gapfill_daily_value": (
+        [r"partial_max", r"Generate", r"Window"],
+        [r"CartesianProduct", *NO_PYTHON],
+    ),
+    # k-anonymity (r8): ONE combinable aggregation keyed by the quasi
+    # tuple — no join, no second exchange, nothing Python
+    "k_anonymity_audit": (
+        [r"partial_count"],
+        [r"Join", r"hashpartitioning.*hashpartitioning",
+         r"CartesianProduct", *NO_PYTHON],
+    ),
+    # OLS trend (r8): fact scan + broadcast dims + ONE combinable
+    # sufficient-statistics aggregation; the slope assembly is
+    # aggregate-sized arithmetic
+    "revenue_trend": (
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"SortMergeJoin", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # prefix filtering (r8): candidates from prefix-token EQUI-joins +
+    # combinable df counts — never a cross join (the all-pairs shape
+    # this family replaces), never Python
+    "prefix_filter_dups": (
+        [r"partial_count",
+         r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
+    # dHash (r8): the decode is DECLARED Python but must be the
+    # Arrow-batched mapInPandas, never a row-at-a-time Python UDF; the
+    # grouping is one combinable agg over 16-char hashes
+    "dhash_groups": (
+        [r"MapInPandas", r"partial_count"],
+        [r"CartesianProduct", r"BatchEvalPython"],
     ),
 }
 

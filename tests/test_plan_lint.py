@@ -97,6 +97,10 @@ ALLOW_BNLJ = {
     # raw events are touched only by the register build and the
     # combinable exact-audit explode.
     "rolling_active_users",
+    # gapfill+LOCF (r8): the day grid is groups x the 1-row (lo,hi)
+    # bounds broadcast — the same aggregate-sized scalar-join shape as
+    # rolling_active_users; events feed only the combinable daily agg.
+    "gapfill_daily_value",
 }
 
 
