@@ -2986,6 +2986,37 @@ def q_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dhash"))
 
 
+_FD_PAIRS = [("c_custkey", "c_nationkey"),   # key -> anything: holds
+             ("c_nationkey", "c_mktsegment"),  # 25 -> 5 values: violated
+             ("c_mktsegment", "c_nationkey"),  # 5 -> 25 values: violated
+             ("c_name", "c_acctbal")]          # unique names: holds
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (r8): the profiling primitive —
+    det -> dep holds iff no determinant value maps to two dependents;
+    per pair one distinct reduction + one combinable aggregate, all
+    pairs in a single lazy plan."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.pipeline.corpus_stats import fd_check
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return fd_check(c, _FD_PAIRS)
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (r8): the product-analytics
+    standard next to last-touch (asof_click_attribution) — per
+    conversion the prior-7-day touches split 40/20/40, exact ppm
+    integers, first/last via arg-min/arg-max structs (no window
+    sort)."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.plans.events import attribution_position
+
+    return attribution_position(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _analytics(name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hbase_indexer_spark.plans import analytics
@@ -3089,6 +3120,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "revenue_trend": _analytics("revenue_trend"),
         "prefix_filter_dups": q_prefix_filter_dups,
         "dhash_groups": q_dhash_groups,
+        "fd_discovery": q_fd_discovery,
+        "attribution_position": q_attribution_position,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3281,6 +3314,8 @@ _GATE_WINDOW_R8: list[str] = [
     "revenue_trend",
     "prefix_filter_dups",
     "dhash_groups",
+    "fd_discovery",
+    "attribution_position",
     # (c) re-checks: r1–r4 reference-parity core, unchecked since r4
     "row_index_customer",
     "xml_conf_index",
@@ -3315,8 +3350,6 @@ _GATE_WINDOW_R8: list[str] = [
     "ann_ivf_verified",
     "tfidf_topk",
     "train_test_split",
-    "text_profile",
-    "token_stats",
 ]
 
 
@@ -4443,5 +4476,11 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.pipeline.multimodal import dhash_fixture_sql
 
     out["dhash_groups"] = dhash_fixture_sql()
+    from hbase_indexer_spark.pipeline.corpus_stats import fd_check_sql
+
+    out["fd_discovery"] = fd_check_sql(_FD_PAIRS, "customer")
+    from hbase_indexer_spark.plans.events import attribution_position_sql
+
+    out["attribution_position"] = attribution_position_sql()
     # ann_lsh_topk: intentionally no oracle (approximate); rows-only check
     return out

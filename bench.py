@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "revenue_trend",
     "prefix_filter_dups",
     "dhash_groups",
+    "fd_discovery",
+    "attribution_position",
 ]
 
 

@@ -2878,3 +2878,58 @@ def rolling_active_users_sql(key_expr: str = "user_id",
         LEFT JOIN est e ON e.day = days.day
         ORDER BY days.day
     """
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery (r8): profiling beyond column_profile
+# ---------------------------------------------------------------------------
+
+def fd_check(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency candidate check (the Metanome/profiling
+    primitive): for each ``(determinant, dependent)`` pair report
+    whether ``det -> dep`` holds — i.e. no determinant value maps to
+    more than one distinct dependent value (NULL counts as a value).
+
+    Returns ``(det, dep, n_groups, n_violating, fd_holds)`` where
+    ``n_violating`` counts determinant values with >1 distinct
+    dependent.
+
+    Scale: per pair ONE distinct-pair reduction then ONE combinable
+    determinant aggregate — the same two-phase shape as any
+    COUNT(DISTINCT); pairs union into a single lazy plan, so a 100 TB
+    profile run is k pairs x two shuffles of distinct-sized data,
+    never a row-level self-join."""
+    spark = df.sparkSession
+    outs = []
+    for det, dep in pairs:
+        per_det = (df.select(det, dep).distinct()
+                   .groupBy(det)
+                   .agg(F.count(F.lit(1)).alias("_n_dep")))
+        outs.append(per_det.agg(
+            F.lit(det).alias("det"), F.lit(dep).alias("dep"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("_n_dep") > 1, 1).otherwise(0))
+            .cast("long").alias("n_violating"),
+        ).withColumn("fd_holds", (F.col("n_violating") == 0).cast("int")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("det", "dep")
+
+
+def fd_check_sql(pairs: list[tuple[str, str]], table: str) -> str:
+    parts = []
+    for det, dep in pairs:
+        parts.append(f"""
+        SELECT '{det}' AS det, '{dep}' AS dep,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(CASE WHEN sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+                              = 0 THEN 1 ELSE 0 END AS INTEGER) AS fd_holds
+        FROM (
+            SELECT {det}, count(*) AS n_dep
+            FROM (SELECT DISTINCT {det}, {dep} FROM {table})
+            GROUP BY {det}
+        )""")
+    return " UNION ALL ".join(parts) + " ORDER BY det, dep"

@@ -319,3 +319,107 @@ def gapfill_locf_sql(group_col: str = "event_type",
           ON grid.grp = d.grp AND grid.day = d.day
         ORDER BY {group_col}, day
     """
+
+
+# ---------------------------------------------------------------------------
+# Position-based multi-touch attribution (r8)
+# ---------------------------------------------------------------------------
+
+def attribution_position(events: DataFrame, touch_type: str = "click",
+                         convert_type: str = "purchase",
+                         window_days: int = 7) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the product
+    analytics standard next to last-touch (which the as-of join
+    covers): for every conversion, the touches in the prior
+    ``window_days`` split credit 40% first / 40% last / 20% shared by
+    the middles (1 touch -> 100%, 2 -> 50/50).
+
+    Returns per conversion: ``(purchase_id, user_id, n_touches,
+    first_touch_id, last_touch_id, mid_credit_ppm)`` — ppm integers so
+    the split is exact cross-engine (``200000 div (n-2)``); conversions
+    with no touch in the window keep NULL touch ids and 0 ppm.
+
+    Scale: ONE equi-join on user_id with the bounded time-range
+    residual (per-user touches x conversions, never a global range
+    join) and ONE combinable per-conversion aggregate; first/last ride
+    arg-min/arg-max structs, no window sort."""
+    from hbase_indexer_spark.functions.timeutil import ts_micros
+
+    win_us = window_days * DAY_US
+    base = events.select("event_id", "user_id", "event_type",
+                         ts_micros(events, "ts").alias("_us"))
+    conv = (base.filter(F.col("event_type") == convert_type)
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("c_user"),
+                    F.col("_us").alias("c_us")))
+    touch = (base.filter(F.col("event_type") == touch_type)
+             .select(F.col("user_id").alias("t_user"),
+                     F.col("event_id").alias("touch_id"),
+                     F.col("_us").alias("t_us")))
+    j = conv.join(
+        touch,
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("t_us") < F.col("c_us"))
+        & (F.col("t_us") >= F.col("c_us") - win_us))
+    agg = (j.groupBy("purchase_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+                F.min(F.struct("t_us", "touch_id")).alias("_first"),
+                F.max(F.struct("t_us", "touch_id")).alias("_last")))
+    out = (conv.join(agg, "purchase_id", "left")
+           .select(
+               "purchase_id", F.col("c_user").alias("user_id"),
+               F.coalesce("n_touches", F.lit(0)).cast("long")
+               .alias("n_touches"),
+               F.col("_first.touch_id").alias("first_touch_id"),
+               F.col("_last.touch_id").alias("last_touch_id"),
+               F.when(F.col("n_touches") >= 3,
+                      F.expr("200000 div (n_touches - 2)"))
+               .otherwise(F.lit(0)).cast("long").alias("mid_credit_ppm")))
+    return out.orderBy("purchase_id")
+
+
+def attribution_position_sql(touch_type: str = "click",
+                             convert_type: str = "purchase",
+                             window_days: int = 7,
+                             table: str = "events") -> str:
+    win_us = window_days * DAY_US
+    return f"""
+        WITH conv AS (
+            SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS c_us
+            FROM {table} WHERE event_type = '{convert_type}'
+        ),
+        touch AS (
+            SELECT user_id, event_id AS touch_id, epoch_us(ts) AS t_us
+            FROM {table} WHERE event_type = '{touch_type}'
+        ),
+        j AS (
+            SELECT c.purchase_id, t.touch_id, t.t_us
+            FROM conv c JOIN touch t
+              ON c.user_id = t.user_id
+             AND t.t_us < c.c_us AND t.t_us >= c.c_us - {win_us}
+        ),
+        agg AS (
+            SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touches,
+                   min(t_us) AS ft, max(t_us) AS lt
+            FROM j GROUP BY purchase_id
+        ),
+        -- tie-break pinned to Spark's struct-min/max: smallest id among
+        -- the earliest touches, largest id among the latest
+        ids AS (
+            SELECT a.purchase_id, a.n_touches,
+                   min(CASE WHEN j.t_us = a.ft THEN j.touch_id END)
+                       AS first_touch_id,
+                   max(CASE WHEN j.t_us = a.lt THEN j.touch_id END)
+                       AS last_touch_id
+            FROM agg a JOIN j ON a.purchase_id = j.purchase_id
+            GROUP BY a.purchase_id, a.n_touches
+        )
+        SELECT c.purchase_id, c.user_id,
+               CAST(coalesce(i.n_touches, 0) AS BIGINT) AS n_touches,
+               i.first_touch_id, i.last_touch_id,
+               CAST(CASE WHEN i.n_touches >= 3
+                    THEN 200000 // (i.n_touches - 2) ELSE 0 END
+                    AS BIGINT) AS mid_credit_ppm
+        FROM conv c LEFT JOIN ids i ON c.purchase_id = i.purchase_id
+        ORDER BY c.purchase_id
+    """

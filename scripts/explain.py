@@ -965,6 +965,21 @@ CHECKS = {
         [r"MapInPandas", r"partial_count"],
         [r"CartesianProduct", r"BatchEvalPython"],
     ),
+    # FD discovery (r8): per pair a distinct reduction + combinable
+    # determinant agg, unioned lazily — no join, no Python
+    "fd_discovery": (
+        [r"partial_count", r"Union"],
+        [r"Join", r"CartesianProduct", *NO_PYTHON],
+    ),
+    # attribution (r8): ONE equi-join on user (range residual rides the
+    # hash join) + combinable struct-min/max agg — never a BNLJ range
+    # join, never a window sort over raw touches
+    "attribution_position": (
+        [r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         r"partial_min", r"partial_max"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
+         *NO_PYTHON],
+    ),
 }
 
 

@@ -133,6 +133,57 @@ def test_k_anonymity_audit_flags_small_groups(spark):
     assert got == [("de", None, 1, 1_000_000), ("us", "y", 2, 500_000)]
 
 
+def test_fd_check_holds_and_violations(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import fd_check
+
+    rows = [(1, "a", 10), (2, "a", 10), (3, "b", 20), (4, "b", 21),
+            (5, None, 30)]
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+    got = {(r["det"], r["dep"]): (r["n_groups"], r["n_violating"],
+                                  r["fd_holds"])
+           for r in fd_check(df, [("k", "g"), ("g", "v"),
+                                  ("v", "g")]).collect()}
+    # k unique -> k->g holds; g 'b' maps to {20,21} and NULL g maps to
+    # one value (a group of its own) -> g->v violated by 'b' only;
+    # every v maps to one g -> v->g holds
+    assert got == {("k", "g"): (5, 0, 1),
+                   ("g", "v"): (3, 1, 0),
+                   ("v", "g"): (4, 0, 1)}
+
+
+def test_attribution_position_split(spark):
+    """First/last/middle credit split with pinned tie-breaks and a
+    conversion with zero touches in the window."""
+    from hbase_indexer_spark.plans.events import attribution_position
+
+    d0 = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: 4 clicks then purchase -> mids get 200000//2
+        (101, d0 - timedelta(days=3), 1, "click"),
+        (102, d0 - timedelta(days=2), 1, "click"),
+        (103, d0 - timedelta(days=1), 1, "click"),
+        (104, d0 - timedelta(hours=1), 1, "click"),
+        (110, d0, 1, "purchase"),
+        # user 2: one click 8 days before -> outside the 7-day window
+        (201, d0 - timedelta(days=8), 2, "click"),
+        (210, d0, 2, "purchase"),
+        # user 3: two clicks at the SAME timestamp -> tie-break by id
+        (301, d0 - timedelta(days=1), 3, "click"),
+        (302, d0 - timedelta(days=1), 3, "click"),
+        (310, d0, 3, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string")
+    got = {r["purchase_id"]:
+           (r["n_touches"], r["first_touch_id"], r["last_touch_id"],
+            r["mid_credit_ppm"])
+           for r in attribution_position(events).collect()}
+    assert got == {110: (4, 101, 104, 100_000),
+                   210: (0, None, None, 0),
+                   310: (2, 301, 302, 0)}
+
+
 def test_revenue_trend_matches_duckdb_regr_slope(spark):
     """The integer sufficient-statistics slope equals DuckDB's float
     regr_slope to float precision — same estimator, exact arithmetic."""
