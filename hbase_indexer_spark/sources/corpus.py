@@ -70,6 +70,15 @@ def write_csv(df: DataFrame, path: str) -> None:
     # silently trims leading/trailing whitespace — including trailing
     # newlines and tabs — from every quoted field.  Caught by the
     # adversarial roundtrip test, not by clean fixture data.
+    #
+    # DOCUMENTED LIMITATION (r8, found by hypothesis): NUL bytes (\x00)
+    # are not reliably round-trippable through Spark's CSV path — the
+    # multiLine (univocity) reader drops NULs that immediately follow a
+    # newline inside a quoted field ('a\n\x00b' reads back 'a\nb');
+    # NULs in any other position survive.  Corpora that may contain
+    # NULs must use JSONL (lossless, JSON-escaped);
+    # test_csv_nul_behavior pins the current behavior so a parser
+    # change surfaces.
     df.write.mode("overwrite") \
         .option("header", True) \
         .option("quote", '"').option("escape", '"') \

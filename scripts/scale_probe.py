@@ -152,6 +152,14 @@ SF1_QUERIES = [
     "bpe_train",
     "media_decode",
     "asof_nearest_click",
+    # r8 arrivals: the grid-cell interval join, the exact-recall
+    # all-pairs family (1-in-4 slice), the dHash decode+group path,
+    # and the user-keyed attribution join at 10x
+    "interval_overlap_pairs",
+    "prefix_filter_dups",
+    "dhash_groups",
+    "attribution_position",
+    "gapfill_daily_value",
 ]
 
 

@@ -52,19 +52,55 @@ def test_nasty_strings_roundtrip(spark, tmp_path, fmt):
 text_st = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",)),
     max_size=40)
+# CSV documented limitation: a field-trailing NUL is dropped by the
+# univocity reader (write_csv docstring) — JSONL keeps the full
+# alphabet, CSV excludes NUL; test_csv_nul_behavior pins the asymmetry
+csv_text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    max_size=40)
 
 
 @settings(**_SETTINGS)
 @given(texts=st.lists(text_st, min_size=1, max_size=10))
-@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
-def test_random_unicode_roundtrip(spark, tmp_path_factory, fmt, texts):
+def test_random_unicode_roundtrip_jsonl(spark, tmp_path_factory, texts):
     df = _df(spark, texts)
-    path = str(tmp_path_factory.mktemp("corp") / fmt)
-    (corpus.write_jsonl if fmt == "jsonl" else corpus.write_csv)(df, path)
-    back = corpus.read_documents(spark, path, fmt=fmt)
+    path = str(tmp_path_factory.mktemp("corp") / "jsonl")
+    corpus.write_jsonl(df, path)
+    back = corpus.read_documents(spark, path, fmt="jsonl")
     want = {(r["doc_id"], r["text"] or "") for r in df.collect()}
     got = {(r["doc_id"], r["text"] or "") for r in back.collect()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(csv_text_st, min_size=1, max_size=10))
+def test_random_unicode_roundtrip_csv(spark, tmp_path_factory, texts):
+    df = _df(spark, texts)
+    path = str(tmp_path_factory.mktemp("corp") / "csv")
+    corpus.write_csv(df, path)
+    back = corpus.read_documents(spark, path, fmt="csv")
+    want = {(r["doc_id"], r["text"] or "") for r in df.collect()}
+    got = {(r["doc_id"], r["text"] or "") for r in back.collect()}
+    assert got == want
+
+
+def test_csv_nul_behavior(spark, tmp_path):
+    """Pin the documented CSV NUL asymmetry: the multiLine reader drops
+    NULs immediately following a newline inside a quoted field; NULs
+    anywhere else survive.  JSONL round-trips everything losslessly.
+    If a Spark/univocity upgrade changes this, the write_csv docstring
+    must move with it."""
+    texts = ["a\x00b", "x\x00", "\n\x00", "p\n\x00q"]
+    df = _df(spark, texts)
+    corpus.write_csv(df, str(tmp_path / "csv"))
+    got = {r["doc_id"]: r["text"] for r in corpus.read_documents(
+        spark, str(tmp_path / "csv"), fmt="csv").collect()}
+    assert got == {0: "a\x00b", 1: "x\x00", 2: "\n", 3: "p\nq"}
+    corpus.write_jsonl(df, str(tmp_path / "jsonl"))
+    got_j = {r["doc_id"]: r["text"] for r in corpus.read_documents(
+        spark, str(tmp_path / "jsonl"), fmt="jsonl").collect()}
+    assert got_j == dict(enumerate(texts))
 
 
 def test_failfast_rejects_malformed_jsonl(spark, tmp_path):
