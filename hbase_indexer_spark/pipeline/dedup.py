@@ -2850,7 +2850,15 @@ def prefix_filter_pairs(docs: DataFrame,
             .filter((F.col("x") < F.col("y"))
                     & (F.least("ma", "mb") * 1_000_000
                        >= F.lit(t) * F.greatest("ma", "mb")))
-            .select("x", "y").distinct())
+            .select("x", "y").distinct()
+            # the candidate table is BYTES-tiny (two longs/row) but each
+            # row buys an array_intersect over full token arrays — AQE
+            # coalesces the distinct's output by size and collapsed the
+            # verify stage to 2 tasks at the sf1 probe (625s wall).
+            # Re-spread candidates (hash on the full pair — immune to
+            # one hot cluster head) so verification parallelism tracks
+            # the cluster, not the candidate byte count.
+            .repartition(F.col("x"), F.col("y")))
     ta = meta.select(F.col("doc_id").alias("x"),
                      F.col("st").alias("tx"), F.col("m").alias("mx"))
     tb = meta.select(F.col("doc_id").alias("y"),
