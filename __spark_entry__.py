@@ -4448,14 +4448,16 @@ def oracle_sql() -> dict[str, str]:
             FROM pts GROUP BY n_name
         )
         SELECT n_name, n AS n_orders,
-               CAST((CASE WHEN CAST(n AS HUGEINT) * sxy
-                               - CAST(sx AS HUGEINT) * sy < 0
-                     THEN -1 ELSE 1 END)
-                    * ((abs(CAST(n AS HUGEINT) * sxy
-                            - CAST(sx AS HUGEINT) * sy) * 1000000)
-                       // (CAST(n AS HUGEINT) * sx2
-                           - CAST(sx AS HUGEINT) * sx))
-                    AS BIGINT) AS slope_micro
+               CAST(CASE WHEN CAST(n AS HUGEINT) * sx2
+                              - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+                    ELSE (CASE WHEN CAST(n AS HUGEINT) * sxy
+                                    - CAST(sx AS HUGEINT) * sy < 0
+                          THEN -1 ELSE 1 END)
+                         * ((abs(CAST(n AS HUGEINT) * sxy
+                                 - CAST(sx AS HUGEINT) * sy) * 1000000)
+                            // (CAST(n AS HUGEINT) * sx2
+                                - CAST(sx AS HUGEINT) * sx))
+                    END AS BIGINT) AS slope_micro
         FROM s ORDER BY n_name
     """
     from hbase_indexer_spark.pipeline.dedup import prefix_filter_sql

@@ -2899,7 +2899,8 @@ def fd_check(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     COUNT(DISTINCT); pairs union into a single lazy plan, so a 100 TB
     profile run is k pairs x two shuffles of distinct-sized data,
     never a row-level self-join."""
-    spark = df.sparkSession
+    if not pairs:
+        raise ValueError("fd_check needs at least one (det, dep) pair")
     outs = []
     for det, dep in pairs:
         per_det = (df.select(det, dep).distinct()

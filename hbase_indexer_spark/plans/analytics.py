@@ -1026,8 +1026,11 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            - F.col("sx").cast(big) * F.col("sy").cast(big))
     den = (F.col("n").cast(big) * F.col("sx2").cast(big)
            - F.col("sx").cast(big) * F.col("sx").cast(big))
-    slope = (F.when(num < 0, -1).otherwise(1).cast(big)
-             * F.expr("_absnum div _den"))
+    # a group whose orders all share one month has zero x-variance:
+    # the slope is undefined — NULL, not an ANSI divide-by-zero
+    slope = F.when(den == 0, F.lit(None)).otherwise(
+        F.when(num < 0, -1).otherwise(1).cast(big)
+        * F.expr("_absnum div _den"))
     return (s.withColumn("_absnum", F.abs(num) * 1_000_000)
             .withColumn("_den", den)
             .withColumn("slope_micro", slope.cast("long"))

@@ -184,6 +184,13 @@ def test_attribution_position_split(spark):
                    310: (2, 301, 302, 0)}
 
 
+def test_fd_check_rejects_empty_pairs(spark):
+    from hbase_indexer_spark.pipeline.corpus_stats import fd_check
+
+    with pytest.raises(ValueError, match="at least one"):
+        fd_check(spark.range(1), [])
+
+
 def test_revenue_trend_matches_duckdb_regr_slope(spark):
     """The integer sufficient-statistics slope equals DuckDB's float
     regr_slope to float precision — same estimator, exact arithmetic."""
