@@ -2813,6 +2813,16 @@ def prefix_filter_pairs(docs: DataFrame,
     ``m - (t_micro*m + 999999) div 1e6 + 1`` so both engines compute the
     identical ceil with no float in sight.
 
+    POSITIONAL filtering (the PPJoin upgrade over plain AllPairs) is
+    applied per candidate row before the distinct: a match at prefix
+    positions (px, py) bounds the possible overlap by
+    ``min(mx-px, my-py)`` (1-based remaining suffixes), and Jaccard >= t
+    needs overlap >= t/(1+t)·(mx+my); rows failing
+    ``bound·(1e6+t) >= t·(mx+my)`` are pruned.  Exactness is preserved:
+    a true pair's EARLIEST shared token sees every shared token in both
+    remaining suffixes, so its bound >= the true overlap and that row
+    always survives.
+
     Returns verified ``(x, y, jaccard_micro)`` pairs, x < y (unordered —
     exact all-pairs output is cluster²-sized; don't global-sort it).
 
@@ -2840,16 +2850,21 @@ def prefix_filter_pairs(docs: DataFrame,
          - F.expr(f"(({t} * size(st)) + 999999) div 1000000")
          + 1).alias("plen"))
     pref = meta.select("doc_id", "m",
-                       F.explode(F.slice("st", 1, F.col("plen")))
-                       .alias("tok"))
+                       F.posexplode(F.slice("st", 1, F.col("plen")))
+                       .alias("p0", "tok"))
     a = pref.select(F.col("doc_id").alias("x"), F.col("m").alias("ma"),
-                    "tok")
+                    F.col("p0").alias("pa"), "tok")
     b = pref.select(F.col("doc_id").alias("y"), F.col("m").alias("mb"),
-                    "tok")
+                    F.col("p0").alias("pb"), "tok")
+    # positional bound: positions are 0-based, so the remaining suffix
+    # including the match is m - p0
+    bound = F.least(F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb"))
     cand = (a.join(b, "tok")
             .filter((F.col("x") < F.col("y"))
                     & (F.least("ma", "mb") * 1_000_000
-                       >= F.lit(t) * F.greatest("ma", "mb")))
+                       >= F.lit(t) * F.greatest("ma", "mb"))
+                    & (bound * (1_000_000 + t)
+                       >= F.lit(t) * (F.col("ma") + F.col("mb"))))
             .select("x", "y").distinct()
             # the candidate table is BYTES-tiny (two longs/row) but each
             # row buys an array_intersect over full token arrays — AQE
@@ -2894,7 +2909,8 @@ def prefix_filter_sql(threshold_micro: int = 600_000,
             FROM sorted_
         ),
         pref AS (
-            SELECT doc_id, m, unnest(list_slice(st, 1, plen)) AS tok
+            SELECT doc_id, m, unnest(list_slice(st, 1, plen)) AS tok,
+                   generate_subscripts(list_slice(st, 1, plen), 1) AS p1
             FROM meta
         ),
         cand AS (
@@ -2902,6 +2918,10 @@ def prefix_filter_sql(threshold_micro: int = 600_000,
             FROM pref a JOIN pref b ON a.tok = b.tok
             WHERE a.doc_id < b.doc_id
               AND least(a.m, b.m) * 1000000 >= {t} * greatest(a.m, b.m)
+              -- positional bound (1-based subscripts: remaining suffix
+              -- incl. the match = m - p1 + 1, == Spark's m - p0)
+              AND least(a.m - a.p1 + 1, b.m - b.p1 + 1) * (1000000 + {t})
+                  >= {t} * (a.m + b.m)
         )
         SELECT c.x, c.y,
                CAST((1000000 * len(list_intersect(ma.st, mb.st)))
