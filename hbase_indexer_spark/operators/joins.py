@@ -136,9 +136,12 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     exactly ONE output row — the other classic range-join shape next to
     :func:`interval_join`'s point-in-interval.
 
-    Bounds must be integral (e.g. epoch micros via ``ts_micros``) and
-    non-negative; ``grid`` is the cell width in the same units — pick it
-    near the median interval length so each interval covers O(1) cells.
+    Bounds must be integral (e.g. epoch micros via ``ts_micros``; any
+    sign — cell assignment uses true floor division via ``pmod``, so
+    pre-epoch/negative bounds grid correctly instead of silently
+    mis-bucketing under ``div``'s truncate-toward-zero, r8 ADVICE);
+    ``grid`` is the cell width in the same units — pick it near the
+    median interval length so each interval covers O(1) cells.
     Column names must not collide across the two sides (alias first).
 
     Scale: both sides explode to the grid cells they cover and meet in a
@@ -151,17 +154,22 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     if g <= 0:
         raise ValueError("grid must be a positive integer")
 
+    def fdiv(expr: str) -> str:
+        # exact integer FLOOR division: pmod is non-negative, so the
+        # numerator is an exact multiple of g and `div` can't truncate
+        # in the wrong direction for negative bounds
+        return f"((({expr}) - pmod(({expr}), {g})) div {g})"
+
     def cells(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        # half-open [lo, hi): last covered cell is (hi - 1) div g; empty
-        # or inverted intervals cover no cells and silently drop
+        # half-open [lo, hi): last covered cell is floor((hi-1)/g);
+        # empty or inverted intervals cover no cells and silently drop
         return df.filter(F.col(lo) < F.col(hi)).withColumn(
             "_cell", F.explode(F.sequence(
-                F.expr(f"{lo} div {g}"), F.expr(f"({hi} - 1) div {g}"))))
+                F.expr(fdiv(lo)), F.expr(fdiv(f"{hi} - 1")))))
 
     l_c = cells(left, l_lo, l_hi)
     r_c = cells(right, r_lo, r_hi)
-    first_shared = F.greatest(F.expr(f"{l_lo} div {g}"),
-                              F.expr(f"{r_lo} div {g}"))
+    first_shared = F.greatest(F.expr(fdiv(l_lo)), F.expr(fdiv(r_lo)))
     return (l_c.join(r_c, "_cell")
             .filter((F.col(l_lo) < F.col(r_hi))
                     & (F.col(r_lo) < F.col(l_hi))

@@ -2909,7 +2909,11 @@ def fd_check(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
         outs.append(per_det.agg(
             F.lit(det).alias("det"), F.lit(dep).alias("dep"),
             F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.sum(F.when(F.col("_n_dep") > 1, 1).otherwise(0))
+            # coalesce: sum over ZERO rows is NULL in Spark but the
+            # DuckDB mirror's CASE falls to 0 — pin the empty-table
+            # semantics to n_violating=0 / fd_holds=1 on both engines
+            F.coalesce(F.sum(F.when(F.col("_n_dep") > 1, 1).otherwise(0)),
+                       F.lit(0))
             .cast("long").alias("n_violating"),
         ).withColumn("fd_holds", (F.col("n_violating") == 0).cast("int")))
     res = outs[0]
@@ -2924,9 +2928,10 @@ def fd_check_sql(pairs: list[tuple[str, str]], table: str) -> str:
         parts.append(f"""
         SELECT '{det}' AS det, '{dep}' AS dep,
                CAST(count(*) AS BIGINT) AS n_groups,
-               CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_violating,
-               CAST(CASE WHEN sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+               CAST(coalesce(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_violating,
+               CAST(CASE WHEN coalesce(
+                              sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END), 0)
                               = 0 THEN 1 ELSE 0 END AS INTEGER) AS fd_holds
         FROM (
             SELECT {det}, count(*) AS n_dep

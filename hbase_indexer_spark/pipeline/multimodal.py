@@ -593,8 +593,11 @@ def dhash_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                b = bytes(payload)
                 ids.append(int(doc_id))
+                if payload is None:  # NULL payload => NULL dhash (r8 ADVICE)
+                    hashes.append(None)
+                    continue
+                b = bytes(payload)
                 if b[:8] != PNG_SIG:
                     hashes.append(None)
                     continue

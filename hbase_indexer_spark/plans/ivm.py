@@ -246,22 +246,38 @@ class MaintainedAggregate:
         if cur is None:
             return
         agg_now = self.store.current_version()
-        # legacy cursors (pre-r8) carry no agg_version: adopt current
-        rec = int(cur.get("agg_version", agg_now))
+        try:
+            with open(self._intent_file) as f:
+                intent = json.load(f)
+        except FileNotFoundError:
+            intent = None
+        if "agg_version" not in cur:
+            # Legacy (pre-r8) cursor with no recorded agg version.  The
+            # intent is the only witness: if it says the publish that is
+            # in flight produced exactly agg_now, the crash happened
+            # between publish and cursor commit — roll forward (r8
+            # ADVICE: adopting agg_now before this check re-applied the
+            # feed onto an aggregate that already contained it).
+            if (intent is not None
+                    and int(intent["agg_version"]) == agg_now
+                    and int(intent["applying_to"]) > int(cur["applied_to"])):
+                self._set_cursor(int(intent["applying_to"]))
+                return
+            # no (matching) intent: adopt current as the recorded version
+            try:
+                os.remove(self._intent_file)
+            except FileNotFoundError:
+                pass
+            self._set_cursor(int(cur["applied_to"]))
+            return
+        rec = int(cur["agg_version"])
         if agg_now == rec:
             # clean state; a leftover intent means the publish never ran
             try:
                 os.remove(self._intent_file)
             except FileNotFoundError:
                 pass
-            if "agg_version" not in cur:
-                self._set_cursor(int(cur["applied_to"]))
             return
-        try:
-            with open(self._intent_file) as f:
-                intent = json.load(f)
-        except FileNotFoundError:
-            intent = None
         if (agg_now > rec and intent is not None
                 and int(intent["agg_version"]) == agg_now):
             # publish landed, cursor commit was lost: roll forward
