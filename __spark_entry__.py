@@ -3040,6 +3040,45 @@ def _analytics(name: str):
 
 
 # ---------------------------------------------------------------------------
+# r9 operators
+# ---------------------------------------------------------------------------
+
+
+def q_quarantine_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 per-document error isolation (r9): the reference sink's
+    doc-vs-server failure split (DirectSolrInputDocumentWriter.java:
+    82-131) as a quarantine store — bad docs (negative balance, or key
+    divisible by 5) divert to the quarantine view with their failed
+    check names instead of blocking the batch; a later delete batch
+    (keys divisible by 7, plus one NULL id exercising the bad-id leg)
+    clears both views.  Output = final index ∪ quarantine."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.sinks.quarantine import QuarantiningIndexWriter
+
+    tmp = _mkdtemp("hbis_quar_")
+    docs = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("segment_s"),
+        F.col("c_acctbal").cast("double").alias("bal_d"),
+    )
+    w = QuarantiningIndexWriter(tmp, key="id", checks={
+        "negative_balance": F.col("bal_d") >= 0,
+        "mod5_key": F.col("id") % 5 != 0,
+    })
+    w.add(spark, docs)
+    dels = docs.select("id").filter(F.col("id") % 7 == 0).unionByName(
+        spark.createDataFrame([(None,)], "id long"))
+    w.delete_by_id(spark, dels)
+    ix = w.read(spark).select(
+        "id", F.lit("index").alias("source"),
+        F.lit(None).cast("string").alias("err"), "bal_d")
+    q = w.read_quarantine(spark).select(
+        "id", F.lit("quarantine").alias("source"),
+        F.col("_error").alias("err"), "bal_d")
+    return ix.unionByName(q).orderBy("id", "source")
+
+
+# ---------------------------------------------------------------------------
 # Driver surface
 # ---------------------------------------------------------------------------
 
@@ -3135,6 +3174,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dhash_groups": q_dhash_groups,
         "fd_discovery": q_fd_discovery,
         "attribution_position": q_attribution_position,
+        # --- built r9: gate in the r9 window ---
+        "quarantine_merge": q_quarantine_merge,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -4497,5 +4538,24 @@ def oracle_sql() -> dict[str, str]:
     from hbase_indexer_spark.plans.events import attribution_position_sql
 
     out["attribution_position"] = attribution_position_sql()
+    # --- r9 operators ---
+    out["quarantine_merge"] = """
+        WITH docs AS (
+            SELECT c_custkey AS id,
+                   CAST(c_acctbal AS DOUBLE) AS bal_d,
+                   nullif(concat_ws(',',
+                       CASE WHEN NOT (c_acctbal >= 0)
+                            THEN 'negative_balance' END,
+                       CASE WHEN NOT (c_custkey % 5 <> 0)
+                            THEN 'mod5_key' END), '') AS doc_err
+            FROM customer
+        )
+        SELECT id, 'index' AS source, CAST(NULL AS VARCHAR) AS err, bal_d
+        FROM docs WHERE doc_err IS NULL AND id % 7 <> 0
+        UNION ALL
+        SELECT id, 'quarantine' AS source, doc_err AS err, bal_d
+        FROM docs WHERE doc_err IS NOT NULL AND id % 7 <> 0
+        ORDER BY id, source
+    """
     # ann_lsh_topk: intentionally no oracle (approximate); rows-only check
     return out
