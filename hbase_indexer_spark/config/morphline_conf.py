@@ -223,6 +223,20 @@ def _xlate_convert_timestamp(params: dict) -> list[dict]:
         out["input_formats"] = params["inputFormats"]
     if "outputFormat" in params:
         out["output_format"] = params["outputFormat"]
+    # r9: Kite timezone params (wall-clock reinterpretation, session
+    # stays pinned UTC).  Kite also takes input/outputLocale; locales
+    # only affect text month/day names, which Spark renders in its own
+    # locale — reject non-ROOT locales loudly rather than mis-parse.
+    if "inputTimezone" in params:
+        out["input_timezone"] = params["inputTimezone"]
+    if "outputTimezone" in params:
+        out["output_timezone"] = params["outputTimezone"]
+    for loc in ("inputLocale", "outputLocale"):
+        if params.get(loc) not in (None, "", "ROOT", "ENGLISH", "US"):
+            raise ValueError(
+                f"convertTimestamp {loc}={params[loc]!r} is not "
+                "supported — Spark formats with the JVM default locale; "
+                "use locale-neutral numeric patterns")
     return [out]
 
 
@@ -298,16 +312,34 @@ def _parse_dictionary_string(s: str) -> dict[str, str]:
     return out
 
 
+def _load_dictionary_files(paths: list[str]) -> dict[str, str]:
+    """Kite ``dictionaryFiles`` (r9): each entry is a grok pattern file
+    (NAME pattern per line) or a directory of them (loaded in sorted
+    name order, Kite's behavior).  Read once at CONF-COMPILE time on
+    the driver — the expanded pattern ships to executors as a plain
+    regex literal, so no file needs to exist cluster-side."""
+    import os
+
+    out: dict[str, str] = {}
+    for path in paths:
+        if os.path.isdir(path):
+            files = [os.path.join(path, n) for n in sorted(os.listdir(path))
+                     if os.path.isfile(os.path.join(path, n))]
+        else:
+            files = [path]
+        for fp in files:
+            with open(fp, encoding="utf-8") as f:
+                out.update(_parse_dictionary_string(f.read()))
+    return out
+
+
 def _xlate_grok(params: dict) -> list[dict]:
     # Kite grok: expressions maps record field -> pattern; %{NAME:field}
-    # references expand from the builtin + dictionaryString dictionaries
+    # references expand from the builtin + dictionaryFiles (compile-time
+    # disk read, r9) + dictionaryString dictionaries — later wins
     exprs = params.get("expressions", {})
-    if params.get("dictionaryFiles"):
-        raise ValueError(
-            "grok dictionaryFiles are not supported — inline the "
-            "definitions via dictionaryString (same NAME-pattern-per-line "
-            "format), or register_stage a custom 'grok' stage (U4)")
-    extra = _parse_dictionary_string(params.get("dictionaryString", ""))
+    extra = _load_dictionary_files(params.get("dictionaryFiles", []))
+    extra.update(_parse_dictionary_string(params.get("dictionaryString", "")))
     return [{"stage": "regex_extract", "field": f,
              "pattern": expand_grok(p, extra), "drop_unmatched": True}
             for f, p in exprs.items()]

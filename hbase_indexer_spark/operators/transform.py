@@ -181,11 +181,21 @@ def _convert_timestamp(params: dict) -> Stage:
     matching input format and re-emit in ``output_format``.  Formats are
     Spark datetime patterns; ``unixTimeInMillis`` / ``unixTimeInSeconds``
     are accepted like Kite's special tokens.  Stays in codegen: the
-    try-each-format cascade compiles to coalesce(to_timestamp(...)...)."""
+    try-each-format cascade compiles to coalesce(to_timestamp(...)...).
+
+    ``input_timezone`` / ``output_timezone`` (Kite ``inputTimezone`` /
+    ``outputTimezone``, r9 — the last morphline compat caveat): a
+    pattern-parsed string is read as WALL-CLOCK time in the input zone
+    (``to_utc_timestamp``), and pattern output is the wall clock of the
+    output zone (``from_utc_timestamp``) — the session stays pinned
+    UTC, no conf mutation.  Epoch tokens are zone-independent on both
+    sides, exactly like Kite's SimpleDateFormat handling."""
     name = params["field"]
     out = params.get("into", name)
     in_fmts = params.get("input_formats", ["yyyy-MM-dd'T'HH:mm:ss'Z'"])
     out_fmt = params.get("output_format", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    in_tz = params.get("input_timezone", "UTC")
+    out_tz = params.get("output_timezone", "UTC")
 
     def parse_one(fmt):
         c = F.col(name)
@@ -193,7 +203,12 @@ def _convert_timestamp(params: dict) -> Stage:
             return F.timestamp_millis(c.cast("long"))
         if fmt == "unixTimeInSeconds":
             return F.timestamp_seconds(c.cast("long"))
-        return F.try_to_timestamp(c, F.lit(fmt))
+        # session tz is pinned UTC, so try_to_timestamp yields the naive
+        # wall clock; re-interpret it in the declared input zone
+        parsed = F.try_to_timestamp(c, F.lit(fmt))
+        if in_tz != "UTC":
+            parsed = F.to_utc_timestamp(parsed, in_tz)
+        return parsed
 
     def stage(df: DataFrame) -> DataFrame:
         ts = F.coalesce(*[parse_one(f) for f in in_fmts])
@@ -202,7 +217,9 @@ def _convert_timestamp(params: dict) -> Stage:
         elif out_fmt == "unixTimeInSeconds":
             o = F.unix_seconds(ts)
         else:
-            o = F.date_format(ts, out_fmt)
+            shown = (F.from_utc_timestamp(ts, out_tz)
+                     if out_tz != "UTC" else ts)
+            o = F.date_format(shown, out_fmt)
         return df.withColumn(out, o)
 
     return stage

@@ -572,3 +572,127 @@ def test_xquery_without_paths_fails():
                 { inputColumn : "cf:xml", outputField : xml } ] } }
             { xquery { inputField : xml } } ] } ]
         """, table="t")
+
+
+def test_grok_dictionary_files(spark, tmp_path):
+    """r9: Kite ``dictionaryFiles`` — pattern files (and directories of
+    them) load at conf-compile time; later files and dictionaryString
+    override earlier definitions, Kite's merge order."""
+    d = tmp_path / "patterns"
+    d.mkdir()
+    (d / "a_base.grok").write_text(
+        "REQID req-%{INT}\nHOSTPORT %{IP}:%{POSINT:port}\n")
+    (d / "b_override.grok").write_text(
+        "# comment lines are skipped\nREQID REQ/%{INT}\n")
+    single = tmp_path / "extra.grok"
+    single.write_text("SESSION sess_%{WORD}\n")
+
+    text = f"""
+    morphlines : [
+      {{ id : m1
+        commands : [
+          {{ extractHBaseCells {{ mappings : [
+              {{ inputColumn : "cf:line", outputField : line }} ] }} }}
+          {{ grok {{
+              dictionaryFiles : ["{d}", "{single}"]
+              expressions : {{ line : "%{{REQID:rid}} %{{HOSTPORT}} %{{SESSION:sid}}" }}
+          }} }}
+        ] }} ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [("REQ/77 10.0.0.1:8080 sess_ab12",),   # b_override REQID wins
+         ("req-77 10.0.0.1:8080 sess_ab12",)],  # a_base form must NOT match
+        "line string")
+    rows = chain(df).collect()
+    assert [(r["rid"], r["port"], r["sid"]) for r in rows] == \
+        [("REQ/77", "8080", "sess_ab12")]
+
+
+def test_grok_dictionary_string_overrides_files(tmp_path):
+    from hbase_indexer_spark.config.morphline_conf import (
+        _load_dictionary_files, _parse_dictionary_string, expand_grok)
+
+    f = tmp_path / "p.grok"
+    f.write_text("TOK file-%{INT}\n")
+    extra = _load_dictionary_files([str(f)])
+    extra.update(_parse_dictionary_string("TOK inline-%{INT}"))
+    assert expand_grok("%{TOK:t}", extra) == "(?<t>inline-(?:[+-]?[0-9]+))"
+
+
+def test_grok_missing_dictionary_file_fails(tmp_path):
+    from hbase_indexer_spark.config.morphline_conf import (
+        _load_dictionary_files)
+
+    with pytest.raises(FileNotFoundError):
+        _load_dictionary_files([str(tmp_path / "nope.grok")])
+
+
+def test_convert_timestamp_timezones(spark):
+    """r9: Kite inputTimezone/outputTimezone — wall-clock
+    reinterpretation on parse and display, session pinned UTC."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:ts", outputField : ts } ] } }
+          { convertTimestamp { field : ts
+              inputFormats : ["yyyy-MM-dd HH:mm:ss"]
+              inputTimezone : "America/New_York"
+              outputFormat : "yyyy-MM-dd'T'HH:mm:ss"
+              outputTimezone : "Asia/Tokyo"
+          } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    (stage,) = conf["transform_stages"]
+    assert stage["input_timezone"] == "America/New_York"
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame(
+        [("2024-01-15 12:00:00",),   # EST (UTC-5) -> 17:00Z -> JST 02:00+1d
+         ("2024-07-15 12:00:00",)],  # EDT (UTC-4) -> 16:00Z -> JST 01:00+1d
+        "ts string")
+    got = [r["ts"] for r in chain(df).collect()]
+    assert got == ["2024-01-16T02:00:00", "2024-07-16T01:00:00"]
+
+
+def test_convert_timestamp_epoch_ignores_zones(spark):
+    """Epoch in/out tokens are zone-independent (SimpleDateFormat
+    parity): zones only shape pattern text."""
+    text = """
+    morphlines : [
+      { id : m1
+        commands : [
+          { extractHBaseCells { mappings : [
+              { inputColumn : "cf:ts", outputField : ts } ] } }
+          { convertTimestamp { field : ts
+              inputFormats : ["unixTimeInSeconds"]
+              inputTimezone : "America/New_York"
+              outputFormat : "unixTimeInMillis"
+              outputTimezone : "Asia/Tokyo"
+          } }
+        ] } ]
+    """
+    conf = morphline_to_conf(text, table="t")
+    from hbase_indexer_spark.operators.transform import TransformChain
+
+    chain = TransformChain.from_config(conf["transform_stages"])
+    df = spark.createDataFrame([("1700000000",)], "ts string")
+    assert [r["ts"] for r in chain(df).collect()] == [1700000000000]
+
+
+def test_convert_timestamp_locale_rejected():
+    with pytest.raises(ValueError, match="inputLocale"):
+        morphline_to_conf("""
+        morphlines : [
+          { id : m1, commands : [
+            { extractHBaseCells { mappings : [
+                { inputColumn : "cf:ts", outputField : ts } ] } }
+            { convertTimestamp { field : ts, inputLocale : "FRENCH" } } ] } ]
+        """, table="t")
