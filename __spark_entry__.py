@@ -1035,13 +1035,26 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("maxFilesPerTrigger", 1).parquet(src))
     joined = stream_attribution_join(stream, "click", "purchase")
     sink = os.path.join(tmp, "sink")
-    q = (joined.writeStream.format("parquet")
-         .option("path", sink)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    # state-store partition count is fixed at query start (it shapes the
+    # checkpoint layout, which is fresh per invocation here): size it to
+    # the fixture's per-trigger state (~133k rows -> ~17k/partition at
+    # 8) instead of inheriting the batch shuffle width — 32 partitions
+    # x 2 stateful ops x 3 triggers = 192 tiny state files whose fsync
+    # jitter dominated the timing (idle spread 2.65x, VERDICT r8 #8;
+    # 8 partitions measured 2-4x faster AND flat).  A real deployment
+    # sizes this the same way: state rows per trigger / target chunk.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink)
 
 

@@ -2839,11 +2839,19 @@ def prefix_filter_pairs(docs: DataFrame,
     tk = docs.select("doc_id", F.array_distinct(tokens(txt)).alias("toks"))
     e = tk.select("doc_id", F.explode("toks").alias("tok"))
     dfc = e.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))
-    sorted_ = (e.join(dfc, "tok")
+    # r9: re-key every token to its dense GLOBAL RARITY RANK (long) and
+    # run the whole join on ranks instead of strings — the rank order IS
+    # the (dfn, tok) prefix order, the token->rank map is a bijection so
+    # every intersection size (hence every Jaccard and the final pair
+    # set) is unchanged, and the verify stage now shuffles 8-byte longs
+    # instead of string arrays with per-element object overhead (sf1
+    # probe: the array shuffle + string compares dominated the 170s
+    # wall).  The rank table is vocabulary-sized — the standard
+    # dictionary-encode recipe at 100 TB.
+    ranked = global_rank(dfc, ["dfn", "tok"], rank_col="rk")
+    sorted_ = (e.join(ranked.select("tok", "rk"), "tok")
                .groupBy("doc_id")
-               .agg(F.transform(
-                   F.array_sort(F.collect_list(F.struct("dfn", "tok"))),
-                   lambda s: s["tok"]).alias("st")))
+               .agg(F.array_sort(F.collect_list("rk")).alias("st")))
     meta = sorted_.select(
         "doc_id", "st", F.size("st").cast("long").alias("m"),
         (F.size("st").cast("long")
