@@ -3113,7 +3113,7 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The full oracled-query registry. Insertion order here is historical
-# grouping only — the driver-gate ordering is _GATE_WINDOW_R8 below.
+# grouping only — the driver-gate ordering is _GATE_WINDOW_R9 below.
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- driver-green r7 (CORRECTNESS_r07, 50/50) ---
         # analytics, last 8 of 15
@@ -3354,75 +3354,75 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
 # queries() entries, so this list IS the audit policy (round-3 ADVICE).
 #
-# r8 rotation: the r7 window recorded 50/50 green (CORRECTNESS_r07) —
-# with it, every query that existed at the r7 freeze has been
-# driver-hash-checked at least once. This window holds (a) the 10
-# r7-built arrivals that landed after the freeze (all local-3-SF-green
-# on arrival, CHECK_LOCAL_r07*), (b) operators built this round, and
-# (c) re-checks of the oldest driver-green entries (r1–r4 core parity +
-# early LLM-pipeline rows — the classes the driver's type-sensitive
-# hash guards best, unchecked since r4).
-_GATE_WINDOW_R8: list[str] = [
-    # (a) r7 arrivals, never driver-checked
-    "media_decode",
-    "media_resize",
-    "incremental_minmax_maintenance",
-    "stream_dedup",
-    "bpe_train",
-    "bpe_fertility",
-    "sorted_neighborhood_pairs",
-    "asof_forward_purchase",
-    "asof_nearest_click",
-    "avro_write_roundtrip",
-    # (b) r8-built operators gate immediately
-    "interval_overlap_pairs",
-    "gapfill_daily_value",
-    "k_anonymity_audit",
-    "revenue_trend",
-    "prefix_filter_dups",
-    "dhash_groups",
-    "fd_discovery",
-    "attribution_position",
-    # (c) re-checks: r1–r4 reference-parity core, unchecked since r4
-    "row_index_customer",
-    "xml_conf_index",
-    "column_index_orders",
-    "column_index_orders_hex",
-    "prefix_values",
-    "dynamic_fields",
-    "payload_extraction",
-    "scan_range_pushdown",
-    "multi_table_union",
-    "subscription_gate",
-    "incremental_row_index_bucketed",
-    "incremental_column_index",
-    "etl_enrichment_chain",
-    "branching_chain",
-    "custom_value_mapper",
-    "row_mapper_udtf",
-    "doc_extract_prefix",
-    "skew_salted_user_stats",
-    "prefix_qualifiers",
-    "positional_fields",
-    # (c) re-checks: early LLM-pipeline rows, unchecked since r4/r5
-    "exact_dedup",
-    "simhash",
-    "dedup_clusters",
-    "span_dedup",
-    "embedding_cosine_dedup",
-    "deduped_corpus",
-    "curated_corpus",
-    "ann_bruteforce_topk",
-    "ann_lsh_verified",
-    "ann_ivf_verified",
-    "tfidf_topk",
-    "train_test_split",
+# r9 rotation: the r8 window recorded 50/50 green (CORRECTNESS_r08),
+# completing the ledger — every pre-r9 entry has been driver-checked at
+# least once.  This window holds (a) operators built this round, then
+# (b) EVERY remaining entry whose latest driver check predates r5 (the
+# r2 analytics tail + r3/r4 pipeline rows — 24 entries, closing the
+# VERDICT r8 #7 freshness floor), and (c) the oldest 25 of the
+# r5-checked rows; the r10 window continues with the rest of r5 + r6.
+_GATE_WINDOW_R9: list[str] = [
+    # (a) r9-built operators gate immediately
+    "quarantine_merge",
+    # (b) re-checks: oldest driver evidence first — the r2 analytics
+    # tail and the r3/r4 pipeline rows (completing the "no entry whose
+    # latest driver check predates r5" policy, VERDICT r8 #7)
+    "disjunctive_promo_revenue",
+    "event_value_bands",
+    "event_value_percentiles",
+    "excess_inventory_suppliers",
+    "important_part_value",
+    "market_share",
+    "min_cost_supplier",
+    "nation_trade_volume",
+    "order_priority_cube",
+    "order_status_pivot",
+    "product_type_profit",
+    "returned_item_losses",
+    "small_quantity_revenue",
+    "waiting_suppliers",
+    "minhash_signatures",
+    "ngram_jaccard_dedup",
+    "repetition_filter",
+    "text_profile",
+    "token_stats",
+    "dedup_against",
+    "media_frame_sample",
+    "nation_set_ops",
+    "sliding_event_rates",
+    "user_event_history",
+    # (c) re-checks: the oldest half of the r5-checked pipeline rows
+    "ann_int8_rerank",
+    "ann_ivf_int8",
+    "ann_recall_report",
+    "bigram_logprob",
+    "bloom_screen",
+    "bpe_merge_candidates",
+    "cdc_dedup",
+    "char_entropy",
+    "chunk_documents",
+    "corpus_summary",
+    "curation_lineage",
+    "curriculum_order",
+    "decontaminate",
+    "dedup_keep_best",
+    "dedup_pair_quality",
+    "dedup_store_screen",
+    "embedding_drift",
+    "epoch_expand",
+    "event_funnel",
+    "fixed_k_sample",
+    "gopher_rules",
+    "knn_label_vote",
+    "label_centroids",
+    "language_histogram",
+    "media_dedup",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    window = set(_GATE_WINDOW_R8)
-    ordered = [*_GATE_WINDOW_R8,
+    window = set(_GATE_WINDOW_R9)
+    ordered = [*_GATE_WINDOW_R9,
                *(n for n in _ALL_QUERIES if n not in window)]
     return {n: _pinned(_ALL_QUERIES[n]) for n in ordered}
 

@@ -124,6 +124,28 @@ class IndexerRestServer:
                     return self._send(409, {"error": str(exc)})
                 return self._send(200, asdict(new))
 
+            def do_DELETE(self):  # noqa: N802
+                # convenience verb (r9): the reference deletes through
+                # PUT lifecycleState=DELETE_REQUESTED (IndexerResource
+                # .java:117-131 + IndexerMaster's delete handler); this
+                # routes the same lifecycle transition — the supervisor
+                # drops the job/state asynchronously, so 202, not 204.
+                parts, _ = self._route()
+                if not (len(parts) == 2 and parts[0] == "indexer"):
+                    return self._send(404, {"error": "no such route"})
+                name = parts[1]
+                old = outer.model.get(name)
+                if old is None:
+                    return self._send(404, {"error": f"indexer {name!r} not found"})
+                from hbase_indexer_spark.lifecycle import DELETE_REQUESTED
+
+                try:
+                    new = outer.model.put(
+                        replace(old, lifecycle_state=DELETE_REQUESTED))
+                except ConcurrentModificationError as exc:
+                    return self._send(409, {"error": str(exc)})
+                return self._send(202, asdict(new))
+
             def do_POST(self):  # noqa: N802
                 parts, q = self._route()
                 if q.get("action") != "index":

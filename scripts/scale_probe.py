@@ -373,6 +373,117 @@ def main() -> None:
     print(f"# bm25_incremental: {json.dumps(out['bm25_incremental'])}",
           file=sys.stderr)
 
+    # ---- continuous-curation loop at 10x docs (VERDICT r8 #4) ----
+    # the claim: per-trigger cost is batch-sized (sketch checkpoint +
+    # band-bounded screen joins + two keyed merges), state is
+    # accepted-corpus-sized — record the per-trigger wall curve from the
+    # stream's own progress events at the sf1 replica.
+    from __spark_entry__ import _stage_stream_chunks
+    from hbase_indexer_spark.pipeline.dedup_store import DedupIndexStore
+    from hbase_indexer_spark.sinks.index_store import IndexStore
+    from hbase_indexer_spark.streaming.dedup_stream import curation_stream
+
+    cur_src = _stage_stream_chunks(docs, "doc_id", "hbis_probe_cur_")
+    cur_tmp = os.path.dirname(cur_src)
+    cur_state = DedupIndexStore(os.path.join(cur_tmp, "state"),
+                                threshold=0.7)
+    cur_corpus = IndexStore(os.path.join(cur_tmp, "corpus"), key="doc_id")
+    r0, w0 = shuffle_totals(spark)
+    t0 = time.time()
+    cstream = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(cur_src))
+    cq = curation_stream(cstream, cur_state, cur_corpus,
+                         os.path.join(cur_tmp, "ckpt"),
+                         min_tokens=10, min_quality=0.5)
+    try:
+        cq.processAllAvailable()
+        cprog = [json.loads(p) if isinstance(p, str) else p
+                 for p in cq.recentProgress]
+    finally:
+        cq.stop()
+    wall_cur = round(time.time() - t0, 2)
+    r1, w1 = shuffle_totals(spark)
+    accepted = cur_corpus.read(spark)
+    state_df = cur_state.sketches(spark)
+    out["curation_stream"] = {
+        "docs": out["dedup_clusters"]["docs"],
+        "accepted": accepted.count() if accepted is not None else 0,
+        "state_sketch_rows": state_df.count() if state_df is not None else 0,
+        "wall_s": wall_cur,
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        # per-trigger wall + input rows: flat per batch-size proves the
+        # loop's cost is the batch, not the accumulated state/corpus
+        "trigger_wall_ms": [int(p["durationMs"]["triggerExecution"])
+                            for p in cprog if p.get("durationMs")],
+        "trigger_input_rows": [int(p.get("numInputRows", 0))
+                               for p in cprog],
+    }
+    print(f"# curation_stream: {json.dumps(out['curation_stream'])}",
+          file=sys.stderr)
+
+    # ---- sequential stateful screen fold curve (VERDICT r8 #4) ----
+    # dedup_store_screen's shape: per batch, sketch + screen against the
+    # accumulated state + accept keeps.  A flat per-batch wall (state
+    # joins band-bounded, screen cost ~ batch) is the 100 TB claim.
+    from hbase_indexer_spark.pipeline.dedup_store import doc_sketches
+
+    from pyspark.sql import functions as F  # noqa: F811 (local rebind)
+
+    scr_store = DedupIndexStore(os.path.join(tmp, "screen_state"),
+                                threshold=0.7)
+    scr_folds = []
+    for b in range(4):
+        sbatch = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == F.lit(b))
+
+        def one_fold(sbatch=sbatch):
+            sk = doc_sketches(sbatch, scr_store.n) \
+                .localCheckpoint(eager=True)
+            verd = scr_store.screen(spark, sbatch, sketches=sk) \
+                .localCheckpoint(eager=True)
+            keeps = verd.filter(F.col("keep")).select("doc_id")
+            scr_store.accept(spark, sbatch,
+                             sketches=sk.join(keeps, "doc_id", "left_semi"))
+            return verd.count()
+
+        n_v, t_b, r_b, w_b = timed(spark, one_fold)
+        scr_folds.append({"verdicts": n_v, "wall_s": t_b,
+                          "shuffle_read_mb": r_b, "shuffle_write_mb": w_b})
+    scr_state = scr_store.sketches(spark)
+    out["dedup_store_screen"] = {
+        "docs": out["dedup_clusters"]["docs"],
+        "folds": scr_folds,
+        "state_sketch_rows": (scr_state.count()
+                              if scr_state is not None else 0),
+    }
+    print(f"# dedup_store_screen: {json.dumps(out['dedup_store_screen'])}",
+          file=sys.stderr)
+
+    # ---- BPE trainer at tokenizer-sized merge counts (VERDICT r8 #5) ----
+    # the r8 plan-depth fix re-checkpoints every 25 rounds; prove the
+    # per-round marginal wall stays flat at n_merges=200 (vs 50) on the
+    # BASE sf0.1 corpus — the two-point difference cancels the corpus
+    # read exactly like the pagerank probe.
+    from hbase_indexer_spark.pipeline.corpus_stats import bpe_train
+
+    docs_base = (spark.read.parquet(f"{args.base}/documents.parquet")
+                 .select("doc_id", "text"))
+    bpe_train(docs_base, 5).count()  # warm-up: corpus read + codegen
+    _, t50, r50, w50 = timed(spark, lambda: bpe_train(docs_base, 50).count())
+    _, t200, r200, w200 = timed(
+        spark, lambda: bpe_train(docs_base, 200).count())
+    out["bpe_train_200"] = {
+        "base": args.base,
+        "merges50_wall_s": t50,
+        "merges200_wall_s": t200,
+        "per_round_wall_s": round((t200 - t50) / 150, 3),
+        "per_round_shuffle_write_mb": (
+            round((w200 - w50) / 150, 2)
+            if w200 is not None and w50 is not None else None),
+    }
+    print(f"# bpe_train_200: {json.dumps(out['bpe_train_200'])}",
+          file=sys.stderr)
+
     # ---- headline entry queries against a FULL sf1-shaped replica ----
     # the real driver surface (entry.queries()) run unchanged at 10x —
     # "would this plan still work at the next scale-up" measured, not

@@ -229,3 +229,32 @@ def test_column_mode_large_delete_batch_uses_join_path(spark, tmp_path, n_bucket
     ix2.process_batch(spark.createDataFrame(dels, EVENT_SCHEMA))
     assert ix2.metrics["delete_path"] == "inlist"
     assert {r["id"] for r in ix2.index.read(spark).collect()} == survivors
+
+
+def test_delete_inlist_max_exact_boundary(spark, tmp_path):
+    """The IN-list/anti-join switch fires at EXACTLY delete_inlist_max
+    (r9, VERDICT r8 #9): a delete scope of size == max stays an IN-list
+    (<= comparison), size == max + 1 goes distributed — with identical
+    merged results either side of the boundary."""
+    conf = IndexerConf.from_dict(COL_CONF)
+    puts = [ev(i + 1, f"r{i:03d}", "m1", f"v{i}") for i in range(8)]
+    dels = [ev(100 + i, f"r{i:03d}", None, op="delete_row")
+            for i in range(4)]           # 4 distinct delete rows
+
+    def run(max_, tag):
+        ix = IncrementalIndexer(
+            spark, conf,
+            state_path=str(tmp_path / f"s{tag}"),
+            index_path=str(tmp_path / f"i{tag}"),
+            delete_inlist_max=max_,
+        )
+        ix.process_batch(spark.createDataFrame(puts, EVENT_SCHEMA))
+        ix.process_batch(spark.createDataFrame(dels, EVENT_SCHEMA))
+        return ix, {r["id"] for r in ix.index.read(spark).collect()}
+
+    at, surv_at = run(4, "at")           # scope == max -> IN-list
+    assert at.metrics["delete_path"] == "inlist"
+    below, surv_below = run(3, "below")  # scope == max + 1 -> anti-join
+    assert below.metrics["delete_path"] == "join"
+    assert surv_at == surv_below == {
+        f"r{i:03d}-info-m1" for i in range(4, 8)}

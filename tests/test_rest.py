@@ -115,3 +115,23 @@ def test_post_fanout_and_errors(server):
     # no snapshot configured -> explicit 400, not a stack trace
     assert _req(f"{server.url}/indexer/other?action=index&id=1", "POST")[0] == 400
     assert _req(f"{server.url}/indexer/ghost?action=index&id=1", "POST")[0] == 404
+
+
+def test_delete_requests_lifecycle_deletion(server):
+    """r9: DELETE /indexer/{name} — sugar over the reference's
+    PUT lifecycleState=DELETE_REQUESTED route (IndexerResource.java:
+    117-131): marks the definition, 202, supervisor drops it on its
+    next cycle (the IndexerMaster delete handler analog)."""
+    code, d = _req(f"{server.url}/indexer/other", method="DELETE")
+    assert code == 202
+    assert d["lifecycle_state"] == "DELETE_REQUESTED"
+    # the definition still exists until the supervisor's drop runs
+    code, d2 = _req(f"{server.url}/indexer/other")
+    assert code == 200 and d2["lifecycle_state"] == "DELETE_REQUESTED"
+
+
+def test_delete_unknown_indexer_404(server):
+    code, body = _req(f"{server.url}/indexer/nope", method="DELETE")
+    assert code == 404 and "not found" in body["error"]
+    code, _ = _req(f"{server.url}/indexer", method="DELETE")
+    assert code == 404
