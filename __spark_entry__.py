@@ -3091,6 +3091,67 @@ def q_quarantine_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.unionByName(q).orderBy("id", "source")
 
 
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (r9): quasi-identifier groups
+    (nation x balance-thousand) whose distinct market segments fall
+    below l=4 — the homogeneity-attack check k-anonymity misses; two
+    combinable aggregates."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.pipeline.curation import l_diversity_audit
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qi = c.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+        F.col("c_mktsegment").alias("segment"))
+    return l_diversity_audit(qi, ["nation", "bal_k"], "segment", l=4)
+
+
+_RDV_FROM, _RDV_TO = 8, 9
+
+
+def q_rendezvous_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard routing + elastic reshard audit (r9): the
+    K2 router extension — per old shard, how many customer keys stay
+    vs move when the shard count grows 8 -> 9.  Highest-random-weight
+    placement moves ~1/9 of keys (md5-mod would move 8/9); the
+    assignment is a map-only argmax over per-shard md5 weights,
+    bit-identical in both engines."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.sinks.sharding import rendezvous_shard
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    key = F.col("c_custkey")
+    assigned = c.select(
+        rendezvous_shard(key, _RDV_FROM).alias("shard_from"),
+        rendezvous_shard(key, _RDV_TO).alias("shard_to"))
+    return (assigned.groupBy("shard_from")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.count(F.when(F.col("shard_from") != F.col("shard_to"),
+                                F.lit(1))).cast("long").alias("n_moved"))
+            .orderBy("shard_from"))
+
+
+_PFX_T = 800_000
+
+
+def q_prefix_filter_xjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus EXACT-recall similarity join (r9): every near-dup
+    pair (Jaccard >= 0.8) between two disjoint 1-in-20 document slices
+    — the R-S form of the prefix-filter family, i.e. dedup_against /
+    decontamination with a zero-false-negative guarantee.  The oracle
+    verifies every length-eligible cross pair directly, so a recall
+    bug in the candidate machinery surfaces as missing rows."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_join
+
+    docs = _docs(spark, sf_dir)
+    left = docs.filter(F.col("doc_id") % 20 == 0)
+    right = docs.filter(F.col("doc_id") % 20 == 10)
+    return (prefix_filter_join(left, right, threshold_micro=_PFX_T)
+            .orderBy("x", "y"))
+
+
 # ---------------------------------------------------------------------------
 # Driver surface
 # ---------------------------------------------------------------------------
@@ -3189,6 +3250,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "attribution_position": q_attribution_position,
         # --- built r9: gate in the r9 window ---
         "quarantine_merge": q_quarantine_merge,
+        "l_diversity_audit": q_l_diversity_audit,
+        "rendezvous_reshard": q_rendezvous_reshard,
+        "prefix_filter_xjoin": q_prefix_filter_xjoin,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
         "curation_stream": q_curation_stream,
         "semantic_decontam": q_semantic_decontam,
@@ -3364,6 +3428,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_WINDOW_R9: list[str] = [
     # (a) r9-built operators gate immediately
     "quarantine_merge",
+    "l_diversity_audit",
+    "rendezvous_reshard",
+    "prefix_filter_xjoin",
     # (b) re-checks: oldest driver evidence first — the r2 analytics
     # tail and the r3/r4 pipeline rows (completing the "no entry whose
     # latest driver check predates r5" policy, VERDICT r8 #7)
@@ -3414,9 +3481,6 @@ _GATE_WINDOW_R9: list[str] = [
     "fixed_k_sample",
     "gopher_rules",
     "knn_label_vote",
-    "label_centroids",
-    "language_histogram",
-    "media_dedup",
 ]
 
 
@@ -4570,5 +4634,32 @@ def oracle_sql() -> dict[str, str]:
         FROM docs WHERE doc_err IS NOT NULL AND id % 7 <> 0
         ORDER BY id, source
     """
+    from hbase_indexer_spark.pipeline.curation import l_diversity_audit_sql
+
+    out["l_diversity_audit"] = l_diversity_audit_sql(
+        {"nation": "CAST(c_nationkey AS INTEGER)",
+         "bal_k": "CAST(floor(c_acctbal / 1000) AS BIGINT)"},
+        "c_mktsegment", l=4, table="customer")
+    from hbase_indexer_spark.sinks.sharding import rendezvous_shard_sql
+
+    _rdv_f = rendezvous_shard_sql("CAST(c_custkey AS VARCHAR)", _RDV_FROM)
+    _rdv_t = rendezvous_shard_sql("CAST(c_custkey AS VARCHAR)", _RDV_TO)
+    out["rendezvous_reshard"] = f"""
+        WITH a AS (
+            SELECT {_rdv_f} AS shard_from, {_rdv_t} AS shard_to
+            FROM customer
+        )
+        SELECT shard_from,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(count(CASE WHEN shard_from <> shard_to THEN 1 END)
+                    AS BIGINT) AS n_moved
+        FROM a GROUP BY shard_from ORDER BY shard_from
+    """
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_join_sql
+
+    out["prefix_filter_xjoin"] = (
+        prefix_filter_join_sql(_PFX_T, "doc_id % 20 = 0",
+                               "doc_id % 20 = 10")
+        + " ORDER BY x, y")
     # ann_lsh_topk: intentionally no oracle (approximate); rows-only check
     return out

@@ -1352,3 +1352,68 @@ def k_anonymity_audit_sql(quasi_exprs: dict[str, str], k: int,
         FROM g WHERE n_rows < {k}
         ORDER BY {cols}
     """
+
+
+def l_diversity_audit(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str, l: int = 3) -> DataFrame:
+    """l-diversity audit (r9) — k-anonymity's companion check
+    (Machanavajjhala et al.): a quasi-identifier group can be large
+    enough to pass k-anonymity yet still leak the SENSITIVE attribute
+    when every member shares one value (the homogeneity attack).  A
+    group is l-diverse when it contains at least ``l`` distinct
+    well-represented sensitive values; this audit returns the groups
+    below that bar.
+
+    Returns one row per failing group: ``(*quasi_cols, n_rows,
+    n_sensitive, top_sensitive_ppm)`` where ``n_sensitive`` counts
+    distinct non-NULL sensitive values and ``top_sensitive_ppm`` is the
+    most-common value's share of the group in ppm (the attacker's
+    posterior confidence under homogeneity).  NULL sensitive values
+    are not diversity (an absent diagnosis reveals nothing to hide) but
+    still count toward group size.
+
+    Scale: two combinable aggregations — (quasi, sensitive) counts,
+    then the group rollup — both group-sized shuffles; exact distinct
+    via the two-phase reduction, never a row-level window."""
+    per_val = (df.groupBy(*quasi_cols, sensitive_col)
+               .agg(F.count(F.lit(1)).alias("_n")))
+    grp = (per_val.groupBy(*quasi_cols)
+           .agg(F.sum("_n").cast("long").alias("n_rows"),
+                F.count(F.when(F.col(sensitive_col).isNotNull(), 1))
+                .cast("long").alias("n_sensitive"),
+                F.max(F.when(F.col(sensitive_col).isNotNull(),
+                             F.col("_n"))).alias("_top")))
+    return (grp.filter(F.col("n_sensitive") < l)
+            .withColumn(
+                "top_sensitive_ppm",
+                F.expr("1000000 * coalesce(_top, 0) div n_rows")
+                .cast("long"))
+            .drop("_top")
+            .orderBy(*quasi_cols))
+
+
+def l_diversity_audit_sql(quasi_exprs: dict[str, str],
+                          sensitive_expr: str, l: int,
+                          table: str) -> str:
+    """DuckDB mirror of :func:`l_diversity_audit`."""
+    sel = ", ".join(f"{e} AS {c}" for c, e in quasi_exprs.items())
+    cols = ", ".join(quasi_exprs)
+    return f"""
+        WITH q AS (SELECT {sel}, {sensitive_expr} AS sv FROM {table}),
+        pv AS (
+            SELECT {cols}, sv, count(*) AS n FROM q GROUP BY {cols}, sv
+        ),
+        g AS (
+            SELECT {cols},
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(CASE WHEN sv IS NOT NULL THEN 1 END)
+                        AS BIGINT) AS n_sensitive,
+                   max(CASE WHEN sv IS NOT NULL THEN n END) AS top_n
+            FROM pv GROUP BY {cols}
+        )
+        SELECT {cols}, n_rows, n_sensitive,
+               CAST((1000000 * coalesce(top_n, 0)) // n_rows AS BIGINT)
+                   AS top_sensitive_ppm
+        FROM g WHERE n_sensitive < {l}
+        ORDER BY {cols}
+    """

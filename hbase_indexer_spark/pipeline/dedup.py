@@ -2895,6 +2895,120 @@ def prefix_filter_pairs(docs: DataFrame,
             .select("x", "y", "jaccard_micro"))
 
 
+def prefix_filter_join(left: DataFrame, right: DataFrame,
+                       threshold_micro: int = 600_000) -> DataFrame:
+    """Cross-corpus prefix-filtering similarity JOIN (r9): every
+    ``(left, right)`` doc pair with exact Jaccard >= t — the R-S join
+    form of :func:`prefix_filter_pairs`, and the EXACT-RECALL upgrade
+    of ``dedup_against``'s banded near-dup screen (banding can miss a
+    true pair; the prefix pigeonhole cannot).  Use it where a missed
+    contamination pair is unacceptable: benchmark decontamination,
+    cross-snapshot release audits.
+
+    Both corpora are ranked in ONE shared global rarity order (document
+    frequency over the UNION — the prefix guarantee needs only that
+    both sides use the same total order, and union-df minimizes
+    candidate volume); candidates meet on shared prefix ranks under the
+    same length + positional filters as the self-join, then verify with
+    exact intersections on the rank arrays.
+
+    Returns ``(x, y, jaccard_micro)`` with x from ``left``, y from
+    ``right`` (both must carry ``doc_id``/``text``; doc_id spaces may
+    overlap — pairing is by side, not id order).
+
+    Scale: identical recipe to the self-join — candidates keyed on
+    globally-rare ranks, verification on dictionary-encoded longs; the
+    extra union for the df count is one combinable aggregate."""
+    t = int(threshold_micro)
+    txt_ = F.coalesce(F.col("text"), F.lit(""))
+
+    def toks_of(df):
+        return df.select("doc_id",
+                         F.array_distinct(tokens(txt_)).alias("toks"))
+
+    el = toks_of(left).select("doc_id", F.explode("toks").alias("tok"))
+    er = toks_of(right).select("doc_id", F.explode("toks").alias("tok"))
+    dfc = (el.unionByName(er).groupBy("tok")
+           .agg(F.count(F.lit(1)).alias("dfn")))
+    ranked = global_rank(dfc, ["dfn", "tok"], rank_col="rk")
+
+    def meta_of(e):
+        s = (e.join(ranked.select("tok", "rk"), "tok")
+             .groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list("rk")).alias("st")))
+        return s.select(
+            "doc_id", "st", F.size("st").cast("long").alias("m"),
+            (F.size("st").cast("long")
+             - F.expr(f"(({t} * size(st)) + 999999) div 1000000")
+             + 1).alias("plen"))
+
+    ml, mr = meta_of(el), meta_of(er)
+
+    def pref_of(meta, doc_as, m_as, p_as):
+        return meta.select(
+            F.col("doc_id").alias(doc_as), F.col("m").alias(m_as),
+            F.posexplode(F.slice("st", 1, F.col("plen")))
+            .alias(p_as, "tok"))
+
+    a = pref_of(ml, "x", "ma", "pa")
+    b = pref_of(mr, "y", "mb", "pb")
+    bound = F.least(F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb"))
+    cand = (a.join(b, "tok")
+            .filter((F.least("ma", "mb") * 1_000_000
+                     >= F.lit(t) * F.greatest("ma", "mb"))
+                    & (bound * (1_000_000 + t)
+                       >= F.lit(t) * (F.col("ma") + F.col("mb"))))
+            .select("x", "y").distinct()
+            .repartition(F.col("x"), F.col("y")))
+    ta = ml.select(F.col("doc_id").alias("x"),
+                   F.col("st").alias("tx"), F.col("m").alias("mx"))
+    tb = mr.select(F.col("doc_id").alias("y"),
+                   F.col("st").alias("ty"), F.col("m").alias("my"))
+    inter = F.size(F.array_intersect("tx", "ty")).cast("long")
+    return (cand.join(ta, "x").join(tb, "y")
+            .withColumn("_i", inter)
+            .withColumn("jaccard_micro",
+                        F.expr("(1000000 * _i) div (mx + my - _i)"))
+            .filter(F.col("jaccard_micro") >= t)
+            .select("x", "y", "jaccard_micro"))
+
+
+def prefix_filter_join_sql(threshold_micro: int,
+                           left_where: str, right_where: str,
+                           table: str = "documents") -> str:
+    """DuckDB mirror of :func:`prefix_filter_join` over two slices of
+    ``table`` (``left_where`` / ``right_where`` row predicates).  The
+    mirror verifies EVERY length-eligible cross pair directly (exact
+    Jaccard on the distinct token lists) — the oracle checks the
+    answer, not the candidate machinery, so a prefix-filter recall bug
+    on the Spark side shows up as missing rows."""
+    t = int(threshold_micro)
+    return f"""
+        WITH lt AS (
+            SELECT doc_id, list_distinct({TOKS_SQL_NN}) AS toks
+            FROM {table} WHERE {left_where}
+        ),
+        rt AS (
+            SELECT doc_id, list_distinct({TOKS_SQL_NN}) AS toks
+            FROM {table} WHERE {right_where}
+        )
+        SELECT lt.doc_id AS x, rt.doc_id AS y,
+               CAST((1000000 * len(list_intersect(lt.toks, rt.toks)))
+                    // (len(lt.toks) + len(rt.toks)
+                        - len(list_intersect(lt.toks, rt.toks)))
+                    AS BIGINT) AS jaccard_micro
+        FROM lt JOIN rt
+          -- token-less docs never enter the Spark-side meta (explode
+          -- drops them); mirror that and dodge the 0//0
+          ON len(lt.toks) > 0 AND len(rt.toks) > 0
+         AND least(len(lt.toks), len(rt.toks)) * 1000000
+             >= {t} * greatest(len(lt.toks), len(rt.toks))
+        WHERE (1000000 * len(list_intersect(lt.toks, rt.toks)))
+              // (len(lt.toks) + len(rt.toks)
+                  - len(list_intersect(lt.toks, rt.toks))) >= {t}
+    """
+
+
 def prefix_filter_sql(threshold_micro: int = 600_000,
                       table: str = "documents") -> str:
     t = int(threshold_micro)

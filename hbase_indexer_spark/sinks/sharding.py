@@ -100,3 +100,40 @@ def shard_manifest_sql(key: str = "doc_id", n_shards: int = 8,
         FROM {table}
         GROUP BY 1
     """
+
+
+def rendezvous_shard(col: Column, n_shards: int,
+                     salt: str = "#") -> Column:
+    """Rendezvous (highest-random-weight) shard assignment (r9): the
+    key goes to ``argmax over s of md5(key + salt + s)`` — Thaler &
+    Ravishankar's consistent placement.  The K2 MD5-mod router
+    (:func:`md5_shard`) remaps ``(n-1)/n`` of all keys when the shard
+    count changes; rendezvous moves EXACTLY the keys whose new shard
+    wins the argmax, ``~1/(n+1)`` on grow — the elastic-reshard
+    property a 100 TB sharded store needs (resizing reshuffles one
+    shard's worth of data, not the corpus).
+
+    Pure map-side expression (an ``array_max`` over ``n`` md5 structs,
+    no shuffle, no UDF); md5 hex strings are fixed-length so their
+    lexicographic max is the numeric max, and the (weight, shard)
+    struct comparison makes even a (practically impossible) weight tie
+    deterministic.  Mirrored term-for-term in
+    :func:`rendezvous_shard_sql` — md5 is bit-identical cross-engine."""
+    key = col.cast("string")
+    weights = F.array(*[
+        F.struct(
+            F.md5(F.concat(key, F.lit(f"{salt}{s}"))).alias("w"),
+            F.lit(s).alias("shard"),
+        )
+        for s in range(int(n_shards))
+    ])
+    return F.array_max(weights)["shard"]
+
+
+def rendezvous_shard_sql(key: str, n_shards: int, salt: str = "#") -> str:
+    """DuckDB mirror of :func:`rendezvous_shard` (arg_max over the
+    per-shard md5 weights)."""
+    return f"""(
+        SELECT arg_max(s, md5({key} || '{salt}' || s))
+        FROM unnest(generate_series(0, {int(n_shards) - 1})) AS t(s)
+    )"""

@@ -310,11 +310,19 @@ def main() -> None:
               .option("maxFilesPerTrigger", 1)
               .parquet(src))
     joined = stream_attribution_join(stream, "click", "purchase")
-    q = (joined.writeStream.format("parquet")
-         .option("path", sink)
-         .option("checkpointLocation", os.path.join(tmp, "ssj_ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # state partitions sized like the gate query (r9): per-trigger
+    # state / ~17k rows per partition, not the batch shuffle width —
+    # see q_stream_stream_join's rationale
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ssj_ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     wall_ssj = round(time.time() - t0, 2)
     progress = [json.loads(p) if isinstance(p, str) else p
                 for p in q.recentProgress]

@@ -1,0 +1,124 @@
+"""r9 operator pins: l-diversity audit, rendezvous sharding,
+cross-corpus exact-recall prefix-filter join."""
+
+from pyspark.sql import functions as F
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from hbase_indexer_spark.pipeline.curation import l_diversity_audit
+
+    rows = [
+        # group (1, 1): 4 rows but ONE sensitive value -> fails l=3
+        (1, 1, "flu"), (1, 1, "flu"), (1, 1, "flu"), (1, 1, "flu"),
+        # group (1, 2): 3 distinct values -> passes l=3
+        (1, 2, "flu"), (1, 2, "cold"), (1, 2, "ok"),
+        # group (2, 1): 2 distinct + NULL (not diversity) -> fails
+        (2, 1, "flu"), (2, 1, "cold"), (2, 1, None),
+    ]
+    df = spark.createDataFrame(rows, "qa int, qb int, diag string")
+    got = {(r.qa, r.qb): (r.n_rows, r.n_sensitive, r.top_sensitive_ppm)
+           for r in l_diversity_audit(df, ["qa", "qb"], "diag", l=3)
+           .collect()}
+    assert got == {
+        (1, 1): (4, 1, 1_000_000),      # all 4 share 'flu'
+        (2, 1): (3, 2, 333_333),        # top value 1/3, NULL not counted
+    }
+
+
+def test_l_diversity_matches_duckdb_mirror(spark, tmp_path):
+    import duckdb
+
+    from hbase_indexer_spark.pipeline.curation import (
+        l_diversity_audit, l_diversity_audit_sql)
+
+    df = spark.createDataFrame(
+        [(i % 4, f"v{i % 3 if i % 4 else 0}") for i in range(40)],
+        "q int, s string")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    got = sorted(tuple(r) for r in
+                 l_diversity_audit(df, ["q"], "s", l=3).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(
+        l_diversity_audit_sql({"q": "q"}, "s", l=3, table="t")).fetchall())
+    assert got == want and got  # non-empty
+
+
+def test_rendezvous_grow_moves_only_to_new_shard(spark):
+    """The rendezvous invariant that makes resharding elastic: growing
+    n -> n+1 only ever moves a key TO the new shard (existing shards'
+    relative weights are unchanged), and the moved fraction is ~1/(n+1)
+    of the keys."""
+    from hbase_indexer_spark.sinks.sharding import rendezvous_shard
+
+    keys = spark.range(1, 3001).select(F.col("id"))
+    a = keys.select(
+        "id", rendezvous_shard(F.col("id"), 8).alias("s8"),
+        rendezvous_shard(F.col("id"), 9).alias("s9"))
+    moved = a.filter(F.col("s8") != F.col("s9"))
+    n_moved = moved.count()
+    # every moved key lands on the NEW shard (index 8)
+    assert moved.filter(F.col("s9") != 8).count() == 0
+    # ~3000/9 = 333 expected; allow generous slack either side
+    assert 200 < n_moved < 500
+    # assignments cover all shards
+    assert a.select("s8").distinct().count() == 8
+    assert a.select("s9").distinct().count() == 9
+
+
+def test_rendezvous_matches_md5_mod_churn_contrast(spark):
+    """md5-mod remaps ~(n)/(n+1) of keys on the same grow — the churn
+    rendezvous exists to avoid; pin the contrast so the claim in the
+    docstring stays measured, not asserted."""
+    from hbase_indexer_spark.sinks.sharding import md5_shard
+
+    keys = spark.range(1, 3001)
+    m = keys.select(
+        md5_shard(F.col("id"), 8).alias("s8"),
+        md5_shard(F.col("id"), 9).alias("s9"))
+    frac = m.filter(F.col("s8") != F.col("s9")).count() / 3000
+    assert frac > 0.7  # ~8/9 expected
+
+
+def test_prefix_filter_join_exact_recall(spark):
+    """Every cross pair with Jaccard >= t must appear (pigeonhole
+    guarantee) — compare against the brute-force cross join on a
+    corpus with engineered near-dups, including overlapping doc_id
+    spaces across the two sides."""
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_join
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    left_rows = [(i, base + f" extra{i % 3}") for i in range(12)]
+    right_rows = [(i, base + f" extra{i % 3} more") for i in range(8)]
+    right_rows += [(100 + i, f"completely different text number {i} "
+                    f"with unrelated words entirely") for i in range(5)]
+    L = spark.createDataFrame(left_rows, "doc_id long, text string")
+    R = spark.createDataFrame(right_rows, "doc_id long, text string")
+
+    t = 700_000
+    got = sorted((r.x, r.y, r.jaccard_micro) for r in
+                 prefix_filter_join(L, R, threshold_micro=t).collect())
+
+    toks = lambda s: set(  # noqa: E731
+        __import__("re").findall(r"[a-z0-9]+", s.lower()))
+    want = []
+    for x, lt in left_rows:
+        for y, rt in right_rows:
+            a, b = toks(lt), toks(rt)
+            i = len(a & b)
+            if i and (1_000_000 * i) // (len(a) + len(b) - i) >= t:
+                want.append((x, y, (1_000_000 * i) // (len(a) + len(b) - i)))
+    assert got == sorted(want) and got
+
+
+def test_prefix_filter_join_empty_and_disjoint(spark):
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_join
+
+    L = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string")
+    R = spark.createDataFrame(
+        [(2, "delta epsilon zeta"), (3, None)],
+        "doc_id long, text string")
+    assert prefix_filter_join(L, R, threshold_micro=500_000).count() == 0
