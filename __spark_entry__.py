@@ -3107,6 +3107,24 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(qi, ["nation", "bal_k"], "segment", l=4)
 
 
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (r9): quasi-identifier groups whose market-
+    segment distribution sits more than 0.3 total-variation from the
+    corpus distribution — the skewness-attack check completing the
+    privacy triad; exact integer ppm arithmetic, census-sized
+    shuffles."""
+    _ensure_session_confs(spark)
+    from hbase_indexer_spark.pipeline.curation import t_closeness_audit
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qi = c.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+        F.col("c_mktsegment").alias("segment"))
+    return t_closeness_audit(qi, ["nation", "bal_k"], "segment",
+                             t_ppm=300_000)
+
+
 _RDV_FROM, _RDV_TO = 8, 9
 
 
@@ -3251,6 +3269,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- built r9: gate in the r9 window ---
         "quarantine_merge": q_quarantine_merge,
         "l_diversity_audit": q_l_diversity_audit,
+        "t_closeness_audit": q_t_closeness_audit,
         "rendezvous_reshard": q_rendezvous_reshard,
         "prefix_filter_xjoin": q_prefix_filter_xjoin,
         # --- driver-green r6 (CORRECTNESS_r06, 50/50) ---
@@ -3429,6 +3448,7 @@ _GATE_WINDOW_R9: list[str] = [
     # (a) r9-built operators gate immediately
     "quarantine_merge",
     "l_diversity_audit",
+    "t_closeness_audit",
     "rendezvous_reshard",
     "prefix_filter_xjoin",
     # (b) re-checks: oldest driver evidence first — the r2 analytics
@@ -3480,7 +3500,6 @@ _GATE_WINDOW_R9: list[str] = [
     "event_funnel",
     "fixed_k_sample",
     "gopher_rules",
-    "knn_label_vote",
 ]
 
 
@@ -4640,6 +4659,12 @@ def oracle_sql() -> dict[str, str]:
         {"nation": "CAST(c_nationkey AS INTEGER)",
          "bal_k": "CAST(floor(c_acctbal / 1000) AS BIGINT)"},
         "c_mktsegment", l=4, table="customer")
+    from hbase_indexer_spark.pipeline.curation import t_closeness_audit_sql
+
+    out["t_closeness_audit"] = t_closeness_audit_sql(
+        {"nation": "CAST(c_nationkey AS INTEGER)",
+         "bal_k": "CAST(floor(c_acctbal / 1000) AS BIGINT)"},
+        "c_mktsegment", t_ppm=300_000, table="customer")
     from hbase_indexer_spark.sinks.sharding import rendezvous_shard_sql
 
     _rdv_f = rendezvous_shard_sql("CAST(c_custkey AS VARCHAR)", _RDV_FROM)

@@ -216,6 +216,13 @@ BENCH_QUERIES = [
     "dhash_groups",
     "fd_discovery",
     "attribution_position",
+    # r9 additions: K1 error isolation, the privacy triad tail,
+    # rendezvous resharding, the cross-corpus exact-recall join
+    "quarantine_merge",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "rendezvous_reshard",
+    "prefix_filter_xjoin",
 ]
 
 

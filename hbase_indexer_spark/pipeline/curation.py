@@ -1417,3 +1417,96 @@ def l_diversity_audit_sql(quasi_exprs: dict[str, str],
         FROM g WHERE n_sensitive < {l}
         ORDER BY {cols}
     """
+
+
+def t_closeness_audit(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str,
+                      t_ppm: int = 300_000) -> DataFrame:
+    """t-closeness audit (r9) — the third leg of the release-privacy
+    triad (Li et al.): a group can be k-anonymous AND l-diverse yet
+    still leak when its sensitive-value DISTRIBUTION diverges from the
+    corpus-wide one (the skewness attack: 90% 'flu' in a group vs 1%
+    globally is a strong inference even with several distinct values).
+    For categorical attributes the variational distance IS the EMD
+    under uniform ground distance; computed here in EXACT integer
+    arithmetic:
+
+        tv_ppm = 1e6 * sum_v |c_gv*n - c_v*n_g|  div  (2 * n_g * n)
+
+    (common denominator n_g*n — no floats, so both engines agree
+    bit-for-bit).  Values absent from a group still contribute
+    |0 - c_v*n_g|; NULL sensitive values are treated as one more
+    category (an absent value is itself a distribution signal here,
+    unlike l-diversity's well-representedness count) — normalized to a
+    NUL-byte sentinel string so the category joins like any other
+    (NULL never equi-joins, in either engine).
+
+    Returns groups with ``tv_ppm > t_ppm``: ``(*quasi_cols, n_rows,
+    tv_ppm)``.
+
+    Scale: (quasi, value) counts + a broadcast of the VALUE-sized
+    global distribution + one group rollup — two combinable shuffles of
+    group-sized data and one tiny dim join; the groups x values frame
+    is |groups| * |distinct values| rows, both census-sized."""
+    sv = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\x00"))
+    base = df.select(*quasi_cols, sv.alias("_sv"))
+    n_total = base.count()
+    per_val = (base.groupBy(*quasi_cols, "_sv")
+               .agg(F.count(F.lit(1)).alias("_cgv")))
+    glob = base.groupBy("_sv").agg(F.count(F.lit(1)).alias("_cv"))
+    grp = (per_val.groupBy(*quasi_cols)
+           .agg(F.sum("_cgv").cast("long").alias("n_rows")))
+    # every (group, value) cell, including values the group lacks
+    cells = (grp.crossJoin(F.broadcast(glob))
+             .join(per_val, [*quasi_cols, "_sv"], "left")
+             .na.fill({"_cgv": 0}))
+    dev = (cells.groupBy(*quasi_cols, "n_rows")
+           .agg(F.sum(F.abs(F.col("_cgv") * F.lit(n_total)
+                            - F.col("_cv") * F.col("n_rows")))
+                .alias("_dev")))
+    return (dev.withColumn(
+                "tv_ppm",
+                F.expr(f"(1000000 * _dev) div (2 * n_rows * {n_total})")
+                .cast("long"))
+            .filter(F.col("tv_ppm") > t_ppm)
+            .select(*quasi_cols, "n_rows", "tv_ppm")
+            .orderBy(*quasi_cols))
+
+
+def t_closeness_audit_sql(quasi_exprs: dict[str, str],
+                          sensitive_expr: str, t_ppm: int,
+                          table: str) -> str:
+    """DuckDB mirror of :func:`t_closeness_audit`."""
+    sel = ", ".join(f"{e} AS {c}" for c, e in quasi_exprs.items())
+    cols = ", ".join(quasi_exprs)
+    return f"""
+        WITH q AS (SELECT {sel},
+                          coalesce(CAST({sensitive_expr} AS VARCHAR),
+                                   chr(0)) AS sv
+                   FROM {table}),
+        tot AS (SELECT count(*) AS n FROM q),
+        pv AS (
+            SELECT {cols}, sv, CAST(count(*) AS BIGINT) AS cgv
+            FROM q GROUP BY {cols}, sv
+        ),
+        gv AS (SELECT sv, CAST(count(*) AS BIGINT) AS cv FROM q GROUP BY sv),
+        g AS (SELECT {cols}, CAST(sum(cgv) AS BIGINT) AS n_rows
+              FROM pv GROUP BY {cols}),
+        cells AS (
+            SELECT g.*, gv.sv, gv.cv, coalesce(pv.cgv, 0) AS cgv
+            FROM g CROSS JOIN gv
+            LEFT JOIN pv USING ({cols}, sv)
+        ),
+        dev AS (
+            SELECT {cols}, n_rows,
+                   CAST(sum(abs(cgv * tot.n - cv * n_rows)) AS BIGINT)
+                       AS d
+            FROM cells, tot GROUP BY {cols}, n_rows, tot.n
+        )
+        SELECT {cols}, n_rows,
+               CAST((1000000 * d) // (2 * n_rows * (SELECT n FROM tot))
+                    AS BIGINT) AS tv_ppm
+        FROM dev
+        WHERE (1000000 * d) // (2 * n_rows * (SELECT n FROM tot)) > {t_ppm}
+        ORDER BY {cols}
+    """

@@ -122,3 +122,48 @@ def test_prefix_filter_join_empty_and_disjoint(spark):
         [(2, "delta epsilon zeta"), (3, None)],
         "doc_id long, text string")
     assert prefix_filter_join(L, R, threshold_micro=500_000).count() == 0
+
+
+def test_t_closeness_flags_skewed_groups(spark):
+    from hbase_indexer_spark.pipeline.curation import t_closeness_audit
+
+    # global: 50/50 a/b over 20 rows; group 1 all-'a' (tv = 0.5),
+    # group 2 balanced (tv = 0), group 3 has NULLs as a category
+    rows = ([(1, "a")] * 5
+            + [(2, "a"), (2, "a"), (2, "b"), (2, "b")]
+            + [(3, None), (3, None), (3, "b")]
+            + [(4, "b")] * 8)
+    df = spark.createDataFrame(rows, "g int, s string")
+    got = {r.g: (r.n_rows, r.tv_ppm)
+           for r in t_closeness_audit(df, ["g"], "s", t_ppm=100_000)
+           .collect()}
+    # global dist over 20 rows: a=7, b=11, NULL=2
+    # g=1: |5*20-7*5| + |0-11*5| + |0-2*5| = 65+55+10 = 130
+    #   tv_ppm = 1e6*130 // (2*5*20) = 650000
+    # g=2: |2*20-7*4|+|2*20-11*4|+|0-2*4| = 12+4+8 = 24 -> 150000
+    # g=3: |0-7*3|+|1*20-11*3|+|2*20-2*3| = 21+13+34 = 68 -> 566666
+    # g=4: |0-7*8|+|8*20-11*8|+|0-2*8| = 56+72+16 = 144 -> 450000
+    assert got == {1: (5, 650_000), 2: (4, 150_000),
+                   3: (3, 566_666), 4: (8, 450_000)}
+
+
+def test_t_closeness_matches_duckdb_mirror(spark, tmp_path):
+    import duckdb
+
+    from hbase_indexer_spark.pipeline.curation import (
+        t_closeness_audit, t_closeness_audit_sql)
+
+    df = spark.createDataFrame(
+        [(i % 5, ["x", "y", "z", None][(i % 7) % 4]) for i in range(60)],
+        "q int, s string")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    got = sorted(tuple(r) for r in
+                 t_closeness_audit(df, ["q"], "s", t_ppm=0).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(
+        t_closeness_audit_sql({"q": "q"}, "s", t_ppm=0,
+                              table="t")).fetchall())
+    assert got == want and got
