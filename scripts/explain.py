@@ -980,6 +980,34 @@ CHECKS = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window",
          *NO_PYTHON],
     ),
+    # rendezvous routing (r9): the argmax over per-shard md5 weights is
+    # a map-side expression — the ONLY exchange is the final per-shard
+    # rollup; no join of any kind, no Python
+    "rendezvous_reshard": (
+        [r"partial_count"],
+        [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
+    # l-diversity (r9): two combinable aggs, no join, no window
+    "l_diversity_audit": (
+        [r"partial_count|partial_sum"],
+        [r"Join", r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
+    # t-closeness (r9): the cell grid comes from the ALLOWLISTED
+    # census-sized BNLJ (see test_plan_lint); everything else is
+    # combinable aggregation — no sort-merge over data, no Python
+    "t_closeness_audit": (
+        [r"partial_count|partial_sum", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"Window", *NO_PYTHON],
+    ),
+    # cross-corpus prefix filter (r9): same contract as the self-join —
+    # candidates from rank EQUI-joins, never a cross join, never Python
+    # (no partial_count pin: the gate emits raw pairs, and the df-count
+    # subtree sits behind global_rank's checkpoint cut)
+    "prefix_filter_xjoin": (
+        [r"HashAggregate|ObjectHashAggregate",
+         r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", *NO_PYTHON],
+    ),
 }
 
 

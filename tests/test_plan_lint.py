@@ -55,6 +55,12 @@ ALLOW_BNLJ = {
     # threshold curve: the same suffix-sum theta-join over ~10 grid
     # rows x ~10 Jaccard-bucket aggregate rows.
     "jaccard_threshold_curve",
+    # t-closeness: the group-totals x global-value-distribution
+    # crossJoin — the broadcast side is the DISTINCT-SENSITIVE-VALUE
+    # table (census-sized, ~5 rows here), so the loop materializes the
+    # |groups| x |values| cell grid the TV distance is defined over,
+    # not an all-pairs data join.
+    "t_closeness_audit",
     # PQ/ADC coarse pass: the deliberate 32x-smaller code-corpus linear
     # scan against K broadcast query LUTs (`vec_id != query_id` non-equi
     # => BNLJ over the O(K) side) — the memory-bound regime PQ exists
