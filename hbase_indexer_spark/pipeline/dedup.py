@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hbase_indexer_spark.functions.fastlit import array_lit
 from hbase_indexer_spark.pipeline.text import token_hash60, tokens
 
 P = 1_000_000_007
@@ -927,9 +928,7 @@ def kmeans_cells(emb: DataFrame, dim: int = 64, n_cells: int = 16,
         _pinned_centroids, dot)
 
     cents = _pinned_centroids(dim, n_cells)
-    cents_lit = F.array(*[
-        F.array(*[F.lit(x) for x in c]) for c in cents
-    ])
+    cents_lit = array_lit(cents, "double")
 
     def pinned_cell(v: Column) -> Column:
         scored = F.transform(
@@ -961,11 +960,8 @@ def kmeans_cells(emb: DataFrame, dim: int = 64, n_cells: int = 16,
     for r in refined_rows:
         by_cell.setdefault(r["cell"], [0] * dim)[r["dim"]] = r["cm"]
     cells = sorted(by_cell)
-    cents2_lit = F.array(*[
-        F.array(*[F.lit(int(c)).cast("long") for c in by_cell[cell]])
-        for cell in cells
-    ])
-    cell_ids = F.array(*[F.lit(int(c)).cast("int") for c in cells])
+    cents2_lit = array_lit([by_cell[cell] for cell in cells], "bigint")
+    cell_ids = array_lit(cells, "int")
 
     # explode(array(...)) barrier: vm is referenced once per refined
     # centroid below — without the Generate, CollapseProject would

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hbase_indexer_spark.functions.fastlit import array_lit
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -107,16 +109,26 @@ def hyperplane_sketch(v: Column, dim: int, n_bits: int = 12,
     """b-bit random-hyperplane sketch: bit i = sign(v . h_(offset+i)).
     ``plane_offset`` selects an independent plane family (for multi-table
     OR-amplification)."""
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        plane = _hyperplane(dim, plane_offset + b)
-        d = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(c) for c in plane]),
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, t: acc + t,
-        )
-        sig = sig + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    return sig
+    # ONE 2-D literal + HOF fold: the per-bit python loop built ~8 py4j
+    # column ops per plane (512 calls for an 8-table family build) — the
+    # driver-side plan-construction tax fastlit.py documents.  Per plane
+    # the float math is the identical zip_with/aggregate fold, and the
+    # bit sum is exact integer addition in the same b=0..n-1 order.
+    planes = array_lit(
+        [_hyperplane(dim, plane_offset + b) for b in range(n_bits)],
+        "double")
+    weights = array_lit([1 << b for b in range(n_bits)], "bigint")
+    bits = F.transform(
+        planes,
+        lambda p, b: F.when(
+            F.aggregate(
+                F.zip_with(v, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, t: acc + t,
+            ) >= 0,
+            F.element_at(weights, b + F.lit(1)),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, t: a + t)
 
 
 def _probe_masks(n_bits: int, probe_bits: int) -> list[int]:
@@ -172,9 +184,8 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64,
         probes = q.select(
             "query_id", "qv",
             F.explode(
-                F.array(*[
-                    F.col("qbkt").bitwiseXOR(F.lit(m).cast("long")) for m in masks
-                ])
+                F.transform(array_lit(masks, "bigint"),
+                            lambda m: F.col("qbkt").bitwiseXOR(m))
             ).alias("bkt"),
         )
         cands = sketched.join(F.broadcast(probes), "bkt").filter(
@@ -287,9 +298,7 @@ def _pinned_cell_ranking(dim: int, n_cells: int):
     ad-hoc pinned path (:func:`ivf_topk_pinned`) and the pinned index-store
     build/query pair so all three hash-match the same SQL oracle."""
     cents = _pinned_centroids(dim, n_cells)
-    cents_lit = F.array(*[
-        F.array(*[F.lit(x) for x in c]) for c in cents
-    ])
+    cents_lit = array_lit(cents, "double")
 
     def cell_ranking(v: Column) -> Column:
         scored = F.transform(
@@ -1258,9 +1267,7 @@ def ivf_int8_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     """
     m = 3 * k if m is None else m
     cents = _pinned_centroids(dim, n_cells)
-    cents_lit = F.array(*[
-        F.array(*[F.lit(x) for x in c]) for c in cents
-    ])
+    cents_lit = array_lit(cents, "double")
 
     def cell_ranking(v: Column) -> Column:
         return F.array_sort(F.transform(
@@ -1526,10 +1533,10 @@ def _micro_quant(v: Column) -> Column:
 
 
 def _book_literal(book) -> Column:
-    return F.array(*[
-        F.array(*[F.array(*[F.lit(int(c)).cast("long") for c in row])
-                  for row in sub])
-        for sub in book])
+    # one-parse literal: the element-wise F.array(*[F.lit(...)]) form cost
+    # ~2.5s of driver py4j time PER REFERENCE of the 8x16x8 book (measured
+    # r9; three references per pq_adc query) — see functions/fastlit.py
+    return array_lit(book, "bigint")
 
 
 def _packed_code(vm: Column, cb: Column, s, d_sub: int, ks: int) -> Column:
