@@ -246,15 +246,21 @@ def ngram_containment_sql(threshold: float = 0.8, n: int = 3) -> str:
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
+def _sig_min_exprs() -> list[Column]:
+    """The 48 per-permutation min aggregations, one expression parse each:
+    the element-wise Column form (`F.min((F.col("h") * a + b) % P)`) costs
+    ~6 py4j round trips per permutation (~0.6s of driver time per caller —
+    the fastlit.py plan-construction tax); the parsed SQL text is the same
+    expression tree with identical integer types."""
+    return [F.expr(f"min((h * {a} + {b}) % {P}) AS s{i}")
+            for i, (a, b) in enumerate(PERMS)]
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """k=48 MinHash signatures per doc: explode shingles once, 48 min-aggs
     over (a*h+b) % p — a single map-side-combinable aggregation."""
     sh = exploded_shingles(docs, n).withColumn("h", token_hash60(F.col("sh")) % P)
-    aggs = [
-        F.min((F.col("h") * a + b) % P).alias(f"s{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_sig_min_exprs())
 
 
 def minhash_signatures_sql(n: int = 3, k: int = N_SIGS) -> str:
@@ -275,28 +281,24 @@ def sigs_from_shingles(sh: DataFrame) -> DataFrame:
     over exploded shingles ``(doc_id, sh)``."""
     return sh.withColumn(
         "h", token_hash60(F.col("sh")) % P
-    ).groupBy("doc_id").agg(*[
-        F.min((F.col("h") * a + b) % P).alias(f"s{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ])
+    ).groupBy("doc_id").agg(*_sig_min_exprs())
 
 
 def band_keys(sigs: DataFrame) -> DataFrame:
     """``(doc_id, band, bkey)`` — the 16 band keys explode out of ONE pass
     over the signatures (a 16-way union of selects would recompute the
     signature aggregation per band)."""
-    entries = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(":", *[
-                F.col(f"s{band * ROWS_PER_BAND + j}")
-                for j in range(ROWS_PER_BAND)
-            ]).alias("bkey"),
-        )
+    # one parsed literal array of 16 structs (the element-wise struct/
+    # concat_ws build cost ~8 py4j calls per band — see fastlit.py)
+    entries = ", ".join(
+        "struct({band} AS band, concat_ws(':', {cols}) AS bkey)".format(
+            band=band,
+            cols=", ".join(f"s{band * ROWS_PER_BAND + j}"
+                           for j in range(ROWS_PER_BAND)))
         for band in range(N_BANDS)
-    ]
+    )
     return sigs.select(
-        "doc_id", F.explode(F.array(*entries)).alias("e")
+        "doc_id", F.explode(F.expr(f"array({entries})")).alias("e")
     ).select("doc_id", F.col("e.band").alias("band"),
              F.col("e.bkey").alias("bkey"))
 

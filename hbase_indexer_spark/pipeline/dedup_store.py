@@ -55,8 +55,8 @@ def doc_sketches(docs: DataFrame, n: int = 3) -> DataFrame:
     sh = exploded_shingles(docs, n)
     sigs = (
         sigs_from_shingles(sh)
-        .select("doc_id", F.array(
-            *[F.col(f"s{i}") for i in range(N_SIGS)]).alias("sig"))
+        .selectExpr("doc_id", "array({}) AS sig".format(
+            ", ".join(f"s{i}" for i in range(N_SIGS))))
     )
     return (
         docs.select("doc_id", F.md5("text").alias("h"))
@@ -151,10 +151,9 @@ class DedupIndexStore:
         )
 
     def _bands(self, sketches: DataFrame) -> DataFrame:
-        sigs = sketches.filter(F.col("sig").isNotNull()).select(
+        sigs = sketches.filter(F.col("sig").isNotNull()).selectExpr(
             "doc_id",
-            *[F.element_at(F.col("sig"), i + 1).alias(f"s{i}")
-              for i in range(N_SIGS)])
+            *[f"element_at(sig, {i + 1}) AS s{i}" for i in range(N_SIGS)])
         return band_keys(sigs)
 
 
