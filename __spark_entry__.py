@@ -1580,13 +1580,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         ts_micros(deduped, "_ts").alias("ts_us"))
     sink = os.path.join(tmp, "sink")
-    q = (out.writeStream.format("parquet")
-         .option("path", sink)
-         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    # state-store partition count is fixed at query start (same argument
+    # as stream_stream_join above, VERDICT r8 #8): size it to the
+    # fixture's per-trigger dedup state instead of inheriting the batch
+    # shuffle width — 32 partitions x 3 triggers of tiny state files
+    # cost fsync jitter, not parallelism.  A real deployment sizes this
+    # to state rows per trigger / target chunk.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink)
 
 

@@ -436,32 +436,11 @@ class IncrementalIndexer:
             batch.unpersist()
 
     def _micro_batch_tuning(self, batch_rows: int):
-        """Size the shuffle to the observed batch: a micro-batch far below
-        the session's shuffle width gets few partitions and no AQE (adaptive
-        replanning costs an extra job per stage — pure overhead when every
-        shuffle is small by construction).  Big batches keep the session
-        settings untouched, AQE included.
-        """
-        import contextlib
+        """Size the shuffle to the observed batch — see
+        functions/tuning.py (shared with the stateful screen loops)."""
+        from hbase_indexer_spark.functions.tuning import small_batch_tuning
 
-        conf = self.spark.conf
-        sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
-        parts = max(4, min(sess_parts, batch_rows // 50_000))
-        if parts >= sess_parts:
-            return contextlib.nullcontext()
-
-        @contextlib.contextmanager
-        def tuned():
-            prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-            conf.set("spark.sql.adaptive.enabled", "false")
-            conf.set("spark.sql.shuffle.partitions", str(parts))
-            try:
-                yield
-            finally:
-                conf.set("spark.sql.adaptive.enabled", prev_aqe)
-                conf.set("spark.sql.shuffle.partitions", str(sess_parts))
-
-        return tuned()
+        return small_batch_tuning(self.spark, batch_rows)
 
     def replay(self, events: DataFrame, n_chunks: int = 1,
                chunk_col: str = "seq") -> DataFrame:

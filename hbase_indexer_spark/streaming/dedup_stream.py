@@ -142,58 +142,66 @@ def curation_stream(stream_docs: DataFrame, store, corpus_store,
     from hbase_indexer_spark.pipeline.text import quality_score, token_count
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        from hbase_indexer_spark.functions.tuning import small_batch_tuning
         from hbase_indexer_spark.pipeline.dedup_store import doc_sketches
 
         from pyspark.sql.window import Window
 
         spark = batch.sparkSession
-        if not batch.head(1):
+        # count, not head(1): same one-job emptiness probe, and the size
+        # feeds the shuffle tuning below (functions/tuning.py — a small
+        # trigger otherwise runs every screen/merge shuffle at session
+        # width, pure task-launch overhead)
+        n_raw = batch.count()
+        if n_raw == 0:
             return
-        # intra-batch exact dedup BEFORE screening: the state only knows
-        # accepted docs, so same-text twins inside one trigger would
-        # both pass the screen (mirrored by the oracle's batch-first CTE)
-        wfb = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-        batch = (batch.withColumn("_rn", F.row_number().over(wfb))
-                 .filter(F.col("_rn") == 1).drop("_rn"))
-        # one shingle pass per micro-batch: the materialized sketches
-        # feed the screen's three sketch joins AND the state accept.
-        # persist (columnar, compressed), NOT localCheckpoint: the
-        # checkpoint's deserialized row blocks were never released, so
-        # long streams accumulated them until the context cleaner
-        # caught up — the GC-pressure signature the driver bench
-        # flagged four rounds running (VERDICT r8 #1a).  sk derives
-        # from the batch's source files, so recompute-on-eviction is
-        # deterministic and the vacuumed-version hazard that forces
-        # localCheckpoint in screen_batches does not apply here.  Every
-        # per-trigger materialization is released in finally — nothing
-        # accrues across triggers.
-        batch = batch.cache()
-        sk = doc_sketches(batch, store.n).persist()
-        keeps = None
-        try:
-            verdicts = store.screen(spark, batch, sketches=sk)
-            n_tok = token_count(F.col("text"))
-            keeps = (
-                batch.join(verdicts.filter(F.col("keep")).select("doc_id"),
-                           "doc_id", "left_semi")
-                .filter((n_tok >= min_tokens)
-                        & (F.when(n_tok > 0,
-                                  quality_score(F.col("text"), n_tok))
-                           .otherwise(F.lit(0.0)) >= min_quality))
-            ).cache()
-            # corpus first, then state: a crash between the two means
-            # the next redelivery re-appends the same keyed docs into
-            # the corpus MERGE (idempotent) and then lands the state
-            corpus_store.merge(spark, adds=keeps)
-            store.accept(
-                spark, keeps,
-                sketches=sk.join(keeps.select("doc_id"), "doc_id",
-                                 "left_semi"))
-        finally:
-            if keeps is not None:
-                keeps.unpersist()
-            sk.unpersist()
-            batch.unpersist()
+        with small_batch_tuning(spark, n_raw):
+            # intra-batch exact dedup BEFORE screening: the state only
+            # knows accepted docs, so same-text twins inside one trigger
+            # would both pass the screen (mirrored by the oracle's
+            # batch-first CTE)
+            wfb = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            batch = (batch.withColumn("_rn", F.row_number().over(wfb))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
+            # one shingle pass per micro-batch: the materialized sketches
+            # feed the screen's three sketch joins AND the state accept.
+            # persist (columnar, compressed), NOT localCheckpoint: the
+            # checkpoint's deserialized row blocks were never released, so
+            # long streams accumulated them until the context cleaner
+            # caught up — the GC-pressure signature the driver bench
+            # flagged four rounds running (VERDICT r8 #1a).  sk derives
+            # from the batch's source files, so recompute-on-eviction is
+            # deterministic and the vacuumed-version hazard that forces
+            # localCheckpoint in screen_batches does not apply here.  Every
+            # per-trigger materialization is released in finally — nothing
+            # accrues across triggers.
+            batch = batch.cache()
+            sk = doc_sketches(batch, store.n).persist()
+            keeps = None
+            try:
+                verdicts = store.screen(spark, batch, sketches=sk)
+                n_tok = token_count(F.col("text"))
+                keeps = (
+                    batch.join(verdicts.filter(F.col("keep"))
+                               .select("doc_id"), "doc_id", "left_semi")
+                    .filter((n_tok >= min_tokens)
+                            & (F.when(n_tok > 0,
+                                      quality_score(F.col("text"), n_tok))
+                               .otherwise(F.lit(0.0)) >= min_quality))
+                ).cache()
+                # corpus first, then state: a crash between the two means
+                # the next redelivery re-appends the same keyed docs into
+                # the corpus MERGE (idempotent) and then lands the state
+                corpus_store.merge(spark, adds=keeps)
+                store.accept(
+                    spark, keeps,
+                    sketches=sk.join(keeps.select("doc_id"), "doc_id",
+                                     "left_semi"))
+            finally:
+                if keeps is not None:
+                    keeps.unpersist()
+                sk.unpersist()
+                batch.unpersist()
 
     writer = stream_docs.writeStream.foreachBatch(_process) \
         .option("checkpointLocation", checkpoint)
