@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -447,24 +448,18 @@ def q_streaming_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream,
     )
 
-    tmp = _mkdtemp("hbis_stream_")
-    src = os.path.join(tmp, "events")
-    os.makedirs(src)
-    ev = event_cells(spark, sf_dir).cache()
+    ev = event_cells(spark, sf_dir)
     # collect, not first: first() = limit(1) triggers incremental
     # limit-scaling (several partial jobs) even over a 1-row aggregate
     bounds = ev.select(SF.min("seq").alias("lo"),
                        SF.max("seq").alias("hi")).collect()[0]
     span = (bounds["hi"] - bounds["lo"] + 4) // 4
-    for i in range(4):
-        start = bounds["lo"] + i * span
-        chunk = ev.filter((SF.col("seq") >= start) & (SF.col("seq") < start + span))
-        chunk.coalesce(1).write.parquet(os.path.join(tmp, f"stage{i}"))
-        for f in os.listdir(os.path.join(tmp, f"stage{i}")):
-            if f.endswith(".parquet"):
-                os.rename(os.path.join(tmp, f"stage{i}", f),
-                          os.path.join(src, f"chunk{i}.parquet"))
-    ev.unpersist()
+    # one partitioned write job stages all 4 seq-range drops (the
+    # per-chunk filter+write loop ran 4 scans — see _stage_chunked)
+    src = _stage_chunked(
+        ev, SF.expr(f"(seq - {bounds['lo']}) div {span}"),
+        "hbis_stream_", 4)
+    tmp = os.path.dirname(src)
     ix = IncrementalIndexer(
         spark, _conf(EVENTS_CONF),
         state_path=os.path.join(tmp, "state"),
@@ -967,25 +962,58 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents")
 
 
+def _stage_chunked(df: DataFrame, chunk_expr, prefix: str,
+                   n_chunks: int) -> str:
+    """Shared staging writer: ONE partitioned write job materializes all
+    chunk files (the per-chunk filter+coalesce(1) loop it replaces ran
+    ``n_chunks`` jobs, each a full source scan — staging overhead, not
+    the operator under test).  ``repartition(n, "_chunk")`` puts each
+    chunk value in exactly one task, so ``partitionBy`` emits exactly
+    one file per non-empty chunk; files are renamed to the ordered
+    ``chunk{b}.parquet`` drops maxFilesPerTrigger=1 replays.  Row order
+    WITHIN a chunk file is not part of any stream contract (consumers
+    are set-oriented / watermark-ordered across chunks and every gate
+    query is oracle-checked)."""
+    tmp = _mkdtemp(prefix)
+    src = os.path.join(tmp, "chunks")
+    os.makedirs(src)
+    stage = os.path.join(tmp, "stage")
+    (df.withColumn("_chunk", chunk_expr)
+       .repartition(n_chunks, "_chunk")
+       .write.partitionBy("_chunk").parquet(stage))
+    for b in range(n_chunks):
+        cdir = os.path.join(stage, f"_chunk={b}")
+        parts = ([f_ for f_ in os.listdir(cdir) if f_.endswith(".parquet")]
+                 if os.path.isdir(cdir) else [])
+        if not parts:
+            # empty chunk: stage an empty single-file drop so the replay
+            # still sees n_chunks ordered files (trigger-count parity
+            # with the per-chunk writer this replaced)
+            edir = os.path.join(tmp, f"empty{b}")
+            df.filter(F.lit(False)).coalesce(1).write.parquet(edir)
+            parts = [f_ for f_ in os.listdir(edir)
+                     if f_.endswith(".parquet")]
+            cdir = edir
+        assert len(parts) == 1, f"chunk {b}: {parts}"
+        dst = os.path.join(src, f"chunk{b}.parquet")
+        os.rename(os.path.join(cdir, parts[0]), dst)
+        # FileStreamSource orders drops by modification time; the
+        # parallel write gives all chunk files near-identical mtimes in
+        # task-finish order, so pin strictly increasing mtimes to keep
+        # the replay order the sequential writer produced implicitly
+        t = time.time() - 3600
+        os.utime(dst, (t + b, t + b))
+    return src
+
+
 def _stage_stream_chunks(df: DataFrame, id_col: str, prefix: str,
                          n_chunks: int = 3) -> str:
     """Write ``df`` as ``n_chunks`` single-file parquet drops (chunk
     membership = id mod n, file names ordered so maxFilesPerTrigger=1
     replays them deterministically) and return the source directory —
     the staging step shared by every streaming gate query."""
-    tmp = _mkdtemp(prefix)
-    src = os.path.join(tmp, "chunks")
-    os.makedirs(src)
-    for b in range(n_chunks):
-        chunk = df.filter(
-            F.pmod(F.col(id_col), F.lit(n_chunks)) == F.lit(b))
-        stage = os.path.join(tmp, f"stage{b}")
-        chunk.coalesce(1).write.parquet(stage)
-        for f_ in os.listdir(stage):
-            if f_.endswith(".parquet"):
-                os.rename(os.path.join(stage, f_),
-                          os.path.join(src, f"chunk{b}.parquet"))
-    return src
+    return _stage_chunked(
+        df, F.pmod(F.col(id_col), F.lit(n_chunks)), prefix, n_chunks)
 
 
 def _stage_stream_chunks_by_ts(df: DataFrame, prefix: str,
@@ -1000,20 +1028,9 @@ def _stage_stream_chunks_by_ts(df: DataFrame, prefix: str,
     us = ts_micros(df, "ts")
     b0 = df.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
     lo, span = b0["lo"], max(b0["hi"] - b0["lo"] + 1, 1)
-    tmp = _mkdtemp(prefix)
-    src = os.path.join(tmp, "chunks")
-    os.makedirs(src)
-    keyed = df.withColumn(
-        "_chunk", ((us - F.lit(lo)) * n_chunks / F.lit(span)).cast("long"))
-    for b in range(n_chunks):
-        chunk = keyed.filter(F.col("_chunk") == b).drop("_chunk")
-        stage = os.path.join(tmp, f"tstage{b}")
-        chunk.coalesce(1).write.parquet(stage)
-        for f_ in os.listdir(stage):
-            if f_.endswith(".parquet"):
-                os.rename(os.path.join(stage, f_),
-                          os.path.join(src, f"chunk{b}.parquet"))
-    return src
+    return _stage_chunked(
+        df, ((us - F.lit(lo)) * n_chunks / F.lit(span)).cast("long"),
+        prefix, n_chunks)
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
