@@ -91,6 +91,28 @@ def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
     # (ranks below KEEPS localCheckpoint — there it is the plan-depth
     # cut for the iterative lineage, and ranks are the small, per-round
     # re-shuffled side by design.)
+    # size the whole loop's shuffle width to the graph ONCE, up front
+    # (functions/tuning.py recipe): every per-round exchange — the ranks
+    # shuffle, the contribs groupBy(dst), the nodes join — must agree
+    # with the static sides' partition count, so the width cannot be
+    # changed per round; it derives from the measured edge count, never
+    # from the local core count, and a big graph keeps session settings
+    # (AQE included) untouched.  At toy scale this cuts each round's
+    # 3 x 32 task launches to 3 x 4 without touching the plan shape.
+    from hbase_indexer_spark.functions.tuning import small_batch_tuning
+
+    spark = edges.sparkSession
+    edges_pre = edges.persist()
+    try:
+        n_edges = edges_pre.count()
+        with small_batch_tuning(spark, n_edges):
+            return _seeded_rounds(edges_pre, seeds, iters)
+    finally:
+        edges_pre.unpersist()
+
+
+def _seeded_rounds(edges: DataFrame, seeds: DataFrame | None,
+                   iters: int) -> DataFrame:
     edges_raw = edges.repartition("src").persist()
     deg = edges_raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = (edges_raw.join(deg, "src")
