@@ -1221,26 +1221,40 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         return row["n"], row["h"]
 
     cur = e.localCheckpoint(eager=True)
-    prev_fp = None
-    for _ in range(max_iter):
-        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # large-star output is already directed large->small — exactly the
-        # orientation small-star consumes, so no re-symmetrize between them
-        cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # size every round's shuffles to the materialized edge count (the
+    # graph-loop recipe, see pipeline/graph.py / functions/tuning.py):
+    # the candidate-pair generation above ran at session width inside the
+    # eager checkpoint; the loop's per-round exchanges are pair-sized.
+    # One tiny agg over the checkpointed blocks buys the size.
+    from hbase_indexer_spark.functions.tuning import small_batch_tuning
 
-    # final form is a star forest: every non-root points at its component min
-    members = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
-    roots = cur.select(F.col("v").alias("id")).distinct() \
-               .withColumn("component", F.col("id"))
-    return members.union(roots).groupBy("id").agg(
-        F.min("component").alias("component")
-    )
+    n_edges, _ = _fingerprint(cur)
+    with small_batch_tuning(edges.sparkSession, n_edges):
+        prev_fp = None
+        for _ in range(max_iter):
+            sym = cur.union(
+                cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            # large-star output is already directed large->small — exactly
+            # the orientation small-star consumes, so no re-symmetrize
+            # between them
+            cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+            fp = _fingerprint(cur)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds")
+
+        # final form is a star forest: every non-root points at its
+        # component min
+        members = cur.select(F.col("u").alias("id"),
+                             F.col("v").alias("component"))
+        roots = cur.select(F.col("v").alias("id")).distinct() \
+                   .withColumn("component", F.col("id"))
+        return members.union(roots).groupBy("id").agg(
+            F.min("component").alias("component")
+        )
 
 
 def dedup_clusters(docs: DataFrame, threshold: float = 0.7,
