@@ -33,6 +33,7 @@ from hbase_indexer_spark.config.indexer_conf import (
     IndexerConf,
 )
 from hbase_indexer_spark.functions.bytes_codec import decoder_for, is_custom_mapper
+from hbase_indexer_spark.functions.colmemo import memo
 from hbase_indexer_spark.functions import unique_key as uk
 
 OP_PUT = "put"
@@ -70,6 +71,16 @@ def cell_matches(conf: IndexerConf, family: Column, qualifier: Column) -> Column
     return out
 
 
+def put_relevant_pred(conf: IndexerConf) -> Column:
+    """The put-filter of the document builders — op = put AND the cell hits
+    an extractor target.  Depends only on ``conf``, so compiled once per
+    context (the builders run it per micro-batch)."""
+    return memo(("put_relevant", conf), lambda: (
+        (F.col("op") == OP_PUT)
+        & cell_matches(conf, F.col("family"), F.col("qualifier"))
+    ))
+
+
 def relevance_predicate(conf: IndexerConf, family: Column, qualifier: Column,
                         op: Column) -> Column:
     """F2 — an event/cell is relevant iff it matches a target or is a delete
@@ -85,14 +96,11 @@ def latest_cells(cells: DataFrame, order_cols: tuple[str, ...] = ("ts",)) -> Dat
     """Keep the newest version per (table,row,family,qualifier) — the HBase
     Result contract (one visible cell per column, highest timestamp).  A
     single partial aggregation (max_by) — no window, no second shuffle."""
-    ordering = F.struct(*[F.col(c) for c in order_cols])
-    return (
-        cells.groupBy("table", "row", "family", "qualifier")
-        .agg(
-            F.max_by("value", ordering).alias("value"),
-            F.max(order_cols[0]).alias("ts"),
-        )
-    )
+    aggs = memo(("latest_cells", order_cols), lambda: [
+        F.max_by("value", F.struct(*[F.col(c) for c in order_cols])).alias("value"),
+        F.max(order_cols[0]).alias("ts"),
+    ])
+    return cells.groupBy("table", "row", "family", "qualifier").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +191,18 @@ def field_exprs(fd: FieldDef, cells_arr: Column) -> list[Column]:
     ]
 
 
+def _resolution_key(conf: IndexerConf) -> tuple:
+    """Identity of every runtime-registry callable a compile of ``conf``
+    resolves (U1 custom value mappers looked up by name).  Part of each
+    memo key: re-registering a name yields a new callable id, so the cached
+    compile is invalidated exactly when resolution would change."""
+    return tuple(
+        id(decoder_for(fd.type))
+        if isinstance(fd.type, str) and is_custom_mapper(fd.type) else None
+        for fd in conf.fields
+    )
+
+
 def row_id_expr(conf: IndexerConf, row: Column, table: Column) -> Column:
     fmt = uk.row_formatter(conf.unique_key_formatter)
     out = fmt(row)
@@ -219,74 +239,78 @@ def row_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
     need the cell array (qualifier-sorted multi-value contract), so those
     configs fall back to version-dedup + collect_list (two exchanges).
     """
-    put_cells = cells.filter(
-        (F.col("op") == OP_PUT) & cell_matches(conf, F.col("family"), F.col("qualifier"))
-    )
+    put_cells = cells.filter(put_relevant_pred(conf))
 
-    id_cols: list[Column] = [
-        row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
-    ]
-    if conf.table_name_field:
-        id_cols.append(F.col("table").alias(conf.table_name_field))
+    def id_cols() -> list[Column]:
+        out: list[Column] = [
+            row_id_expr(conf, F.col("row"), F.col("table")).alias(conf.unique_key_field)
+        ]
+        if conf.table_name_field:
+            out.append(F.col("table").alias(conf.table_name_field))
+        return out
 
+    reskey = _resolution_key(conf)
     if all(not fd.wildcard for fd in conf.fields):
-        aggs = [
-            F.max(
-                F.when(
-                    (F.col("family") == fd.family) & (F.col("qualifier") == fd.qualifier),
-                    F.struct("ts", "value"),
-                )
-            ).alias(f"_c{i}")
-            for i, fd in enumerate(conf.fields)
-        ]
-        grouped = put_cells.groupBy("table", "row").agg(*aggs)
-        cols = id_cols + [
-            _decode(fd, F.col(f"_c{i}")["value"]).alias(fd.name)
-            for i, fd in enumerate(conf.fields)
-        ]
-        return grouped.select(*cols)
+        aggs, cols = memo(("row_docs_exact", conf, reskey), lambda: (
+            [
+                F.max(
+                    F.when(
+                        (F.col("family") == fd.family)
+                        & (F.col("qualifier") == fd.qualifier),
+                        F.struct("ts", "value"),
+                    )
+                ).alias(f"_c{i}")
+                for i, fd in enumerate(conf.fields)
+            ],
+            id_cols() + [
+                _decode(fd, F.col(f"_c{i}")["value"]).alias(fd.name)
+                for i, fd in enumerate(conf.fields)
+            ],
+        ))
+        return put_cells.groupBy("table", "row").agg(*aggs).select(*cols)
 
     latest = latest_cells(put_cells)
-    grouped = latest.groupBy("table", "row").agg(
-        F.collect_list(F.struct("family", "qualifier", "value")).alias("_cells")
-    )
-    arr = F.col("_cells")
-    cols = id_cols + [c for fd in conf.fields for c in field_exprs(fd, arr)]
-    return grouped.select(*cols)
+    agg, cols = memo(("row_docs_wild", conf, reskey), lambda: (
+        F.collect_list(F.struct("family", "qualifier", "value")).alias("_cells"),
+        id_cols() + [c for fd in conf.fields for c in field_exprs(fd, F.col("_cells"))],
+    ))
+    return latest.groupBy("table", "row").agg(agg).select(*cols)
 
 
 def column_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
     """COLUMN mapping (Indexer.ColumnBasedIndexer, Indexer.java:325-451): one
     doc per matched cell; id = formatted (row, family, qualifier)
     (BaseUniqueKeyFormatter.java:63-66)."""
-    put_cells = cells.filter(
-        (F.col("op") == OP_PUT) & cell_matches(conf, F.col("family"), F.col("qualifier"))
-    )
+    put_cells = cells.filter(put_relevant_pred(conf))
     latest = latest_cells(put_cells)
-    cols: list[Column] = [
-        keyvalue_id_expr(conf, F.col("row"), F.col("family"), F.col("qualifier")).alias(
-            conf.unique_key_field
-        )
-    ]
-    if conf.table_name_field:
-        cols.append(F.col("table").alias(conf.table_name_field))
-    if conf.row_field:
-        # P13 row injection, formatted like the id parts
-        fmt = uk.format_row_hex if conf.unique_key_formatter == "hex" else uk.format_row_string
-        cols.append(fmt(F.col("row")).alias(conf.row_field))
-    if conf.column_family_field:
-        fmt = uk.format_row_hex if conf.unique_key_formatter == "hex" else uk.format_row_string
-        cols.append(fmt(F.col("family")).alias(conf.column_family_field))
-    # evaluate every field def against the single cell
-    single = F.array(F.struct("family", "qualifier", "value"))
-    for fd in conf.fields:
-        if fd.output_fields:
-            # per-cell doc: only position 0 can ever match
-            cols.extend(field_exprs(fd, single))
-            continue
-        fe = field_expr(fd, single)
-        if fd.wildcard and not fd.dynamic_name:
-            # per-cell doc: a wildcard match yields exactly the one value
-            fe = F.try_element_at(fe, F.lit(1)).alias(fd.name)
-        cols.append(fe)
+
+    def build_cols() -> list[Column]:
+        cols: list[Column] = [
+            keyvalue_id_expr(conf, F.col("row"), F.col("family"), F.col("qualifier"))
+            .alias(conf.unique_key_field)
+        ]
+        if conf.table_name_field:
+            cols.append(F.col("table").alias(conf.table_name_field))
+        if conf.row_field:
+            # P13 row injection, formatted like the id parts
+            fmt = uk.format_row_hex if conf.unique_key_formatter == "hex" else uk.format_row_string
+            cols.append(fmt(F.col("row")).alias(conf.row_field))
+        if conf.column_family_field:
+            fmt = uk.format_row_hex if conf.unique_key_formatter == "hex" else uk.format_row_string
+            cols.append(fmt(F.col("family")).alias(conf.column_family_field))
+        # evaluate every field def against the single cell
+        single = F.array(F.struct("family", "qualifier", "value"))
+        for fd in conf.fields:
+            if fd.output_fields:
+                # per-cell doc: only position 0 can ever match
+                cols.extend(field_exprs(fd, single))
+                continue
+            fe = field_expr(fd, single)
+            if fd.wildcard and not fd.dynamic_name:
+                # per-cell doc: a wildcard match yields exactly the one value
+                fe = F.try_element_at(fe, F.lit(1)).alias(fd.name)
+            cols.append(fe)
+        return cols
+
+    cols = memo(("col_docs", conf, _resolution_key(conf)), build_cols)
     return latest.select(*cols)

@@ -35,6 +35,7 @@ from hbase_indexer_spark.operators.extraction import (
     row_documents,
     table_predicate,
 )
+from hbase_indexer_spark.functions.colmemo import memo
 from hbase_indexer_spark.sinks.index_store import IndexStore
 
 CELL_COLS = ["table", "row", "family", "qualifier", "ts", "op", "value"]
@@ -68,13 +69,15 @@ def _run_concurrently(*jobs) -> None:
 def gate_events(events: DataFrame, conf: IndexerConf,
                 subscription_ts: int | None = None) -> DataFrame:
     """F1 route + S2 subscription-timestamp gate + F2 relevance filter."""
-    out = events.filter(table_predicate(conf, F.col("table")))
-    if subscription_ts is not None:
-        out = out.filter(F.col("event_ts") >= F.lit(subscription_ts))
-    return out.filter(
+    route, relevant = memo(("gate_events", conf, subscription_ts), lambda: (
+        table_predicate(conf, F.col("table"))
+        if subscription_ts is None else
+        table_predicate(conf, F.col("table"))
+        & (F.col("event_ts") >= F.lit(subscription_ts)),
         cell_matches(conf, F.col("family"), F.col("qualifier"))
-        | F.col("op").isin(*DELETE_OPS)
-    )
+        | F.col("op").isin(*DELETE_OPS),
+    ))
+    return events.filter(route).filter(relevant)
 
 
 def _tombstone_filter(cells: DataFrame, batch_cells: DataFrame) -> DataFrame:
@@ -87,26 +90,30 @@ def _tombstone_filter(cells: DataFrame, batch_cells: DataFrame) -> DataFrame:
     per-batch delete set is bounded by the batch, so the broadcast is always
     small, and the mask evaluation stays in whole-stage codegen.
     """
-    tomb = (
-        batch_cells.filter(F.col("op").isin(*DELETE_OPS))
-        .groupBy("table", "row")
-        .agg(F.collect_list(F.struct("op", "family", "qualifier", "ts")).alias("_dels"))
-    )
-    dels = F.col("_dels")
-    fam, qual = F.col("family"), F.col("qualifier")
+    def build() -> tuple:
+        dels = F.col("_dels")
+        fam, qual = F.col("family"), F.col("qualifier")
 
-    def scope_max(pred) -> Column:
-        return F.array_max(F.transform(F.filter(dels, pred), lambda d: d["ts"]))
+        def scope_max(pred) -> Column:
+            return F.array_max(F.transform(F.filter(dels, pred), lambda d: d["ts"]))
 
-    mask_ts = F.greatest(
-        scope_max(lambda d: d["op"] == "delete_row"),
-        scope_max(lambda d: (d["op"] == "delete_family") & (d["family"] == fam)),
-        scope_max(lambda d: (d["op"] == "delete_column") & (d["family"] == fam)
-                  & (d["qualifier"] == qual)),
-    )
+        mask_ts = F.greatest(
+            scope_max(lambda d: d["op"] == "delete_row"),
+            scope_max(lambda d: (d["op"] == "delete_family") & (d["family"] == fam)),
+            scope_max(lambda d: (d["op"] == "delete_column") & (d["family"] == fam)
+                      & (d["qualifier"] == qual)),
+        )
+        return (
+            F.col("op").isin(*DELETE_OPS),
+            F.collect_list(F.struct("op", "family", "qualifier", "ts")).alias("_dels"),
+            F.col("ts") > F.coalesce(mask_ts, F.lit(-(2 ** 62))),
+        )
+
+    del_pred, del_agg, visible_pred = memo(("tombstone_filter",), build)
+    tomb = batch_cells.filter(del_pred).groupBy("table", "row").agg(del_agg)
     return (
         cells.join(F.broadcast(tomb), ["table", "row"], "left")
-        .filter(F.col("ts") > F.coalesce(mask_ts, F.lit(-(2 ** 62))))
+        .filter(visible_pred)
         .select(*CELL_COLS)
     )
 
@@ -134,9 +141,11 @@ def updated_row_cells(state: DataFrame | None, batch: DataFrame) -> DataFrame:
             .unionByName(puts)
         )
     visible = _tombstone_filter(touched_cells, batch_cells)
-    return latest_cells(visible).select(
-        "table", "row", "family", "qualifier", "ts", F.lit("put").alias("op"), "value"
-    )
+    out_cols = memo(("updated_select",), lambda: [
+        F.col("table"), F.col("row"), F.col("family"), F.col("qualifier"),
+        F.col("ts"), F.lit("put").alias("op"), F.col("value"),
+    ])
+    return latest_cells(visible).select(*out_cols)
 
 
 def apply_mutations(state: DataFrame | None, batch: DataFrame) -> DataFrame:
@@ -262,10 +271,11 @@ class IncrementalIndexer:
                 # the whole touched key space in one broadcast + one write job
                 from hbase_indexer_spark.operators.extraction import row_id_expr
 
-                touched_ids = touched.select(
-                    row_id_expr(conf, F.col("row"), F.col("table"))
-                    .alias(conf.unique_key_field)
-                )
+                touched_ids = touched.select(memo(
+                    ("touched_id", conf),
+                    lambda: row_id_expr(conf, F.col("row"), F.col("table"))
+                    .alias(conf.unique_key_field),
+                ))
                 from pyspark.sql import Observation
 
                 obs = Observation()
@@ -309,16 +319,20 @@ class IncrementalIndexer:
         # same batch re-adds: merge applies deletes before adds).  The key
         # stays FIRST; the formatted row rides along when configured so a
         # row-bucketed store can derive each delete's bucket.
-        del_id_cols = [
-            keyvalue_id_expr(conf, F.col("row"), F.col("family"), F.col("qualifier"))
-            .alias(conf.unique_key_field)
-        ]
-        if conf.row_field:
-            from hbase_indexer_spark.functions import unique_key as uk
+        def build_del_id_cols() -> list[Column]:
+            out = [
+                keyvalue_id_expr(conf, F.col("row"), F.col("family"),
+                                 F.col("qualifier")).alias(conf.unique_key_field)
+            ]
+            if conf.row_field:
+                from hbase_indexer_spark.functions import unique_key as uk
 
-            fmt_row = (uk.format_row_hex if conf.unique_key_formatter == "hex"
-                       else uk.format_row_string)
-            del_id_cols.append(fmt_row(F.col("row")).alias(conf.row_field))
+                fmt_row = (uk.format_row_hex if conf.unique_key_formatter == "hex"
+                           else uk.format_row_string)
+                out.append(fmt_row(F.col("row")).alias(conf.row_field))
+            return out
+
+        del_id_cols = memo(("del_id_cols", conf), build_del_id_cols)
         del_ids = batch_cells.filter(F.col("op") == "delete_column") \
             .select(*del_id_cols)
         # delete_row / delete_family -> delete-by-query (K8) against the
