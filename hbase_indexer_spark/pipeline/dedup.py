@@ -2841,51 +2841,126 @@ def prefix_filter_pairs(docs: DataFrame,
     Scale: the join key is the PREFIX token — the globally rarest
     tokens — so bucket sizes are the df of rare tokens, not corpus
     hot-words; the length filter ``min(ma,mb) >= t*max(ma,mb)`` prunes
-    before verification; verification joins token arrays back by doc_id
+    before verification; verification joins token arrays back
     (two hash joins), never recomputing them.  Candidate volume is
     sum over prefix tokens of df², the quantity the rarity ordering
     minimizes — the standard 100 TB all-pairs recipe when recall must
-    be exact."""
+    be exact.
+
+    r10: the quadratic machinery runs over DISTINCT TOKEN SETS, not
+    docs.  Jaccard depends only on the distinct token set, so docs
+    sharing a set are interchangeable: group them first (one
+    corpus-sized aggregate), generate+verify candidates once per
+    distinct set, then expand surviving set pairs back to doc pairs —
+    same-set docs pair at exactly 1e6, cross-set doc pairs inherit
+    their set pair's score.  A near-dup corpus is DEFINED by giant
+    equal-set clusters, so candidate volume drops by the mean cluster
+    size squared (sf1 probe: 12.5k docs / 1.07k sets — 39.1M doc-level
+    candidates became 0.6M set-level ones) while the produced pair set
+    is provably identical."""
     t = int(threshold_micro)
     txt = F.coalesce(F.col("text"), F.lit(""))
-    tk = docs.select("doc_id", F.array_distinct(tokens(txt)).alias("toks"))
-    e = tk.select("doc_id", F.explode("toks").alias("tok"))
-    dfc = e.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))
-    # r9: re-key every token to its dense GLOBAL RARITY RANK (long) and
-    # run the whole join on ranks instead of strings — the rank order IS
-    # the (dfn, tok) prefix order, the token->rank map is a bijection so
-    # every intersection size (hence every Jaccard and the final pair
-    # set) is unchanged, and the verify stage now shuffles 8-byte longs
-    # instead of string arrays with per-element object overhead (sf1
-    # probe: the array shuffle + string compares dominated the 170s
-    # wall).  The rank table is vocabulary-sized — the standard
-    # dictionary-encode recipe at 100 TB.
+    # canonical (sorted) distinct token set per doc; token-less docs can
+    # never pair (no shared token) and are dropped here exactly as the
+    # pre-r10 explode dropped them
+    tk = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tokens(txt))).alias("toks"))
+    grp = (tk.filter(F.size("toks") > 0)
+           .groupBy("toks")
+           .agg(F.min("doc_id").alias("gid"),
+                F.sort_array(F.collect_list("doc_id")).alias("ids")))
+    # the group table feeds four plan branches (candidates, both
+    # expansion sides, same-set pairs) — pin it once instead of
+    # recomputing the tokenize+group subtree per branch (it is
+    # distinct-set-sized, the same scale global_rank already pins)
+    grp = grp.localCheckpoint(eager=False)
+    gp = _prefix_filter_set_pairs(
+        grp.select("gid", "toks"), grp.select("gid", "toks"), t,
+        self_join=True)
+    mx_ = grp.select(F.col("gid").alias("gx"), F.col("ids").alias("xs"))
+    my_ = grp.select(F.col("gid").alias("gy"), F.col("ids").alias("ys"))
+    cross = (gp.join(mx_, "gx").join(my_, "gy")
+             .select(F.explode("xs").alias("a"), "ys", "jaccard_micro")
+             .select("a", F.explode("ys").alias("b"), "jaccard_micro")
+             .select(F.least("a", "b").alias("x"),
+                     F.greatest("a", "b").alias("y"), "jaccard_micro"))
+    # same-set pairs: Jaccard is exactly 1e6; they qualify iff t <= 1e6
+    # (ids is sorted, so position order IS x < y)
+    within = (grp.filter(F.size("ids") >= 2)
+              .select(F.posexplode("ids").alias("i", "x"), "ids")
+              .select("x",
+                      F.explode(F.expr("slice(ids, i + 2, size(ids))"))
+                      .alias("y"))
+              .withColumn("jaccard_micro",
+                          F.lit(1_000_000).cast("long")))
+    if t > 1_000_000:
+        return cross
+    return cross.unionByName(within)
+
+
+def _prefix_filter_set_pairs(left_sets: DataFrame, right_sets: DataFrame,
+                             t: int, self_join: bool) -> DataFrame:
+    """PPJoin candidate generation + exact verification over one row
+    per DISTINCT token set (``gid``, ``toks`` — toks non-empty).
+
+    Every token is re-keyed to its dense GLOBAL RARITY RANK (long, r9)
+    and the whole join runs on ranks instead of strings — the rank
+    order IS the (dfn, tok) prefix order, the token->rank map is a
+    bijection so every intersection size (hence every Jaccard and the
+    final pair set) is unchanged, and the verify stage shuffles 8-byte
+    longs instead of string arrays (dictionary encoding).  Document
+    frequency here counts DISTINCT SETS, not docs — the prefix
+    pigeonhole guarantee holds under ANY shared total token order, so
+    the produced pair set is order-independent; the order only shapes
+    candidate volume.
+
+    Returns ``(gx, gy, jaccard_micro)``; for ``self_join`` both inputs
+    must be the same set table and pairs come out ``gx < gy``."""
+    el = left_sets.select(F.col("gid").alias("_gl"),
+                          F.explode("toks").alias("tok"))
+    er = (el.withColumnRenamed("_gl", "_gr") if self_join else
+          right_sets.select(F.col("gid").alias("_gr"),
+                            F.explode("toks").alias("tok")))
+    dfe = el if self_join else el.unionByName(
+        er.withColumnRenamed("_gr", "_gl"))
+    dfc = dfe.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))
     ranked = global_rank(dfc, ["dfn", "tok"], rank_col="rk")
-    sorted_ = (e.join(ranked.select("tok", "rk"), "tok")
-               .groupBy("doc_id")
-               .agg(F.array_sort(F.collect_list("rk")).alias("st")))
-    meta = sorted_.select(
-        "doc_id", "st", F.size("st").cast("long").alias("m"),
-        (F.size("st").cast("long")
-         - F.expr(f"(({t} * size(st)) + 999999) div 1000000")
-         + 1).alias("plen"))
-    pref = meta.select("doc_id", "m",
-                       F.posexplode(F.slice("st", 1, F.col("plen")))
-                       .alias("p0", "tok"))
-    a = pref.select(F.col("doc_id").alias("x"), F.col("m").alias("ma"),
-                    F.col("p0").alias("pa"), "tok")
-    b = pref.select(F.col("doc_id").alias("y"), F.col("m").alias("mb"),
-                    F.col("p0").alias("pb"), "tok")
+
+    def meta_of(e, gcol):
+        s = (e.join(ranked.select("tok", "rk"), "tok")
+             .groupBy(gcol)
+             .agg(F.array_sort(F.collect_list("rk")).alias("st")))
+        return s.select(
+            gcol, "st", F.size("st").cast("long").alias("m"),
+            (F.size("st").cast("long")
+             - F.expr(f"(({t} * size(st)) + 999999) div 1000000")
+             + 1).alias("plen"))
+
+    ml = meta_of(el, "_gl")
+    mr = ml.withColumnRenamed("_gl", "_gr") if self_join \
+        else meta_of(er, "_gr")
+
+    def pref_of(meta, gcol, g_as, m_as, p_as):
+        return meta.select(
+            F.col(gcol).alias(g_as), F.col("m").alias(m_as),
+            F.posexplode(F.slice("st", 1, F.col("plen")))
+            .alias(p_as, "tok"))
+
+    a = pref_of(ml, "_gl", "gx", "ma", "pa")
+    b = pref_of(mr, "_gr", "gy", "mb", "pb")
     # positional bound: positions are 0-based, so the remaining suffix
     # including the match is m - p0
     bound = F.least(F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb"))
+    flt = ((F.least("ma", "mb") * 1_000_000
+            >= F.lit(t) * F.greatest("ma", "mb"))
+           & (bound * (1_000_000 + t)
+              >= F.lit(t) * (F.col("ma") + F.col("mb"))))
+    if self_join:
+        flt = (F.col("gx") < F.col("gy")) & flt
     cand = (a.join(b, "tok")
-            .filter((F.col("x") < F.col("y"))
-                    & (F.least("ma", "mb") * 1_000_000
-                       >= F.lit(t) * F.greatest("ma", "mb"))
-                    & (bound * (1_000_000 + t)
-                       >= F.lit(t) * (F.col("ma") + F.col("mb"))))
-            .select("x", "y").distinct()
+            .filter(flt)
+            .select("gx", "gy").distinct()
             # the candidate table is BYTES-tiny (two longs/row) but each
             # row buys an array_intersect over full token arrays — AQE
             # coalesces the distinct's output by size and collapsed the
@@ -2893,18 +2968,18 @@ def prefix_filter_pairs(docs: DataFrame,
             # Re-spread candidates (hash on the full pair — immune to
             # one hot cluster head) so verification parallelism tracks
             # the cluster, not the candidate byte count.
-            .repartition(F.col("x"), F.col("y")))
-    ta = meta.select(F.col("doc_id").alias("x"),
-                     F.col("st").alias("tx"), F.col("m").alias("mx"))
-    tb = meta.select(F.col("doc_id").alias("y"),
-                     F.col("st").alias("ty"), F.col("m").alias("my"))
+            .repartition(F.col("gx"), F.col("gy")))
+    ta = ml.select(F.col("_gl").alias("gx"),
+                   F.col("st").alias("tx"), F.col("m").alias("mx"))
+    tb = mr.select(F.col("_gr").alias("gy"),
+                   F.col("st").alias("ty"), F.col("m").alias("my"))
     inter = F.size(F.array_intersect("tx", "ty")).cast("long")
-    return (cand.join(ta, "x").join(tb, "y")
+    return (cand.join(ta, "gx").join(tb, "gy")
             .withColumn("_i", inter)
             .withColumn("jaccard_micro",
                         F.expr("(1000000 * _i) div (mx + my - _i)"))
             .filter(F.col("jaccard_micro") >= t)
-            .select("x", "y", "jaccard_micro"))
+            .select("gx", "gy", "jaccard_micro"))
 
 
 def prefix_filter_join(left: DataFrame, right: DataFrame,
@@ -2929,59 +3004,35 @@ def prefix_filter_join(left: DataFrame, right: DataFrame,
     overlap — pairing is by side, not id order).
 
     Scale: identical recipe to the self-join — candidates keyed on
-    globally-rare ranks, verification on dictionary-encoded longs; the
-    extra union for the df count is one combinable aggregate."""
+    globally-rare ranks, verification on dictionary-encoded longs over
+    DISTINCT TOKEN SETS per side (r10 — see
+    :func:`prefix_filter_pairs`), surviving set pairs expanded back to
+    ``(left doc, right doc)`` pairs; the extra union for the df count
+    is one combinable aggregate."""
     t = int(threshold_micro)
     txt_ = F.coalesce(F.col("text"), F.lit(""))
 
-    def toks_of(df):
-        return df.select("doc_id",
-                         F.array_distinct(tokens(txt_)).alias("toks"))
+    def grp_of(df):
+        tk = df.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(tokens(txt_))).alias("toks"))
+        return (tk.filter(F.size("toks") > 0)
+                .groupBy("toks")
+                .agg(F.min("doc_id").alias("gid"),
+                     F.collect_list("doc_id").alias("ids")))
 
-    el = toks_of(left).select("doc_id", F.explode("toks").alias("tok"))
-    er = toks_of(right).select("doc_id", F.explode("toks").alias("tok"))
-    dfc = (el.unionByName(er).groupBy("tok")
-           .agg(F.count(F.lit(1)).alias("dfn")))
-    ranked = global_rank(dfc, ["dfn", "tok"], rank_col="rk")
-
-    def meta_of(e):
-        s = (e.join(ranked.select("tok", "rk"), "tok")
-             .groupBy("doc_id")
-             .agg(F.array_sort(F.collect_list("rk")).alias("st")))
-        return s.select(
-            "doc_id", "st", F.size("st").cast("long").alias("m"),
-            (F.size("st").cast("long")
-             - F.expr(f"(({t} * size(st)) + 999999) div 1000000")
-             + 1).alias("plen"))
-
-    ml, mr = meta_of(el), meta_of(er)
-
-    def pref_of(meta, doc_as, m_as, p_as):
-        return meta.select(
-            F.col("doc_id").alias(doc_as), F.col("m").alias(m_as),
-            F.posexplode(F.slice("st", 1, F.col("plen")))
-            .alias(p_as, "tok"))
-
-    a = pref_of(ml, "x", "ma", "pa")
-    b = pref_of(mr, "y", "mb", "pb")
-    bound = F.least(F.col("ma") - F.col("pa"), F.col("mb") - F.col("pb"))
-    cand = (a.join(b, "tok")
-            .filter((F.least("ma", "mb") * 1_000_000
-                     >= F.lit(t) * F.greatest("ma", "mb"))
-                    & (bound * (1_000_000 + t)
-                       >= F.lit(t) * (F.col("ma") + F.col("mb"))))
-            .select("x", "y").distinct()
-            .repartition(F.col("x"), F.col("y")))
-    ta = ml.select(F.col("doc_id").alias("x"),
-                   F.col("st").alias("tx"), F.col("m").alias("mx"))
-    tb = mr.select(F.col("doc_id").alias("y"),
-                   F.col("st").alias("ty"), F.col("m").alias("my"))
-    inter = F.size(F.array_intersect("tx", "ty")).cast("long")
-    return (cand.join(ta, "x").join(tb, "y")
-            .withColumn("_i", inter)
-            .withColumn("jaccard_micro",
-                        F.expr("(1000000 * _i) div (mx + my - _i)"))
-            .filter(F.col("jaccard_micro") >= t)
+    # each side's group table feeds two plan branches (set pairs +
+    # expansion) — pin them once, as in :func:`prefix_filter_pairs`
+    gl = grp_of(left).localCheckpoint(eager=False)
+    gr = grp_of(right).localCheckpoint(eager=False)
+    gp = _prefix_filter_set_pairs(
+        gl.select("gid", "toks"), gr.select("gid", "toks"), t,
+        self_join=False)
+    mx_ = gl.select(F.col("gid").alias("gx"), F.col("ids").alias("xs"))
+    my_ = gr.select(F.col("gid").alias("gy"), F.col("ids").alias("ys"))
+    return (gp.join(mx_, "gx").join(my_, "gy")
+            .select(F.explode("xs").alias("x"), "ys", "jaccard_micro")
+            .select("x", F.explode("ys").alias("y"), "jaccard_micro")
             .select("x", "y", "jaccard_micro"))
 
 

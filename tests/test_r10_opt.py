@@ -1,0 +1,60 @@
+"""Round-10 optimization guards: the grouped (distinct-token-set)
+prefix-filter machinery must be invisible in the produced pair set."""
+
+def test_prefix_filter_identical_sets_pair_at_exactly_1e6(spark):
+    """Docs whose distinct token sets are equal (including permuted /
+    repeated tokens) pair at exactly 1_000_000 — the same-set branch of
+    the grouped machinery."""
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_pairs
+
+    rows = [(1, "alpha beta gamma"),
+            (2, "gamma alpha beta"),          # permutation: same set
+            (3, "alpha alpha beta gamma"),    # repetition: same set
+            (4, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 prefix_filter_pairs(df, threshold_micro=900_000).collect())
+    assert got == [(1, 2, 1_000_000), (1, 3, 1_000_000),
+                   (2, 3, 1_000_000)]
+
+
+def test_prefix_filter_threshold_above_1e6_yields_nothing(spark):
+    """Jaccard can never exceed 1e6, so t > 1e6 must produce zero pairs
+    even among identical docs (the same-set branch must not leak)."""
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c")],
+        "doc_id long, text string")
+    assert prefix_filter_pairs(df, threshold_micro=1_000_001).count() == 0
+    assert prefix_filter_pairs(df, threshold_micro=1_000_000).count() == 3
+
+
+def test_prefix_filter_tokenless_docs_never_pair(spark):
+    """Empty/NULL-text docs have empty token sets; they paired with
+    nothing before the grouping change (no shared token exists) and
+    must still pair with nothing — including with each other."""
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_pairs
+
+    rows = [(1, ""), (2, None), (3, "   "), (4, "real tokens here"),
+            (5, "real tokens here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 prefix_filter_pairs(df, threshold_micro=500_000).collect())
+    assert got == [(4, 5, 1_000_000)]
+
+
+def test_prefix_filter_join_identical_sets_across_sides(spark):
+    """R-S form: equal sets on opposite sides are DIFFERENT groups and
+    must still meet (jacc 1e6), with overlapping doc_id spaces."""
+    from hbase_indexer_spark.pipeline.dedup import prefix_filter_join
+
+    L = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "p q r s t u v w")],
+        "doc_id long, text string")
+    R = spark.createDataFrame(
+        [(1, "z y x"), (9, "unrelated totally different words")],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 prefix_filter_join(L, R, threshold_micro=900_000).collect())
+    assert got == [(1, 1, 1_000_000), (2, 1, 1_000_000)]
