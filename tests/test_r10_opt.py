@@ -44,6 +44,29 @@ def test_prefix_filter_tokenless_docs_never_pair(spark):
     assert got == [(4, 5, 1_000_000)]
 
 
+def test_idle_record_head_stamp_gates_adjudication():
+    """The regression pre-adjudicator may only consult a committed idle
+    record that measured the SAME commit (VERDICT r9 #7): a stamped
+    record from another HEAD — or any stamped record when the current
+    HEAD is unknown — cannot exonerate a flag.  Unstamped legacy
+    records stay usable."""
+    import bench
+
+    assert bench._idle_record_usable({}, "abc") is True
+    assert bench._idle_record_usable({"git_head": None}, "abc") is True
+    assert bench._idle_record_usable({"git_head": "abc"}, "abc") is True
+    assert bench._idle_record_usable({"git_head": "abc"}, "def") is False
+    assert bench._idle_record_usable({"git_head": "abc"}, None) is False
+
+
+def test_bench_git_head_resolves_in_repo():
+    import bench
+
+    head = bench._git_head()
+    assert head is None or (len(head) == 40
+                            and all(c in "0123456789abcdef" for c in head))
+
+
 def test_prefix_filter_join_identical_sets_across_sides(spark):
     """R-S form: equal sets on opposite sides are DIFFERENT groups and
     must still meet (jacc 1e6), with overlapping doc_id spaces."""
