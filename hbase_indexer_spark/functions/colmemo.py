@@ -11,10 +11,14 @@ compiled objects are safely reusable across DataFrames and micro-batches.
 
 Lifetime: entries attach to the live SparkContext object — ``spark.stop()``
 drops the JVM-side expression objects, and the next context starts with an
-empty memo.  Correctness: ONLY plan fragments are cached, never DataFrames,
+empty memo.  The store is bounded (``_MAX_ENTRIES``, FIFO eviction) so a
+pathological caller cycling through unbounded distinct confs cannot grow
+driver memory without limit; the engine's real key population is a few
+dozen.  Correctness: ONLY plan fragments are cached, never DataFrames,
 results, or anything data-dependent; builders that resolve runtime
-registries (custom value mappers, U1) put the resolved callables' ``id()``
-in the key so re-registering a name recompiles (see
+registries (custom value mappers, U1) put the resolved callable OBJECTS in
+the key — identity-hashed, and kept alive by the key itself, so a recycled
+``id()`` can never alias a stale compile (see
 ``extraction._resolution_key``).
 """
 
@@ -52,8 +56,11 @@ def memo(key: tuple, builder: Callable[[], T]) -> T:
     if hit is not _MISS:
         return hit
     out = builder()
+    while len(d) >= _MAX_ENTRIES:
+        d.pop(next(iter(d)))  # FIFO: dict preserves insertion order
     d[key] = out
     return out
 
 
 _MISS = object()
+_MAX_ENTRIES = 256

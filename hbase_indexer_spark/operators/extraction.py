@@ -194,10 +194,16 @@ def field_exprs(fd: FieldDef, cells_arr: Column) -> list[Column]:
 def _resolution_key(conf: IndexerConf) -> tuple:
     """Identity of every runtime-registry callable a compile of ``conf``
     resolves (U1 custom value mappers looked up by name).  Part of each
-    memo key: re-registering a name yields a new callable id, so the cached
-    compile is invalidated exactly when resolution would change."""
+    memo key: re-registering a name resolves to a different callable, so
+    the cached compile is invalidated exactly when resolution would change.
+
+    The key holds the callable OBJECT, not its ``id()`` (ADVICE r9):
+    functions hash by identity, and the key tuple's reference keeps the
+    resolved callable alive for as long as the memo entry exists — a
+    de-registered mapper's address can therefore never be recycled into a
+    colliding id while a compile against it is still cached."""
     return tuple(
-        id(decoder_for(fd.type))
+        decoder_for(fd.type)
         if isinstance(fd.type, str) and is_custom_mapper(fd.type) else None
         for fd in conf.fields
     )

@@ -82,3 +82,45 @@ def test_memo_scoped_to_context(spark):
     # entries live on the SparkContext instance, so stopping the context
     # (not done here - shared fixture) drops them with the JVM expressions
     assert store is _store()
+
+
+def test_resolution_key_pins_callable_not_id(spark):
+    """A de-registered mapper must stay alive via the cached key so a later
+    re-registration can never collide with its recycled id() (ADVICE r9):
+    the key tuple holds the callable object itself."""
+    import gc
+    import weakref
+
+    fn = lambda c: F.upper(c.cast("string"))  # noqa: E731
+    bc.register_value_mapper("colmemo_pin", fn)
+    conf = IndexerConf.from_dict({
+        "table": "t",
+        "fields": [{"name": "n", "value": "info:name", "type": "colmemo_pin"}],
+    })
+    key = _resolution_key(conf)
+    assert key[0] is fn  # the callable itself, not an int id
+    ref = weakref.ref(fn)
+    # drop every reference except the registry, then replace the registry
+    # entry: the KEY reference must keep the old callable alive
+    del fn
+    bc.register_value_mapper("colmemo_pin", lambda c: c.cast("string"))
+    gc.collect()
+    assert ref() is not None and key[0] is ref()
+    new_key = _resolution_key(conf)
+    assert new_key != key  # re-registration still invalidates
+
+
+def test_memo_eviction_bound(spark):
+    from hbase_indexer_spark.functions.colmemo import _MAX_ENTRIES
+
+    store = _store()
+    baseline = dict(store)
+    try:
+        for i in range(_MAX_ENTRIES + 10):
+            memo(("colmemo_evict", i), lambda i=i: i)
+        assert len(store) <= _MAX_ENTRIES
+        # newest entries survive, oldest were evicted FIFO
+        assert ("colmemo_evict", _MAX_ENTRIES + 9) in store
+    finally:
+        store.clear()
+        store.update(baseline)
