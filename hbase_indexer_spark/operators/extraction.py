@@ -34,6 +34,7 @@ from hbase_indexer_spark.config.indexer_conf import (
 )
 from hbase_indexer_spark.functions.bytes_codec import decoder_for, is_custom_mapper
 from hbase_indexer_spark.functions.colmemo import memo
+from hbase_indexer_spark.functions.sqltext import decode_sql, qlit
 from hbase_indexer_spark.functions import unique_key as uk
 
 OP_PUT = "put"
@@ -71,13 +72,34 @@ def cell_matches(conf: IndexerConf, family: Column, qualifier: Column) -> Column
     return out
 
 
+def _cell_matches_sql(conf: IndexerConf) -> str:
+    """SQL text of :func:`cell_matches` over the canonical ``family`` /
+    ``qualifier`` columns — one parse instead of one py4j round trip per
+    operator (r10 #3; same OR-fold, same target ordering)."""
+    preds = []
+    for fam, qual in sorted(conf.exact_targets()):
+        preds.append(f"((family = {qlit(fam)}) AND (qualifier = {qlit(qual)}))")
+    for fam, prefix in sorted(conf.prefix_targets()):
+        p = f"(family = {qlit(fam)})"
+        if prefix:
+            p = f"({p} AND startswith(qualifier, {qlit(prefix)}))"
+        preds.append(p)
+    if not preds:
+        return "false"
+    out = preds[0]
+    for p in preds[1:]:
+        out = f"({out} OR {p})"
+    return out
+
+
 def put_relevant_pred(conf: IndexerConf) -> Column:
     """The put-filter of the document builders — op = put AND the cell hits
     an extractor target.  Depends only on ``conf``, so compiled once per
-    context (the builders run it per micro-batch)."""
-    return memo(("put_relevant", conf), lambda: (
-        (F.col("op") == OP_PUT)
-        & cell_matches(conf, F.col("family"), F.col("qualifier"))
+    context (the builders run it per micro-batch), and parsed from SQL text
+    in ONE round trip (r10 #3: the Column fold cost ~530 py4j calls per
+    cold compile)."""
+    return memo(("put_relevant", conf), lambda: F.expr(
+        f"((op = {qlit(OP_PUT)}) AND {_cell_matches_sql(conf)})"
     ))
 
 
@@ -115,6 +137,17 @@ def _decode(fd: FieldDef, raw: Column) -> Column:
         # params on built-in types are config metadata only
         return dec(raw, dict(fd.params))
     return dec(raw)
+
+
+def _decode_sql(fd: FieldDef, e: str) -> str | None:
+    """SQL text of :func:`_decode` over the SQL expression ``e``, or None
+    when the field needs the Column path (custom U1 mappers are arbitrary
+    callables, bigdecimal is a pandas UDF, non-string types are callables).
+    Mirrors ``_decode``'s dispatch; tests/test_sqltext.py pins result and
+    dtype equality per built-in type."""
+    if not isinstance(fd.type, str) or is_custom_mapper(fd.type):
+        return None
+    return decode_sql(fd.type, e)
 
 
 def field_expr(fd: FieldDef, cells_arr: Column) -> Column:
@@ -257,22 +290,30 @@ def row_documents(cells: DataFrame, conf: IndexerConf) -> DataFrame:
 
     reskey = _resolution_key(conf)
     if all(not fd.wildcard for fd in conf.fields):
-        aggs, cols = memo(("row_docs_exact", conf, reskey), lambda: (
-            [
-                F.max(
-                    F.when(
-                        (F.col("family") == fd.family)
-                        & (F.col("qualifier") == fd.qualifier),
-                        F.struct("ts", "value"),
-                    )
+        # compiled from SQL text, ONE parse per expression (r10 #3): the
+        # Column-built version cost ~2.5k py4j round trips per cold compile
+        # (aggs ~730, decode projections ~1.8k — decode_double alone is
+        # ~360 calls).  Fields with no SQL form (custom mappers,
+        # bigdecimal) fall back to the Column path per field; the parsed
+        # trees are plan-identical (tests/test_sqltext.py + plan snapshots).
+        def build() -> tuple:
+            aggs = [
+                F.expr(
+                    f"max(CASE WHEN ((family = {qlit(fd.family)})"
+                    f" AND (qualifier = {qlit(fd.qualifier)}))"
+                    f" THEN struct(ts, value) END)"
                 ).alias(f"_c{i}")
                 for i, fd in enumerate(conf.fields)
-            ],
-            id_cols() + [
-                _decode(fd, F.col(f"_c{i}")["value"]).alias(fd.name)
-                for i, fd in enumerate(conf.fields)
-            ],
-        ))
+            ]
+            cols = id_cols()
+            for i, fd in enumerate(conf.fields):
+                ds = _decode_sql(fd, f"_c{i}.value")
+                cols.append(
+                    F.expr(ds).alias(fd.name) if ds is not None
+                    else _decode(fd, F.col(f"_c{i}")["value"]).alias(fd.name))
+            return aggs, cols
+
+        aggs, cols = memo(("row_docs_exact", conf, reskey), build)
         return put_cells.groupBy("table", "row").agg(*aggs).select(*cols)
 
     latest = latest_cells(put_cells)

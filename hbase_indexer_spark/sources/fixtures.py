@@ -12,25 +12,39 @@ Fixture mapping (FIXTURES.md):
 - message (COLUMN mapping, hex/escape) <- orders     (message_indexer.xml analog)
 - typed   (full decode matrix)         <- lineitem   (IndexerIT.java:678-721 analog)
 - events  (streaming mutations)        <- events     (SepEvent.java:30-50 analog)
+
+Compile cost (r10 #3): each fixture's column expressions — the encode
+trees especially — cost ~0.9-2k py4j round trips to build (~0.3s of
+single-threaded driver time per call; measured), and every bench/gate run
+builds them 2+ times per query.  The expression lists are static per
+fixture (unresolved plan fragments, no data), so they are memoized per
+SparkContext via functions/colmemo.py, same as the extraction compile.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_indexer_spark.functions import bytes_codec as bc
+from hbase_indexer_spark.functions.colmemo import memo
 
 CELL_COLS = ["table", "row", "family", "qualifier", "ts", "op", "value"]
 
 
-# split-count probe cache: ``df.rdd.getNumPartitions()`` costs 50-100ms of
-# driver time (a full DataFrame->RDD conversion) and depends only on the
-# file set + session split config, both fixed for a given path within one
-# process — paying it once per table instead of twice per query removed
-# ~0.1s/query of pure driver overhead across the bench.  Input METADATA
-# only; no data or results are cached.
-_NPARTS_CACHE: dict[str, int] = {}
+def _path_sig(path: str) -> tuple | None:
+    """(mtime_ns, size) of the fixture file/dir — part of the split-probe
+    cache key so an in-process rewrite of the same path invalidates it
+    (ADVICE r9: the old process-global cache also survived SparkSession
+    restarts with different split conf; colmemo scoping fixes that too —
+    entries die with the SparkContext)."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,46 +56,56 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (often one row group -> ONE split) would otherwise serialize the whole
     encode/extract stage on one core.  The repartition is the local analog
     of region splits, not something a production deployment would add.
+
+    The ``df.rdd.getNumPartitions()`` probe costs 50-100ms of driver time (a
+    full DataFrame->RDD conversion) and depends only on the file set +
+    session split config — cached per (SparkContext, path, file signature):
+    input METADATA only, no data or results.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
-    key = f"{sf_dir}/{name}.parquet"
-    n = _NPARTS_CACHE.get(key)
-    if n is None:
-        n = df.rdd.getNumPartitions()
-        _NPARTS_CACHE[key] = n
+    n = memo(("nparts", path, _path_sig(path)),
+             lambda: df.rdd.getNumPartitions())
     if n < par:
         df = df.repartition(par)
     return df
 
 
-def _explode_cells(df: DataFrame, table: str, row: F.Column, ts: F.Column,
-                   cells: list[tuple[str, str, F.Column]]) -> DataFrame:
-    """Turn one source row into N put-cells: [(family, qualifier, value_bin)]."""
+def _explode_cells_cols(table: str, row: Column, ts: Column,
+                        cells: list[tuple[str, str, Column]]) -> tuple:
+    """The two static projection lists of :func:`_explode_cells` — split out
+    so fixture builders can memoize them (all arguments are compile-time
+    constants per fixture)."""
     entries = F.array(*[
         F.struct(F.lit(fam).alias("family"), F.lit(q).alias("qualifier"),
                  v.alias("value"))
         for fam, q, v in cells
     ])
-    return (
-        df.select(row.alias("row"), ts.alias("ts"), F.explode(entries).alias("c"))
-        .select(
-            F.lit(table).alias("table"),
-            "row",
-            F.col("c.family").alias("family"),
-            F.col("c.qualifier").alias("qualifier"),
-            F.col("ts").cast("long").alias("ts"),
-            F.lit("put").alias("op"),
-            F.col("c.value").alias("value"),
-        )
-    )
+    first = [row.alias("row"), ts.alias("ts"), F.explode(entries).alias("c")]
+    second = [
+        F.lit(table).alias("table"),
+        F.col("row"),
+        F.col("c.family").alias("family"),
+        F.col("c.qualifier").alias("qualifier"),
+        F.col("ts").cast("long").alias("ts"),
+        F.lit("put").alias("op"),
+        F.col("c.value").alias("value"),
+    ]
+    return first, second
+
+
+def _explode_cells(df: DataFrame, table: str, row: Column, ts: Column,
+                   cells: list[tuple[str, str, Column]]) -> DataFrame:
+    """Turn one source row into N put-cells: [(family, qualifier, value_bin)]."""
+    first, second = _explode_cells_cols(table, row, ts, cells)
+    return df.select(*first).select(*second)
 
 
 def user_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`indexdemo-user` fixture from customer: family `info`, typed cells."""
     c = load(spark, sf_dir, "customer")
-    return _explode_cells(
-        c,
+    first, second = memo(("fixture_user_cells",), lambda: _explode_cells_cols(
         table="indexdemo-user",
         row=F.col("c_custkey").cast("string"),
         ts=F.lit(1000),
@@ -93,24 +117,24 @@ def user_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("info", "acctbal", bc.encode_double(F.col("c_acctbal"))),
             ("info", "nation", bc.encode_int(F.col("c_nationkey"))),
         ],
-    )
+    ))
+    return c.select(*first).select(*second)
 
 
 def message_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`indexdemo-message` fixture from orders: one cell per message under a
     wildcard family; qualifiers contain hyphens to pin `\\-` escaping."""
     o = load(spark, sf_dir, "orders")
-    return (
-        o.select(
-            F.lit("indexdemo-message").alias("table"),
-            F.col("o_custkey").cast("string").alias("row"),
-            F.lit("content").alias("family"),
-            F.concat(F.lit("ord-"), F.col("o_orderkey").cast("string")).alias("qualifier"),
-            F.col("o_orderkey").cast("long").alias("ts"),
-            F.lit("put").alias("op"),
-            bc.encode_string(F.col("o_orderpriority")).alias("value"),
-        )
-    )
+    cols = memo(("fixture_message_cells",), lambda: [
+        F.lit("indexdemo-message").alias("table"),
+        F.col("o_custkey").cast("string").alias("row"),
+        F.lit("content").alias("family"),
+        F.concat(F.lit("ord-"), F.col("o_orderkey").cast("string")).alias("qualifier"),
+        F.col("o_orderkey").cast("long").alias("ts"),
+        F.lit("put").alias("op"),
+        bc.encode_string(F.col("o_orderpriority")).alias("value"),
+    ])
+    return o.select(*cols)
 
 
 def typed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,32 +142,36 @@ def typed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     including a deliberately wrong-length value (f_badint) to pin the
     drop-on-decode-error contract (ByteArrayValueMappers.java:154-164)."""
     li = load(spark, sf_dir, "lineitem")
-    # (orderkey, linenumber) alone is NOT unique in the driver data; the
-    # 5-part key incl. price-cents is unique at every sf (verified 0.001-0.1)
-    row_key = F.concat_ws(
-        ":",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        F.col("l_partkey").cast("string"),
-        F.col("l_suppkey").cast("string"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
-    )
-    return _explode_cells(
-        li,
-        table="table1",
-        row=row_key,
-        ts=F.lit(1000),
-        cells=[
-            ("family1", "f_long", bc.encode_long(F.col("l_quantity").cast("long"))),
-            ("family1", "f_int", bc.encode_int(F.col("l_partkey").cast("int"))),
-            ("family1", "f_short", bc.encode_short(F.col("l_linenumber").cast("short"))),
-            ("family1", "f_double", bc.encode_double(F.col("l_extendedprice"))),
-            ("family1", "f_float", bc.encode_float(F.col("l_discount"))),
-            ("family1", "f_boolean", bc.encode_boolean(F.col("l_discount") > 0.04)),
-            ("family1", "f_string", bc.encode_string(F.col("l_returnflag"))),
-            ("family1", "f_badint", bc.encode_short(F.col("l_linenumber").cast("short"))),
-        ],
-    )
+
+    def build() -> tuple:
+        # (orderkey, linenumber) alone is NOT unique in the driver data; the
+        # 5-part key incl. price-cents is unique at every sf (verified 0.001-0.1)
+        row_key = F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        )
+        return _explode_cells_cols(
+            table="table1",
+            row=row_key,
+            ts=F.lit(1000),
+            cells=[
+                ("family1", "f_long", bc.encode_long(F.col("l_quantity").cast("long"))),
+                ("family1", "f_int", bc.encode_int(F.col("l_partkey").cast("int"))),
+                ("family1", "f_short", bc.encode_short(F.col("l_linenumber").cast("short"))),
+                ("family1", "f_double", bc.encode_double(F.col("l_extendedprice"))),
+                ("family1", "f_float", bc.encode_float(F.col("l_discount"))),
+                ("family1", "f_boolean", bc.encode_boolean(F.col("l_discount") > 0.04)),
+                ("family1", "f_string", bc.encode_string(F.col("l_returnflag"))),
+                ("family1", "f_badint", bc.encode_short(F.col("l_linenumber").cast("short"))),
+            ],
+        )
+
+    first, second = memo(("fixture_typed_cells",), build)
+    return li.select(*first).select(*second)
 
 
 # Event-stream fixture: the driver's `events` table plays the SEP stream.
@@ -163,8 +191,10 @@ def event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     # WAL write time in ms, dtype-aware (Spark 4 reads the parquet
-    # TIMESTAMP(NANOS) as timestamp_ntz; see functions/timeutil.py)
-    return e.select(
+    # TIMESTAMP(NANOS) as timestamp_ntz; see functions/timeutil.py) — the
+    # dtype is part of the memo key because ts_millis compiles by dtype
+    ts_dtype = dict(e.dtypes).get("ts", "")
+    cols = memo(("fixture_event_cells", ts_dtype), lambda: [
         F.col("event_id").alias("seq"),
         ts_millis(e).alias("event_ts"),
         F.lit(EVENT_TABLE).alias("table"),
@@ -178,4 +208,5 @@ def event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == DELETE_EVENT_TYPE, F.lit(None).cast("binary"))
         .otherwise(bc.encode_double(F.col("value")))
         .alias("value"),
-    )
+    ])
+    return e.select(*cols)
