@@ -1226,6 +1226,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # the candidate-pair generation above ran at session width inside the
     # eager checkpoint; the loop's per-round exchanges are pair-sized.
     # One tiny agg over the checkpointed blocks buys the size.
+    # Coverage (ADVICE r9): each round IS materialized inside the block
+    # (eager localCheckpoint), so every loop exchange runs tuned; the
+    # trailing star-forest groupBy below is returned lazily and therefore
+    # runs at session width when the CALLER materializes it — a tiny,
+    # component-count-sized agg, deliberately left at session settings.
     from hbase_indexer_spark.functions.tuning import small_batch_tuning
 
     n_edges, _ = _fingerprint(cur)

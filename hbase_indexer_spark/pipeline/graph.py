@@ -91,7 +91,7 @@ def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
     # (ranks below KEEPS localCheckpoint — there it is the plan-depth
     # cut for the iterative lineage, and ranks are the small, per-round
     # re-shuffled side by design.)
-    # size the whole loop's shuffle width to the graph ONCE, up front
+    # size the loop's shuffle width to the graph ONCE, up front
     # (functions/tuning.py recipe): every per-round exchange — the ranks
     # shuffle, the contribs groupBy(dst), the nodes join — must agree
     # with the static sides' partition count, so the width cannot be
@@ -99,6 +99,11 @@ def _seeded_loop(edges: DataFrame, seeds: DataFrame | None,
     # from the local core count, and a big graph keeps session settings
     # (AQE included) untouched.  At toy scale this cuts each round's
     # 3 x 32 task launches to 3 x 4 without touching the plan shape.
+    # Coverage (ADVICE r9): the tuned width applies to the static-side
+    # builds and every IN-LOOP exchange (each round's ranks are
+    # materialized by the eager localCheckpoint inside the block); the
+    # returned frame is that final checkpoint, so the caller's own
+    # downstream shuffles — correctly — run at session width.
     from hbase_indexer_spark.functions.tuning import small_batch_tuning
 
     spark = edges.sparkSession

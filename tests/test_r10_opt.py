@@ -81,3 +81,60 @@ def test_prefix_filter_join_identical_sets_across_sides(spark):
     got = sorted(tuple(r) for r in
                  prefix_filter_join(L, R, threshold_micro=900_000).collect())
     assert got == [(1, 1, 1_000_000), (2, 1, 1_000_000)]
+
+
+# --- small_batch_tuning ownership guards (r10 #5, ADVICE r9) -------------
+
+def test_tuning_nested_block_is_noop(spark):
+    """An inner tuning block while one is active must NOT stack conf
+    writes: the outer width stays in force and is restored exactly once."""
+    from hbase_indexer_spark.functions.tuning import small_batch_tuning
+
+    sess = spark.conf.get("spark.sql.shuffle.partitions")
+    with small_batch_tuning(spark, 1):
+        outer = spark.conf.get("spark.sql.shuffle.partitions")
+        assert outer == "4"
+        with small_batch_tuning(spark, 200_000_000):
+            # inner asked for a bigger width; the outer owner keeps it
+            assert spark.conf.get("spark.sql.shuffle.partitions") == outer
+        # inner exit must not restore anything
+        assert spark.conf.get("spark.sql.shuffle.partitions") == outer
+    assert spark.conf.get("spark.sql.shuffle.partitions") == sess
+
+
+def test_tuning_restores_on_exception(spark):
+    from hbase_indexer_spark.functions.tuning import small_batch_tuning
+
+    sess = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        with small_batch_tuning(spark, 1):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == sess
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
+    # and the ownership flag was released: a new block tunes again
+    with small_batch_tuning(spark, 1):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+
+def test_tuning_non_integer_width_is_noop():
+    """Platforms whose session reports shuffle.partitions='auto' must not
+    crash the int() parse (ADVICE r9) — the block becomes a no-op.  Spark 4
+    validates the conf value on set, so the platform is simulated with a
+    stub session (the parse guard runs before any Spark call)."""
+    from hbase_indexer_spark.functions.tuning import small_batch_tuning
+
+    class _Conf:
+        def get(self, k, d=None):
+            return "auto"
+
+        def set(self, k, v):  # pragma: no cover - must never be called
+            raise AssertionError("no-op block must not write conf")
+
+    class _Spark:
+        conf = _Conf()
+
+    with small_batch_tuning(_Spark(), 1):
+        pass  # entered and exited without touching conf
