@@ -170,7 +170,8 @@ BM25_TF_CAP = 50_000  # tf saturation bound: keeps every product in int64
 
 
 def _bm25_from_tf(spark, tf: DataFrame, n_docs: int,
-                  queries: list[tuple[int, str]], k: int) -> DataFrame:
+                  queries: list[tuple[int, str]], k: int,
+                  total_len: int | None = None) -> DataFrame:
     """Shared BM25 scoring core over a ``(doc_id, term, tf)`` postings
     frame — used by the ad-hoc path (tf built from the docs scan) and
     the indexed path (tf read from the postings store).
@@ -184,7 +185,11 @@ def _bm25_from_tf(spark, tf: DataFrame, n_docs: int,
     (BM25's tf term saturates toward idf*(k1+1) anyway), which bounds
     the score numerator at ~3e18 < 2^63 even for ln(N)-sized idf."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    total_len = tf.agg(F.sum("tf")).first()[0] or 0
+    if total_len is None:
+        # collect(), not first(): first() is limit(1) and Spark's
+        # incremental limit-scaling can run several partial jobs even over
+        # a 1-row global aggregate (the incremental.replay lesson)
+        total_len = tf.agg(F.sum("tf")).collect()[0][0] or 0
     if total_len == 0:
         return spark.createDataFrame(
             [], "query_id long, doc_id long, rank int, score_micro long")
@@ -265,8 +270,13 @@ def bm25_topk_indexed(spark, store, queries: list[tuple[int, str]],
         return spark.createDataFrame(
             [], "query_id long, doc_id long, rank int, score_micro long")
     tf = tf.select("doc_id", "term", "tf")
-    n_docs = tf.select("doc_id").distinct().count()
-    return _bm25_from_tf(spark, tf, n_docs, queries, k)
+    # ONE stats job instead of two full postings scans (r10 #9): N and the
+    # corpus length ride the same aggregate — count_distinct is exact, so
+    # the statistics are unchanged
+    stats = tf.agg(F.count_distinct("doc_id").alias("n"),
+                   F.sum("tf").alias("s")).collect()[0]
+    return _bm25_from_tf(spark, tf, stats["n"], queries, k,
+                         total_len=stats["s"] or 0)
 
 
 def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
