@@ -160,19 +160,101 @@ SF1_QUERIES = [
     "dhash_groups",
     "attribution_position",
     "gapfill_daily_value",
+    # r10 (VERDICT r9 #8): extend the slice to the full top-40 bench
+    # entries — everything in the top 42 of the r10 round-start idle
+    # record that is not already covered by a dedicated probe section
+    # (pagerank/dedup_clusters/minhash/bm25/stream_stream_join/
+    # bm25_incremental/curation_stream/dedup_store_screen/bpe above)
+    "streaming_row_index",
+    "incremental_column_index",
+    "dedup_keep_best",
+    "dedup_pair_quality",
+    "cms_stream",
+    "hll_stream",
+    "stream_dedup",
+    "simhash_near_dups",
+    "embedding_lsh_recall",
+    "training_corpus",
+    "deduped_corpus",
+    "retrieval_eval",
+    "ann_ivf_build",
+    "hybrid_rrf",
+    "ann_pq_adc",
+    "curated_corpus",
+    "prefix_filter_xjoin",
+    "quality_ensemble",
+    "quarantine_merge",
+    "bpe_fertility",
+    "source_overlap_matrix",
+    "fk_integrity",
+    "bucketed_join_revenue",
+    "winnow_overlap",
+    "dsir_selection",
+    "filter_ablation",
+    "embedding_cosine_lsh",
+    "trustrank_seeds",
+]
+
+# the ten heaviest bench entries (r10 round-start idle record): re-run at
+# SPARK_GRAFT_CPUS=8 against the same sf1 replica for the low-core scaling
+# evidence that matters at 100 TB (--sf1-only --only-sf1 ... --sf1-key
+# sf1_queries_c8)
+SF1_HEAVIEST = [
+    "streaming_row_index",
+    "pagerank_trade",
+    "curation_stream",
+    "incremental_row_index",
+    "dedup_store_screen",
+    "trustrank_seeds",
+    "incremental_column_index",
+    "bm25_incremental",
+    "dedup_keep_best",
+    "typed_decode_matrix",
 ]
 
 
 def build_sf1_dir(spark, base: str, tmp: str) -> str:
     """Materialize a full FK-consistent 10x replica of every table —
-    a ~sf1 dataset the entry queries can run against unchanged."""
+    a ~sf1 dataset the entry queries can run against unchanged.  A dir
+    already carrying the completion marker is reused as-is (lets the
+    8-core re-run share the 32-core run's replica)."""
     out = os.path.join(tmp, "sf1")
+    marker = os.path.join(out, "_HBIS_SF1_COMPLETE")
+    if os.path.exists(marker):
+        print(f"# reusing sf1 replica at {out}", file=sys.stderr)
+        return out
     os.makedirs(out, exist_ok=True)
     for table, keys in REPLICATE_KEYS.items():
         src = spark.read.parquet(f"{base}/{table}.parquet")
         df = src if keys is None else replicate(src, keys)
         df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
     return out
+
+
+def run_sf1_queries(spark, sf1: str, names: list[str]) -> dict:
+    """Run entry queries against the sf1 replica, best-of-2 each."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf1_out = {}
+    for name in names:
+        runs, metrics = [], None
+        for _ in range(2):
+            n, wall, rmb, wmb = timed(
+                spark, lambda: qs[name](spark, sf1).count())
+            runs.append(wall)
+            if metrics is None or wall < metrics[0]:
+                metrics = (wall, rmb, wmb, n)
+        sf1_out[name] = {
+            "wall_s": metrics[0],
+            "shuffle_read_mb": metrics[1],
+            "shuffle_write_mb": metrics[2],
+            "rows": metrics[3],
+        }
+        print(f"# sf1 {name}: {json.dumps(sf1_out[name])}", file=sys.stderr)
+    return sf1_out
 
 
 def main() -> None:
@@ -183,13 +265,46 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json"))
+    # r10: 8-core slice support — run ONLY the sf1 entry queries against a
+    # (reusable) replica dir and merge the result into --out under
+    # --sf1-key, preserving every other probe section
+    ap.add_argument("--sf1-only", action="store_true",
+                    help="skip the loop probes; run only sf1 entry queries "
+                         "and merge into --out under --sf1-key")
+    ap.add_argument("--sf1-dir", default=None,
+                    help="parent dir for the sf1 replica (reused when the "
+                         "completion marker exists)")
+    ap.add_argument("--only-sf1", default=None,
+                    help="comma list of entry queries for the sf1 slice "
+                         "(default: SF1_QUERIES)")
+    ap.add_argument("--sf1-key", default="sf1_queries",
+                    help="output key for the sf1 slice in --out")
     args = ap.parse_args()
 
     from hbase_indexer_spark.pipeline.dedup import dedup_clusters
     from hbase_indexer_spark.pipeline.graph import pagerank, trade_edges
 
     spark = build_session()
-    tmp = tempfile.mkdtemp(prefix="hbis_probe_")
+    tmp = args.sf1_dir or tempfile.mkdtemp(prefix="hbis_probe_")
+    os.makedirs(tmp, exist_ok=True)
+
+    if args.sf1_only:
+        sf1 = build_sf1_dir(spark, args.base, tmp)
+        names = (args.only_sf1.split(",") if args.only_sf1
+                 else list(SF1_QUERIES))
+        sf1_out = run_sf1_queries(spark, sf1, names)
+        if args.sf1_key != "sf1_queries":
+            sf1_out = {"cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                       "queries": sf1_out}
+        data = {}
+        if os.path.exists(args.out):
+            with open(args.out, encoding="utf-8") as f:
+                data = json.load(f)
+        data[args.sf1_key] = sf1_out
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps({args.sf1_key: sf1_out}))
+        return
 
     # ---- build the sf1-shaped inputs once, as real parquet scans ----
     orders0 = spark.read.parquet(f"{args.base}/orders.parquet")
@@ -497,28 +612,8 @@ def main() -> None:
     # "would this plan still work at the next scale-up" measured, not
     # argued.  Each query best-of-2 (codegen warm-up cancels).
     if not args.skip_queries:
-        import __spark_entry__ as entry
-
         sf1 = build_sf1_dir(spark, args.base, tmp)
-        qs = entry.queries()
-        sf1_out = {}
-        for name in SF1_QUERIES:
-            runs, metrics = [], None
-            for _ in range(2):
-                n, wall, rmb, wmb = timed(
-                    spark, lambda: qs[name](spark, sf1).count())
-                runs.append(wall)
-                if metrics is None or wall < metrics[0]:
-                    metrics = (wall, rmb, wmb, n)
-            sf1_out[name] = {
-                "wall_s": metrics[0],
-                "shuffle_read_mb": metrics[1],
-                "shuffle_write_mb": metrics[2],
-                "rows": metrics[3],
-            }
-            print(f"# sf1 {name}: {json.dumps(sf1_out[name])}",
-                  file=sys.stderr)
-        out["sf1_queries"] = sf1_out
+        out["sf1_queries"] = run_sf1_queries(spark, sf1, SF1_QUERIES)
 
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
