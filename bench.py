@@ -242,6 +242,11 @@ BENCH_QUERIES = [
 ]
 
 
+# the paths whose content determines what the bench measures: a commit
+# that only adds records/docs outside them cannot change any timing
+_CODE_PATHS = ("hbase_indexer_spark", "__spark_entry__.py", "bench.py")
+
+
 def _git_head() -> str | None:
     """Commit hash of the code being benched (None outside a git tree)."""
     import subprocess
@@ -255,14 +260,50 @@ def _git_head() -> str | None:
         return None
 
 
-def _idle_record_usable(record: dict, head: str | None) -> bool:
+def _code_tree() -> str | None:
+    """Joint tree hash of the measured code paths at HEAD, or None when
+    unavailable or when the working tree is dirty under them (a dirty
+    tree runs code HEAD never saw, so its record must not match anything).
+
+    Why not the commit hash: committing the idle record itself advances
+    HEAD, so a head-stamped record could NEVER match the code state the
+    driver later benches — the adjudicator would ignore every committed
+    record.  The code-path tree hash is invariant under record/doc
+    commits and changes exactly when measured behavior can."""
+    import subprocess
+    cwd = os.path.dirname(os.path.abspath(__file__))
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", *_CODE_PATHS],
+            cwd=cwd, capture_output=True, text=True, timeout=10)
+        if dirty.returncode != 0 or dirty.stdout.strip():
+            return None
+        trees = subprocess.run(
+            ["git", "rev-parse", *[f"HEAD:{p}" for p in _CODE_PATHS]],
+            cwd=cwd, capture_output=True, text=True, timeout=10)
+        if trees.returncode != 0:
+            return None
+        import hashlib
+        return hashlib.sha256(trees.stdout.encode()).hexdigest()[:16]
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _idle_record_usable(record: dict, head: str | None,
+                        code_tree: str | None = None) -> bool:
     """May this committed idle record exonerate a regression flag?
 
-    A record stamped with a git_head is only believable when it measured
-    the SAME commit that is running now (a regression landed after the
-    idle record would otherwise read idle_clean and be waved off as
-    noise).  Unstamped legacy records predate the stamp and stay usable.
+    A stamped record is only believable when it measured the SAME code
+    that is running now (a regression landed after the idle record would
+    otherwise read idle_clean and be waved off as noise).  Matching is by
+    ``code_tree`` (hash of the measured code paths — survives the commit
+    of the record itself) when the record carries one; older head-stamped
+    records fall back to exact-commit equality; unstamped legacy records
+    predate the stamps and stay usable.
     """
+    rec_tree = record.get("code_tree")
+    if rec_tree is not None:
+        return code_tree is not None and rec_tree == code_tree
     rec_head = record.get("git_head")
     if rec_head is None:
         return True
@@ -355,6 +396,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(times.values()), 3)
     git_head = _git_head()
+    code_tree = _code_tree()
     # headline fields FIRST (json.dumps preserves insertion order): any
     # ~1.5KB prefix capture of the line carries metric/value/sf/head and
     # the <=1KB summary even when the 15KB per-query map is truncated
@@ -367,6 +409,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf else None,
         "git_head": git_head,
+        "code_tree": code_tree,
         "queries": times,
         # decomposition data (VERDICT r5 #2): when a driver-observed ratio
         # disagrees with an idle re-run, these attribute the delta —
@@ -411,9 +454,9 @@ def main() -> None:
             if locals_:
                 with open(locals_[-1], encoding="utf-8") as f:
                     record = json.load(f)
-                # r10: a record stamped with a different commit cannot
+                # r10: a record stamped with different code cannot
                 # exonerate THIS code — ignore it (see module docstring)
-                if _idle_record_usable(record, git_head):
+                if _idle_record_usable(record, git_head, code_tree):
                     idle_ratios = (record.get("vs_baseline", {})
                                    .get("ratios", {}))
         except Exception:  # noqa: BLE001
@@ -532,7 +575,7 @@ def main() -> None:
         "loaded_box": vsb.get("loaded_box"),
     }
     ordered = {k: out[k] for k in
-               ("metric", "value", "unit", "sf", "git_head")}
+               ("metric", "value", "unit", "sf", "git_head", "code_tree")}
     ordered["summary"] = summary
     ordered.update({k: v for k, v in out.items() if k not in ordered})
     print(f"# summary: {json.dumps(summary)}", file=sys.stderr)

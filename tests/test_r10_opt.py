@@ -46,10 +46,10 @@ def test_prefix_filter_tokenless_docs_never_pair(spark):
 
 def test_idle_record_head_stamp_gates_adjudication():
     """The regression pre-adjudicator may only consult a committed idle
-    record that measured the SAME commit (VERDICT r9 #7): a stamped
-    record from another HEAD — or any stamped record when the current
-    HEAD is unknown — cannot exonerate a flag.  Unstamped legacy
-    records stay usable."""
+    record that measured the SAME code (VERDICT r9 #7).  Matching is by
+    code-path tree hash when the record carries one (the commit of the
+    record itself must not unmatch it); head-stamped records fall back to
+    exact-commit equality; unstamped legacy records stay usable."""
     import bench
 
     assert bench._idle_record_usable({}, "abc") is True
@@ -57,6 +57,22 @@ def test_idle_record_head_stamp_gates_adjudication():
     assert bench._idle_record_usable({"git_head": "abc"}, "abc") is True
     assert bench._idle_record_usable({"git_head": "abc"}, "def") is False
     assert bench._idle_record_usable({"git_head": "abc"}, None) is False
+    # code_tree matching takes precedence and survives record commits
+    rec = {"git_head": "old_commit", "code_tree": "t1"}
+    assert bench._idle_record_usable(rec, "new_commit", "t1") is True
+    assert bench._idle_record_usable(rec, "old_commit", "t2") is False
+    assert bench._idle_record_usable(rec, "old_commit", None) is False
+
+
+def test_code_tree_stamp_stable_under_record_commits():
+    """The stamp hashes only the measured code paths, so it must be
+    non-None on a clean tree and computable twice identically."""
+    import bench
+
+    t1, t2 = bench._code_tree(), bench._code_tree()
+    assert t1 == t2
+    if t1 is not None:
+        assert len(t1) == 16 and all(c in "0123456789abcdef" for c in t1)
 
 
 def test_bench_git_head_resolves_in_repo():
