@@ -727,7 +727,33 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     O(n^2) flops — for verification and small corpora).  Deterministic
     end-to-end (LCG hyperplanes), so the whole approximate pipeline has an
     exact SQL oracle: :func:`embedding_cosine_pairs_lsh_sql`."""
+    # r10: vectors with EQUAL values are interchangeable — the sketch and
+    # the cosine depend only on the value — so on a corpus with exact-dup
+    # embeddings, candidates generate and verify once per DISTINCT vector
+    # and verified rep pairs expand back to id pairs (the
+    # distinct-token-set recipe of prefix_filter_pairs).  A duplicate
+    # group of size g otherwise costs O(g^2) candidate rows in EVERY
+    # table it collides in: the sf1 probe (10 exact copies per vector)
+    # spent 225s verifying 27.7M candidate pairs of which only ~0.27M are
+    # distinct.  One cheap stats job picks the path (data-derived
+    # adaptivity, the small_batch_tuning precedent); both paths emit the
+    # IDENTICAL pair set — on dup-free input the id-level pipeline IS the
+    # distinct-vector pipeline, so it runs ungrouped at zero overhead.
+    stats = emb.agg(F.count(F.lit(1)).alias("n"),
+                    F.count_distinct("embedding").alias("nd")).collect()[0]
+    if stats["nd"] == stats["n"]:
+        return _lsh_pairs_ungrouped(emb, threshold, dim, n_bits, n_tables)
+
     from hbase_indexer_spark.pipeline.similarity import dot, hyperplane_sketch, norm
+
+    # count_distinct skips NULL embeddings, so nd < n whenever NULLs
+    # exist — those rows take this (general) path, where they group
+    # together, sketch to bucket 0, and fail every cosine gate exactly
+    # like the ungrouped path.  Spark groups array keys by value
+    # (NaN==NaN, -0.0==0.0 — value-equal vectors have identical sketches
+    # and cosines either way).
+    groups = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("rid"), F.count(F.lit(1)).alias("gn"))
 
     sketches = [
         # table t uses its own independent plane family
@@ -736,10 +762,56 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
         for t in range(n_tables)
     ]
     # ONE pass computes all n_tables sketches AND the vector norm (reused
-    # by the verify step, so the per-candidate work is dot-only); the
-    # per-table rows explode out of the combined row
-    sk = emb.select("vec_id", "embedding",
-                    norm(F.col("embedding")).alias("nrm"), *sketches)
+    # by the verify step, so the per-candidate work is dot-only).
+    # Materialized ONCE (eager localCheckpoint, the graph-loop recipe):
+    # four consumers read it — the table explode, both verify sides, the
+    # self-cosine gate, and the member map — and each would otherwise
+    # recompute the distinct-vector aggregation and the interpreted
+    # sketch folds.  The checkpoint is the operator's own working set
+    # (one row per DISTINCT vector: embedding + n_tables longs + norm),
+    # released by the context cleaner with the returned frame's lineage.
+    sk = groups.select(F.col("rid").alias("vec_id"), "embedding", "gn",
+                       norm(F.col("embedding")).alias("nrm"),
+                       *sketches).localCheckpoint(eager=True)
+    rep_pairs = _lsh_verify(sk, dot, threshold, n_tables)
+    # expand verified rep pairs back to id pairs.  Cross-group: every
+    # member pair of a verified (repA, repB) shares repA x repB's exact
+    # sketches and cosine, so membership expansion is the identity on the
+    # emitted pair SET (ordered lo < hi; groups partition the id space,
+    # so each unordered pair appears exactly once).  Same-group: members
+    # share every sketch (identical vectors collide in ALL tables), so
+    # they are candidates by construction; the group's self-cosine —
+    # dot(v,v)/(nrm*nrm), the bit-identical verify expression — gates
+    # the expansion (a zero/NULL vector has NULL cosine and never pairs,
+    # exactly like the ungrouped path).
+    members = (emb.select("vec_id", "embedding")
+               .join(sk.select("embedding", F.col("vec_id").alias("rid")),
+                     "embedding")
+               .select("rid", "vec_id"))
+    mx = members.select(F.col("rid").alias("x"), F.col("vec_id").alias("xid"))
+    my = members.select(F.col("rid").alias("y"), F.col("vec_id").alias("yid"))
+    cross = (rep_pairs.join(mx, "x").join(my, "y")
+             .select(F.least("xid", "yid").alias("x"),
+                     F.greatest("xid", "yid").alias("y")))
+    self_ok = sk.filter(
+        (F.col("gn") >= 2)
+        & ((dot(F.col("embedding"), F.col("embedding"))
+            / (F.col("nrm") * F.col("nrm"))) >= threshold)
+    ).select(F.col("vec_id").alias("rid"))
+    m1 = members.join(self_ok, "rid")
+    same = (m1.alias("s1").join(m1.alias("s2"), "rid")
+            .filter(F.col("s1.vec_id") < F.col("s2.vec_id"))
+            .select(F.col("s1.vec_id").alias("x"),
+                    F.col("s2.vec_id").alias("y")))
+    return cross.unionByName(same).distinct()
+
+
+def _lsh_verify(sk: DataFrame, dot, threshold: float,
+                n_tables: int) -> DataFrame:
+    """Shared candidate-generation + exact-cosine verify over a sketched
+    frame ``sk(vec_id, embedding, nrm, b0..b{n_tables-1})`` — the
+    original (r5) pipeline body, factored so the grouped and ungrouped
+    paths of :func:`embedding_cosine_pairs_lsh` stay expression-identical."""
     tables = sk.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)]))
@@ -761,13 +833,30 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
         # same float expression as cosine(): dot / (norm * norm) >= t —
         # norms just come precomputed from the sketch pass.  The dedup of
         # multi-table collisions runs AFTER the filter: re-verifying the
-        # ~8% duplicate candidates is cheaper than shuffling the full
+        # duplicate candidates is cheaper than shuffling the full
         # candidate set for a pre-verify distinct
         .filter((dot(F.col("va"), F.col("vb"))
                  / (F.col("na") * F.col("nb"))) >= threshold)
         .select("x", "y")
         .distinct()
     )
+
+
+def _lsh_pairs_ungrouped(emb: DataFrame, threshold: float, dim: int,
+                         n_bits: int, n_tables: int) -> DataFrame:
+    """The duplicate-free pipeline of :func:`embedding_cosine_pairs_lsh`
+    (the pre-r10 shape, zero added jobs): every vector is its own group,
+    so the id-level sketch pass IS the distinct-vector sketch pass."""
+    from hbase_indexer_spark.pipeline.similarity import dot, hyperplane_sketch, norm
+
+    sketches = [
+        hyperplane_sketch(F.col("embedding"), dim, n_bits,
+                          plane_offset=n_bits * t).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    sk = emb.select("vec_id", "embedding",
+                    norm(F.col("embedding")).alias("nrm"), *sketches)
+    return _lsh_verify(sk, dot, threshold, n_tables)
 
 
 def embedding_cosine_pairs_lsh_sql(threshold: float = 0.4, dim: int = 64,

@@ -154,3 +154,56 @@ def test_tuning_non_integer_width_is_noop():
 
     with small_batch_tuning(_Spark(), 1):
         pass  # entered and exited without touching conf
+
+
+# --- embedding LSH duplicate-vector grouping (r10) ------------------------
+
+def test_lsh_pairs_grouped_equals_ungrouped_on_duplicates(spark):
+    """Value-equal vectors are interchangeable for sketches and cosine, so
+    the grouped (distinct-vector) pipeline must emit EXACTLY the pair set
+    of the ungrouped pipeline — including same-group pairs (identical
+    vectors collide in every table and score cosine(v,v)), cross-group
+    pairs, and nothing for NULL embeddings."""
+    from pyspark.sql import functions as F
+
+    from hbase_indexer_spark.pipeline.dedup import (
+        _lsh_pairs_ungrouped,
+        embedding_cosine_pairs_lsh,
+    )
+
+    base = [float(i % 7) - 3.0 for i in range(8)]
+    near = [v + (0.01 if i == 0 else 0.0) for i, v in enumerate(base)]
+    far = [(-1.0) ** i * (i + 1.0) for i in range(8)]
+    rows = [
+        (1, base), (2, base), (5, base),          # 3 identical copies
+        (3, near), (7, near),                      # 2 copies of a near dup
+        (4, far),
+        (9, None),                                 # NULL never pairs
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in embedding_cosine_pairs_lsh(
+        emb, threshold=0.4, dim=8, n_bits=4, n_tables=4).collect())
+    want = sorted(tuple(r) for r in _lsh_pairs_ungrouped(
+        emb, 0.4, 8, 4, 4).collect())
+    assert got == want and len(got) > 0
+    # the duplicate copies must all pair with each other
+    for pair in [(1, 2), (1, 5), (2, 5), (3, 7)]:
+        assert pair in got
+
+
+def test_lsh_pairs_dup_free_input_takes_ungrouped_path(spark):
+    """With all-distinct vectors the adaptive branch must emit the same
+    pairs as the explicit ungrouped pipeline (it IS that pipeline)."""
+    from hbase_indexer_spark.pipeline.dedup import (
+        _lsh_pairs_ungrouped,
+        embedding_cosine_pairs_lsh,
+    )
+
+    rows = [(i, [float((i * j) % 5) - 2.0 for j in range(8)])
+            for i in range(1, 12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in embedding_cosine_pairs_lsh(
+        emb, threshold=0.3, dim=8, n_bits=4, n_tables=4).collect())
+    want = sorted(tuple(r) for r in _lsh_pairs_ungrouped(
+        emb, 0.3, 8, 4, 4).collect())
+    assert got == want
