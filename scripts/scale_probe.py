@@ -238,6 +238,10 @@ def run_sf1_queries(spark, sf1: str, names: list[str]) -> dict:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    # approximate plans with no oracle (ann_ivf_build, ann_pq_adc, ...)
+    # live outside the gate surface but stay benchmarked — same rule as
+    # bench.py
+    qs.update(entry.bench_only())
     sf1_out = {}
     for name in names:
         runs, metrics = [], None
@@ -300,7 +304,12 @@ def main() -> None:
         if os.path.exists(args.out):
             with open(args.out, encoding="utf-8") as f:
                 data = json.load(f)
-        data[args.sf1_key] = sf1_out
+        if (args.sf1_key == "sf1_queries"
+                and isinstance(data.get(args.sf1_key), dict)):
+            # partial re-runs extend the slice, never clobber it
+            data[args.sf1_key].update(sf1_out)
+        else:
+            data[args.sf1_key] = sf1_out
         with open(args.out, "w", encoding="utf-8") as f:
             json.dump(data, f, indent=1)
         print(json.dumps({args.sf1_key: sf1_out}))
