@@ -3531,9 +3531,77 @@ _GATE_WINDOW_R9: list[str] = [
 ]
 
 
+# r10 rotation: the r9 window recorded 50/50 green (CORRECTNESS_r09) and
+# the ledger shows EVERY query driver-checked at least once.  This round
+# is an optimization round, so the window fronts (a) every query whose
+# computing internals changed AFTER its latest driver check — the
+# prefix-filter distinct-set join (inherited commit), the SQL-text
+# extraction compile + fixture memo (index/incremental/streaming
+# families), the mapper-resolution key change (custom_value_mapper), the
+# LSH distinct-vector grouping, the BM25 stats-job fold, and the
+# tuning-guard loops — then (b) the 21 oldest re-checks (r5-era rows,
+# continuing the freshness rotation the r9 window started; the r11
+# window picks up the remaining four r5 rows + r6).
+_GATE_WINDOW_R10: list[str] = [
+    # (a) touched this round — re-gate on the driver
+    "prefix_filter_dups",
+    "prefix_filter_xjoin",
+    "embedding_cosine_lsh",
+    "embedding_lsh_recall",
+    "bm25_incremental",
+    "bm25_topk",
+    "hybrid_rrf",
+    "retrieval_eval",
+    "row_index_customer",
+    "xml_conf_index",
+    "column_index_orders",
+    "typed_decode_matrix",
+    "stream_static_join",
+    "incremental_row_index",
+    "incremental_column_index",
+    "streaming_row_index",
+    "store_changefeed",
+    "quarantine_merge",
+    "multi_table_union",
+    "etl_enrichment_chain",
+    "custom_value_mapper",
+    "subscription_gate",
+    "scan_range_pushdown",
+    "pagerank_trade",
+    "trustrank_seeds",
+    "dedup_clusters",
+    "stream_dedup",
+    "curation_stream",
+    "dedup_store_screen",
+    # (b) freshness re-checks: the oldest rows of the ledger (last
+    # driver-checked r5)
+    "knn_label_vote",
+    "label_centroids",
+    "language_histogram",
+    "media_dedup",
+    "mixed_language",
+    "mixture_resample",
+    "ngram_novelty",
+    "nll_outliers",
+    "pack_append",
+    "packed_sequence_text",
+    "quality_deciles",
+    "retention_cohorts",
+    "sequence_manifest",
+    "shard_manifest",
+    "shuffle_order",
+    "shuffled_pack",
+    "source_overlap_matrix",
+    "tfidf_cosine_pairs",
+    "token_budget_sample",
+    "token_fertility",
+    "training_corpus",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    window = set(_GATE_WINDOW_R9)
-    ordered = [*_GATE_WINDOW_R9,
+    window = set(_GATE_WINDOW_R10)
+    ordered = [*_GATE_WINDOW_R10,
                *(n for n in _ALL_QUERIES if n not in window)]
     return {n: _pinned(_ALL_QUERIES[n]) for n in ordered}
 
